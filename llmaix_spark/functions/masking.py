@@ -1,0 +1,173 @@
+"""PII masking kernels (anonymizer mode).
+
+Pure-Python kernels mirror the reference exactly (tests ported from
+webapp/llm_processing/tests/test_anonymization_utils.py and
+test_anonymizer_postprocess.py); Spark exposure is via Arrow-batched
+pandas UDFs — each row is masked with *its own* PII list (row-local, no
+shuffle), which encodes the reference's historical PII-isolation bug fix
+(webapp/llm_processing/tests/test_anonymizer_postprocess.py:18-48).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from llmaix_spark.functions.fuzzy import ratio
+from llmaix_spark.functions.json_repair import _is_empty_value
+
+_UMLAUTS = {
+    "ä": "ae", "ö": "oe", "ü": "ue",
+    "Ä": "Ae", "Ö": "Oe", "Ü": "Ue", "ß": "ss",
+}
+
+
+def replace_umlauts(text: str) -> str:
+    """Python twin of functions.text.replace_umlauts_expr
+    (reference webapp/llm_processing/utils.py:12-26)."""
+    for uml, rep in _UMLAUTS.items():
+        text = text.replace(uml, rep)
+    return text
+
+
+def add_umlaut_variants(items: list[str]) -> list[str]:
+    """Append transliterated variant after each umlaut-bearing item
+    (reference webapp/llm_processing/utils.py:28-36, order-preserving)."""
+    out = []
+    for s in items:
+        out.append(s)
+        if any(u in s for u in "äöüÄÖÜß"):
+            out.append(replace_umlauts(s))
+    return out
+
+
+def dedupe_preserve_order(items: list) -> list[str]:
+    """First-occurrence-wins dedup (reference OrderedDict.fromkeys,
+    webapp/llm_processing/utils.py:61)."""
+    return list(dict.fromkeys(items))
+
+
+def convert_personal_info_list(items) -> list[str]:
+    """Normalize a PII list: dedupe (order-preserving), stringify, drop
+    empty-ish, append umlaut variants
+    (reference webapp/llm_processing/utils.py:39-72). Unlike the
+    reference, the input is already a real array — Spark never
+    serializes arrays through strings, so the ast.literal_eval step
+    disappears by construction."""
+    if items is None:
+        return []
+    if not isinstance(items, (list, tuple)):
+        items = [items]
+    items = dedupe_preserve_order(items)
+    items = [str(x) for x in items if x is not None]
+    items = [x for x in items if not _is_empty_value(x)]
+    return add_umlaut_variants(items)
+
+
+def mask_text(text: str, personal_info_list, replacement_char: str = "*") -> str:
+    """Length-preserving, case-insensitive literal masking
+    (reference `replace_text_with_placeholder`,
+    webapp/llm_processing/utils.py:171-198)."""
+    if text is None:
+        return None
+    positions = []
+    lowered = text.lower()
+    for info in personal_info_list or []:
+        if _is_empty_value(info):
+            continue
+        for m in re.finditer(re.escape(str(info).lower()), lowered):
+            positions.append((m.start(), m.end()))
+    for start, end in positions:
+        text = text[:start] + replacement_char * (end - start) + text[end:]
+    return text
+
+
+def replace_personal_info(
+    text: str,
+    personal_info_list,
+    fuzzy_matches=(),
+    fuzzy_matching_threshold: int = 90,
+    replacement_char: str = "■",
+    ignore_short_sequences: int = 0,
+) -> str:
+    """Masking orchestrator (reference `replace_personal_info`,
+    webapp/llm_processing/utils.py:202-244): dedupe, drop '', merge
+    fuzzy matches ≥ threshold, drop short sequences, then mask."""
+    assert len(replacement_char) == 1
+    infos = [x for x in dict.fromkeys(personal_info_list or []) if x != ""]
+    infos += [m for m, score in (fuzzy_matches or []) if score >= fuzzy_matching_threshold]
+    if ignore_short_sequences > 0:
+        infos = [x for x in infos if len(x) > ignore_short_sequences]
+    return mask_text(text, infos, replacement_char=replacement_char)
+
+
+def _meets_split_criteria(substring: str) -> bool:
+    """len>=3 or >=4 digits (reference webapp/report_redaction/utils.py:421-433)."""
+    return len(substring) >= 3 or len(re.findall(r"\d", substring)) >= 4
+
+
+def find_fuzzy_matches(
+    text: str, personal_info_list, threshold: int = 90
+) -> list[tuple[str, float]]:
+    """Row-local fuzzy matcher (reference `find_fuzzy_matches`,
+    webapp/report_redaction/utils.py:413-437): split each PII item into
+    word tokens, keep tokens per the split criteria, score every word of
+    the text, keep (word, score) pairs ≥ threshold, dedupe."""
+    if not text:
+        return []
+    words = text.split()
+    out = set()
+    for info in personal_info_list or []:
+        if _is_empty_value(info):
+            continue
+        for sub in re.findall(r"\w+", str(info)):
+            if not _meets_split_criteria(sub):
+                continue
+            for w in words:
+                s = ratio(sub, w)
+                if s >= threshold:
+                    out.add((w, s))
+    return sorted(out)
+
+
+def generate_dollartext(text: str, spans, replacement_char: str = "■") -> str:
+    """Char-mask from annotation spans [begin, end)
+    (reference `generate_dollartext`, webapp/report_redaction/utils.py:170-184)."""
+    chars = list(text)
+    for span in spans or []:
+        begin, end = int(span[0]), int(span[1])
+        for i in range(max(begin, 0), min(end, len(chars))):
+            chars[i] = replacement_char
+    return "".join(chars)
+
+
+# --- Spark exposure (Arrow-batched) -----------------------------------------
+
+
+def masked_report_udf(replacement_char: str = "■", ignore_short: int = 0):
+    """pandas UDF: (text, array<string> pii) -> masked text."""
+
+    def _mask(text: pd.Series, pii: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                replace_personal_info(
+                    t,
+                    convert_personal_info_list(list(p) if p is not None else []),
+                    replacement_char=replacement_char,
+                    ignore_short_sequences=ignore_short,
+                )
+                if t is not None
+                else None
+                for t, p in zip(text, pii)
+            ]
+        )
+
+    return F.pandas_udf(_mask, StringType())
+
+
+def masked_col(text: Column, pii: Column, replacement_char: str = "■") -> Column:
+    return masked_report_udf(replacement_char)(text, pii)

@@ -1,0 +1,290 @@
+"""Triple extraction — the flagship operator (reference L1-L8 + J1-J7).
+
+The reference drives a llama-server with grammar-constrained JSON
+completions, one asyncio task per report bounded by a semaphore of
+`parallel_slots + buffer` (webapp/llm_processing/routes.py:412-670). Here
+the same shape is Spark-native:
+
+  conversations → mapInPandas(extract) → from_json → posexplode → triples
+
+* One `mapInPandas` stage: each Arrow batch (spark.sql.execution.arrow.
+  maxRecordsPerBatch rows) becomes one backend micro-batch. Cluster-level
+  parallelism is partition count; request-level concurrency lives inside
+  the backend (bounded thread pool = the reference's semaphore).
+* Backends are pluggable behind `complete(prompts) -> contents`:
+  - StubBackend: deterministic, rule-based, grammar-shaped JSON with the
+    exact output quirks the reference's tests pin (end markers, trailing
+    prose/comma, nulls, rare malformed rows) — used for correctness gates
+    and benchmarks (zero network variance).
+  - HttpBackend: llama.cpp-server/OpenAI-compatible chat endpoint with
+    seed/temperature/json_schema, bounded in-flight requests, lazy
+    per-executor singleton with health gating (reference
+    webapp/llm_processing/routes.py:761-804). Never exercised in tests.
+* JSON repair is the ported J1-J5 kernel; a failed parse yields an empty
+  row with error=True — the row always survives (reference
+  webapp/llm_processing/routes.py:980-993).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llmaix_spark.functions.json_repair import repair_and_parse
+from llmaix_spark.schemas import EXTRACTION_RAW
+
+# predicate phrases the stub grammar recognizes (mirrors the de-facto
+# schema role of the reference's GBNF grammar,
+# webapp/llm_processing/forms.py:19-33)
+STUB_PREDICATES = {
+    "works at": "works_at",
+    "lives in": "lives_in",
+    "manages": "manages",
+    "uses": "uses",
+    "visited": "visited",
+}
+
+_ENTITY = r"[A-ZÄÖÜ][\w\-]*(?: [A-ZÄÖÜ][\w\-]*)*"
+_PHRASES = "|".join(sorted(STUB_PREDICATES, key=len, reverse=True))
+STUB_PATTERN = re.compile(rf"({_ENTITY}) ({_PHRASES}) ({_ENTITY})")
+
+DEFAULT_PROMPT = (
+    "Extract all (subject, predicate, object) triples from the "
+    "conversation below as JSON {{\"triples\": [...]}}.\n\n{report}"
+)
+
+
+@dataclass
+class ExtractionConfig:
+    prompt_template: str = DEFAULT_PROMPT
+    backend: str = "stub"  # stub | http
+    endpoint: str | None = None
+    # reference: Semaphore(parallel_slots + buffer_slots),
+    # webapp/llm_processing/routes.py:619-620
+    parallel_slots: int = 1
+    buffer_slots: int = 10
+    seed: int = 42
+    temperature: float = 0.0
+    n_predict: int = 2048
+    # stub-only: fraction of outputs rendered with a formatting quirk
+    quirk_rate: float = 0.25
+    # stub-only: fraction of outputs rendered unparseable (error path)
+    malformed_rate: float = 0.002
+    json_schema: dict | None = None
+    extra: dict = field(default_factory=dict)
+
+
+class StubBackend:
+    """Deterministic rule-based extractor posing as a grammar-constrained
+    LLM. The *same* rules drive the pandas oracle in tests, so triple sets
+    are exactly comparable; quirk selection is a stable hash of the prompt
+    (no RNG → bitwise reproducible across runs and partitioners)."""
+
+    def __init__(self, cfg: ExtractionConfig):
+        self.cfg = cfg
+
+    @staticmethod
+    def extract_triples(text: str) -> list[dict]:
+        out = []
+        for m in STUB_PATTERN.finditer(text or ""):
+            out.append(
+                {
+                    "subj": m.group(1),
+                    "pred": STUB_PREDICATES[m.group(2)],
+                    "obj": m.group(3),
+                }
+            )
+        return out
+
+    @staticmethod
+    def _stable_hash(s: str) -> int:
+        # FNV-1a 64-bit — stable across processes (unlike hash())
+        h = 0xCBF29CE484222325
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def _render(self, triples: list[dict], prompt: str) -> str:
+        # ensure_ascii=False: a real LLM emits raw UTF-8; \uXXXX escapes
+        # would be destroyed by the (reference-faithful) backslash strip
+        # in the J3 repair step.
+        body = json.dumps({"triples": triples, "n": len(triples)}, ensure_ascii=False)
+        h = self._stable_hash(prompt)
+        if (h % 10_000) / 10_000.0 < self.cfg.malformed_rate:
+            return body[: max(len(body) // 2, 1)].rstrip("}")
+        if (h % 1000) / 1000.0 < self.cfg.quirk_rate:
+            quirk = h // 7 % 5
+            if quirk == 0:
+                return body + "<|eot_id|>"
+            if quirk == 1:
+                return body + "</s>"
+            if quirk == 2:
+                return body + " Here is your answer, hope it helps!"
+            if quirk == 3:
+                return body[:-1] + ",}"
+            return body[:-1] + ', "note": null,}'
+        return body
+
+    def complete(self, prompts: list[str]) -> list[str]:
+        return [self._render(self.extract_triples(p), p) for p in prompts]
+
+
+class HttpBackend:
+    """llama.cpp-server / OpenAI-compatible chat backend.
+
+    Mirrors the reference's request shape (seed, temperature, json_schema
+    response format — webapp/llm_processing/routes.py:333-474) with a
+    bounded thread pool standing in for the asyncio semaphore. One
+    instance per executor process (see `_get_backend`), health-gated on
+    first use (reference `_await_server_ready`, routes.py:761-804).
+    """
+
+    def __init__(self, cfg: ExtractionConfig):
+        import urllib.request
+
+        self.cfg = cfg
+        self._urllib = urllib.request
+        if not cfg.endpoint:
+            raise ValueError("HttpBackend requires cfg.endpoint")
+        self._healthy = False
+
+    def _check_health(self) -> None:
+        if self._healthy:
+            return
+        url = self.cfg.endpoint.rstrip("/") + "/health"
+        with self._urllib.urlopen(url, timeout=30) as r:
+            if json.loads(r.read()).get("status") != "ok":
+                raise RuntimeError("LLM server not healthy")
+        self._healthy = True
+
+    def _one(self, prompt: str) -> str:
+        payload = {
+            "prompt": prompt,
+            "n_predict": self.cfg.n_predict,
+            "temperature": self.cfg.temperature,
+            "seed": self.cfg.seed,
+            "cache_prompt": True,
+        }
+        if self.cfg.json_schema:
+            payload["json_schema"] = self.cfg.json_schema
+        req = self._urllib.Request(
+            self.cfg.endpoint.rstrip("/") + "/completion",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with self._urllib.urlopen(req, timeout=1200) as r:
+            return json.loads(r.read()).get("content", "")
+
+    def complete(self, prompts: list[str]) -> list[str]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._check_health()
+        slots = self.cfg.parallel_slots + self.cfg.buffer_slots
+        with ThreadPoolExecutor(max_workers=slots) as pool:
+            return list(pool.map(self._one, prompts))
+
+
+_BACKEND_SINGLETON: dict[str, object] = {}
+
+
+def _get_backend(cfg: ExtractionConfig):
+    """Per-executor lazy singleton (the reference keeps one llama-server
+    alive across jobs keyed on current_model, routes.py:806-863)."""
+    key = f"{cfg.backend}:{cfg.endpoint}"
+    be = _BACKEND_SINGLETON.get(key)
+    if be is None:
+        be = (
+            StubBackend(cfg) if cfg.backend == "stub" else HttpBackend(cfg)
+        )
+        _BACKEND_SINGLETON[key] = be
+    return be
+
+
+def extract_raw(conversations: DataFrame, cfg: ExtractionConfig) -> DataFrame:
+    """conversations(conv_id, conv_text) → EXTRACTION_RAW via mapInPandas.
+
+    One Arrow batch = one backend micro-batch; the prompt is formatted
+    like the reference's `prompt.format(report=...)`
+    (webapp/llm_processing/routes.py:496).
+    """
+    template = cfg.prompt_template
+    cfg_b = cfg  # closure capture
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = _get_backend(cfg_b)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            prompts = [
+                template.format(report=t if t is not None else "")
+                for t in pdf["conv_text"]
+            ]
+            contents = backend.complete(prompts)
+            parsed, errors = [], []
+            for c in contents:
+                d, _repaired, err = repair_and_parse(c)
+                parsed.append(json.dumps(d))
+                errors.append(err)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].values,
+                    "content": contents,
+                    "parsed": parsed,
+                    "error": errors,
+                    "truncated": [False] * len(pdf),
+                }
+            )
+
+    return conversations.mapInPandas(run, EXTRACTION_RAW)
+
+
+TRIPLE_ARRAY_SCHEMA = (
+    "struct<triples: array<struct<subj:string,pred:string,obj:string>>,"
+    " n: string>"
+)
+
+
+def triples_from_raw(raw: DataFrame) -> DataFrame:
+    """EXTRACTION_RAW → triples_raw(conv_id, subj_surface, pred,
+    obj_surface). JVM-side from_json + explode (J7's pivot, but against
+    the fixed job schema instead of a dynamic pivot)."""
+    j = raw.withColumn("j", F.from_json("parsed", TRIPLE_ARRAY_SCHEMA))
+    return (
+        j.select("conv_id", F.explode("j.triples").alias("t"))
+        .select(
+            "conv_id",
+            F.col("t.subj").alias("subj_surface"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj_surface"),
+        )
+        .filter(
+            F.col("subj_surface").isNotNull() & F.col("obj_surface").isNotNull()
+        )
+    )
+
+
+def extract_triples(
+    transcripts: DataFrame,
+    cfg: ExtractionConfig | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end narrow pipeline: assemble → extract → explode.
+
+    Returns (triples_raw, extraction_raw). A deterministic
+    `repartition(n, conv_id)` before the UDF keeps micro-batch
+    composition stable and skew-balanced (SURVEY §4.2 rule 1).
+    """
+    from llmaix_spark.operators.assembly import assemble_conversations
+
+    cfg = cfg or ExtractionConfig()
+    convs = assemble_conversations(transcripts)
+    if num_partitions:
+        convs = convs.repartition(num_partitions, "conv_id")
+    raw = extract_raw(convs.select("conv_id", "conv_text"), cfg)
+    return triples_from_raw(raw), raw
