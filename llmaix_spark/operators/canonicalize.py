@@ -1,0 +1,130 @@
+"""Canonicalization — connected components over match edges (second wide
+stage).
+
+The reference's canonicalization is order-preserving dedup, first surface
+wins (OrderedDict.fromkeys, webapp/llm_processing/utils.py:61) — a
+single-machine notion of "first". The distributed recast picks the
+lexicographically *smallest* normalized surface per component: a total
+order every executor agrees on with zero coordination.
+
+Algorithm: iterative min-label propagation over undirected edges —
+    label(x) ← min(label(x), min_{(x,y)∈E} label(y))
+until a round changes nothing. Each round is one join + one
+map-side-combinable groupBy.min; `localCheckpoint()` truncates the plan
+lineage every round (SURVEY §4.2 rule 3 — an un-checkpointed iterative
+self-join grows the plan exponentially and dies at scale). Hot-entity
+skew: min-aggregation does partial combine on the map side, and the
+label join runs under AQE skew-join; an explicit salt is unnecessary
+*here* because the reduce is an algebraic min — the salted two-phase
+pattern lives in `salted_count` (used for mention frequencies, where the
+skewed key reaches a non-combinable sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(
+    df: DataFrame, key: str, salt_buckets: int = 32
+) -> DataFrame:
+    """Two-phase salted aggregation for power-law keys (north-rule
+    requirement): phase 1 counts per (key, salt) — spreading one hot key
+    over `salt_buckets` reducers — phase 2 sums the partials.
+
+    Equivalent to groupBy(key).count() but immune to single-reducer
+    hot-key stalls when partial aggregation is defeated (e.g. after an
+    explode that interleaves millions of identical keys per partition).
+    """
+    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return phase1.groupBy(key).agg(F.sum("_partial").alias("n"))
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 25,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """edges(norm_a, norm_b) → assignments(norm, component).
+
+    component = min normalized surface reachable in the match graph.
+    Nodes with no edges keep themselves as component (handled by the
+    caller joining assignments back with a coalesce, or by unioning
+    isolated nodes in — `canonical_assignments` does the latter).
+    """
+    sym = edges.select(
+        F.col("norm_a").alias("src"), F.col("norm_b").alias("dst")
+    ).union(
+        edges.select(
+            F.col("norm_b").alias("src"), F.col("norm_a").alias("dst")
+        )
+    )
+    sym = sym.localCheckpoint()
+
+    labels = (
+        sym.select(F.col("src").alias("norm"))
+        .distinct()
+        .withColumn("component", F.col("norm"))
+        .localCheckpoint()
+    )
+
+    for i in range(max_iterations):
+        # candidate labels arriving over edges
+        neighbor_min = (
+            sym.join(
+                labels.withColumnRenamed("norm", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("norm"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, "norm", "left")
+            .select(
+                "norm",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("nbr_component"), F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            updated = updated.localCheckpoint()
+        changed = updated.filter("_changed").limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_assignments(
+    mentions: DataFrame, edges: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """mentions(surface, norm, n_refs) + match edges →
+    assignments(surface, norm, entity_id, canonical_name).
+
+    entity_id is a content hash of the canonical name — stable across
+    runs, partitionings and cluster sizes (a monotonically_increasing_id
+    would not be)."""
+    cc = connected_components(edges, max_iterations)
+    norms = mentions.select("norm").distinct()
+    assigned = norms.join(cc, "norm", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("norm"))
+    )
+    out = mentions.join(assigned, "norm").select(
+        "surface",
+        "norm",
+        "n_refs",
+        F.col("component").alias("canonical_name"),
+        F.sha2(F.col("component"), 256).substr(1, 16).alias("entity_id"),
+    )
+    return out
