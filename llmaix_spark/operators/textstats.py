@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side column expressions (regexp/array builtins — whole-stage
+codegen): language ID (marker-token heuristic), quality scoring
+(length/punct/stopword ratios), token counting (whitespace + a BPE-ish
+regex) and document fingerprinting (min-hash of word 5-grams,
+winnowing-lite). Each is reproducible in ANSI SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from llmaix_spark.operators.linking import stable_hash60_expr
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "es": ["el", "la", "de", "los", "y", "es", "en"],
+    "fr": ["le", "la", "les", "et", "est", "un", "dans"],
+}
+
+STOPWORDS = sorted(set(sum(LANG_MARKERS.values(), [])))
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(_tokens(col))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count: word pieces + standalone punctuation (the
+    pre-tokenizer regex families used by GPT-style BPEs, simplified)."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-zÀ-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÿ0-9]"), 0)
+    )
+
+
+def _marker_hits(col: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(_tokens(col), lambda t: t.isin(markers)))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    return {lang: _marker_hits(col, ms) for lang, ms in LANG_MARKERS.items()}
+
+
+def lang_id_expr(col: Column) -> Column:
+    """Argmax of marker-token hits with fixed priority order en>de>es>fr
+    on ties; 'und' (undetermined) when no marker appears."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        out = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(out)
+    return out
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(col, r"[^.,!?;:]", ""))
+    return n_punct / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = _tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_len(col: Column) -> Column:
+    toks = _tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score_expr(col: Column) -> Column:
+    """Composite [0,1] quality score: length band + word-shape + stopword
+    presence — the reference's 'is this report usable' gate
+    (webapp/llm_processing/utils.py:147-169 empty-predicate) widened into
+    a graded signal for corpus filtering."""
+    n = F.length(col)
+    len_score = F.when(n < 20, n / 20.0).when(n > 2000, F.lit(0.5)).otherwise(F.lit(1.0))
+    wl = mean_word_len(col)
+    shape_score = F.when((wl >= 2.5) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw = stopword_ratio(col)
+    sw_score = F.when(sw > 0.0, F.lit(1.0)).otherwise(F.lit(0.6))
+    return F.round((len_score + shape_score + sw_score) / 3.0, 6)
+
+
+def doc_fingerprint(
+    docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Winnowing-lite fingerprint: min/max/count of 60-bit hashes over
+    word n-grams. Two docs sharing fp_min almost surely share a passage —
+    the cheap first-pass dup blocker."""
+    from llmaix_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(docs, n, id_col, text_col)
+    h = stable_hash60_expr(F.col("shingle"))
+    return sh.groupBy("doc_id").agg(
+        F.min(h).alias("fp_min"),
+        F.max(h).alias("fp_max"),
+        F.count(F.lit(1)).alias("fp_n"),
+    )
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One narrow pass emitting all per-doc stats."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(c).alias("n_chars"),
+        token_count_ws(c).alias("n_tokens_ws"),
+        token_count_bpe(c).alias("n_tokens_bpe"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(mean_word_len(c), 6).alias("mean_word_len"),
+        lang_id_expr(c).alias("lang_pred"),
+        quality_score_expr(c).alias("quality"),
+    )

@@ -1,0 +1,145 @@
+"""Dedup + similarity operators on the driver testdata (sf0.001)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from llmaix_spark.operators import dedup as dd
+from llmaix_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup_synthetic(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        ["doc_id", "text"],
+    )
+    got = {r["keep_id"]: r["n_dups"] for r in dd.exact_dedup(df).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    got = {r["shingle"] for r in dd.word_shingles(df, 3).collect()}
+    assert got == {"a b c", "b c d"}
+    # doc shorter than n → no shingles
+    df2 = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    assert dd.word_shingles(df2, 3).count() == 0
+
+
+def test_ngram_jaccard_vs_duckdb(docs, sf_dir):
+    ours = {
+        (r["doc_a"], r["doc_b"]) for r in dd.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    oracle = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+        with d as (select doc_id, string_split(text,' ') w from '{sf_dir}/documents.parquet'),
+        tok as (select doc_id, generate_subscripts(w,1) i, unnest(w) t from d),
+        tri as (select doc_id, t||' '||lead(t,1) over win||' '||lead(t,2) over win s,
+                lead(t,2) over win l2 from tok window win as (partition by doc_id order by i)),
+        sh as (select distinct doc_id, s from tri where l2 is not null),
+        cnt as (select doc_id, count(*) n from sh group by 1),
+        common as (select a.doc_id ia, b.doc_id ib, count(*) c from sh a
+                   join sh b on a.s=b.s and a.doc_id<b.doc_id group by 1,2)
+        select ia, ib from common join cnt na on ia=na.doc_id join cnt nb on ib=nb.doc_id
+        where c*1.0/(na.n+nb.n-c) >= 0.5
+        """
+        ).fetchall()
+    }
+    assert ours == oracle and len(ours) > 0
+
+
+def test_minhash_recall_vs_exact(docs):
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in dd.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"]) for r in dd.minhash_dedup_pairs(docs, 0.5).collect()
+    }
+    # verification makes approx ⊆ exact; LSH recall must be high
+    assert approx <= exact
+    assert len(approx) >= 0.9 * len(exact)
+
+
+def test_simhash_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # 1 extra token → small hamming
+            (3, "completely different words about spark shuffles and joins"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash(df).collect()}
+    assert sigs[1] != sigs[3]
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dd.simhash_dup_pairs(df, max_hamming=8).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_embedding_dup_pairs_vs_duckdb(emb, sf_dir):
+    ours = {
+        (r["vec_a"], r["vec_b"]) for r in dd.embedding_dup_pairs(emb, 0.4).collect()
+    }
+    oracle = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+        with e as (select * from '{sf_dir}/embeddings.parquet')
+        select a.vec_id, b.vec_id from e a, e b
+        where a.vec_id < b.vec_id
+          and round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.4
+        """
+        ).fetchall()
+    }
+    assert ours == oracle and len(ours) > 0
+
+
+def test_cosine_topk_exact(emb, sf_dir):
+    got = sim.cosine_topk(emb, [0, 1], k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    assert set(by_q) == {0, 1}
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+        # descending cosine
+        cos = [r[2] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+    # spot-check rank-1 against duckdb
+    top1 = duckdb.sql(
+        f"""
+        with e as (select * from '{sf_dir}/embeddings.parquet'),
+        q as (select * from e where vec_id = 0)
+        select c.vec_id from e c, q
+        where c.vec_id != 0
+        order by list_cosine_similarity(q.embedding, c.embedding) desc, c.vec_id
+        limit 1
+        """
+    ).fetchone()[0]
+    assert by_q[0][0][1] == top1
+
+
+def test_ivf_topk_recall(emb):
+    exact = sim.cosine_topk(emb, [0, 1, 2], k=10)
+    approx = sim.ivf_topk(emb, [0, 1, 2], k=10, n_centroids=8, nprobe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # IVF with half the buckets probed should keep decent recall
+    assert len(a & e) / len(e) >= 0.5
+    assert approx.count() == 30
