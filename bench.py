@@ -1,0 +1,227 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {name: sec, ...},
+   "sf": ..., "triples_per_sec": ..., "scaling": {...}}
+
+Two parts:
+  1. headline operator queries at $SPARK_GRAFT_SF_DIR (default
+     /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+  2. end-to-end KG pipeline (extract→link→canonicalize→materialize) over
+     the deterministic transcripts fixture at the same scale, run at TWO
+     parallelism levels (local[N/4] vs local[N]) on identical input —
+     the sandbox proxy for the north rule's N vs 4N executor-cluster
+     scaling gate. Efficiency = (thr_N / thr_N4) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = [
+    "kg_turns",
+    "kg_triples",
+    "kg_pipeline_edges",
+    "extraction_stub",
+    "agg_pricing_summary",
+    "join_top_orders",
+    "window_customer_top3",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "similarity_topk",
+    "textstats_quality",
+    "lang_id",
+    "fingerprint",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
+    from llmaix_spark.plans.queries import QUERIES
+
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def _pipeline_worker(
+    master: str, transcripts_path: str, cpus: int, simulate_ms: float,
+    include_raw: bool = True,
+) -> None:
+    """Subprocess body: two warmup runs (codegen JIT + python-worker pool
+    spawn, at zero simulated cost) then the measured run. One JSON line
+    on stdout."""
+    import shutil
+    import tempfile
+
+    from llmaix_spark.operators.extraction import ExtractionConfig
+    from llmaix_spark.pipeline import PipelineConfig, run_pipeline
+    from llmaix_spark.session import get_spark
+
+    spark = get_spark(master=master, app_name=f"bench-{master}",
+                      shuffle_partitions=cpus)
+    t = spark.read.parquet(transcripts_path)
+
+    def one_run(sim_ms: float) -> tuple[int, float]:
+        out_dir = tempfile.mkdtemp(prefix="bench_kg_")
+        try:
+            t0 = time.time()
+            res = run_pipeline(
+                spark,
+                t,
+                PipelineConfig(
+                    extraction=ExtractionConfig(simulate_cost_ms=sim_ms),
+                    # 8 tasks/core: stragglers in the (expensive) UDF
+                    # stage smooth out; standard over-partitioning
+                    num_partitions=cpus * 8,
+                    out_dir=out_dir,
+                    checkpoint_stages="final",
+                ),
+            )
+            n_edges = res["edges"].count()
+            return n_edges, time.time() - t0
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    # two zero-cost passes before measuring at EVERY level — asymmetric
+    # warmup biases the efficiency ratio (2nd run still carries ~25% JIT)
+    one_run(0.0)
+    raw_edges, raw_wall = one_run(0.0)
+    if not include_raw:
+        raw_edges, raw_wall = 0, 0.0
+    if simulate_ms > 0:
+        n_edges, wall = one_run(simulate_ms)
+    else:
+        n_edges, wall = raw_edges, raw_wall
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "master": master,
+                "edges": n_edges,
+                "sec": round(wall, 3),
+                "triples_per_sec": round(n_edges / wall, 1),
+                "simulate_cost_ms": simulate_ms,
+                "raw": {
+                    "edges": raw_edges,
+                    "sec": round(raw_wall, 3),
+                    "triples_per_sec": round(raw_edges / raw_wall, 1)
+                    if raw_wall
+                    else None,
+                },
+            }
+        )
+    )
+
+
+def pipeline_throughput(
+    master: str, transcripts_path: str, cpus: int, simulate_ms: float = 0.0,
+    include_raw: bool = True,
+) -> dict:
+    """Run one parallelism level in an isolated subprocess — sequential
+    sessions in one JVM contaminate each other's timings (shared JIT
+    state, lingering pools)."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--pipeline-worker",
+         master, transcripts_path, str(cpus), str(simulate_ms),
+         "1" if include_raw else "0"],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        cwd=REPO,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    from llmaix_spark.datagen import ensure_transcripts
+    from llmaix_spark.session import get_spark
+
+    tdir = ensure_transcripts(sf, os.path.join(REPO, "data"))
+    tpath = os.path.join(tdir, "transcripts.parquet")
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench",
+                      shuffle_partitions=cpus)
+    t0 = time.time()
+    queries = run_headline_queries(spark, sf_dir)
+    total = round(time.time() - t0, 3)
+    spark.stop()
+
+    # scaling proxy: same input, N/4 vs N cores. Measured with a
+    # calibrated simulated per-conversation inference cost (the µs-cheap
+    # stub alone measures the scheduler floor, not the LLM-bound workload
+    # the north rule targets — see BASELINE.md protocol). Raw-stub
+    # throughput is reported separately under "pipeline".
+    # N vs 4N cores, both at ≤ half the physical cores: with busy
+    # CPU-bound workers, local[ALL] oversubscribes the box (JVM + python
+    # workers share the same cores) and understates the high level —
+    # separate machines don't have that artifact.
+    sim_ms = float(os.environ.get("SPARK_GRAFT_SIM_MS", "12"))
+    high = max(cpus // 2, 4)
+    low = max(high // 4, 1)
+    r_low = pipeline_throughput(
+        f"local[{low}]", tpath, low, sim_ms, include_raw=False
+    )
+    r_high = pipeline_throughput(f"local[{high}]", tpath, high, sim_ms)
+    r_raw = r_high["raw"]
+    speedup = r_high["triples_per_sec"] / max(r_low["triples_per_sec"], 1e-9)
+    efficiency = round(speedup / (high / low), 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "pipeline": {
+                    "edges": r_raw["edges"],
+                    "sec": r_raw["sec"],
+                    "triples_per_sec": r_raw["triples_per_sec"],
+                },
+                "scaling": {
+                    "low": r_low,
+                    "high": r_high,
+                    "cores_ratio": high / low,
+                    "speedup": round(speedup, 4),
+                    "efficiency": efficiency,
+                    "simulate_cost_ms": sim_ms,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-worker":
+        _pipeline_worker(
+            sys.argv[2], sys.argv[3], int(sys.argv[4]), float(sys.argv[5]),
+            include_raw=(len(sys.argv) < 7 or sys.argv[6] == "1"),
+        )
+    else:
+        main()

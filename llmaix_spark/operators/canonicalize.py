@@ -46,10 +46,40 @@ def salted_count(
     return phase1.groupBy(key).agg(F.sum("_partial").alias("n"))
 
 
+def _driver_cc_from_rows(spark, rows) -> DataFrame:
+    """Small-graph fast path: union-find on the driver.
+
+    The iterative DataFrame CC costs ~10 scheduler round-trips regardless
+    of data size — pure serial overhead (Amdahl) when the match graph is
+    tiny relative to the corpus, which is the common case (distinct
+    fuzzy-linked surface pairs ≪ mentions). Below the threshold we
+    collect the edge list (two strings per row), union-find in
+    microseconds, and parallelize the assignment back."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    out = [(n, find(n)) for n in list(parent)]
+    return spark.createDataFrame(
+        out or [], "norm string, component string"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
     checkpoint_every: int = 1,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(norm_a, norm_b) → assignments(norm, component).
 
@@ -57,7 +87,21 @@ def connected_components(
     Nodes with no edges keep themselves as component (handled by the
     caller joining assignments back with a coalesce, or by unioning
     isolated nodes in — `canonical_assignments` does the latter).
+
+    Size-adaptive: edge sets under `driver_threshold` take a driver-side
+    union-find (ONE action: collect limit threshold+1, fall back if it
+    overflows — the graph of *fuzzy-linked distinct surfaces* is orders
+    of magnitude smaller than the corpus); larger graphs run the
+    distributed min-label-propagation loop below.
     """
+    if driver_threshold:
+        head = (
+            edges.select("norm_a", "norm_b")
+            .limit(driver_threshold + 1)
+            .collect()
+        )
+        if len(head) <= driver_threshold:
+            return _driver_cc_from_rows(edges.sparkSession, head)
     sym = edges.select(
         F.col("norm_a").alias("src"), F.col("norm_b").alias("dst")
     ).union(
@@ -114,13 +158,22 @@ def canonical_assignments(
 
     entity_id is a content hash of the canonical name — stable across
     runs, partitionings and cluster sizes (a monotonically_increasing_id
-    would not be)."""
+    would not be).
+
+    Callers should persist mentions/edges first (the pipeline does):
+    both are consumed by multiple downstream actions (CC + two joins +
+    the stage write) and their lineage is the expensive LSH linking DAG —
+    without a persist the whole linking plan re-executes ~5×.
+
+    The CC table (fuzzy-linked norms only) is far smaller than mentions;
+    on the driver fast path it is explicitly broadcast, so the
+    assignment join is map-side — no shuffle of the mention table."""
     cc = connected_components(edges, max_iterations)
-    norms = mentions.select("norm").distinct()
-    assigned = norms.join(cc, "norm", "left").withColumn(
+    cc_b = F.broadcast(cc) if cc.isLocal() else cc
+    assigned = mentions.join(cc_b, "norm", "left").withColumn(
         "component", F.coalesce(F.col("component"), F.col("norm"))
     )
-    out = mentions.join(assigned, "norm").select(
+    out = assigned.select(
         "surface",
         "norm",
         "n_refs",

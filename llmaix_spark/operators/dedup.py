@@ -308,6 +308,7 @@ def embedding_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute-force all-pairs — the
     small-SF oracle path; the scale path is similarity.ivf_topk's
@@ -321,5 +322,5 @@ def embedding_dup_pairs(
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     cos = cosine_expr(F.col("ea"), F.col("eb"))
     return pairs.select(
-        "vec_a", "vec_b", F.round(cos, 6).alias("cosine")
+        "vec_a", "vec_b", F.round(cos, round_dp).alias("cosine")
     ).filter(F.col("cosine") >= threshold)

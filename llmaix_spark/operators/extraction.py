@@ -76,6 +76,13 @@ class ExtractionConfig:
     quirk_rate: float = 0.25
     # stub-only: fraction of outputs rendered unparseable (error path)
     malformed_rate: float = 0.002
+    # stub-only: simulated per-conversation inference cost (ms, busy-wait).
+    # The rule-based stub costs ~µs/conv — 5-6 orders of magnitude below
+    # real grammar-constrained decoding — so scaling benchmarks on it
+    # measure Spark's scheduler floor, not the workload. A calibrated
+    # busy-wait restores the compute:coordination ratio of a real
+    # backend. 0 (default) = off; see BASELINE.md measurement protocol.
+    simulate_cost_ms: float = 0.0
     json_schema: dict | None = None
     extra: dict = field(default_factory=dict)
 
@@ -132,7 +139,17 @@ class StubBackend:
         return body
 
     def complete(self, prompts: list[str]) -> list[str]:
-        return [self._render(self.extract_triples(p), p) for p in prompts]
+        out = [self._render(self.extract_triples(p), p) for p in prompts]
+        if self.cfg.simulate_cost_ms > 0:
+            import time
+
+            # deterministic CPU cost standing in for local LLM inference
+            deadline = time.perf_counter() + (
+                self.cfg.simulate_cost_ms / 1000.0
+            ) * len(prompts)
+            while time.perf_counter() < deadline:
+                pass
+        return out
 
 
 class HttpBackend:
@@ -196,7 +213,7 @@ _BACKEND_SINGLETON: dict[str, object] = {}
 def _get_backend(cfg: ExtractionConfig):
     """Per-executor lazy singleton (the reference keeps one llama-server
     alive across jobs keyed on current_model, routes.py:806-863)."""
-    key = f"{cfg.backend}:{cfg.endpoint}"
+    key = f"{cfg.backend}:{cfg.endpoint}:{cfg.simulate_cost_ms}"
     be = _BACKEND_SINGLETON.get(key)
     if be is None:
         be = (

@@ -168,10 +168,13 @@ def verify_pairs(
 def match_edges(
     triples_raw: DataFrame, threshold: float = 90.0, shingle_n: int = 3
 ) -> tuple[DataFrame, DataFrame]:
-    """Full linking stage. Returns (mentions, edges(norm_a, norm_b))."""
+    """Full linking stage. Returns (mentions, edges(norm_a, norm_b)).
+
+    No separate norms.distinct() pass: minhash_signatures ends in a
+    groupBy(norm), so duplicate norms (case variants of one surface)
+    collapse there for free — one less shuffle."""
     mentions = mention_table(triples_raw)
-    norms = mentions.select("norm").distinct()
-    sigs = minhash_signatures(norms, shingle_n)
+    sigs = minhash_signatures(mentions.select("norm"), shingle_n)
     pairs = lsh_candidate_pairs(sigs)
     edges = verify_pairs(pairs, threshold)
     return mentions, edges

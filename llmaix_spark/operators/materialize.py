@@ -61,11 +61,12 @@ def write_stage(
     w.parquet(data_dir)
 
     back = spark.read.parquet(data_dir)
-    lineage = lineage_for(back, stage)
+    # one cached pass feeds both the lineage write and the manifest count
+    lineage = lineage_for(back, stage).persist()
     lineage_dir = os.path.join(d, "lineage")
     lineage.write.mode("overwrite").parquet(lineage_dir)
-
-    n = back.count()
+    n = lineage.agg(F.sum("output_rows")).collect()[0][0] or 0
+    lineage.unpersist()
     manifest = {
         "stage": stage,
         "rows": n,

@@ -26,6 +26,7 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int = 6,
 ) -> DataFrame:
     """Exact top-k by cosine for each query id. Returns
     (query_id, vec_id, rank, cosine); the query row itself is excluded.
@@ -42,7 +43,7 @@ def cosine_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), round_dp).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

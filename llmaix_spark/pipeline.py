@@ -40,6 +40,10 @@ class PipelineConfig:
     num_partitions: int | None = None
     out_dir: str | None = None
     resume: bool = False
+    # "all": every stage checkpointed (resume-grade, default);
+    # "final": only nodes/edges materialized — intermediate stages stay
+    # as persisted DataFrames (throughput mode; resume restarts the run)
+    checkpoint_stages: str = "all"
 
 
 def _stage(
@@ -65,24 +69,55 @@ def run_pipeline(
     transcripts: DataFrame,
     cfg: PipelineConfig | None = None,
 ) -> dict[str, DataFrame]:
+    """Full pipeline from transcripts (stub-LLM extraction)."""
     cfg = cfg or PipelineConfig()
-
-    triples_raw = _stage(
+    return run_pipeline_from_triples(
         spark,
-        cfg,
-        "triples_raw",
         lambda: extract_triples(
             transcripts, cfg.extraction, cfg.num_partitions
         )[0],
+        cfg,
     )
+
+
+def run_pipeline_from_triples(
+    spark: SparkSession,
+    triples_factory,
+    cfg: PipelineConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Linking + canonicalization + materialization over any triples_raw
+    source (conv_id, subj_surface, pred, obj_surface) — the extraction
+    grammar is pluggable (stub LLM, HTTP LLM, or rule-based)."""
+    cfg = cfg or PipelineConfig()
+    final_only = bool(cfg.out_dir) and cfg.checkpoint_stages == "final"
+    _to_unpersist: list[DataFrame] = []
+
+    def stage(name, compute, partition_by=None, final=False):
+        if cfg.out_dir and not (final_only and not final):
+            return _stage(spark, cfg, name, compute, partition_by)
+        df = compute()
+        if final_only:
+            # throughput mode: intermediates stay in memory, consumed by
+            # several downstream actions — persist, release at the end
+            df = df.persist()
+            _to_unpersist.append(df)
+        return df
+
+    triples_raw = stage("triples_raw", triples_factory)
 
     def _link():
         mentions, edges = match_edges(
             triples_raw, cfg.link_threshold, cfg.shingle_n
         )
+        # persist: CC + two joins + the stage write all re-consume these
+        # and their lineage is the whole LSH DAG. Unpersisted after the
+        # stage materializes (leaked caches degrade successive runs).
+        mentions = mentions.persist()
+        edges = edges.persist()
+        _to_unpersist.extend([mentions, edges])
         return canonical_assignments(mentions, edges)
 
-    assignments = _stage(spark, cfg, "assignments", _link)
+    assignments = stage("assignments", _link)
 
     def _nodes():
         return (
@@ -95,7 +130,7 @@ def run_pipeline(
             .select("entity_id", "canonical_name", "aliases", "kind", "n_refs")
         )
 
-    nodes = _stage(spark, cfg, "nodes", _nodes)
+    nodes = stage("nodes", _nodes, final=True)
 
     def _edges():
         # assignments keyed by norm — join triples' normalized surfaces to
@@ -131,7 +166,12 @@ def run_pipeline(
             )
         )
 
-    edges = _stage(spark, cfg, "edges", _edges, partition_by=["pred"])
+    edges = stage("edges", _edges, partition_by=["pred"], final=True)
+
+    if cfg.out_dir:  # final outputs materialized → caches now dead weight
+        for df in _to_unpersist:
+            df.unpersist()
+        _to_unpersist.clear()
 
     return {
         "triples_raw": triples_raw,

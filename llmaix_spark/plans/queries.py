@@ -1,0 +1,951 @@
+"""Named query library — the operator coverage surface.
+
+Every entry pairs a Spark implementation (built from llmaix_spark
+operators) with a DuckDB-runnable ANSI-SQL oracle over the same parquet
+tables (driver contract: row-count + schema + order-insensitive
+value-hash at sf=0.01). Non-SQL-expressible ops (iterative CC, LSH-probed
+ANN, pandas-UDF pipelines) carry a None oracle → rows-only check.
+
+Alignment rules (hard-won; see tests/test_oracle_parity.py):
+  * every computed column aliased identically on both sides
+  * integer outputs cast to BIGINT on both sides
+  * float outputs rounded explicitly; thresholds applied to the rounded
+    value so boundary rows agree across engines
+  * shared content hash = first 15 hex chars of md5 → bigint
+    (Spark conv(...,16,10) ≡ DuckDB ('0x'||...)::BIGINT)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from llmaix_spark.functions.text import (
+    base_id_expr,
+    boolean_coerce_expr,
+    is_empty_expr,
+    replace_umlauts_expr,
+)
+from llmaix_spark.operators import dedup as dd
+from llmaix_spark.operators import similarity as sim
+from llmaix_spark.operators import textstats as ts
+from llmaix_spark.operators.chunking import chunk_by_words, reassemble
+from llmaix_spark.operators.linking import _MINHASH_AB, _P
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+KG_PREDS = ["join", "merge", "scan", "sort", "filter", "group"]
+
+_HASH60_SQL = "(('0x' || substring(md5({v}), 1, 15))::BIGINT)"
+
+
+def _turns(spark, sf_dir) -> DataFrame:
+    """Derived transcripts: documents word-chunked into 8-word turns
+    (the testdata has no transcripts table; the derivation is part of the
+    query on both sides)."""
+    return chunk_by_words(_t(spark, sf_dir, "documents"), 8)
+
+
+_TURNS_SQL = """
+d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
+turns AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+         CAST((i - 1) // 8 AS INTEGER) AS turn_idx,
+         string_agg(t, ' ' ORDER BY i) AS text
+  FROM tok GROUP BY 1, 2
+)
+"""
+
+# ---------------------------------------------------------------------------
+# KG-path queries (P9 chunking, A1 assembly, mention/triple extraction)
+
+
+def q_kg_turns(spark, sf_dir):
+    return _turns(spark, sf_dir)
+
+
+SQL_KG_TURNS = f"WITH {_TURNS_SQL} SELECT conv_id, turn_idx, text FROM turns"
+
+
+def q_kg_assembly(spark, sf_dir):
+    out = reassemble(_turns(spark, sf_dir))
+    return out.select(
+        "conv_id", F.col("n_turns").cast("bigint").alias("n_turns"), "conv_text"
+    )
+
+
+SQL_KG_ASSEMBLY = f"""WITH {_TURNS_SQL}
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(text, ' ' ORDER BY turn_idx) AS conv_text
+FROM turns GROUP BY conv_id"""
+
+
+def q_kg_mentions(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.explode(F.split("text", " ")).alias("surface"),
+        )
+        .filter(F.length("surface") >= 6)
+        .distinct()
+    )
+
+
+SQL_KG_MENTIONS = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+tok AS (SELECT doc_id, unnest(w) t FROM d)
+SELECT DISTINCT CAST(doc_id AS VARCHAR) AS conv_id, t AS surface
+FROM tok WHERE length(t) >= 6"""
+
+
+def q_kg_triples(spark, sf_dir):
+    """Rule-based triple extraction: (prev, pred, next) token windows
+    where pred ∈ vocabulary and neighbors are not — the SQL-expressible
+    twin of the stub extraction grammar (stateless neighbor rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda j: F.struct(
+            F.element_at(toks, j).alias("subj"),
+            F.element_at(toks, j + 1).alias("pred"),
+            F.element_at(toks, j + 2).alias("obj"),
+        ),
+    )
+    exploded = docs.filter(F.size(toks) >= 3).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.explode(windows).alias("w"),
+    )
+    return (
+        exploded.filter(
+            F.col("w.pred").isin(KG_PREDS)
+            & ~F.col("w.subj").isin(KG_PREDS)
+            & ~F.col("w.obj").isin(KG_PREDS)
+        )
+        .groupBy(
+            "conv_id",
+            F.col("w.subj").alias("subj"),
+            F.col("w.pred").alias("pred"),
+            F.col("w.obj").alias("obj"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_PREDS_IN = ", ".join(f"'{p}'" for p in KG_PREDS)
+SQL_KG_TRIPLES = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
+tri AS (
+  SELECT doc_id,
+         lag(t) OVER win AS subj, t AS pred, lead(t) OVER win AS obj
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+)
+SELECT CAST(doc_id AS VARCHAR) AS conv_id, subj, pred, obj,
+       CAST(count(*) AS BIGINT) AS n
+FROM tri
+WHERE pred IN ({_PREDS_IN}) AND subj IS NOT NULL AND obj IS NOT NULL
+  AND subj NOT IN ({_PREDS_IN}) AND obj NOT IN ({_PREDS_IN})
+GROUP BY 1, 2, 3, 4"""
+
+
+def q_kg_entity_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.explode(F.split("text", " ")).alias("surface"),
+    ).filter(F.length("surface") >= 6)
+    return toks.groupBy("surface").agg(
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+SQL_KG_ENTITY_COUNTS = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+tok AS (SELECT doc_id, unnest(w) t FROM d)
+SELECT t AS surface,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM tok WHERE length(t) >= 6 GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# relational core (scan/filter/agg/join/window — Catalyst surface)
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_join_top_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_JOIN_TOP_ORDERS = """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+
+
+def q_window_customer_top3(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter("rn <= 3")
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+SQL_WINDOW_TOP3 = """
+SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3"""
+
+
+def q_window_prev_next(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+SQL_WINDOW_PREV_NEXT = """
+SELECT o_custkey, o_orderkey,
+       lag(o_orderkey) OVER win AS prev_orderkey,
+       lead(o_orderkey) OVER win AS next_orderkey
+FROM orders WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+
+def q_events_json_k(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").cast("bigint").alias("n_sessions"))
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH x AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev IS NULL
+                     OR date_diff('second', prev, ts) > 1800
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM x GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------------------
+# reference scalar kernels (P1/P5/P11/F1/F10, M3/M5, JN4)
+
+
+def q_empty_predicate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    probe = F.when(F.col("doc_id") % 7 == 0, F.lit("?")).when(
+        F.col("doc_id") % 11 == 0, F.lit("   ")
+    ).otherwise(F.col("text"))
+    return d.select("doc_id", is_empty_expr(probe).alias("is_empty"))
+
+
+SQL_EMPTY_PREDICATE = """
+SELECT doc_id,
+       (v IS NULL OR trim(v) = '' OR trim(v) = '?') AS is_empty
+FROM (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN '?'
+                  WHEN doc_id % 11 = 0 THEN '   '
+                  ELSE text END AS v
+      FROM documents)"""
+
+
+def q_id_gen(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    base = F.col("doc_id").cast("string")
+    return d.select(
+        "doc_id",
+        F.concat(base, F.lit("$"), F.substring(F.sha2(base, 256), 1, 8)).alias(
+            "gen_id"
+        ),
+    )
+
+
+SQL_ID_GEN = """
+SELECT doc_id,
+       CAST(doc_id AS VARCHAR) || '$' ||
+       substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS gen_id
+FROM documents"""
+
+
+def q_base_id_roundtrip(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    base = F.col("doc_id").cast("string")
+    chunk_id = F.concat(
+        base,
+        F.lit("$"),
+        F.substring(F.md5(base), 1, 8),
+        F.lit("_"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    return d.select(
+        "doc_id", chunk_id.alias("id"), base_id_expr(chunk_id).alias("base_id")
+    )
+
+
+SQL_BASE_ID = r"""
+SELECT doc_id, id, regexp_replace(id, '^(.*\$.*)_\d+$', '\1') AS base_id
+FROM (SELECT doc_id,
+             CAST(doc_id AS VARCHAR) || '$' ||
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '_' ||
+             CAST(doc_id % 5 AS VARCHAR) AS id
+      FROM documents)"""
+
+
+def q_umlaut_translit(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    probe = F.concat(F.col("c_name"), F.lit(" Größe Müß Ärger"))
+    return c.select("c_custkey", replace_umlauts_expr(probe).alias("translit"))
+
+
+SQL_UMLAUT = """
+SELECT c_custkey,
+       replace(replace(replace(replace(replace(replace(replace(
+         c_name || ' Größe Müß Ärger',
+         'ä', 'ae'), 'ö', 'oe'), 'ü', 'ue'),
+         'Ä', 'Ae'), 'Ö', 'Oe'), 'Ü', 'Ue'), 'ß', 'ss') AS translit
+FROM customer"""
+
+
+def q_boolean_coercion(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("value") > 66, F.lit("Yes"))
+        .when(F.col("value") > 33, F.lit("1"))
+        .when(F.col("value") > 20, F.lit("ja"))
+        .otherwise(F.lit("no"))
+    )
+    return e.select("event_id", boolean_coerce_expr(raw).alias("truthy"))
+
+
+SQL_BOOLEAN_COERCION = """
+SELECT event_id,
+       lower(trim(CASE WHEN value > 66 THEN 'Yes'
+                       WHEN value > 33 THEN '1'
+                       WHEN value > 20 THEN 'ja'
+                       ELSE 'no' END)) IN ('true', '1', 'yes', 'y', 'ja') AS truthy
+FROM events"""
+
+
+def q_metrics_boolean(spark, sf_dir):
+    from llmaix_spark.evaluation import boolean_label_metrics
+
+    o = _t(spark, sf_dir, "orders")
+    j = o.select(
+        F.lit("high_value").alias("label"),
+        F.when(F.col("o_totalprice") > 250000, F.lit("yes"))
+        .otherwise(F.lit("no"))
+        .alias("gt"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("true")
+        )
+        .otherwise(F.lit("?"))
+        .alias("pred"),
+    )
+    m = boolean_label_metrics(j, "gt", "pred")
+    return m.select(
+        "label",
+        *[F.col(c).cast("bigint").alias(c) for c in ("tp", "tn", "fp", "fn")],
+        *[
+            F.round(F.col(c), 6).alias(c)
+            for c in (
+                "accuracy",
+                "precision",
+                "recall",
+                "f1",
+                "specificity",
+                "false_positive_rate",
+                "false_negative_rate",
+            )
+        ],
+    )
+
+
+SQL_METRICS_BOOLEAN = """
+WITH j AS (
+  SELECT (o_totalprice > 250000) AS g,
+         (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS p
+  FROM orders),
+c AS (
+  SELECT CAST(sum(CASE WHEN g AND p THEN 1 ELSE 0 END) AS BIGINT) tp,
+         CAST(sum(CASE WHEN NOT g AND NOT p THEN 1 ELSE 0 END) AS BIGINT) tn,
+         CAST(sum(CASE WHEN NOT g AND p THEN 1 ELSE 0 END) AS BIGINT) fp,
+         CAST(sum(CASE WHEN g AND NOT p THEN 1 ELSE 0 END) AS BIGINT) fn
+  FROM j)
+SELECT 'high_value' AS label, tp, tn, fp, fn,
+       round((tp + tn) * 1.0 / nullif(tp + tn + fp + fn, 0), 6) AS accuracy,
+       round(CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0 END, 6) AS precision,
+       round(CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0 END, 6) AS recall,
+       round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0 END)
+                     + (CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0 END) > 0
+             THEN 2 * (CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0 END)
+                    * (CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0 END)
+                  / ((CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0 END)
+                     + (CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0 END))
+             ELSE 0 END, 6) AS f1,
+       round(CASE WHEN tn + fp > 0 THEN tn * 1.0 / (tn + fp) ELSE 0 END, 6) AS specificity,
+       round(CASE WHEN tn + fp > 0 THEN fp * 1.0 / (tn + fp) ELSE 0 END, 6) AS false_positive_rate,
+       round(CASE WHEN tp + fn > 0 THEN fn * 1.0 / (tp + fn) ELSE 0 END, 6) AS false_negative_rate
+FROM c"""
+
+
+def q_metrics_stringmatch(spark, sf_dir):
+    from llmaix_spark.evaluation import stringmatch_label_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    j = d.select(
+        F.col("lang").alias("label"),
+        F.col("lang").alias("gt"),
+        ts.lang_id_expr(F.col("text")).alias("pred"),
+    )
+    m = stringmatch_label_metrics(j, "gt", "pred")
+    return m.select(
+        "label",
+        F.col("match").cast("bigint").alias("match"),
+        F.col("no_match").cast("bigint").alias("no_match"),
+        F.round("accuracy", 6).alias("accuracy"),
+    )
+
+
+def _lang_id_sql(text: str = "text") -> str:
+    hit = {
+        lang: (
+            f"len(list_filter(string_split(lower(trim({text})), ' '), "
+            f"x -> x IN ({', '.join(repr(m) for m in ms)})))"
+        )
+        for lang, ms in ts.LANG_MARKERS.items()
+    }
+    best = f"greatest({hit['en']}, {hit['de']}, {hit['es']}, {hit['fr']})"
+    return (
+        f"CASE WHEN {best} = 0 THEN 'und' "
+        f"WHEN {hit['en']} = {best} THEN 'en' "
+        f"WHEN {hit['de']} = {best} THEN 'de' "
+        f"WHEN {hit['es']} = {best} THEN 'es' "
+        f"ELSE 'fr' END"
+    )
+
+
+SQL_METRICS_STRINGMATCH = f"""
+WITH j AS (
+  SELECT lang AS label, lang AS gt, {_lang_id_sql()} AS pred FROM documents)
+SELECT label,
+       CAST(sum(CASE WHEN lower(trim(gt)) = lower(trim(pred)) THEN 1 ELSE 0 END) AS BIGINT) AS match,
+       CAST(sum(CASE WHEN lower(trim(gt)) = lower(trim(pred)) THEN 0 ELSE 1 END) AS BIGINT) AS no_match,
+       round(avg(CASE WHEN lower(trim(gt)) = lower(trim(pred)) THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM j GROUP BY label"""
+
+
+def q_fuzzy_part_pairs(spark, sf_dir):
+    """JN4 recast: fuzzy θ-join with explicit blocking — candidate pairs
+    share the first name token (the blocking key), scored with built-in
+    levenshtein, kept at distance ≤ 4."""
+    p = _t(spark, sf_dir, "part")
+    key = F.split("p_name", " ").getItem(0)
+    a = p.select(F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a"), key.alias("k"))
+    b = p.select(F.col("p_partkey").alias("part_b"), F.col("p_name").alias("name_b"), key.alias("k"))
+    return (
+        a.join(b, ["k"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= 4)
+        .select("part_a", "part_b", "dist")
+        .distinct()
+    )
+
+
+SQL_FUZZY_PART_PAIRS = """
+SELECT DISTINCT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4"""
+
+
+def q_masking(spark, sf_dir):
+    """F3 length-preserving masking, oracled via fixed-word replace (the
+    general UDF handles arbitrary case-insensitive PII lists — pytest
+    covers that; here the fixed lowercase token keeps it SQL-checkable)."""
+    from llmaix_spark.functions.masking import masked_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        masked_col(F.col("text"), F.array(F.lit("spark")), "■").alias("masked"),
+    )
+
+
+SQL_MASKING = """
+SELECT doc_id, replace(text, 'spark', '■■■■■') AS masked FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / textstats
+
+
+def q_dedup_exact(spark, sf_dir):
+    out = dd.exact_dedup(_t(spark, sf_dir, "documents"))
+    return out.select("keep_id", F.col("n_dups").cast("bigint").alias("n_dups"))
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM documents
+GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+
+
+_TRIGRAM_SQL = """
+d AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
+tri AS (SELECT doc_id,
+               t || ' ' || lead(t, 1) OVER win || ' ' || lead(t, 2) OVER win AS s,
+               lead(t, 2) OVER win AS l2
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+sh AS (SELECT DISTINCT doc_id, s FROM tri WHERE l2 IS NOT NULL),
+cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    out = dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
+    return out
+
+
+SQL_DEDUP_NGRAM = f"""
+WITH {_TRIGRAM_SQL},
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+FROM common JOIN cnt na ON da = na.doc_id JOIN cnt nb ON db = nb.doc_id
+WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dd.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), 0.5)
+
+
+def _minhash_sql() -> str:
+    h = f"({_HASH60_SQL.format(v='s')} % {_P})"
+    mins = ",\n       ".join(
+        f"min(({a} * {h} + {b}) % {_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    )
+    bands = ", ".join(
+        "CAST(h{} AS VARCHAR) || ':' || CAST(h{} AS VARCHAR)".format(
+            b * 2, b * 2 + 1
+        )
+        for b in range(8)
+    )
+    return f"""
+WITH {_TRIGRAM_SQL},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, generate_subscripts(bv, 1) - 1 AS band_idx, unnest(bv) AS band_val
+  FROM (SELECT doc_id, [{bands}] AS bv FROM sig)),
+cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM banded a
+         JOIN banded b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id),
+common AS (SELECT da, db, count(*) c
+           FROM cand JOIN sh sa ON sa.doc_id = da
+                     JOIN sh sb ON sb.doc_id = db AND sb.s = sa.s
+           GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+FROM common JOIN cnt na ON da = na.doc_id JOIN cnt nb ON db = nb.doc_id
+WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5"""
+
+
+SQL_DEDUP_MINHASH = _minhash_sql()
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    h = _HASH60_SQL.format(v="t")
+    sums = ", ".join(
+        f"sum(((({h} >> {b}) & 1) * 2 - 1)) AS s{b}" for b in range(dd.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)"
+        for b in range(dd.SIMHASH_BITS)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(w) t FROM d),
+tok2 AS (SELECT doc_id, t FROM tok WHERE length(t) > 0),
+sums AS (SELECT doc_id, {sums} FROM tok2 GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql()
+
+
+def q_dedup_embedding(spark, sf_dir):
+    out = dd.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), 0.4, round_dp=4)
+    return out
+
+
+SQL_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4"""
+
+
+def q_similarity_topk(spark, sf_dir):
+    out = sim.cosine_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10, round_dp=4
+    )
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank"), "cosine"
+    )
+
+
+SQL_SIMILARITY_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(q.qv, c.embedding), 4) AS cosine
+  FROM q JOIN embeddings c ON c.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 10"""
+
+
+def q_textstats_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        ts.token_count_ws(c).cast("bigint").alias("n_tokens_ws"),
+        ts.token_count_bpe(c).cast("bigint").alias("n_tokens_bpe"),
+    )
+
+
+SQL_TEXTSTATS_TOKENS = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> length(x) > 0)) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-zÀ-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÿ0-9]')) AS BIGINT) AS n_tokens_bpe
+FROM documents"""
+
+
+def q_textstats_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(ts.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(ts.stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(ts.mean_word_len(c), 6).alias("mean_word_len"),
+        ts.quality_score_expr(c).alias("quality"),
+    )
+
+
+_SW_IN = ", ".join(repr(s) for s in ts.STOPWORDS)
+SQL_TEXTSTATS_QUALITY = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, text, toks,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(toks, x -> x IN ({_SW_IN}))) * 1.0
+           / greatest(len(toks), 1) AS stopword_ratio,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0
+           / greatest(len(toks), 1) AS mean_word_len
+  FROM t)
+SELECT doc_id,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(((CASE WHEN length(text) < 20 THEN length(text) / 20.0
+                    WHEN length(text) > 2000 THEN 0.5 ELSE 1.0 END)
+            + (CASE WHEN mean_word_len >= 2.5 AND mean_word_len <= 12.0
+                    THEN 1.0 ELSE 0.5 END)
+            + (CASE WHEN stopword_ratio > 0.0 THEN 1.0 ELSE 0.6 END)) / 3.0,
+             6) AS quality
+FROM m"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+SQL_LANG_ID = f"SELECT doc_id, {_lang_id_sql()} AS lang_pred FROM documents"
+
+
+def q_fingerprint(spark, sf_dir):
+    out = ts.doc_fingerprint(_t(spark, sf_dir, "documents"), n=5)
+    return out.select(
+        "doc_id", "fp_min", "fp_max", F.col("fp_n").cast("bigint").alias("fp_n")
+    )
+
+
+def _fingerprint_sql() -> str:
+    h = _HASH60_SQL.format(v="s")
+    return f"""
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
+gram AS (SELECT doc_id,
+                t || ' ' || lead(t,1) OVER win || ' ' || lead(t,2) OVER win
+                  || ' ' || lead(t,3) OVER win || ' ' || lead(t,4) OVER win AS s,
+                lead(t,4) OVER win AS l4
+         FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+sh AS (SELECT DISTINCT doc_id, s FROM gram WHERE l4 IS NOT NULL)
+SELECT doc_id, min({h}) AS fp_min, max({h}) AS fp_max,
+       CAST(count(*) AS BIGINT) AS fp_n
+FROM sh GROUP BY doc_id"""
+
+
+SQL_FINGERPRINT = _fingerprint_sql()
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (not SQL-expressible: iterative / UDF / approximate)
+
+
+def q_kg_pipeline_edges(spark, sf_dir):
+    """Full KG pipeline (extract→link→canonicalize) over transcripts
+    derived from documents, with the token-rule extraction grammar
+    (kg_triples). Iterative CC → rows-only check."""
+    from llmaix_spark.pipeline import PipelineConfig, run_pipeline_from_triples
+
+    def _triples():
+        return q_kg_triples(spark, sf_dir).select(
+            "conv_id",
+            F.col("subj").alias("subj_surface"),
+            "pred",
+            F.col("obj").alias("obj_surface"),
+        )
+
+    res = run_pipeline_from_triples(spark, _triples, PipelineConfig())
+    return res["edges"]
+
+
+def q_kg_canonical_triples(spark, sf_dir):
+    from llmaix_spark.pipeline import canonical_triples
+
+    return canonical_triples(q_kg_pipeline_edges(spark, sf_dir))
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """Approximate ANN (IVF probing) — recall < 1 by design → rows-only."""
+    out = sim.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10,
+        n_centroids=16, nprobe=4,
+    )
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank"), "cosine"
+    )
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Binary media plumbing: docs → fake binary payloads → mapInPandas
+    feature extraction (pandas UDF → rows-only)."""
+    from llmaix_spark.operators.multimodal import decode_media
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return decode_media(media)
+
+
+def q_extraction_stub(spark, sf_dir):
+    """The flagship extraction harness (mapInPandas + JSON repair) over
+    derived transcripts — pandas UDF → rows-only."""
+    from llmaix_spark.operators.extraction import ExtractionConfig, extract_triples
+
+    t = _turns(spark, sf_dir)
+    triples, _raw = extract_triples(t, ExtractionConfig(), num_partitions=8)
+    return triples
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_turns": q_kg_turns,
+    "kg_assembly": q_kg_assembly,
+    "kg_mentions": q_kg_mentions,
+    "kg_triples": q_kg_triples,
+    "kg_entity_counts": q_kg_entity_counts,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_top_orders": q_join_top_orders,
+    "window_customer_top3": q_window_customer_top3,
+    "window_prev_next": q_window_prev_next,
+    "events_json_k": q_events_json_k,
+    "events_sessionize": q_events_sessionize,
+    "empty_predicate": q_empty_predicate,
+    "id_gen": q_id_gen,
+    "base_id_roundtrip": q_base_id_roundtrip,
+    "umlaut_translit": q_umlaut_translit,
+    "boolean_coercion": q_boolean_coercion,
+    "metrics_boolean": q_metrics_boolean,
+    "metrics_stringmatch": q_metrics_stringmatch,
+    "fuzzy_part_pairs": q_fuzzy_part_pairs,
+    "masking": q_masking,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "similarity_topk": q_similarity_topk,
+    "textstats_tokens": q_textstats_tokens,
+    "textstats_quality": q_textstats_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    # rows-only
+    "kg_pipeline_edges": q_kg_pipeline_edges,
+    "kg_canonical_triples": q_kg_canonical_triples,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "multimodal_decode": q_multimodal_decode,
+    "extraction_stub": q_extraction_stub,
+}
+
+ORACLES: dict[str, str] = {
+    "kg_turns": SQL_KG_TURNS,
+    "kg_assembly": SQL_KG_ASSEMBLY,
+    "kg_mentions": SQL_KG_MENTIONS,
+    "kg_triples": SQL_KG_TRIPLES,
+    "kg_entity_counts": SQL_KG_ENTITY_COUNTS,
+    "agg_pricing_summary": SQL_AGG_PRICING,
+    "join_top_orders": SQL_JOIN_TOP_ORDERS,
+    "window_customer_top3": SQL_WINDOW_TOP3,
+    "window_prev_next": SQL_WINDOW_PREV_NEXT,
+    "events_json_k": SQL_EVENTS_JSON,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "empty_predicate": SQL_EMPTY_PREDICATE,
+    "id_gen": SQL_ID_GEN,
+    "base_id_roundtrip": SQL_BASE_ID,
+    "umlaut_translit": SQL_UMLAUT,
+    "boolean_coercion": SQL_BOOLEAN_COERCION,
+    "metrics_boolean": SQL_METRICS_BOOLEAN,
+    "metrics_stringmatch": SQL_METRICS_STRINGMATCH,
+    "fuzzy_part_pairs": SQL_FUZZY_PART_PAIRS,
+    "masking": SQL_MASKING,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+    "textstats_tokens": SQL_TEXTSTATS_TOKENS,
+    "textstats_quality": SQL_TEXTSTATS_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+}
