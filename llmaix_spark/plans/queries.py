@@ -808,7 +808,112 @@ SQL_FINGERPRINT = _fingerprint_sql()
 
 
 # ---------------------------------------------------------------------------
+# redaction metrics (M1/A3) + annotation join (JN1)
+
+
+def q_redaction_metrics(spark, sf_dir):
+    """Char-level redaction confusion (M1) accumulated per corpus (A3):
+    gt masks the token 'spark', auto masks 'spark' and 'window' — so the
+    extra 'window' chars are exactly the false positives. The pandas-UDF
+    kernel's counts are checked against a closed-form SQL oracle."""
+    from llmaix_spark.operators.redaction import (
+        accumulate_redaction_metrics,
+        score_redactions,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    gt = F.replace(F.col("text"), F.lit("spark"), F.lit("■■■■■"))
+    auto = F.replace(gt, F.lit("window"), F.lit("■■■■■■"))
+    rows = d.select(
+        F.lit("pii").alias("label"),
+        gt.alias("gt_text"),
+        auto.alias("auto_text"),
+        F.col("text").alias("orig_text"),
+    )
+    scored = score_redactions(rows)
+    acc = accumulate_redaction_metrics(scored, "label")
+    return acc.select(
+        "label",
+        *[F.col(c).cast("bigint").alias(c) for c in ("tp", "fp", "tn", "fn")],
+        "micro_precision",
+        "micro_recall",
+        "micro_f1_score",
+    )
+
+
+SQL_REDACTION_METRICS = r"""
+WITH per AS (
+  SELECT (length(text) - length(replace(text, 'spark', ''))) / 5 AS n_spark,
+         (length(text) - length(replace(text, 'window', ''))) / 6 AS n_window,
+         length(regexp_replace(text, '[ ,.!?:;\-()"''
+]', '', 'g')) AS nonspecial
+  FROM documents),
+c AS (
+  SELECT CAST(sum(5 * n_spark) AS BIGINT) tp,
+         CAST(sum(6 * n_window) AS BIGINT) fp,
+         CAST(sum(nonspecial - 5 * n_spark - 6 * n_window) AS BIGINT) tn,
+         CAST(0 AS BIGINT) fn
+  FROM per)
+SELECT 'pii' AS label, tp, fp, tn, fn,
+       round(tp * 1.0 / (tp + fp), 4) AS micro_precision,
+       round(CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0 END, 4) AS micro_recall,
+       round(2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+             / ((tp * 1.0 / (tp + fp)) + (tp * 1.0 / (tp + fn))), 4) AS micro_f1_score
+FROM c"""
+
+
+def q_labels_join(spark, sf_dir):
+    """JN1: LLM-output ids joined to an annotation table on
+    report_id_short, with the existence indicator."""
+    from llmaix_spark.operators.labels import join_annotations
+
+    d = _t(spark, sf_dir, "documents")
+    llm = d.select(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(".pdf$"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            F.lit("_0"),
+        ).alias("id")
+    )
+    ann = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("yes")).otherwise(F.lit("no")).alias("lbl"),
+    )
+    joined, _un = join_annotations(llm, ann)
+    return joined.select("report_id_short", "matched", "lbl")
+
+
+SQL_LABELS_JOIN = """
+WITH llm AS (
+  SELECT CAST(doc_id AS VARCHAR) AS report_id_short FROM documents),
+ann AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         CASE WHEN doc_id % 2 = 0 THEN 'yes' ELSE 'no' END AS lbl
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT report_id_short, (ann.id IS NOT NULL) AS matched, lbl
+FROM llm LEFT JOIN ann ON llm.report_id_short = ann.id"""
+
+
+# ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible: iterative / UDF / approximate)
+
+
+def q_anonymizer(spark, sf_dir):
+    """Anonymizer mode (A1+A2+F4) over derived transcripts; initcap makes
+    long tokens look like entity surfaces for the PII detector. Masking
+    UDF → rows-only."""
+    from llmaix_spark.operators.anonymizer import anonymize_conversations
+
+    t = _turns(spark, sf_dir).withColumn(
+        "text", F.initcap(F.col("text"))
+    )
+    out = anonymize_conversations(t)
+    return out.select(
+        "conv_id",
+        F.size("personal_info_list").cast("bigint").alias("n_pii"),
+        "masked_report",
+    )
 
 
 def q_kg_pipeline_edges(spark, sf_dir):
@@ -909,7 +1014,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "textstats_quality": q_textstats_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "redaction_metrics": q_redaction_metrics,
+    "labels_join": q_labels_join,
     # rows-only
+    "anonymizer_conversations": q_anonymizer,
     "kg_pipeline_edges": q_kg_pipeline_edges,
     "kg_canonical_triples": q_kg_canonical_triples,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -948,4 +1056,6 @@ ORACLES: dict[str, str] = {
     "textstats_quality": SQL_TEXTSTATS_QUALITY,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
+    "redaction_metrics": SQL_REDACTION_METRICS,
+    "labels_join": SQL_LABELS_JOIN,
 }

@@ -1,0 +1,104 @@
+"""Input connectors (SURVEY §2.1 S1/S4/S6/S8/S10).
+
+The reference ingests CSV/XLSX/PDF/TXT/DOCX through per-file pandas reads
+inside a thread pool (webapp/input_processing/routes.py:380-591). Here
+every source is a Spark reader returning the canonical envelope
+`(id, report, metadata)` — schema-on-read, splittable, parallel by file
+block rather than by file.
+
+PDF-OCR (S3) and DOCX (S5) need codec libraries this container lacks;
+their Spark-side shape is the binaryFile source + a mapInPandas decode —
+exactly operators/multimodal.decode_media, which stands in for both.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from llmaix_spark.functions.text import gen_id_expr, whitespace_scrub_expr
+
+ENVELOPE = ("id", "report", "metadata")
+
+
+def _stamp(df: DataFrame, source: str, file_expr=None) -> DataFrame:
+    """Attach the preprocessing-metadata column (reference
+    webapp/input_processing/routes.py:656-658, deterministic here)."""
+    meta = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(source).alias("source"),
+                (file_expr if file_expr is not None else F.input_file_name()).alias("file"),
+            ).alias("preprocessing")
+        )
+    )
+    return df.withColumn("metadata", meta)
+
+
+def read_reports_csv(
+    spark: SparkSession, path: str, id_col: str = "id", report_col: str = "report"
+) -> DataFrame:
+    """S1: CSV with (id, report) columns → envelope. Header required,
+    values kept as strings (the reference reads dtype=str,
+    webapp/labelannotation/routes.py:747)."""
+    raw = spark.read.csv(path, header=True, inferSchema=False)
+    out = raw.select(
+        F.col(id_col).cast("string").alias("orig_id"),
+        whitespace_scrub_expr(F.col(report_col)).alias("report"),
+    ).withColumn("id", gen_id_expr(F.col("orig_id"), F.col("report")))
+    return _stamp(out.select("id", "report"), "csv")
+
+
+def read_reports_txt(spark: SparkSession, path: str) -> DataFrame:
+    """S4: whole text file = one report
+    (reference webapp/input_processing/routes.py:497-502)."""
+    raw = spark.read.text(path, wholetext=True)
+    named = raw.select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("orig_id"),
+        F.col("value").alias("report"),
+    )
+    out = named.withColumn("id", gen_id_expr(F.col("orig_id"), F.col("report")))
+    return _stamp(out.select("id", "report"), "txt")
+
+
+def read_malformed_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S6: 'strange CSV' repair — one physical line = one record, header
+    dropped, no quoting honored (reference
+    webapp/llm_processing/read_strange_csv.py:4-30). spark.read.text +
+    a per-file line index via zipWithIndex-free window (files are read
+    line-ordered within a partition; we derive the order from a
+    monotonic id, which is stable per file split — adequate because the
+    reference's repair also has no cross-line semantics)."""
+    raw = spark.read.text(path)
+    lines = raw.select(
+        F.col("value").alias("line"),
+        F.monotonically_increasing_id().alias("_seq"),
+    )
+    first = lines.orderBy("_seq").limit(1).select("line")
+    body = lines.join(first, lines.line == first.line, "left_anti")
+    out = body.select(
+        whitespace_scrub_expr(F.col("line")).alias("report")
+    ).withColumn("id", gen_id_expr(F.lit("row"), F.col("report")))
+    # input_file_name() is invalid after the anti-join (two sources)
+    return _stamp(out.select("id", "report"), "malformed_csv", F.lit(path))
+
+
+def read_annotations(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """S8-adjacent: ground-truth annotation CSV, all columns as strings
+    (reference webapp/labelannotation/routes.py:747-753), column names
+    normalized spaces→underscores (P10, :631-632)."""
+    raw = spark.read.csv(path, header=True, inferSchema=False)
+    cleaned = [c.strip().replace(" ", "_") for c in raw.columns]
+    return raw.toDF(*cleaned)
+
+
+def load_job_config(path: str) -> dict:
+    """S10: job config — YAML in the reference (app.py:47-54); JSON here
+    to stay inside the stdlib. Shipped to executors via --py-files /
+    broadcast, never read per-task."""
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,192 @@
+"""Anonymizer mode (A1/A2/F4), redaction metrics (M1/M2/A3), label
+evaluation dataflow (JN1/JN2/A6/A7), sources (S1/S4/S6)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from llmaix_spark.operators.anonymizer import anonymize_conversations
+from llmaix_spark.operators.labels import (
+    expect_exactly_one,
+    infer_label_types,
+    join_annotations,
+    export_pivot,
+)
+from llmaix_spark.operators.redaction import (
+    accumulate_redaction_metrics,
+    redaction_counts,
+    score_redactions,
+)
+
+
+# --- anonymizer ---------------------------------------------------------------
+
+
+def test_anonymizer_rowwise_isolation(spark):
+    """Each conversation masked with ITS OWN PII list (reference
+    test_anonymizer_postprocess.py:18-48)."""
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "Anna Müller visited Berlin yesterday"),
+            ("c1", 1, "she met Hans Gruber there"),
+            ("c2", 0, "Anna Müller was not here"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {r["conv_id"]: r for r in anonymize_conversations(df).collect()}
+    assert got["c1"]["personal_info_list"] == ["Anna Müller", "Hans Gruber"]
+    assert got["c1"]["masked_report"] == (
+        "■■■■■■■■■■■ visited Berlin yesterday she met ■■■■■■■■■■■ there"
+    )
+    # c2's mask only covers its own PII
+    assert got["c2"]["masked_report"] == "■■■■■■■■■■■ was not here"
+
+
+def test_anonymizer_turn_order_stable(spark):
+    df = spark.createDataFrame(
+        [("c", 1, "Bob Smith second"), ("c", 0, "first")],
+        "conv_id string, turn_idx int, text string",
+    ).repartition(4)
+    r = anonymize_conversations(df).collect()[0]
+    assert r["conv_text"] == "first Bob Smith second"
+
+
+# --- redaction metrics ---------------------------------------------------------
+
+
+def test_redaction_counts_one_of_each(spark):
+    """Reference test_metrics.py:23-41 — one tp, fp, tn, fn."""
+    # positions: a=tp(■,■), b=fp(x,■), c=tn(x,x), d=fn(■,x)
+    gt = "■x x■"
+    auto = "■■ xx"
+    orig = "abcde"  # 'c' is ' ' in gt... construct carefully below
+    gt = "■xx■"
+    auto = "■■xx"
+    orig = "abcd"
+    assert redaction_counts(gt, auto, orig) == (1, 1, 1, 1)
+
+
+def test_redaction_counts_special_chars_excluded(spark):
+    """Positions whose ORIGINAL char is special don't count
+    (reference test_metrics.py:43-52)."""
+    gt = "■.■"
+    auto = "■.x"
+    orig = "a.b"
+    # middle '.' skipped → tp=1, fn=1
+    assert redaction_counts(gt, auto, orig) == (1, 0, 0, 1)
+
+
+def test_redaction_counts_perfect(spark):
+    assert redaction_counts("■■■", "■■■", "abc") == (3, 0, 0, 0)
+
+
+def test_redaction_counts_length_mismatch_raises():
+    with pytest.raises(AssertionError):
+        redaction_counts("ab", "abc", "abc")
+
+
+def test_score_and_accumulate(spark):
+    rows = [
+        ("r1", "name", "■■■■x", "■■■■■", "abcde"),
+        ("r2", "name", "x■■xx", "xx■xx", "abcde"),
+        ("r1", "date", "■■xxx", "■■xxx", "abcde"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, label string, gt_text string, auto_text string, orig_text string"
+    )
+    scored = score_redactions(df)
+    by = {(r["id"], r["label"]): r for r in scored.collect()}
+    assert by[("r1", "name")]["tp"] == 4 and by[("r1", "name")]["fp"] == 1
+    acc = accumulate_redaction_metrics(scored, "label").collect()
+    accd = {r["label"]: r for r in acc}
+    # micro recomputed from summed counts
+    name = accd["name"]
+    assert name["tp"] == 5 and name["fn"] == 1
+    assert 0 <= name["micro_precision"] <= 1
+    assert name["macro_precision"] == round(
+        (by[("r1", "name")]["precision"] + by[("r2", "name")]["precision"]) / 2, 4
+    )
+
+
+# --- labels --------------------------------------------------------------------
+
+
+def test_join_annotations_indicator(spark):
+    llm = spark.createDataFrame(
+        [("case1.pdf$ab_0", "x"), ("case2.pdf$cd_0", "y"), ("orphan$ef_0", "z")],
+        "id string, field string",
+    )
+    ann = spark.createDataFrame(
+        [("case1", "true"), ("case2", "false")], "id string, lbl string"
+    )
+    joined, unmatched = join_annotations(llm, ann)
+    assert joined.filter("matched").count() == 2
+    assert [r["report_id_short"] for r in unmatched.collect()] == ["orphan"]
+
+
+def test_expect_exactly_one(spark):
+    ann = spark.createDataFrame(
+        [("a",), ("b",), ("b",)], "id string"
+    )
+    bad = expect_exactly_one(ann)
+    assert [(r["id"], r["n"]) for r in bad.collect()] == [("b", 2)]
+
+
+def test_infer_label_types(spark):
+    df = spark.createDataFrame(
+        [("yes", "red", "free text one"), ("no", "blue", "free text two"),
+         ("yes", "red", "another string"), ("1", "green", "more words here")],
+        "flag string, color string, note string",
+    )
+    got = infer_label_types(df, ["flag", "color", "note"])
+    assert got["flag"] == "boolean"
+    assert got["color"] == "multiclass"
+    assert got["note"] == "stringmatch"
+
+
+def test_export_pivot(spark):
+    df = spark.createDataFrame(
+        [("r1", "name", 0.5), ("r1", "date", 1.0), ("r2", "name", 0.25)],
+        "id string, label string, accuracy double",
+    )
+    wide = export_pivot(df)
+    rows = {r["id"]: r for r in wide.collect()}
+    assert rows["r1"]["name"] == 0.5 and rows["r1"]["date"] == 1.0
+    assert rows["r2"]["date"] is None
+
+
+# --- sources -------------------------------------------------------------------
+
+
+def test_read_reports_csv(spark, tmp_path):
+    from llmaix_spark.sources.readers import read_reports_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,report\nr1,hello world\nr2,\"with, comma\"\n")
+    df = read_reports_csv(spark, str(p))
+    rows = sorted((r["report"] for r in df.collect()))
+    assert rows == ["hello world", "with, comma"]
+    ids = [r["id"] for r in df.collect()]
+    assert all("$" in i and len(i.split("$")[1]) == 8 for i in ids)
+    assert "metadata" in df.columns
+
+
+def test_read_reports_txt(spark, tmp_path):
+    from llmaix_spark.sources.readers import read_reports_txt
+
+    (tmp_path / "a.txt").write_text("line one\nline two")
+    df = read_reports_txt(spark, str(tmp_path / "a.txt"))
+    r = df.collect()[0]
+    assert r["report"] == "line one\nline two"
+    assert r["id"].startswith("a.txt$")
+
+
+def test_read_malformed_csv(spark, tmp_path):
+    from llmaix_spark.sources.readers import read_malformed_csv
+
+    p = tmp_path / "strange.csv"
+    p.write_text('header\nrow "with quotes, and, commas\nrow2\n')
+    df = read_malformed_csv(spark, str(p))
+    rows = sorted(r["report"] for r in df.collect())
+    assert rows == ['row "with quotes, and, commas', "row2"]

@@ -75,7 +75,7 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
 @pytest.mark.parametrize(
     "name",
     ["kg_pipeline_edges", "kg_canonical_triples", "ann_ivf_topk",
-     "multimodal_decode", "extraction_stub"],
+     "multimodal_decode", "extraction_stub", "anonymizer_conversations"],
 )
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
