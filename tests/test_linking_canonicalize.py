@@ -79,6 +79,26 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_connected_components_iterative_path(spark):
+    """driver_threshold=0 forces the distributed min-label-propagation
+    loop (the 100 TB path) — must agree with the driver union-find."""
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y"), ("c", "d"), ("d", "e"),
+         ("m", "n")],
+        ["norm_a", "norm_b"],
+    )
+    it = {
+        r["norm"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    drv = {
+        r["norm"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert it == drv
+    assert it["e"] == "a" and it["n"] == "m" and it["y"] == "x"
+
+
 def test_canonical_assignments_isolated_nodes_self_canonical(spark):
     t = _triples(spark, [("c1", "Solo Entity", "uses", "Another Thing")])
     mentions, edges = match_edges(t)
