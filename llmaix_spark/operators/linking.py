@@ -115,14 +115,30 @@ def minhash_signatures(norms: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    max_bucket_size: int | None = 5000,
+    threshold: float = 90.0,
+) -> DataFrame:
     """Banded LSH: two norms are candidates iff they agree on all ROWS
     hashes of at least one band. One shuffle on the bucket key; the
-    in-bucket self-join is the classic LSH quadratic hotspot — AQE
-    skew-join splits oversized buckets, and `distinct()` collapses pairs
-    that collide in several bands before the verify step."""
+    in-bucket self-join is the classic LSH quadratic hotspot — three
+    guards keep it bounded at scale:
+
+      * a length pre-filter inside the join condition: ratio ≥ θ implies
+        |len_a − len_b| ≤ (1−θ/100)·max(len) — pairs violating it can
+        never verify, so they are dropped before materialization;
+      * `max_bucket_size`: buckets larger than this are *skipped*
+        (a band shared by 10⁵ norms is low-information — e.g. every
+        surface containing one common word; pairs inside it that are
+        real matches almost surely share a selective band too). The cap
+        turns worst-case O(Σ|bucket|²) into O(Σ min(|bucket|,K)²);
+      * `distinct()` collapses multi-band collisions before the
+        levenshtein verify. AQE skew-join splits what remains.
+    """
     bands = signatures.select(
         "norm",
+        F.length("norm").alias("_len"),
         F.posexplode(
             F.array(
                 *[
@@ -138,14 +154,28 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
             )
         ).alias("band_idx", "band_val"),
     )
+    if max_bucket_size:
+        sizes = bands.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        bands = bands.join(
+            sizes.filter(F.col("_bn") <= max_bucket_size),
+            ["band_idx", "band_val"],
+        ).drop("_bn")
     a = bands.alias("a")
     b = bands.alias("b")
+    max_rel_diff = 1.0 - threshold / 100.0
+    len_gate = (
+        F.abs(F.col("a._len") - F.col("b._len"))
+        <= max_rel_diff * F.greatest(F.col("a._len"), F.col("b._len"))
+    )
     return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.norm") < F.col("b.norm")),
+            & (F.col("a.norm") < F.col("b.norm"))
+            & len_gate,
         )
         .select(
             F.col("a.norm").alias("norm_a"), F.col("b.norm").alias("norm_b")
@@ -175,6 +205,6 @@ def match_edges(
     collapse there for free — one less shuffle."""
     mentions = mention_table(triples_raw)
     sigs = minhash_signatures(mentions.select("norm"), shingle_n)
-    pairs = lsh_candidate_pairs(sigs)
+    pairs = lsh_candidate_pairs(sigs, threshold=threshold)
     edges = verify_pairs(pairs, threshold)
     return mentions, edges
