@@ -146,7 +146,20 @@ def minhash_dedup_pairs(
     """
     k = len(_MINHASH_AB)
     rows = k // bands
-    sigs = doc_minhash_signatures(docs, n, id_col, text_col)
+    # the shingle table feeds three consumers (signatures + both sides of
+    # the verification join) — persist it or the explode runs 3×
+    sh_cached = word_shingles(docs, n, id_col, text_col).persist()
+    h = stable_hash60_expr(F.col("shingle")) % F.lit(_P)
+    hashed = sh_cached.select(
+        "doc_id",
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
+            for i, (a, b) in enumerate(_MINHASH_AB)
+        ],
+    )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(k)]
+    )
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -179,10 +192,9 @@ def minhash_dedup_pairs(
         .distinct()
     )
     # exact verify: jaccard of the candidate pairs only
-    sh = word_shingles(docs, n, id_col, text_col)
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    cnt = sh_cached.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh_cached.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    sb = sh_cached.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
     common = (
         cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
