@@ -109,7 +109,17 @@ def connected_components(
             F.col("norm_b").alias("src"), F.col("norm_a").alias("dst")
         )
     )
-    sym = sym.localCheckpoint()
+    # SALTED join key (north-rule hot-entity handling): a hub node has
+    # millions of adjacency rows under ONE src key — a plain label join
+    # lands them on one reducer. Edges get salt = hash(dst) % k; the
+    # (tiny, one-row-per-norm) label side is replicated k times, and the
+    # join runs on (src, salt) so every hub spreads over k partitions.
+    # The follow-up groupBy(dst).min is algebraic — map-side combine
+    # absorbs the same hub on the aggregation side.
+    k = 8
+    sym = sym.withColumn(
+        "salt", F.pmod(F.hash(F.col("dst")), F.lit(k)).cast("int")
+    ).localCheckpoint()
 
     labels = (
         sym.select(F.col("src").alias("norm"))
@@ -117,13 +127,17 @@ def connected_components(
         .withColumn("component", F.col("norm"))
         .localCheckpoint()
     )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(k - 1))
+    ).alias("salt")
 
     for i in range(max_iterations):
+        replicated = labels.select(
+            F.col("norm").alias("src"), "component", salts
+        )
         # candidate labels arriving over edges
         neighbor_min = (
-            sym.join(
-                labels.withColumnRenamed("norm", "src"), "src"
-            )
+            sym.join(replicated, ["src", "salt"])
             .groupBy(F.col("dst").alias("norm"))
             .agg(F.min("component").alias("nbr_component"))
         )
