@@ -53,6 +53,10 @@ def _sf_from_dir(sf_dir: str) -> float:
 def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
     from llmaix_spark.plans.queries import QUERIES
 
+    # untimed warmup: spin up python workers + JIT the common operators so
+    # the first timed query doesn't absorb session startup
+    QUERIES["agg_pricing_summary"](spark, sf_dir).count()
+    QUERIES["kg_mentions"](spark, sf_dir).count()
     out = {}
     for name in BENCH_QUERIES:
         t0 = time.time()

@@ -153,13 +153,21 @@ class StubBackend:
 
 
 class HttpBackend:
-    """llama.cpp-server / OpenAI-compatible chat backend.
+    """llama.cpp-server / OpenAI-compatible backend.
 
-    Mirrors the reference's request shape (seed, temperature, json_schema
-    response format — webapp/llm_processing/routes.py:333-474) with a
-    bounded thread pool standing in for the asyncio semaphore. One
-    instance per executor process (see `_get_backend`), health-gated on
-    first use (reference `_await_server_ready`, routes.py:761-804).
+    Three endpoint modes mirroring the reference's L2/L3/L4 branches:
+      * "completion" — POST /completion with {prompt, n_predict, seed,
+        temperature, cache_prompt, json_schema?}
+        (reference fetch_completion_result, routes.py:412-474)
+      * "chat" — POST /v1/chat/completions with system+user messages and
+        response_format json_schema (fetch_chat_result, routes.py:333-410)
+      * "openai" — same wire shape as "chat" plus Authorization header
+        and strict json_schema (fetch_chat_result_openai, routes.py:256-331)
+
+    Bounded thread pool = the asyncio semaphore (parallel_slots + buffer).
+    One instance per executor process (`_get_backend`), health-gated on
+    first use (reference `_await_server_ready`, routes.py:761-804; the
+    OpenAI branch has no /health — gate skipped).
     """
 
     def __init__(self, cfg: ExtractionConfig):
@@ -169,7 +177,13 @@ class HttpBackend:
         self._urllib = urllib.request
         if not cfg.endpoint:
             raise ValueError("HttpBackend requires cfg.endpoint")
-        self._healthy = False
+        self.mode = cfg.extra.get("endpoint_type", "completion")
+        self.api_key = cfg.extra.get("api_key")
+        self.model = cfg.extra.get("model", "default")
+        self.system_prompt = cfg.extra.get(
+            "system_prompt", "You are a strict JSON triple extractor."
+        )
+        self._healthy = self.mode == "openai"  # hosted APIs: no /health
 
     def _check_health(self) -> None:
         if self._healthy:
@@ -180,23 +194,56 @@ class HttpBackend:
                 raise RuntimeError("LLM server not healthy")
         self._healthy = True
 
-    def _one(self, prompt: str) -> str:
-        payload = {
-            "prompt": prompt,
-            "n_predict": self.cfg.n_predict,
-            "temperature": self.cfg.temperature,
-            "seed": self.cfg.seed,
-            "cache_prompt": True,
-        }
-        if self.cfg.json_schema:
-            payload["json_schema"] = self.cfg.json_schema
+    def _post(self, path: str, payload: dict) -> dict:
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
         req = self._urllib.Request(
-            self.cfg.endpoint.rstrip("/") + "/completion",
+            self.cfg.endpoint.rstrip("/") + path,
             data=json.dumps(payload).encode(),
-            headers={"Content-Type": "application/json"},
+            headers=headers,
         )
         with self._urllib.urlopen(req, timeout=1200) as r:
-            return json.loads(r.read()).get("content", "")
+            return json.loads(r.read())
+
+    def _one(self, prompt: str) -> str:
+        if self.mode == "completion":
+            payload = {
+                "prompt": prompt,
+                "n_predict": self.cfg.n_predict,
+                "temperature": self.cfg.temperature,
+                "seed": self.cfg.seed,
+                "cache_prompt": True,
+            }
+            if self.cfg.json_schema:
+                payload["json_schema"] = self.cfg.json_schema
+            return self._post("/completion", payload).get("content", "")
+        # chat / openai
+        payload = {
+            "model": self.model,
+            "messages": [
+                {"role": "system", "content": self.system_prompt},
+                {"role": "user", "content": prompt},
+            ],
+            "temperature": self.cfg.temperature,
+            "seed": self.cfg.seed,
+        }
+        if self.cfg.json_schema:
+            payload["response_format"] = {
+                "type": "json_schema",
+                "json_schema": {
+                    "name": "extraction",
+                    "schema": self.cfg.json_schema,
+                    "strict": True,
+                },
+            }
+        if self.mode == "openai":
+            payload["max_completion_tokens"] = self.cfg.n_predict
+        resp = self._post("/v1/chat/completions", payload)
+        choices = resp.get("choices") or []
+        if not choices:
+            return ""
+        return (choices[0].get("message") or {}).get("content", "") or ""
 
     def complete(self, prompts: list[str]) -> list[str]:
         from concurrent.futures import ThreadPoolExecutor

@@ -807,6 +807,67 @@ FROM sh GROUP BY doc_id"""
 SQL_FINGERPRINT = _fingerprint_sql()
 
 
+def q_metrics_multiclass(spark, sf_dir):
+    """M4 in long format: (label, gt, pred, n) — the scalable confusion
+    matrix (summing long rows ≡ the reference's element-wise list-of-list
+    sum, webapp/labelannotation/routes.py:289-308)."""
+    from llmaix_spark.evaluation import multiclass_confusion
+
+    o = _t(spark, sf_dir, "orders")
+    pred = (
+        F.when(F.col("o_totalprice") > 300000, "1-URGENT")
+        .when(F.col("o_totalprice") > 200000, "2-HIGH")
+        .when(F.col("o_totalprice") > 120000, "3-MEDIUM")
+        .when(F.col("o_totalprice") > 60000, "4-NOT SPECIFIED")
+        .otherwise("5-LOW")
+    )
+    j = o.select(
+        F.lit("priority").alias("label"),
+        F.col("o_orderpriority").alias("gt_v"),
+        pred.alias("pred_v"),
+    )
+    return multiclass_confusion(j, "gt_v", "pred_v")
+
+
+SQL_METRICS_MULTICLASS = """
+SELECT 'priority' AS label, o_orderpriority AS gt,
+       CASE WHEN o_totalprice > 300000 THEN '1-URGENT'
+            WHEN o_totalprice > 200000 THEN '2-HIGH'
+            WHEN o_totalprice > 120000 THEN '3-MEDIUM'
+            WHEN o_totalprice > 60000 THEN '4-NOT SPECIFIED'
+            ELSE '5-LOW' END AS pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2, 3"""
+
+
+def q_invariant_per_turn(spark, sf_dir):
+    """North-rule invariant as a query: chunk → reassemble → re-chunk
+    must reproduce every turn exactly. Returns one row with the
+    violation count (must be 0)."""
+    from llmaix_spark.operators.assembly import per_turn_equality_violations
+
+    t = _turns(spark, sf_dir)
+    n = per_turn_equality_violations(t).count()
+    return spark.createDataFrame([(n,)], "violations bigint")
+
+
+SQL_INVARIANT_PER_TURN = f"""
+WITH {_TURNS_SQL},
+back AS (
+  SELECT conv_id,
+         CAST(generate_subscripts(string_split(conv_text, ' '), 1) - 1 AS INTEGER) AS wi,
+         unnest(string_split(conv_text, ' ')) AS w
+  FROM (SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS conv_text
+        FROM turns GROUP BY conv_id)),
+rechunk AS (
+  SELECT conv_id, CAST(wi // 8 AS INTEGER) AS turn_idx,
+         string_agg(w, ' ' ORDER BY wi) AS text
+  FROM back GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS violations
+FROM turns t FULL OUTER JOIN rechunk r USING (conv_id, turn_idx)
+WHERE t.text IS DISTINCT FROM r.text"""
+
+
 # ---------------------------------------------------------------------------
 # redaction metrics (M1/A3) + annotation join (JN1)
 
@@ -1016,6 +1077,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "redaction_metrics": q_redaction_metrics,
     "labels_join": q_labels_join,
+    "metrics_multiclass": q_metrics_multiclass,
+    "invariant_per_turn": q_invariant_per_turn,
     # rows-only
     "anonymizer_conversations": q_anonymizer,
     "kg_pipeline_edges": q_kg_pipeline_edges,
@@ -1058,4 +1121,6 @@ ORACLES: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "redaction_metrics": SQL_REDACTION_METRICS,
     "labels_join": SQL_LABELS_JOIN,
+    "metrics_multiclass": SQL_METRICS_MULTICLASS,
+    "invariant_per_turn": SQL_INVARIANT_PER_TURN,
 }

@@ -102,3 +102,67 @@ def test_http_backend_through_pipeline(spark, fake_server):
     assert [(r["subj_surface"], r["pred"], r["obj_surface"]) for r in rows] == [
         ("A", "uses", "B")
     ]
+
+
+class _FakeChatServer(_FakeLlamaServer):
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        payload = json.loads(self.rfile.read(n))
+        type(self).requests_seen.append(
+            {"path": self.path, **payload}
+        )
+        content = json.dumps(
+            {"triples": [{"subj": "C", "pred": "manages", "obj": "D"}]}
+        )
+        body = json.dumps(
+            {"choices": [{"message": {"role": "assistant", "content": content}}]}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def fake_chat_server():
+    _FakeChatServer.healthy = True
+    _FakeChatServer.requests_seen = []
+    srv = HTTPServer(("127.0.0.1", 0), _FakeChatServer)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_chat_endpoint_mode(fake_chat_server):
+    """L3: /v1/chat/completions with system+user messages + json_schema
+    response_format (reference fetch_chat_result, routes.py:333-410)."""
+    cfg = ExtractionConfig(
+        backend="http", endpoint=fake_chat_server,
+        json_schema={"type": "object"},
+        extra={"endpoint_type": "chat"},
+    )
+    be = HttpBackend(cfg)
+    out = be.complete(["extract this"])
+    assert json.loads(out[0])["triples"][0]["pred"] == "manages"
+    req = _FakeChatServer.requests_seen[0]
+    assert req["path"] == "/v1/chat/completions"
+    assert req["messages"][0]["role"] == "system"
+    assert req["messages"][1]["content"] == "extract this"
+    assert req["response_format"]["type"] == "json_schema"
+    assert req["response_format"]["json_schema"]["strict"] is True
+
+
+def test_openai_mode_auth_and_limits(fake_chat_server):
+    """L4: hosted-API branch — Authorization header, max_completion_tokens,
+    no health gate (reference fetch_chat_result_openai, routes.py:256-331)."""
+    cfg = ExtractionConfig(
+        backend="http", endpoint=fake_chat_server, n_predict=777,
+        extra={"endpoint_type": "openai", "api_key": "sk-test", "model": "gpt-x"},
+    )
+    be = HttpBackend(cfg)
+    out = be.complete(["p"])
+    assert len(out) == 1
+    req = _FakeChatServer.requests_seen[0]
+    assert req["max_completion_tokens"] == 777
+    assert req["model"] == "gpt-x"
