@@ -214,6 +214,43 @@ def minhash_dedup_pairs(
     )
 
 
+def dedup_groups(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup *clustering*: connected components over the jaccard-pair
+    graph → (doc_id, group_id, keep). group_id = min doc id in the
+    component; keep marks the survivor. Reuses the canonicalization CC
+    (size-adaptive driver/iterative), so the same machinery that merges
+    entity surfaces dedups documents."""
+    from llmaix_spark.operators.canonicalize import connected_components
+
+    pairs = ngram_jaccard_pairs(docs, threshold, n, id_col, text_col)
+    # CC picks the lexicographic min — zero-pad so string order == numeric
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = pairs.select(
+        pad("doc_a").alias("norm_a"), pad("doc_b").alias("norm_b")
+    )
+    cc = connected_components(edges)
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    assigned = ids.join(
+        cc.select(
+            F.col("norm").cast("bigint").alias("doc_id"),
+            F.col("component").cast("bigint").alias("group_id"),
+        ),
+        "doc_id",
+        "left",
+    ).withColumn("group_id", F.coalesce("group_id", F.col("doc_id")))
+    return assigned.select(
+        "doc_id",
+        "group_id",
+        (F.col("doc_id") == F.col("group_id")).alias("keep"),
+    )
+
+
 # --- SimHash -------------------------------------------------------------------
 
 SIMHASH_BITS = 32

@@ -807,6 +807,34 @@ FROM sh GROUP BY doc_id"""
 SQL_FINGERPRINT = _fingerprint_sql()
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup clustering: connected components over the jaccard-pair
+    graph. The DuckDB oracle computes the same components with a
+    recursive CTE — the iterative/driver CC is checked against SQL."""
+    return dd.dedup_groups(_t(spark, sf_dir, "documents"), 0.5)
+
+
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE
+{_TRIGRAM_SQL},
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT da, db
+  FROM common JOIN cnt na ON da = na.doc_id JOIN cnt nb ON db = nb.doc_id
+  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5),
+sym AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node),
+cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(cc.comp, d.doc_id) AS group_id,
+       (d.doc_id = coalesce(cc.comp, d.doc_id)) AS keep
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node"""
+
+
 def q_metrics_multiclass(spark, sf_dir):
     """M4 in long format: (label, gt, pred, n) — the scalable confusion
     matrix (summing long rows ≡ the reference's element-wise list-of-list
@@ -1079,6 +1107,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "labels_join": q_labels_join,
     "metrics_multiclass": q_metrics_multiclass,
     "invariant_per_turn": q_invariant_per_turn,
+    "dedup_groups": q_dedup_groups,
     # rows-only
     "anonymizer_conversations": q_anonymizer,
     "kg_pipeline_edges": q_kg_pipeline_edges,
@@ -1123,4 +1152,5 @@ ORACLES: dict[str, str] = {
     "labels_join": SQL_LABELS_JOIN,
     "metrics_multiclass": SQL_METRICS_MULTICLASS,
     "invariant_per_turn": SQL_INVARIANT_PER_TURN,
+    "dedup_groups": SQL_DEDUP_GROUPS,
 }
