@@ -1,0 +1,149 @@
+"""Event-time streaming aggregations over the events stream.
+
+Beyond the reference (batch-only): tumbling-window counts with a
+watermark for late data, and a custom stateful sessionizer via
+applyInPandasWithState — the streaming twin of the batch lag()-based
+sessionization in plans/queries.q_events_sessionize.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, input_dir: str) -> DataFrame:
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time window counts per event_type with a watermark
+    bounding state for late data."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: per-user session assembly with
+    processing-timeout-free event-time gap logic. State = the open
+    session; a session closes (and is emitted) when an event arrives more
+    than `gap_seconds` after the previous one, or when the group times
+    out past the watermark."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_ms: list[int] = []
+        for pdf in pdfs:
+            ts_ms.extend(
+                int(t.value // 1_000_000) for t in pd.to_datetime(pdf["ts"])
+            )
+        ts_ms.sort()
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        else:
+            start_ms, last_ms, n = ts_ms[0], ts_ms[0], 0
+        closed = []
+        for t in ts_ms:
+            if t - last_ms > gap_seconds * 1000:
+                closed.append((start_ms, last_ms, n))
+                start_ms, n = t, 0
+            last_ms = t
+            n += 1
+        state.update((start_ms, last_ms, n))
+        state.setTimeoutTimestamp(last_ms + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="ms") for s, _e, _n in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="ms") for _s, e, _n in closed
+                    ],
+                    "n_events": [n_ for _s, _e, n_ in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
