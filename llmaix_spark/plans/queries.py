@@ -1011,6 +1011,8 @@ def q_kg_pipeline_edges(spark, sf_dir):
     (kg_triples). Iterative CC → rows-only check."""
     from llmaix_spark.pipeline import PipelineConfig, run_pipeline_from_triples
 
+    import tempfile
+
     def _triples():
         return q_kg_triples(spark, sf_dir).select(
             "conv_id",
@@ -1019,7 +1021,16 @@ def q_kg_pipeline_edges(spark, sf_dir):
             F.col("obj").alias("obj_surface"),
         )
 
-    res = run_pipeline_from_triples(spark, _triples, PipelineConfig())
+    # throughput mode: intermediates persisted, final graph materialized —
+    # 2× faster than fully-lazy (the triples explode would re-execute for
+    # every downstream consumer). The returned DF reads the materialized
+    # parquet; the temp dir lives as long as the session may read it.
+    out_dir = tempfile.mkdtemp(prefix="kg_query_")
+    res = run_pipeline_from_triples(
+        spark,
+        _triples,
+        PipelineConfig(out_dir=out_dir, checkpoint_stages="final"),
+    )
     return res["edges"]
 
 
@@ -1060,10 +1071,20 @@ def q_multimodal_decode(spark, sf_dir):
 
 def q_extraction_stub(spark, sf_dir):
     """The flagship extraction harness (mapInPandas + JSON repair) over
-    derived transcripts — pandas UDF → rows-only."""
+    derived transcripts — pandas UDF → rows-only. Turn text is initcap'd
+    and pred phrases injected so the capitalized-entity grammar has
+    surfaces to extract (raw documents are lowercase word soup)."""
     from llmaix_spark.operators.extraction import ExtractionConfig, extract_triples
 
-    t = _turns(spark, sf_dir)
+    t = _turns(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.initcap(F.col("text")),
+            F.lit(" works at "),
+            F.initcap(F.reverse(F.col("text"))),
+            F.lit("."),
+        ),
+    )
     triples, _raw = extract_triples(t, ExtractionConfig(), num_partitions=8)
     return triples
 
