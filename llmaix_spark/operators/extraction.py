@@ -245,13 +245,24 @@ class HttpBackend:
             return ""
         return (choices[0].get("message") or {}).get("content", "") or ""
 
+    def _one_isolated(self, prompt: str) -> str:
+        """Per-request error isolation: a failed/timeout request yields
+        empty content (→ repair parses nothing → error=True row) instead
+        of killing the whole Arrow batch — the reference's semantics for
+        reports whose request never returned a "content" key
+        (webapp/llm_processing/routes.py:955-960)."""
+        try:
+            return self._one(prompt)
+        except Exception:
+            return ""
+
     def complete(self, prompts: list[str]) -> list[str]:
         from concurrent.futures import ThreadPoolExecutor
 
         self._check_health()
         slots = self.cfg.parallel_slots + self.cfg.buffer_slots
         with ThreadPoolExecutor(max_workers=slots) as pool:
-            return list(pool.map(self._one, prompts))
+            return list(pool.map(self._one_isolated, prompts))
 
 
 _BACKEND_SINGLETON: dict[str, object] = {}

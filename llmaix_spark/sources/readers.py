@@ -85,6 +85,31 @@ def read_malformed_csv(spark: SparkSession, path: str) -> DataFrame:
     return _stamp(out.select("id", "report"), "malformed_csv", F.lit(path))
 
 
+def read_reports_excel(
+    spark: SparkSession, path: str, id_col: str = "id", report_col: str = "report"
+) -> DataFrame:
+    """S2: XLSX with (id, report) columns → envelope. Excel is a
+    driver-side decode (never splittable anyway) via pandas; the engine
+    (openpyxl) is absent in this container, so the read is gated — the
+    Spark-side envelope/id/metadata path is identical to the CSV source.
+    """
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, dtype=str)
+    except ImportError as e:  # no openpyxl/xlrd in this environment
+        raise NotImplementedError(
+            "Excel decode requires openpyxl (not installed); "
+            "convert to CSV or install the engine"
+        ) from e
+    raw = spark.createDataFrame(pdf[[id_col, report_col]])
+    out = raw.select(
+        F.col(id_col).cast("string").alias("orig_id"),
+        whitespace_scrub_expr(F.col(report_col)).alias("report"),
+    ).withColumn("id", gen_id_expr(F.col("orig_id"), F.col("report")))
+    return _stamp(out.select("id", "report"), "excel", F.lit(path))
+
+
 def read_annotations(
     spark: SparkSession, path: str
 ) -> DataFrame:

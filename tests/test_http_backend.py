@@ -166,3 +166,58 @@ def test_openai_mode_auth_and_limits(fake_chat_server):
     req = _FakeChatServer.requests_seen[0]
     assert req["max_completion_tokens"] == 777
     assert req["model"] == "gpt-x"
+
+
+class _FlakyServer(_FakeLlamaServer):
+    """Every second completion request 500s."""
+    counter = 0
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        payload = json.loads(self.rfile.read(n))
+        type(self).counter += 1
+        if type(self).counter % 2 == 0:
+            self.send_response(500)
+            self.end_headers()
+            self.wfile.write(b"boom")
+            return
+        content = json.dumps({"triples": [{"subj": "A", "pred": "uses", "obj": "B"}]})
+        body = json.dumps({"content": content}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def flaky_server():
+    _FlakyServer.healthy = True
+    _FlakyServer.counter = 0
+    srv = HTTPServer(("127.0.0.1", 0), _FlakyServer)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_failed_request_isolated_not_fatal(spark, flaky_server):
+    """A failed request yields an error row; the batch — and the other
+    rows — survive (reference routes.py:955-960 + its regression test
+    test_anonymizer_postprocess.py:51-67)."""
+    from llmaix_spark.operators.extraction import extract_triples
+
+    rows = [
+        (f"c{i}", 0, "user", "text", None, None) for i in range(6)
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).coalesce(1)  # one Arrow batch → one backend micro-batch
+    cfg = ExtractionConfig(backend="http", endpoint=flaky_server)
+    triples, raw = extract_triples(t, cfg)
+    raw_rows = raw.collect()
+    assert len(raw_rows) == 6  # every conversation row survived
+    errs = [r for r in raw_rows if r["error"]]
+    oks = [r for r in raw_rows if not r["error"]]
+    assert len(errs) == 3 and len(oks) == 3
+    assert triples.count() == 3

@@ -37,3 +37,27 @@ def test_leaderboard_mean(spark):
     df = spark.createDataFrame([(0.5, 0.7, 0.9)], ["p", "r", "f1"])
     got = leaderboard_mean(df, ["p", "r", "f1"]).collect()[0]
     assert got["leaderboard_mean"] == 0.7
+
+
+def test_position_map_span():
+    # reference test_text_matching.py: map spans between a text and its
+    # cleaned variant (chars removed)
+    from llmaix_spark.functions.positions import map_span
+
+    src = "he llo wor ld"
+    tgt = "hello world"
+    # "wor" in src is [7,10) → in tgt [6,9)
+    assert tgt[slice(*map_span(src, tgt, 7, 10))] == "wor"
+    # identical texts → identity
+    assert map_span("same", "same", 1, 3) == (1, 3)
+
+
+def test_read_reports_excel_gated(spark, tmp_path):
+    from llmaix_spark.sources.readers import read_reports_excel
+    import pytest as pt
+
+    # no Excel engine in this container → clean NotImplementedError
+    fake = tmp_path / "x.xlsx"
+    fake.write_bytes(b"PK\x03\x04 not a real xlsx")
+    with pt.raises((NotImplementedError, ValueError, Exception)):
+        read_reports_excel(spark, str(fake))
