@@ -78,3 +78,57 @@ def anonymize_conversations(
             replacement_char,
         ),
     )
+
+
+def anonymizer_postprocess(
+    chunks: DataFrame,
+    field_cols: list[str],
+    sep: str = " ",
+    replacement_char: str = "■",
+) -> DataFrame:
+    """Reference-signature anonymizer postprocess: chunk-level rows
+    (id with `$hash_<i>` suffix, report, metadata, one PII value per
+    field column) → one row per base document with the chunks rejoined,
+    all field values flattened into personal_info_list (first-occurrence
+    dedup, umlaut variants appended by the masking UDF) and the report
+    masked with its OWN list.
+
+    Mirrors webapp/llm_processing/routes.py:1044-1092 exactly, but as one
+    aggregation: chunk order is explicit (the reference relied on
+    implicit row order), metadata is first-chunk's (reference :1090).
+    """
+    from llmaix_spark.functions.text import base_id_expr
+
+    chunk_idx = F.coalesce(
+        F.regexp_extract(F.col("id"), r"_(\d+)$", 1).cast("int"), F.lit(0)
+    )
+    fields = F.array(*[F.col(c) for c in field_cols])
+    rows = chunks.select(
+        base_id_expr(F.col("id")).alias("id"),
+        F.struct(
+            chunk_idx.alias("i"),
+            F.col("report").alias("report"),
+            F.col("metadata").alias("metadata"),
+            fields.alias("pii"),
+        ).alias("chunk"),
+    )
+    agg = rows.groupBy("id").agg(
+        F.array_sort(F.collect_list("chunk")).alias("chunks")
+    )
+    report = F.concat_ws(sep, F.transform("chunks", lambda c: c["report"]))
+    pii = F.array_distinct(
+        F.filter(
+            F.flatten(F.transform("chunks", lambda c: c["pii"])),
+            lambda x: x.isNotNull(),
+        )
+    )
+    out = agg.select(
+        "id",
+        report.alias("report"),
+        F.col("chunks")[0]["metadata"].alias("metadata"),
+        pii.alias("personal_info_list"),
+    )
+    return out.withColumn(
+        "masked_report",
+        masked_col(F.col("report"), F.col("personal_info_list"), replacement_char),
+    )

@@ -344,6 +344,21 @@ def triples_from_raw(raw: DataFrame) -> DataFrame:
     )
 
 
+def pivot_fields(raw: DataFrame, field_names: list[str]) -> DataFrame:
+    """J7: parsed-JSON keys → columns, against the job's FIXED field set
+    (the reference pivots whatever keys the LLM emitted,
+    webapp/llm_processing/routes.py:1029-1042 — but its grammar already
+    pinned the key set, so a static projection is semantically equal and
+    lets Catalyst prune). Missing keys → NULL; every value a string
+    (reference :995-1000)."""
+    m = F.from_json("parsed", "map<string,string>")
+    return raw.select(
+        "conv_id",
+        "error",
+        *[m.getItem(k).alias(k) for k in field_names],
+    )
+
+
 def extract_triples(
     transcripts: DataFrame,
     cfg: ExtractionConfig | None = None,

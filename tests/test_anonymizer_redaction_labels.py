@@ -190,3 +190,52 @@ def test_read_malformed_csv(spark, tmp_path):
     df = read_malformed_csv(spark, str(p))
     rows = sorted(r["report"] for r in df.collect())
     assert rows == ['row "with quotes, and, commas', "row2"]
+
+
+def test_anonymizer_postprocess_reference_signature(spark):
+    """The reference's anonymizer-mode postprocess scenario
+    (webapp/llm_processing/routes.py:1044-1092 + the PII-isolation
+    regression): chunked rows regrouped by base_id, per-chunk PII flattened,
+    report rejoined in chunk order, masked with its own list."""
+    from llmaix_spark.operators.anonymizer import anonymizer_postprocess
+
+    chunks = spark.createDataFrame(
+        [
+            ("docA$ab12cd34_1", "met Hans Gruber", "{'k':'v'}", "Hans Gruber", None),
+            ("docA$ab12cd34_0", "Anna Müller was here and", "{'k':'v'}", "Anna Müller", "Berlin"),
+            ("docB$ef56ab78_0", "Anna Müller absent", "{}", None, None),
+        ],
+        "id string, report string, metadata string, patientname string, city string",
+    ).repartition(3)
+    out = {
+        r["id"]: r
+        for r in anonymizer_postprocess(
+            chunks, ["patientname", "city"]
+        ).collect()
+    }
+    a = out["docA$ab12cd34"]
+    assert a["report"] == "Anna Müller was here and met Hans Gruber"
+    assert a["personal_info_list"] == ["Anna Müller", "Berlin", "Hans Gruber"]
+    # masked with umlaut-variant expansion, each doc its own list
+    assert a["masked_report"] == "■■■■■■■■■■■ was here and met ■■■■■■■■■■■"
+    assert a["metadata"] == "{'k':'v'}"
+    b = out["docB$ef56ab78"]
+    assert b["personal_info_list"] == []
+    assert b["masked_report"] == "Anna Müller absent"  # no leak across docs
+
+
+def test_pivot_fields_j7(spark):
+    from llmaix_spark.operators.extraction import pivot_fields
+
+    raw = spark.createDataFrame(
+        [
+            ("c1", '{"name": "John", "age": "30"}', False),
+            ("c2", '{"name": "Jane"}', False),
+            ("c3", "{}", True),
+        ],
+        "conv_id string, parsed string, error boolean",
+    )
+    got = {r["conv_id"]: r for r in pivot_fields(raw, ["name", "age"]).collect()}
+    assert got["c1"]["name"] == "John" and got["c1"]["age"] == "30"
+    assert got["c2"]["age"] is None
+    assert got["c3"]["name"] is None and got["c3"]["error"] is True
