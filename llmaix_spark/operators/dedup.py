@@ -47,10 +47,16 @@ def exact_dedup(
 
 
 def word_shingles(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc via posexplode + window-free
-    slide (built with transform over token index — no Python)."""
+    """Word n-gram shingles per doc via posexplode + window-free slide
+    (built with transform over token index — no Python). distinct=False
+    skips the dedup shuffle for consumers that dedup later on the (much
+    cheaper) 8-byte shingle hash instead of the string."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # NB: Spark's sequence(0, -1) DESCENDS — guard short docs explicitly
     sh = F.when(
@@ -62,10 +68,10 @@ def word_shingles(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(

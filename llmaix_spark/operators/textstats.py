@@ -100,17 +100,58 @@ def quality_score_expr(col: Column) -> Column:
 def doc_fingerprint(
     docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Winnowing-lite fingerprint: min/max/count of 60-bit hashes over
-    word n-grams. Two docs sharing fp_min almost surely share a passage —
-    the cheap first-pass dup blocker."""
-    from llmaix_spark.operators.dedup import word_shingles
+    """Winnowing-lite fingerprint: min/max/count-distinct of 60-bit hashes
+    over word n-grams. Two docs sharing fp_min almost surely share a
+    passage — the cheap first-pass dup blocker.
 
-    sh = word_shingles(docs, n, id_col, text_col)
-    h = stable_hash60_expr(F.col("shingle"))
+    Rolling-hash construction: each TOKEN is md5-hashed once, the n-gram
+    hash is the rotate-XOR composition of its n token hashes — n× fewer
+    md5 evaluations than hashing shingle strings and no string
+    materialization at all. Dedup is count(DISTINCT hash) inside the
+    aggregation (8-byte shuffle, 2⁻⁶⁰ collision odds, bit-identical in
+    the SQL oracle)."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    th = F.transform(toks, lambda t: stable_hash60_expr(t))
+
+    def rot(col, k: int):
+        # mask BEFORE shifting: (x & 2^(60-k)-1) << k never exceeds 2^60,
+        # so checked-arithmetic engines (DuckDB) don't overflow and the
+        # result is identical to (x << k) & mask
+        low = col.bitwiseAND(F.lit((1 << (60 - k)) - 1))
+        return F.shiftleft(low, k).bitwiseOR(F.shiftright(col, 60 - k))
+
+    def gram(arr, i):
+        g = None
+        for j in range(n):
+            term = rot(F.element_at(arr, i + F.lit(j + 1)), 7 * j)
+            g = term if g is None else g.bitwiseXOR(term)
+        return g
+
+    # bind the token-hash array ONCE as a lambda variable: referencing the
+    # raw `th` expression inside the gram lambda would re-evaluate the
+    # whole md5 transform for every element_at (observed 12× slowdown)
+    grams = F.element_at(
+        F.transform(
+            F.array(th),
+            lambda arr: F.when(
+                F.size(arr) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(arr) - n),
+                    lambda i: gram(arr, i),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        ),
+        1,
+    )
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("h")
+    )
     return sh.groupBy("doc_id").agg(
-        F.min(h).alias("fp_min"),
-        F.max(h).alias("fp_max"),
-        F.count(F.lit(1)).alias("fp_n"),
+        F.min("h").alias("fp_min"),
+        F.max("h").alias("fp_max"),
+        F.countDistinct("h").alias("fp_n"),
     )
 
 

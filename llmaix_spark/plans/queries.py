@@ -788,20 +788,33 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
-def _fingerprint_sql() -> str:
-    h = _HASH60_SQL.format(v="s")
+def _fingerprint_sql(n: int = 5) -> str:
+    h = _HASH60_SQL.format(v="t")
+    terms = []
+    for j in range(n):
+        lead = "th" if j == 0 else f"lead(th, {j}) OVER win"
+        k = 7 * j
+        if k == 0:
+            terms.append(f"({lead})")
+        else:
+            low_mask = (1 << (60 - k)) - 1
+            terms.append(
+                f"(((({lead}) & {low_mask}) << {k}) | (({lead}) >> {60 - k}))"
+            )
+    g = terms[0]
+    for t in terms[1:]:
+        g = f"xor({g}, {t})"
     return f"""
 WITH d AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
 tok AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
-gram AS (SELECT doc_id,
-                t || ' ' || lead(t,1) OVER win || ' ' || lead(t,2) OVER win
-                  || ' ' || lead(t,3) OVER win || ' ' || lead(t,4) OVER win AS s,
-                lead(t,4) OVER win AS l4
-         FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-sh AS (SELECT DISTINCT doc_id, s FROM gram WHERE l4 IS NOT NULL)
-SELECT doc_id, min({h}) AS fp_min, max({h}) AS fp_max,
-       CAST(count(*) AS BIGINT) AS fp_n
-FROM sh GROUP BY doc_id"""
+th0 AS (SELECT doc_id, i, {h} AS th FROM tok WHERE length(t) > 0),
+gram AS (SELECT doc_id, {g} AS g,
+                lead(th, {n - 1}) OVER win AS l_last
+         FROM th0 WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+hs AS (SELECT doc_id, g AS h FROM gram WHERE l_last IS NOT NULL)
+SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
+       CAST(count(DISTINCT h) AS BIGINT) AS fp_n
+FROM hs GROUP BY doc_id"""
 
 
 SQL_FINGERPRINT = _fingerprint_sql()
