@@ -24,12 +24,16 @@ def chunk_by_words(
 ) -> DataFrame:
     """(id, text) → (conv_id, turn_idx, text): one row per chunk of
     `words_per_chunk` space-separated words, order-preserving."""
+    from llmaix_spark.functions.arrays import bind_array
+
     toks = F.split(F.col(text_col), " ")
     k = words_per_chunk
-    n_chunks = F.ceil(F.size(toks) / k).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+    chunks = bind_array(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(t) / k).cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i * k + 1, k)),
+        ),
     )
     return df.select(
         F.col(id_col).cast("string").alias("conv_id"),

@@ -57,17 +57,25 @@ def word_shingles(
     (built with transform over token index — no Python). distinct=False
     skips the dedup shuffle for consumers that dedup later on the (much
     cheaper) 8-byte shingle hash instead of the string."""
+    from llmaix_spark.functions.arrays import bind_array
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # NB: Spark's sequence(0, -1) DESCENDS — guard short docs explicitly
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
+    # NB: Spark's sequence(0, -1) DESCENDS — guard short docs explicitly.
+    # bind_array: element_at on the raw split() expr would re-split the
+    # text per access (see functions/arrays.py).
+    sh = bind_array(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(t, i + F.lit(j + 1)) for j in range(n)],
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )
     out = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle")
     )

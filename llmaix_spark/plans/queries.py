@@ -112,14 +112,19 @@ def q_kg_triples(spark, sf_dir):
     """Rule-based triple extraction: (prev, pred, next) token windows
     where pred ∈ vocabulary and neighbors are not — the SQL-expressible
     twin of the stub extraction grammar (stateless neighbor rule)."""
+    from llmaix_spark.functions.arrays import bind_array
+
     docs = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    windows = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda j: F.struct(
-            F.element_at(toks, j).alias("subj"),
-            F.element_at(toks, j + 1).alias("pred"),
-            F.element_at(toks, j + 2).alias("obj"),
+    windows = bind_array(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
+            lambda j: F.struct(
+                F.element_at(t, j).alias("subj"),
+                F.element_at(t, j + 1).alias("pred"),
+                F.element_at(t, j + 2).alias("obj"),
+            ),
         ),
     )
     exploded = docs.filter(F.size(toks) >= 3).select(
