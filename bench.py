@@ -184,7 +184,7 @@ def main() -> None:
     # CPU-bound workers, local[ALL] oversubscribes the box (JVM + python
     # workers share the same cores) and understates the high level —
     # separate machines don't have that artifact.
-    sim_ms = float(os.environ.get("SPARK_GRAFT_SIM_MS", "12"))
+    sim_ms = float(os.environ.get("SPARK_GRAFT_SIM_MS", "16"))
     high = max(cpus // 2, 4)
     low = max(high // 4, 1)
     r_low = pipeline_throughput(
