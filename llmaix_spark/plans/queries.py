@@ -1087,6 +1087,41 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_media(media)
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Scalar projection of the multimodal decode output (media_id,
+    n_bytes, content_hash, f0..f7) — makes the pandas-UDF byte plumbing
+    itself value-checkable against SQL (the stub codec is sha256-based,
+    which DuckDB can replicate bit-for-bit)."""
+    out = q_multimodal_decode(spark, sf_dir)
+    return out.select(
+        "media_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "content_hash",
+        *[
+            # cast float32 → double BEFORE rounding; 4dp (the k/255 grid
+            # is provably ≥2e-7 from every 4-decimal half-boundary, while
+            # float32 error at 6dp straddles round-half points)
+            F.round(F.element_at("feature", j + 1).cast("double"), 4).alias(f"f{j}")
+            for j in range(8)
+        ],
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       substring(sha256(text), 1, 16) AS content_hash,
+       round((('0x' || substring(sha256(text), 1, 2))::INT) / 255.0, 4) AS f0,
+       round((('0x' || substring(sha256(text), 3, 2))::INT) / 255.0, 4) AS f1,
+       round((('0x' || substring(sha256(text), 5, 2))::INT) / 255.0, 4) AS f2,
+       round((('0x' || substring(sha256(text), 7, 2))::INT) / 255.0, 4) AS f3,
+       round((('0x' || substring(sha256(text), 9, 2))::INT) / 255.0, 4) AS f4,
+       round((('0x' || substring(sha256(text), 11, 2))::INT) / 255.0, 4) AS f5,
+       round((('0x' || substring(sha256(text), 13, 2))::INT) / 255.0, 4) AS f6,
+       round((('0x' || substring(sha256(text), 15, 2))::INT) / 255.0, 4) AS f7
+FROM documents"""
+
+
 def q_extraction_stub(spark, sf_dir):
     """The flagship extraction harness (mapInPandas + JSON repair) over
     derived transcripts — pandas UDF → rows-only. Turn text is initcap'd
@@ -1147,6 +1182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metrics_multiclass": q_metrics_multiclass,
     "invariant_per_turn": q_invariant_per_turn,
     "dedup_groups": q_dedup_groups,
+    "multimodal_features": q_multimodal_features,
     # rows-only
     "anonymizer_conversations": q_anonymizer,
     "kg_pipeline_edges": q_kg_pipeline_edges,
@@ -1192,4 +1228,5 @@ ORACLES: dict[str, str] = {
     "metrics_multiclass": SQL_METRICS_MULTICLASS,
     "invariant_per_turn": SQL_INVARIANT_PER_TURN,
     "dedup_groups": SQL_DEDUP_GROUPS,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
