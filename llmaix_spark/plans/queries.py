@@ -914,6 +914,80 @@ FROM turns t FULL OUTER JOIN rechunk r USING (conv_id, turn_idx)
 WHERE t.text IS DISTINCT FROM r.text"""
 
 
+def _kg_canonical_sql() -> str:
+    """SQL twin of the ENTIRE linking+canonicalization path: mention
+    normalization → char-3-gram MinHash (16 fns) → banded LSH (b=8, r=2,
+    length gate) → normalized-Levenshtein ≥ 90 verify → connected
+    components (recursive CTE) → min-norm canonical → canonical triples.
+
+    Identical algorithm on both engines (same hash constants, same bands,
+    same threshold) — so the approximate LSH blocking is compared
+    exactly, not statistically. The Spark side's bucket-size cap (5000)
+    is omitted here: on this corpus no bucket comes near it.
+    """
+    h = f"({_HASH60_SQL.format(v='shingle')} % {_P})"
+    mins = ",\n         ".join(
+        f"min(({a} * {h} + {b}) % {_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    )
+    bands = ", ".join(
+        f"CAST(h{b * 2} AS VARCHAR) || ':' || CAST(h{b * 2 + 1} AS VARCHAR)"
+        for b in range(8)
+    )
+    return f"""
+WITH RECURSIVE
+d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
+tri AS (
+  SELECT doc_id, lag(t) OVER win AS subj, t AS pred, lead(t) OVER win AS obj
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+triples AS (
+  SELECT subj, pred, obj FROM tri
+  WHERE pred IN ({_PREDS_IN}) AND subj IS NOT NULL AND obj IS NOT NULL
+    AND subj NOT IN ({_PREDS_IN}) AND obj NOT IN ({_PREDS_IN})),
+mentions AS (
+  SELECT DISTINCT lower(trim(s)) AS norm FROM (
+    SELECT subj AS s FROM triples UNION ALL SELECT obj FROM triples)
+  WHERE length(s) > 0),
+nums AS (SELECT unnest(range(1, 100)) AS i),
+sh AS (
+  SELECT norm, substring(norm, i, 3) AS shingle
+  FROM mentions JOIN nums ON i <= length(norm) - 2
+  UNION ALL
+  SELECT norm, norm FROM mentions WHERE length(norm) < 3),
+sig AS (SELECT norm, {mins} FROM sh GROUP BY norm),
+banded AS (
+  SELECT norm, length(norm) AS len,
+         generate_subscripts(bv, 1) AS band_idx, unnest(bv) AS band_val
+  FROM (SELECT norm, [{bands}] AS bv FROM sig)),
+cand AS (
+  SELECT DISTINCT a.norm AS na, b.norm AS nb
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.norm < b.norm
+   AND abs(a.len - b.len) <= 0.1 * greatest(a.len, b.len)),
+e AS (
+  SELECT na, nb FROM cand
+  WHERE 100.0 * (1.0 - levenshtein(na, nb) * 1.0
+                 / greatest(length(na), length(nb), 1)) >= 90.0),
+sym AS (SELECT na AS a, nb AS b FROM e UNION SELECT nb, na FROM e),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node),
+cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+canon AS (
+  SELECT m.norm, coalesce(cc.comp, m.norm) AS canonical
+  FROM mentions m LEFT JOIN cc ON m.norm = cc.node)
+SELECT DISTINCT cs.canonical AS subj, t.pred, co.canonical AS obj
+FROM triples t
+JOIN canon cs ON lower(trim(t.subj)) = cs.norm
+JOIN canon co ON lower(trim(t.obj)) = co.norm"""
+
+
+SQL_KG_CANONICAL_TRIPLES = _kg_canonical_sql()
+
+
 # ---------------------------------------------------------------------------
 # redaction metrics (M1/A3) + annotation join (JN1)
 
@@ -1229,4 +1303,5 @@ ORACLES: dict[str, str] = {
     "invariant_per_turn": SQL_INVARIANT_PER_TURN,
     "dedup_groups": SQL_DEDUP_GROUPS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
 }
