@@ -25,7 +25,7 @@ def sf_dir():
 
 
 @pytest.fixture(scope="session")
-def transcripts_dir(tmp_path_factory):
+def transcripts_dir():
     """Deterministic transcripts fixture at smoke scale (seed=42)."""
     from llmaix_spark.datagen import ensure_transcripts
 

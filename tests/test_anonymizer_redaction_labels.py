@@ -58,9 +58,6 @@ def test_anonymizer_turn_order_stable(spark):
 def test_redaction_counts_one_of_each(spark):
     """Reference test_metrics.py:23-41 — one tp, fp, tn, fn."""
     # positions: a=tp(■,■), b=fp(x,■), c=tn(x,x), d=fn(■,x)
-    gt = "■x x■"
-    auto = "■■ xx"
-    orig = "abcde"  # 'c' is ' ' in gt... construct carefully below
     gt = "■xx■"
     auto = "■■xx"
     orig = "abcd"
