@@ -8,12 +8,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 @pytest.fixture(scope="session")
 def spark():
+    """Test session; SPARK_TEST_CORES overrides the width so the suite can
+    be replayed at different parallelism (results must be invariant)."""
     from llmaix_spark.session import get_spark
 
+    cores = int(os.environ.get("SPARK_TEST_CORES", "4"))
     s = get_spark(
-        master="local[4]",
+        master=f"local[{cores}]",
         app_name="llmaix-spark-tests",
-        shuffle_partitions=4,
+        shuffle_partitions=cores,
     )
     yield s
     s.stop()
