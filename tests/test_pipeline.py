@@ -123,3 +123,30 @@ def test_write_graph_tables_parquet_fallback(spark, transcripts, tmp_path):
     # partitioned by pred → partition pruning works
     preds = [d for d in os.listdir(os.path.join(targets["edges"], "data")) if d.startswith("pred=")]
     assert len(preds) >= 3
+
+
+def test_resume_recovers_from_partial_stage(spark, transcripts, tmp_path):
+    """A stage killed mid-write leaves data without a manifest — resume
+    must treat it as incomplete, rewrite it, and produce identical output."""
+    out = str(tmp_path / "kg_partial")
+    cfg = PipelineConfig(num_partitions=4, out_dir=out)
+    r1 = run_pipeline(spark, transcripts, cfg)
+    edges1 = sorted(
+        (r["subj_id"], r["pred"], r["obj_id"], r["conv_id"])
+        for r in r1["edges"].collect()
+    )
+    # simulate a crash DURING the edges write: manifest gone, data partial
+    import glob
+    os.remove(os.path.join(out, "stage=edges", "_MANIFEST.json"))
+    parts = glob.glob(os.path.join(out, "stage=edges", "data", "pred=*", "*.parquet"))
+    os.remove(parts[0])
+
+    r2 = run_pipeline(
+        spark, transcripts,
+        PipelineConfig(num_partitions=4, out_dir=out, resume=True),
+    )
+    edges2 = sorted(
+        (r["subj_id"], r["pred"], r["obj_id"], r["conv_id"])
+        for r in r2["edges"].collect()
+    )
+    assert edges1 == edges2
