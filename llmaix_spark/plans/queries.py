@@ -1143,13 +1143,9 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
-def q_multimodal_decode(spark, sf_dir):
-    """Binary media plumbing: docs → fake binary payloads → mapInPandas
-    feature extraction (pandas UDF → rows-only)."""
-    from llmaix_spark.operators.multimodal import decode_media
-
+def _media_table(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    media = d.select(
+    return d.select(
         F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
         F.lit("image").alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
@@ -1158,7 +1154,55 @@ def q_multimodal_decode(spark, sf_dir):
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
-    return decode_media(media)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Binary media plumbing: docs → fake binary payloads → mapInPandas
+    feature extraction. The array<float> feature column is projected to
+    driver-hashable scalars (dim + elementwise-rounded sum) — the stub
+    codec is sha256-based, so DuckDB replicates the whole path
+    bit-for-bit, error-isolation branch included.
+
+    Rounding rule: each feature element is k/255 in float32; rounding
+    elements to 4dp is exact (grid ≥2e-7 from every half-boundary), and
+    the sum of 8 exact 4dp values re-rounded to 4dp is engine-stable."""
+    from llmaix_spark.operators.multimodal import decode_media
+
+    out = decode_media(_media_table(spark, sf_dir))
+    rounded = F.transform("feature", lambda x: F.round(x.cast("double"), 4))
+    return out.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "content_hash",
+        F.when(F.col("feature").isNull(), F.lit(None).cast("bigint"))
+        .otherwise(F.size("feature").cast("bigint"))
+        .alias("feature_dim"),
+        F.round(
+            F.aggregate(rounded, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("feature_sum"),
+        "decode_error",
+    )
+
+
+_FEATURE_SUM_SQL = " + ".join(
+    f"round((('0x' || substring(sha256(text), {2 * j + 1}, 2))::INT) / 255.0, 4)"
+    for j in range(8)
+)
+
+SQL_MULTIMODAL_DECODE = f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       'image' AS kind,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       substring(sha256(text), 1, 16) AS content_hash,
+       CASE WHEN length(text) = 0 THEN NULL
+            ELSE CAST(8 AS BIGINT) END AS feature_dim,
+       CASE WHEN length(text) = 0 THEN NULL
+            ELSE round({_FEATURE_SUM_SQL}, 4) END AS feature_sum,
+       CASE WHEN length(text) = 0 THEN 'empty image payload'
+            ELSE NULL END AS decode_error
+FROM d"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1166,7 +1210,9 @@ def q_multimodal_features(spark, sf_dir):
     n_bytes, content_hash, f0..f7) — makes the pandas-UDF byte plumbing
     itself value-checkable against SQL (the stub codec is sha256-based,
     which DuckDB can replicate bit-for-bit)."""
-    out = q_multimodal_decode(spark, sf_dir)
+    from llmaix_spark.operators.multimodal import decode_media
+
+    out = decode_media(_media_table(spark, sf_dir))
     return out.select(
         "media_id",
         F.col("n_bytes").cast("bigint").alias("n_bytes"),
@@ -1303,5 +1349,6 @@ ORACLES: dict[str, str] = {
     "invariant_per_turn": SQL_INVARIANT_PER_TURN,
     "dedup_groups": SQL_DEDUP_GROUPS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
 }

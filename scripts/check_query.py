@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Run a subset of queries vs their oracles (same compare as preflight).
+
+Usage: python scripts/check_query.py name1 name2 ... [--sf /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from preflight import TABLES, normalize  # noqa: E402
+
+
+def main() -> None:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from llmaix_spark.session import get_spark
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = "/root/testdata/sf0.01"
+    if "--sf" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+    spark = get_spark(app_name="check_query")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name in args:
+        t0 = time.time()
+        sdf = queries[name](spark, sf_dir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"ROWS {name} rows={len(s_rows)} ({time.time()-t0:.1f}s)")
+            continue
+        res = con.execute(oracles[name])
+        d_cols = [d[0] for d in res.description]
+        d_rows = res.fetchall()
+        cols_ok = sorted(s_cols) == sorted(d_cols)
+        rows_ok = len(s_rows) == len(d_rows)
+        ns, nd = normalize(s_rows, s_cols), normalize(d_rows, d_cols)
+        hash_ok = ns == nd
+        ok = cols_ok and rows_ok and hash_ok
+        print(f"{'PASS' if ok else 'FAIL'} {name} rows={len(s_rows)}/{len(d_rows)} "
+              f"cols={cols_ok} hash={hash_ok} ({time.time()-t0:.1f}s)")
+        if not ok:
+            failed.append(name)
+            if not cols_ok:
+                print("  spark cols:", s_cols)
+                print("  duck  cols:", d_cols)
+            for i, (a, b) in enumerate(zip(ns, nd)):
+                if a != b:
+                    print("  first diff row", i)
+                    print("   spark:", a)
+                    print("   duck :", b)
+                    break
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
