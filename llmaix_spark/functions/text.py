@@ -75,6 +75,23 @@ def boolean_coerce_expr(col: Column) -> Column:
     return F.lower(F.trim(col)).isin(_TRUTHY)
 
 
+# annotationhelper's wider equivalence classes (case-folded; reference
+# webapp/annotationhelper/routes.py:136-137): values outside both sets
+# coerce to NULL instead of false — three-valued, unlike the
+# labelannotation set above.
+_TRUE_EQUIV = ["true", "ja", "yes", "correct", "wahr", "1"]
+_FALSE_EQUIV = ["false", "nein", "no", "falsch", "0"]
+
+
+def boolean_coerce_wide_expr(col: Column) -> Column:
+    v = F.lower(F.trim(col))
+    return (
+        F.when(v.isin(_TRUE_EQUIV), F.lit(True))
+        .when(v.isin(_FALSE_EQUIV), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
 # --- P5: id generation ---------------------------------------------------------
 # Reference: id = {orig_id|filename} + '$' + uuid4()[:8]
 # (webapp/input_processing/routes.py:646-654). For replayability at scale we

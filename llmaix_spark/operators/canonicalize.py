@@ -131,6 +131,7 @@ def connected_components(
         F.sequence(F.lit(0), F.lit(k - 1))
     ).alias("salt")
 
+    changed = 0
     for i in range(max_iterations):
         replicated = labels.select(
             F.col("norm").alias("src"), "component", salts
@@ -141,19 +142,29 @@ def connected_components(
             .groupBy(F.col("dst").alias("norm"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        updated = (
-            labels.join(neighbor_min, "norm", "left")
-            .select(
-                "norm",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-                (
-                    F.coalesce(F.col("nbr_component"), F.col("component"))
-                    < F.col("component")
-                ).alias("_changed"),
-            )
+        propagated = labels.join(neighbor_min, "norm", "left").select(
+            "norm",
+            F.col("component").alias("_prev"),
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+        )
+        # pointer doubling: component ← label(component). 1-hop min-label
+        # propagation alone needs `diameter` rounds — a long near-dup
+        # chain deeper than max_iterations would silently return split
+        # components; the shortcut join halves remaining path lengths
+        # every round (O(log d) total). Safe: label(y) ≤ y and is
+        # reachable from y, so monotonicity and reachability both hold.
+        cmap = propagated.select(
+            F.col("norm").alias("component"), F.col("component").alias("_cc")
+        )
+        updated = propagated.join(cmap, "component", "left").select(
+            "norm",
+            F.coalesce("_cc", "component").alias("component"),
+            (F.coalesce("_cc", "component") != F.col("_prev")).alias(
+                "_changed"
+            ),
         )
         if (i + 1) % checkpoint_every == 0:
             updated = updated.localCheckpoint()
@@ -161,6 +172,15 @@ def connected_components(
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations — components may be split; raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

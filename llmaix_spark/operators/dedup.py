@@ -161,8 +161,14 @@ def minhash_dedup_pairs(
     k = len(_MINHASH_AB)
     rows = k // bands
     # the shingle table feeds three consumers (signatures + both sides of
-    # the verification join) — persist it or the explode runs 3×
-    sh_cached = word_shingles(docs, n, id_col, text_col).persist()
+    # the verification join) — materialize it or the explode runs 3×.
+    # localCheckpoint (lazy) instead of persist(): the checkpointed RDD is
+    # released by the ContextCleaner when the returned DataFrame goes out
+    # of scope, so repeated calls don't leak caches (a bare persist() here
+    # outlives every call — CLAUDE.md landmine #1).
+    sh_cached = word_shingles(docs, n, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     h = stable_hash60_expr(F.col("shingle")) % F.lit(_P)
     hashed = sh_cached.select(
         "doc_id",

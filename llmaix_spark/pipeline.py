@@ -168,16 +168,24 @@ def run_pipeline_from_triples(
 
     edges = stage("edges", _edges, partition_by=["pred"], final=True)
 
-    if cfg.out_dir:  # final outputs materialized → caches now dead weight
+    def _cleanup() -> None:
         for df in _to_unpersist:
             df.unpersist()
         _to_unpersist.clear()
 
+    if cfg.out_dir:  # final outputs materialized → caches now dead weight
+        _cleanup()
+
+    # Without out_dir the returned DataFrames are lazy views over the
+    # persisted intermediates, so the caches must outlive this call —
+    # callers release them via result["cleanup"]() once done consuming
+    # (leaked persists degrade successive runs 2-3×).
     return {
         "triples_raw": triples_raw,
         "assignments": assignments,
         "nodes": nodes,
         "edges": edges,
+        "cleanup": _cleanup,
     }
 
 

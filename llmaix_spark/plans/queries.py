@@ -914,11 +914,24 @@ FROM turns t FULL OUTER JOIN rechunk r USING (conv_id, turn_idx)
 WHERE t.text IS DISTINCT FROM r.text"""
 
 
-def _kg_canonical_sql() -> str:
-    """SQL twin of the ENTIRE linking+canonicalization path: mention
-    normalization → char-3-gram MinHash (16 fns) → banded LSH (b=8, r=2,
-    length gate) → normalized-Levenshtein ≥ 90 verify → connected
-    components (recursive CTE) → min-norm canonical → canonical triples.
+def _norm_sql(v: str) -> str:
+    """SQL twin of functions.text.norm_surface_expr: trim → umlaut fold →
+    lower → whitespace squeeze (keeps the oracle honest if the corpus
+    ever grows umlauts or multi-spaces — see tests/test_oracle_parity)."""
+    folded = f"trim({v})"
+    for uml, rep in (
+        ("ä", "ae"), ("ö", "oe"), ("ü", "ue"),
+        ("Ä", "Ae"), ("Ö", "Oe"), ("Ü", "Ue"), ("ß", "ss"),
+    ):
+        folded = f"replace({folded}, '{uml}', '{rep}')"
+    return rf"regexp_replace(lower({folded}), '\s+', ' ', 'g')"
+
+
+def _kg_canonical_body() -> str:
+    """Shared SQL twin of the ENTIRE linking+canonicalization path:
+    mention normalization → char-3-gram MinHash (16 fns) → banded LSH
+    (b=8, r=2, length gate) → normalized-Levenshtein ≥ 90 verify →
+    connected components (recursive CTE) → min-norm canonical.
 
     Identical algorithm on both engines (same hash constants, same bands,
     same threshold) — so the approximate LSH blocking is compared
@@ -942,11 +955,12 @@ tri AS (
   SELECT doc_id, lag(t) OVER win AS subj, t AS pred, lead(t) OVER win AS obj
   FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
 triples AS (
-  SELECT subj, pred, obj FROM tri
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id, subj, pred, obj FROM tri
   WHERE pred IN ({_PREDS_IN}) AND subj IS NOT NULL AND obj IS NOT NULL
-    AND subj NOT IN ({_PREDS_IN}) AND obj NOT IN ({_PREDS_IN})),
+    AND subj NOT IN ({_PREDS_IN}) AND obj NOT IN ({_PREDS_IN})
+  GROUP BY 1, 2, 3, 4),
 mentions AS (
-  SELECT DISTINCT lower(trim(s)) AS norm FROM (
+  SELECT DISTINCT {_norm_sql('s')} AS norm FROM (
     SELECT subj AS s FROM triples UNION ALL SELECT obj FROM triples)
   WHERE length(s) > 0),
 nums AS (SELECT unnest(range(1, 100)) AS i),
@@ -978,14 +992,36 @@ reach(node, comp) AS (
 cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
 canon AS (
   SELECT m.norm, coalesce(cc.comp, m.norm) AS canonical
-  FROM mentions m LEFT JOIN cc ON m.norm = cc.node)
+  FROM mentions m LEFT JOIN cc ON m.norm = cc.node)"""
+
+
+SQL_KG_CANONICAL_TRIPLES = (
+    _kg_canonical_body()
+    + f"""
 SELECT DISTINCT cs.canonical AS subj, t.pred, co.canonical AS obj
 FROM triples t
-JOIN canon cs ON lower(trim(t.subj)) = cs.norm
-JOIN canon co ON lower(trim(t.obj)) = co.norm"""
+JOIN canon cs ON {_norm_sql('t.subj')} = cs.norm
+JOIN canon co ON {_norm_sql('t.obj')} = co.norm"""
+)
 
-
-SQL_KG_CANONICAL_TRIPLES = _kg_canonical_sql()
+# Full value oracle for the end-to-end pipeline output (one edge per
+# distinct (conv, subj, pred, obj) extraction; entity_id = content hash of
+# the canonical name — Spark side: pipeline.py `_edges`,
+# canonicalize.canonical_assignments).
+SQL_KG_PIPELINE_EDGES = (
+    _kg_canonical_body()
+    + f"""
+SELECT substring(sha256(cs.canonical), 1, 16) AS subj_id,
+       t.pred,
+       substring(sha256(co.canonical), 1, 16) AS obj_id,
+       t.conv_id,
+       t.subj || ' ' || t.pred || ' ' || t.obj AS evidence,
+       cs.canonical AS subj_canonical,
+       co.canonical AS obj_canonical
+FROM triples t
+JOIN canon cs ON {_norm_sql('t.subj')} = cs.norm
+JOIN canon co ON {_norm_sql('t.obj')} = co.norm"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1097,13 +1133,32 @@ def q_anonymizer(spark, sf_dir):
     )
 
 
+_KG_SCRATCH: dict[str, str] = {}
+
+
+def _kg_scratch_dir(tag: str) -> str:
+    """One session-scoped scratch dir per sf_dir, removed at exit —
+    repeated bench/preflight invocations reuse it instead of accreting
+    kg_query_* temp dirs (write_stage overwrites stage subdirs)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    d = _KG_SCRATCH.get(tag)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix=f"kg_query_{tag}_")
+        _KG_SCRATCH[tag] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def q_kg_pipeline_edges(spark, sf_dir):
     """Full KG pipeline (extract→link→canonicalize) over transcripts
     derived from documents, with the token-rule extraction grammar
-    (kg_triples). Iterative CC → rows-only check."""
+    (kg_triples). Value-checked end-to-end: SQL_KG_PIPELINE_EDGES twins
+    the whole path (LSH blocking included) in DuckDB."""
     from llmaix_spark.pipeline import PipelineConfig, run_pipeline_from_triples
-
-    import tempfile
 
     def _triples():
         return q_kg_triples(spark, sf_dir).select(
@@ -1116,8 +1171,8 @@ def q_kg_pipeline_edges(spark, sf_dir):
     # throughput mode: intermediates persisted, final graph materialized —
     # 2× faster than fully-lazy (the triples explode would re-execute for
     # every downstream consumer). The returned DF reads the materialized
-    # parquet; the temp dir lives as long as the session may read it.
-    out_dir = tempfile.mkdtemp(prefix="kg_query_")
+    # parquet; the scratch dir is session-scoped and cleaned at exit.
+    out_dir = _kg_scratch_dir(str(abs(hash(sf_dir)) % 10**8))
     res = run_pipeline_from_triples(
         spark,
         _triples,
@@ -1351,4 +1406,5 @@ ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
+    "kg_pipeline_edges": SQL_KG_PIPELINE_EDGES,
 }

@@ -64,25 +64,46 @@ def read_reports_txt(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_malformed_csv(spark: SparkSession, path: str) -> DataFrame:
-    """S6: 'strange CSV' repair — one physical line = one record, header
-    dropped, no quoting honored (reference
-    webapp/llm_processing/read_strange_csv.py:4-30). spark.read.text +
-    a per-file line index via zipWithIndex-free window (files are read
-    line-ordered within a partition; we derive the order from a
-    monotonic id, which is stable per file split — adequate because the
-    reference's repair also has no cross-line semantics)."""
-    raw = spark.read.text(path)
+    """S6: 'strange CSV' repair — one physical line = one record, the
+    FIRST line of each file dropped (header), no quoting honored
+    (reference webapp/llm_processing/read_strange_csv.py:4-30).
+
+    Reads wholetext per file + posexplode over the line split: header
+    semantics are file-scoped (one header per file, not one global
+    first line), and dropping by line *content* would also drop body
+    lines that happen to equal the header text. Whole-file reads give up
+    intra-file split parallelism — correct here: strange CSVs are small
+    uploads and parallelism comes from the file count. Ids are salted
+    with (file, line_idx) so duplicate body lines stay distinct rows."""
+    raw = spark.read.text(path, wholetext=True)
+    arr = F.split("value", "\r?\n")
+    # a trailing newline yields a final "" element that Python's line
+    # iteration (the reference) never produces — drop it; keep interior
+    # empty lines (the reference keeps them as empty records)
+    arr = F.when(
+        (F.size(arr) > 0) & (F.element_at(arr, -1) == ""),
+        F.slice(arr, F.lit(1), F.size(arr) - 1),
+    ).otherwise(arr)
     lines = raw.select(
-        F.col("value").alias("line"),
-        F.monotonically_increasing_id().alias("_seq"),
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_file"),
+        F.posexplode(arr).alias("_idx", "line"),
     )
-    first = lines.orderBy("_seq").limit(1).select("line")
-    body = lines.join(first, lines.line == first.line, "left_anti")
+    body = lines.filter(F.col("_idx") > 0)
     out = body.select(
-        whitespace_scrub_expr(F.col("line")).alias("report")
-    ).withColumn("id", gen_id_expr(F.lit("row"), F.col("report")))
-    # input_file_name() is invalid after the anti-join (two sources)
-    return _stamp(out.select("id", "report"), "malformed_csv", F.lit(path))
+        "_file",
+        whitespace_scrub_expr(F.trim(F.col("line"))).alias("report"),
+        F.col("_idx"),
+    ).withColumn(
+        "id",
+        gen_id_expr(
+            F.lit("row"),
+            F.concat_ws(
+                "\x00", "_file", F.col("_idx").cast("string"), "report"
+            ),
+        ),
+    )
+    stamped = _stamp(out, "malformed_csv", F.col("_file"))
+    return stamped.select("id", "report", "metadata")
 
 
 def read_reports_excel(

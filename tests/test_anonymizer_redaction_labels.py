@@ -189,6 +189,24 @@ def test_read_malformed_csv(spark, tmp_path):
     assert rows == ['row "with quotes, and, commas', "row2"]
 
 
+def test_read_malformed_csv_header_dropped_per_file_not_by_content(
+    spark, tmp_path
+):
+    """Only the first PHYSICAL line of each file is the header: a body
+    line textually equal to the header survives, duplicate body lines
+    each get a distinct (line-index-salted) id, and with multiple files
+    one header per file is dropped."""
+    from llmaix_spark.sources.readers import read_malformed_csv
+
+    (tmp_path / "a.csv").write_text("header\nheader\ndup\ndup\n")
+    (tmp_path / "b.csv").write_text("header\nother\n")
+    df = read_malformed_csv(spark, str(tmp_path))
+    rows = df.collect()
+    reports = sorted(r["report"] for r in rows)
+    assert reports == ["dup", "dup", "header", "other"]
+    assert len({r["id"] for r in rows}) == 4  # dup lines stay distinct
+
+
 def test_anonymizer_postprocess_reference_signature(spark):
     """The reference's anonymizer-mode postprocess scenario
     (webapp/llm_processing/routes.py:1044-1092 + the PII-isolation

@@ -99,6 +99,43 @@ def test_connected_components_iterative_path(spark):
     assert it["e"] == "a" and it["n"] == "m" and it["y"] == "x"
 
 
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 40-node chain has diameter 39 — plain 1-hop propagation needs 39
+    rounds; the pointer-doubling shortcut must converge well inside 10."""
+    import warnings
+
+    nodes = [f"n{i:03d}" for i in range(40)]
+    edges = spark.createDataFrame(
+        list(zip(nodes[:-1], nodes[1:])), ["norm_a", "norm_b"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {
+            r["norm"]: r["component"]
+            for r in connected_components(
+                edges, max_iterations=10, driver_threshold=0
+            ).collect()
+        }
+    assert not any("did not converge" in str(x.message) for x in w)
+    assert set(got.values()) == {"n000"}
+    assert len(got) == 40
+
+
+def test_connected_components_warns_when_iteration_capped(spark):
+    import warnings
+
+    nodes = [f"n{i:03d}" for i in range(12)]
+    edges = spark.createDataFrame(
+        list(zip(nodes[:-1], nodes[1:])), ["norm_a", "norm_b"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(
+            edges, max_iterations=1, driver_threshold=0
+        ).collect()
+    assert any("did not converge" in str(x.message) for x in w)
+
+
 def test_canonical_assignments_isolated_nodes_self_canonical(spark):
     t = _triples(spark, [("c1", "Solo Entity", "uses", "Another Thing")])
     mentions, edges = match_edges(t)

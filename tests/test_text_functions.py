@@ -75,6 +75,23 @@ def test_boolean_coerce(spark, value, expected):
     assert _eval(spark, tx.boolean_coerce_expr(F.lit(value))) == expected
 
 
+@pytest.mark.parametrize(
+    ("value", "expected"),
+    [
+        # annotationhelper equivalence classes, case-folded
+        # (reference webapp/annotationhelper/routes.py:136-137)
+        ("True", True), ("ja", True), ("YES", True), ("correct", True),
+        ("wahr", True), ("1", True),
+        ("False", False), ("Nein", False), ("no", False), ("falsch", False),
+        ("0", False),
+        # outside both sets → NULL (three-valued)
+        ("maybe", None), ("", None), ("y", None),
+    ],
+)
+def test_boolean_coerce_wide(spark, value, expected):
+    assert _eval(spark, tx.boolean_coerce_wide_expr(F.lit(value))) == expected
+
+
 # --- P11 base-id (reference llm_processing/routes.py:1045-1057) --------------
 
 @pytest.mark.parametrize(
