@@ -61,10 +61,16 @@ def assign_buckets(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF bucket assignment with deterministic centroids (the
     n_centroids lowest ids — reproducible without a kmeans fit; swap in
-    persisted kmeans centroids at scale). Returns (bucketed, centroids)."""
+    persisted kmeans centroids at scale). Returns (bucketed, centroids).
+
+    Nearest-centroid choice orders by ROUNDED cosine with centroid_id as
+    tiebreak: the rounding makes assignment reproducible across engines
+    and float orders (the DuckDB oracle computes cosine in float32,
+    Spark in double — see SQL_ANN_IVF_TOPK)."""
     centroids = (
         embeddings.orderBy(id_col)
         .limit(n_centroids)
@@ -78,7 +84,7 @@ def assign_buckets(
         )
     )
     w = Window.partitionBy("vec_id").orderBy(
-        cosine_expr(F.col("centv"), F.col("v")).desc(),
+        F.round(cosine_expr(F.col("centv"), F.col("v")), round_dp).desc(),
         F.col("centroid_id").asc(),
     )
     bucketed = (
@@ -97,18 +103,22 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int = 4,
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe buckets nearest to each
-    query. Same output schema as cosine_topk."""
+    query. Same output schema as cosine_topk. Fully deterministic
+    (rounded-cosine orderings with id tiebreaks), so the whole IVF path —
+    centroid choice, bucket assignment, probing, final ranks — has an
+    exact SQL twin despite recall < 1 vs brute force."""
     bucketed, centroids = assign_buckets(
-        embeddings, n_centroids, id_col, vec_col
+        embeddings, n_centroids, id_col, vec_col, round_dp
     )
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     qc = F.broadcast(q).join(centroids)
     wq = Window.partitionBy("query_id").orderBy(
-        cosine_expr(F.col("qv"), F.col("centv")).desc(),
+        F.round(cosine_expr(F.col("qv"), F.col("centv")), round_dp).desc(),
         F.col("centroid_id").asc(),
     )
     probes = (
@@ -123,7 +133,9 @@ def ivf_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(cosine_expr(F.col("qv"), F.col("v")), round_dp).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1117,13 +1117,28 @@ FROM llm LEFT JOIN ann ON llm.report_id_short = ann.id"""
 
 
 def q_anonymizer(spark, sf_dir):
-    """Anonymizer mode (A1+A2+F4) over derived transcripts; initcap makes
-    long tokens look like entity surfaces for the PII detector. Masking
-    UDF → rows-only."""
+    """Anonymizer mode (A1+A2+F4) over derived transcripts: per-turn PII
+    surfaces injected into the lowercase word soup (even turns get one
+    name, odd turns another), detected by the capitalized-entity regex,
+    flattened order-preserving per conversation, masked with the conv's
+    OWN list via the Arrow UDF.
+
+    Value-oracled: the injected surfaces are the only capitalized runs in
+    the corpus (documents are lowercase [a-z ] soup), so detection,
+    flatten-dedup count and length-preserving case-insensitive masking
+    are all exactly replicable in SQL. The general path (arbitrary PII,
+    umlaut variants, isolation regression) stays pinned by
+    tests/test_masking.py and test_anonymizer_redaction_labels.py."""
     from llmaix_spark.operators.anonymizer import anonymize_conversations
 
     t = _turns(spark, sf_dir).withColumn(
-        "text", F.initcap(F.col("text"))
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("turn_idx") % 2 == 0, F.lit(" Kpqz Vwrtx")
+            ).otherwise(F.lit(" Mblgh Qdfjk")),
+        ),
     )
     out = anonymize_conversations(t)
     return out.select(
@@ -1131,6 +1146,25 @@ def q_anonymizer(spark, sf_dir):
         F.size("personal_info_list").cast("bigint").alias("n_pii"),
         "masked_report",
     )
+
+
+SQL_ANONYMIZER = f"""
+WITH {_TURNS_SQL},
+inj AS (
+  SELECT conv_id, turn_idx,
+         text || CASE WHEN turn_idx % 2 = 0
+                      THEN ' Kpqz Vwrtx' ELSE ' Mblgh Qdfjk' END AS text
+  FROM turns),
+conv AS (
+  SELECT conv_id,
+         string_agg(text, ' ' ORDER BY turn_idx) AS conv_text,
+         CAST(CASE WHEN max(turn_idx) >= 1 THEN 2 ELSE 1 END AS BIGINT)
+           AS n_pii
+  FROM inj GROUP BY conv_id)
+SELECT conv_id, n_pii,
+       replace(replace(conv_text, 'Kpqz Vwrtx', '■■■■■■■■■■'),
+               'Mblgh Qdfjk', '■■■■■■■■■■■') AS masked_report
+FROM conv"""
 
 
 _KG_SCRATCH: dict[str, str] = {}
@@ -1188,14 +1222,61 @@ def q_kg_canonical_triples(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """Approximate ANN (IVF probing) — recall < 1 by design → rows-only."""
+    """Approximate ANN (IVF probing). Recall < 1 vs brute force BY
+    DESIGN, but the IVF path itself is fully deterministic (first-N
+    centroids, rounded-cosine orderings, id tiebreaks) — so the oracle
+    replicates the whole index: assignment, probing, in-bucket ranking.
+    The approximation is thus value-checked, not just row-counted;
+    recall vs the exact path is asserted in tests/test_dedup_similarity."""
     out = sim.ivf_topk(
         _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10,
-        n_centroids=16, nprobe=4,
+        n_centroids=16, nprobe=4, round_dp=4,
     )
     return out.select(
         "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank"), "cosine"
     )
+
+
+_IVF_ASSIGN_SQL = """
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS centv
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+assigned AS (
+  SELECT vec_id, v, bucket FROM (
+    SELECT e.vec_id, e.embedding AS v, c.centroid_id AS bucket,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(c.centv, e.embedding), 4)
+                        DESC,
+                      c.centroid_id) AS rnk
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rnk = 1)"""
+
+SQL_ANN_IVF_TOPK = f"""
+WITH {_IVF_ASSIGN_SQL},
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+probes AS (
+  SELECT query_id, qv, bucket FROM (
+    SELECT q.query_id, q.qv, c.centroid_id AS bucket,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.centv), 4) DESC,
+                      c.centroid_id) AS rnk
+    FROM q CROSS JOIN cent c)
+  WHERE rnk <= 4),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(p.qv, a.v), 4) AS cosine
+  FROM probes p JOIN assigned a ON a.bucket = p.bucket
+  WHERE a.vec_id != p.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS BIGINT)
+           AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 10"""
 
 
 def _media_table(spark, sf_dir):
@@ -1298,10 +1379,18 @@ FROM documents"""
 
 
 def q_extraction_stub(spark, sf_dir):
-    """The flagship extraction harness (mapInPandas + JSON repair) over
-    derived transcripts — pandas UDF → rows-only. Turn text is initcap'd
-    and pred phrases injected so the capitalized-entity grammar has
-    surfaces to extract (raw documents are lowercase word soup)."""
+    """The flagship extraction harness (mapInPandas + stub LLM + JSON
+    repair + from_json explode) over derived transcripts. Turn text is
+    initcap'd and pred phrases injected so the capitalized-entity grammar
+    has surfaces to extract (raw documents are lowercase word soup).
+
+    Value-oracled: the stub grammar is deterministic string processing,
+    so DuckDB re-runs the SAME regex over the identically-assembled
+    conversations (SQL_EXTRACTION_STUB). malformed_rate=0 here so every
+    row survives the JSON round-trip — the malformed/error path is pinned
+    by tests/test_json_repair.py and the pipeline P/R gate instead. The
+    formatting quirks (end markers, trailing prose/comma, nulls) stay ON:
+    the oracle checks that repair reconstructs identical triples."""
     from llmaix_spark.operators.extraction import ExtractionConfig, extract_triples
 
     t = _turns(spark, sf_dir).withColumn(
@@ -1313,8 +1402,56 @@ def q_extraction_stub(spark, sf_dir):
             F.lit("."),
         ),
     )
-    triples, _raw = extract_triples(t, ExtractionConfig(), num_partitions=8)
+    triples, _raw = extract_triples(
+        t, ExtractionConfig(malformed_rate=0.0), num_partitions=8
+    )
     return triples
+
+
+def _initcap_sql(v: str) -> str:
+    """DuckDB twin of Spark initcap (first letter of each space-separated
+    word uppercased, rest lowercased)."""
+    return (
+        f"array_to_string(list_transform(string_split({v}, ' '), "
+        "w -> CASE WHEN length(w) = 0 THEN w "
+        "ELSE upper(w[1]) || lower(w[2:]) END), ' ')"
+    )
+
+
+def _extraction_stub_sql() -> str:
+    # same grammar as operators/extraction.STUB_PATTERN, with Python's
+    # unicode \w spelled out as an explicit class for RE2
+    ent = "[A-ZÄÖÜ][A-Za-z0-9_äöüßÄÖÜ-]*(?: [A-ZÄÖÜ][A-Za-z0-9_äöüßÄÖÜ-]*)*"
+    phrases = "works at|lives in|manages|visited|uses"
+    pat = f"({ent}) ({phrases}) ({ent})"
+    pred_case = (
+        "CASE p WHEN 'works at' THEN 'works_at' WHEN 'lives in' THEN "
+        "'lives_in' ELSE p END"
+    )
+    return f"""
+WITH {_TURNS_SQL},
+mod AS (
+  SELECT conv_id, turn_idx,
+         {_initcap_sql('text')} || ' works at ' ||
+         {_initcap_sql('reverse(text)')} || '.' AS mtext
+  FROM turns),
+conv AS (
+  SELECT conv_id, string_agg(mtext, ' ' ORDER BY turn_idx) AS conv_text
+  FROM mod GROUP BY conv_id),
+m AS (
+  SELECT conv_id,
+         regexp_extract_all(conv_text, '{pat}', 1) AS subs,
+         regexp_extract_all(conv_text, '{pat}', 2) AS preds,
+         regexp_extract_all(conv_text, '{pat}', 3) AS objs
+  FROM conv),
+x AS (
+  SELECT conv_id, unnest(subs) AS subj_surface, unnest(preds) AS p,
+         unnest(objs) AS obj_surface
+  FROM m)
+SELECT conv_id, subj_surface, {pred_case} AS pred, obj_surface FROM x"""
+
+
+SQL_EXTRACTION_STUB = _extraction_stub_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1407,4 +1544,7 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
     "kg_pipeline_edges": SQL_KG_PIPELINE_EDGES,
+    "extraction_stub": SQL_EXTRACTION_STUB,
+    "anonymizer_conversations": SQL_ANONYMIZER,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
 }

@@ -143,3 +143,15 @@ def test_ivf_topk_recall(emb):
     # IVF with half the buckets probed should keep decent recall
     assert len(a & e) / len(e) >= 0.5
     assert approx.count() == 30
+
+
+def test_ivf_topk_recall_at_query_config(emb):
+    """Recall@10 gate at the driver-query configuration (16 centroids,
+    nprobe=4 → 1/4 of the corpus scanned): measured 0.92 on the sf0.01
+    fixture; pinned at the VERDICT-requested ≥ 0.8."""
+    qids = [0, 1, 2, 3, 4]
+    exact = sim.cosine_topk(emb, qids, k=10)
+    approx = sim.ivf_topk(emb, qids, k=10, n_centroids=16, nprobe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.8
