@@ -76,6 +76,10 @@ class ExtractionConfig:
     quirk_rate: float = 0.25
     # stub-only: fraction of outputs rendered unparseable (error path)
     malformed_rate: float = 0.002
+    # stub-only: fraction of outputs cut off mid-generation and flagged
+    # truncated (L8 — reference warns on finish_reason == "length" /
+    # stop_type == "limit", webapp/llm_processing/routes.py:513-535)
+    truncate_rate: float = 0.0
     # stub-only: simulated per-conversation inference cost (ms, busy-wait).
     # The rule-based stub costs ~µs/conv — 5-6 orders of magnitude below
     # real grammar-constrained decoding — so scaling benchmarks on it
@@ -117,28 +121,34 @@ class StubBackend:
             h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
         return h
 
-    def _render(self, triples: list[dict], prompt: str) -> str:
+    def _render(self, triples: list[dict], prompt: str) -> tuple[str, bool]:
+        """Render (content, truncated). Truncation = the generation hit
+        the length limit mid-output (stub twin of stop_type == 'limit'):
+        the content is cut, the flag is set — downstream repair usually
+        turns the row into error=True, exactly like a real length-stop."""
         # ensure_ascii=False: a real LLM emits raw UTF-8; \uXXXX escapes
         # would be destroyed by the (reference-faithful) backslash strip
         # in the J3 repair step.
         body = json.dumps({"triples": triples, "n": len(triples)}, ensure_ascii=False)
         h = self._stable_hash(prompt)
         if (h % 10_000) / 10_000.0 < self.cfg.malformed_rate:
-            return body[: max(len(body) // 2, 1)].rstrip("}")
+            return body[: max(len(body) // 2, 1)].rstrip("}"), False
+        if ((h // 11) % 10_000) / 10_000.0 < self.cfg.truncate_rate:
+            return body[: max(2 * len(body) // 3, 1)].rstrip("}"), True
         if (h % 1000) / 1000.0 < self.cfg.quirk_rate:
             quirk = h // 7 % 5
             if quirk == 0:
-                return body + "<|eot_id|>"
+                return body + "<|eot_id|>", False
             if quirk == 1:
-                return body + "</s>"
+                return body + "</s>", False
             if quirk == 2:
-                return body + " Here is your answer, hope it helps!"
+                return body + " Here is your answer, hope it helps!", False
             if quirk == 3:
-                return body[:-1] + ",}"
-            return body[:-1] + ', "note": null,}'
-        return body
+                return body[:-1] + ",}", False
+            return body[:-1] + ', "note": null,}', False
+        return body, False
 
-    def complete(self, prompts: list[str]) -> list[str]:
+    def complete(self, prompts: list[str]) -> list[tuple[str, bool]]:
         out = [self._render(self.extract_triples(p), p) for p in prompts]
         if self.cfg.simulate_cost_ms > 0:
             import time
@@ -206,7 +216,11 @@ class HttpBackend:
         with self._urllib.urlopen(req, timeout=1200) as r:
             return json.loads(r.read())
 
-    def _one(self, prompt: str) -> str:
+    def _one(self, prompt: str) -> tuple[str, bool]:
+        """One request → (content, truncated). L8: llama.cpp /completion
+        reports a length-stop as stop_type == 'limit' / truncated: true;
+        the chat endpoints report finish_reason == 'length' (reference
+        warning path, webapp/llm_processing/routes.py:513-535)."""
         if self.mode == "completion":
             payload = {
                 "prompt": prompt,
@@ -217,7 +231,12 @@ class HttpBackend:
             }
             if self.cfg.json_schema:
                 payload["json_schema"] = self.cfg.json_schema
-            return self._post("/completion", payload).get("content", "")
+            data = self._post("/completion", payload)
+            truncated = (
+                data.get("stop_type") == "limit"
+                or data.get("truncated") is True
+            )
+            return data.get("content", ""), truncated
         # chat / openai
         payload = {
             "model": self.model,
@@ -242,10 +261,12 @@ class HttpBackend:
         resp = self._post("/v1/chat/completions", payload)
         choices = resp.get("choices") or []
         if not choices:
-            return ""
-        return (choices[0].get("message") or {}).get("content", "") or ""
+            return "", False
+        last = choices[-1]
+        content = (last.get("message") or {}).get("content", "") or ""
+        return content, last.get("finish_reason") == "length"
 
-    def _one_isolated(self, prompt: str) -> str:
+    def _one_isolated(self, prompt: str) -> tuple[str, bool]:
         """Per-request error isolation: a failed/timeout request yields
         empty content (→ repair parses nothing → error=True row) instead
         of killing the whole Arrow batch — the reference's semantics for
@@ -254,9 +275,9 @@ class HttpBackend:
         try:
             return self._one(prompt)
         except Exception:
-            return ""
+            return "", False
 
-    def complete(self, prompts: list[str]) -> list[str]:
+    def complete(self, prompts: list[str]) -> list[tuple[str, bool]]:
         from concurrent.futures import ThreadPoolExecutor
 
         self._check_health()
@@ -270,8 +291,13 @@ _BACKEND_SINGLETON: dict[str, object] = {}
 
 def _get_backend(cfg: ExtractionConfig):
     """Per-executor lazy singleton (the reference keeps one llama-server
-    alive across jobs keyed on current_model, routes.py:806-863)."""
-    key = f"{cfg.backend}:{cfg.endpoint}:{cfg.simulate_cost_ms}"
+    alive across jobs keyed on current_model, routes.py:806-863). The key
+    carries every output-shaping knob — two jobs with different stub
+    rates in one worker must not share an instance."""
+    key = (
+        f"{cfg.backend}:{cfg.endpoint}:{cfg.simulate_cost_ms}:"
+        f"{cfg.quirk_rate}:{cfg.malformed_rate}:{cfg.truncate_rate}"
+    )
     be = _BACKEND_SINGLETON.get(key)
     if be is None:
         be = (
@@ -300,7 +326,9 @@ def extract_raw(conversations: DataFrame, cfg: ExtractionConfig) -> DataFrame:
                 template.format(report=t if t is not None else "")
                 for t in pdf["conv_text"]
             ]
-            contents = backend.complete(prompts)
+            results = backend.complete(prompts)
+            contents = [c for c, _ in results]
+            truncated = [t for _, t in results]
             parsed, errors = [], []
             for c in contents:
                 d, _repaired, err = repair_and_parse(c)
@@ -312,11 +340,27 @@ def extract_raw(conversations: DataFrame, cfg: ExtractionConfig) -> DataFrame:
                     "content": contents,
                     "parsed": parsed,
                     "error": errors,
-                    "truncated": [False] * len(pdf),
+                    "truncated": truncated,
                 }
             )
 
     return conversations.mapInPandas(run, EXTRACTION_RAW)
+
+
+def extraction_run_metrics(raw: DataFrame) -> DataFrame:
+    """L8/A-side run accounting: one row of totals. The reference emits a
+    warning_job per length-stopped report (routes.py:513-535) and keeps an
+    error_count (routes.py:980-993); distributed, both become counters
+    aggregated from the raw table — map-side combinable, no driver loop."""
+    return raw.agg(
+        F.count(F.lit(1)).alias("n_conversations"),
+        F.coalesce(
+            F.sum(F.col("error").cast("bigint")), F.lit(0)
+        ).alias("n_errors"),
+        F.coalesce(
+            F.sum(F.col("truncated").cast("bigint")), F.lit(0)
+        ).alias("n_truncated"),
+    )
 
 
 TRIPLE_ARRAY_SCHEMA = (

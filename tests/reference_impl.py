@@ -40,7 +40,7 @@ def extract_reference_triples(transcripts: pd.DataFrame) -> list[tuple]:
     be = StubBackend(ExtractionConfig())
     out = []
     for conv_id, text in conv.items():
-        content = be.complete([DEFAULT_PROMPT.format(report=text)])[0]
+        content, _truncated = be.complete([DEFAULT_PROMPT.format(report=text)])[0]
         d, _, _err = repair_and_parse(content)
         for tr in d.get("triples", []) or []:
             if tr.get("subj") and tr.get("obj"):

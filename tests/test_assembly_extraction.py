@@ -92,7 +92,7 @@ def test_extraction_matches_pandas_oracle(transcripts, transcripts_dir):
 
     for conv_id, text in conv.items():
         prompt = DEFAULT_PROMPT.format(report=text)
-        content = be.complete([prompt])[0]
+        content, _trunc = be.complete([prompt])[0]
         d, _, err = repair_and_parse(content)
         for t in d.get("triples", []) or []:
             if t.get("subj") and t.get("obj"):

@@ -62,7 +62,9 @@ def test_http_backend_request_shape(fake_server):
     be = HttpBackend(cfg)
     out = be.complete(["prompt one", "prompt two"])
     assert len(out) == 2
-    assert json.loads(out[0])["triples"][0]["pred"] == "uses"
+    content, truncated = out[0]
+    assert json.loads(content)["triples"][0]["pred"] == "uses"
+    assert truncated is False
     # request shape mirrors the reference payload
     # (webapp/llm_processing/routes.py:412-474)
     req = _FakeLlamaServer.requests_seen[0]
@@ -144,7 +146,9 @@ def test_chat_endpoint_mode(fake_chat_server):
     )
     be = HttpBackend(cfg)
     out = be.complete(["extract this"])
-    assert json.loads(out[0])["triples"][0]["pred"] == "manages"
+    content, truncated = out[0]
+    assert json.loads(content)["triples"][0]["pred"] == "manages"
+    assert truncated is False
     req = _FakeChatServer.requests_seen[0]
     assert req["path"] == "/v1/chat/completions"
     assert req["messages"][0]["role"] == "system"
@@ -166,6 +170,129 @@ def test_openai_mode_auth_and_limits(fake_chat_server):
     req = _FakeChatServer.requests_seen[0]
     assert req["max_completion_tokens"] == 777
     assert req["model"] == "gpt-x"
+
+
+class _TruncatingServer(_FakeLlamaServer):
+    """/completion that reports a length-stop (stop_type == 'limit')."""
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        json.loads(self.rfile.read(n))
+        body = json.dumps(
+            {"content": '{"triples": [{"su', "stop_type": "limit",
+             "truncated": True}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+
+class _TruncatingChatServer(_FakeLlamaServer):
+    """Chat endpoint that reports finish_reason == 'length'."""
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        json.loads(self.rfile.read(n))
+        body = json.dumps(
+            {"choices": [{"message": {"role": "assistant",
+                                      "content": '{"triples": ['},
+                          "finish_reason": "length"}]}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def truncating_server():
+    _TruncatingServer.healthy = True
+    srv = HTTPServer(("127.0.0.1", 0), _TruncatingServer)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+@pytest.fixture()
+def truncating_chat_server():
+    _TruncatingChatServer.healthy = True
+    srv = HTTPServer(("127.0.0.1", 0), _TruncatingChatServer)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_completion_length_stop_flagged(truncating_server):
+    """L8: stop_type == 'limit' on /completion surfaces as truncated=True
+    (reference warning path, routes.py:513-535)."""
+    be = HttpBackend(ExtractionConfig(backend="http", endpoint=truncating_server))
+    (content, truncated), = be.complete(["p"])
+    assert truncated is True
+    assert content.startswith('{"triples"')
+
+
+def test_chat_length_stop_flagged(truncating_chat_server):
+    be = HttpBackend(ExtractionConfig(
+        backend="http", endpoint=truncating_chat_server,
+        extra={"endpoint_type": "chat"},
+    ))
+    (content, truncated), = be.complete(["p"])
+    assert truncated is True
+
+
+def test_truncated_column_reaches_raw_table(spark, truncating_server):
+    """The flag must survive the mapInPandas plumbing into EXTRACTION_RAW
+    and aggregate into run metrics."""
+    from llmaix_spark.operators.extraction import (
+        extract_triples,
+        extraction_run_metrics,
+    )
+
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "text", None, None),
+         ("c2", 0, "user", "more", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    cfg = ExtractionConfig(backend="http", endpoint=truncating_server)
+    _triples, raw = extract_triples(t, cfg)
+    rows = raw.collect()
+    assert all(r["truncated"] for r in rows)
+    m = extraction_run_metrics(raw).collect()[0]
+    assert (m["n_conversations"], m["n_truncated"]) == (2, 2)
+
+
+def test_stub_truncate_rate_sets_flag_and_metrics(spark):
+    """StubBackend emits truncated outputs at a stable-hash rate: the
+    column is non-constant, truncated rows carry cut content, and the
+    run-metrics counter matches the flag count."""
+    from llmaix_spark.operators.extraction import (
+        StubBackend,
+        extract_triples,
+        extraction_run_metrics,
+    )
+
+    cfg = ExtractionConfig(truncate_rate=0.5, malformed_rate=0.0)
+    be = StubBackend(cfg)
+    outs = be.complete([f"Alice{i} works at Corp{i}" for i in range(40)])
+    flags = [t for _, t in outs]
+    assert any(flags) and not all(flags)  # non-constant at rate 0.5
+    for content, truncated in outs:
+        if truncated:
+            assert not content.endswith("}")  # cut mid-JSON
+
+    rows = [(f"c{i}", 0, "user", f"Alice{i} works at Corp{i}", None, None)
+            for i in range(40)]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    _triples, raw = extract_triples(t, cfg)
+    m = extraction_run_metrics(raw).collect()[0]
+    assert 0 < m["n_truncated"] < 40
+    assert m["n_conversations"] == 40
 
 
 class _FlakyServer(_FakeLlamaServer):
