@@ -307,25 +307,49 @@ def _get_backend(cfg: ExtractionConfig):
     return be
 
 
-def extract_raw(conversations: DataFrame, cfg: ExtractionConfig) -> DataFrame:
-    """conversations(conv_id, conv_text) → EXTRACTION_RAW via mapInPandas.
+def extract_raw(
+    conversations: DataFrame,
+    cfg: ExtractionConfig,
+    variable_col: str | None = None,
+) -> DataFrame:
+    """conversations(conv_id, conv_text[, variable]) → EXTRACTION_RAW via
+    mapInPandas.
 
     One Arrow batch = one backend micro-batch; the prompt is formatted
     like the reference's `prompt.format(report=...)`
-    (webapp/llm_processing/routes.py:496).
+    (webapp/llm_processing/routes.py:496). With `variable_col` set, each
+    row also formats `{symptom}` (the reference's per-symptom prompt,
+    routes.py:492-496) and the output carries the variable through.
     """
+    from pyspark.sql import types as T
+
     template = cfg.prompt_template
     cfg_b = cfg  # closure capture
+    out_schema = EXTRACTION_RAW
+    if variable_col:
+        out_schema = T.StructType(
+            [EXTRACTION_RAW.fields[0],
+             T.StructField("variable", T.StringType(), False),
+             *EXTRACTION_RAW.fields[1:]]
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         backend = _get_backend(cfg_b)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            prompts = [
-                template.format(report=t if t is not None else "")
-                for t in pdf["conv_text"]
-            ]
+            if variable_col:
+                prompts = [
+                    template.format(
+                        report=t if t is not None else "", symptom=v
+                    )
+                    for t, v in zip(pdf["conv_text"], pdf[variable_col])
+                ]
+            else:
+                prompts = [
+                    template.format(report=t if t is not None else "")
+                    for t in pdf["conv_text"]
+                ]
             results = backend.complete(prompts)
             contents = [c for c, _ in results]
             truncated = [t for _, t in results]
@@ -334,17 +358,20 @@ def extract_raw(conversations: DataFrame, cfg: ExtractionConfig) -> DataFrame:
                 d, _repaired, err = repair_and_parse(c)
                 parsed.append(json.dumps(d))
                 errors.append(err)
-            yield pd.DataFrame(
+            out = {"conv_id": pdf["conv_id"].values}
+            if variable_col:
+                out["variable"] = pdf[variable_col].values
+            out.update(
                 {
-                    "conv_id": pdf["conv_id"].values,
                     "content": contents,
                     "parsed": parsed,
                     "error": errors,
                     "truncated": truncated,
                 }
             )
+            yield pd.DataFrame(out)
 
-    return conversations.mapInPandas(run, EXTRACTION_RAW)
+    return conversations.mapInPandas(run, out_schema)
 
 
 def extraction_run_metrics(raw: DataFrame) -> DataFrame:
@@ -400,6 +427,50 @@ def pivot_fields(raw: DataFrame, field_names: list[str]) -> DataFrame:
         "conv_id",
         "error",
         *[m.getItem(k).alias(k) for k in field_names],
+    )
+
+
+def extract_with_variables(
+    transcripts: DataFrame,
+    variables: list[str],
+    cfg: ExtractionConfig | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """L7: every conversation × every variable prompted once, the
+    reference's per-report symptom loop
+    (webapp/llm_processing/routes.py:480-496) recast as a broadcast
+    crossJoin — the variable list is tiny and replicated to every
+    executor, so the fan-out is narrow (no shuffle of the conversations),
+    and the mapInPandas stage parallelizes across BOTH axes. Returns the
+    raw table with a `variable` column; pivot wide with
+    `pivot_variable_field`."""
+    from llmaix_spark.operators.assembly import assemble_conversations
+
+    cfg = cfg or ExtractionConfig()
+    convs = assemble_conversations(transcripts).select("conv_id", "conv_text")
+    vars_df = transcripts.sparkSession.createDataFrame(
+        [(v,) for v in variables], "variable string"
+    )
+    fan = convs.crossJoin(F.broadcast(vars_df))
+    if num_partitions:
+        fan = fan.repartition(num_partitions, "conv_id", "variable")
+    return extract_raw(fan, cfg, variable_col="variable")
+
+
+def pivot_variable_field(
+    raw_var: DataFrame, variables: list[str], field: str
+) -> DataFrame:
+    """(conv_id, variable, parsed, ...) → one row per conversation with a
+    `<variable>` column holding the parsed JSON's `field` value — the
+    reference's per-symptom columns in the export CSV. Explicit pivot
+    value list: no extra distinct-scan, and the output schema is fixed
+    at plan time (Catalyst can prune)."""
+    m = F.from_json("parsed", "map<string,string>")
+    long = raw_var.select("conv_id", "variable", m.getItem(field).alias("_v"))
+    return (
+        long.groupBy("conv_id")
+        .pivot("variable", variables)
+        .agg(F.first("_v"))
     )
 
 

@@ -110,3 +110,39 @@ def test_extraction_matches_pandas_oracle(transcripts, transcripts_dir):
         for r in spark_triples.collect()
     }
     assert got == expected
+
+
+def test_extract_with_variables_fanout(spark):
+    """L7: each conversation is prompted once per variable (reference
+    symptom loop, webapp/llm_processing/routes.py:480-496); the variable
+    reaches the prompt via {symptom} and the output table."""
+    from llmaix_spark.operators.extraction import (
+        ExtractionConfig,
+        extract_with_variables,
+        pivot_variable_field,
+        triples_from_raw,
+    )
+
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "hello there", None, None),
+         ("c2", 0, "user", "general kenobi", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    cfg = ExtractionConfig(
+        prompt_template="{symptom} works at MegaCorp. {report}",
+        quirk_rate=0.0, malformed_rate=0.0,
+    )
+    raw = extract_with_variables(t, ["Alice", "Bob"], cfg)
+    rows = raw.collect()
+    assert len(rows) == 4  # 2 convs × 2 variables
+    assert {r["variable"] for r in rows} == {"Alice", "Bob"}
+    # the variable reached the prompt: the stub extracted it as a subject
+    trips = triples_from_raw(raw.drop("variable")).collect()
+    assert {(r["subj_surface"], r["obj_surface"]) for r in trips} == {
+        ("Alice", "MegaCorp"), ("Bob", "MegaCorp")
+    }
+    # wide pivot: one column per variable (n = triple count per prompt)
+    wide = pivot_variable_field(raw, ["Alice", "Bob"], "n").collect()
+    assert len(wide) == 2
+    for r in wide:
+        assert r["Alice"] == "1" and r["Bob"] == "1"
