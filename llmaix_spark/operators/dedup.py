@@ -240,15 +240,23 @@ def dedup_groups(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pairs_fn=None,
 ) -> DataFrame:
     """Near-dup *clustering*: connected components over the jaccard-pair
     graph → (doc_id, group_id, keep). group_id = min doc id in the
     component; keep marks the survivor. Reuses the canonicalization CC
     (size-adaptive driver/iterative), so the same machinery that merges
-    entity surfaces dedups documents."""
+    entity surfaces dedups documents.
+
+    `pairs_fn` defaults to the banded-LSH generator — the 100 TB path
+    (shuffles on shingle/band keys, candidate pairs only). Pass
+    `ngram_jaccard_pairs` explicitly for the exact all-shared-shingle
+    variant (the small-SF oracle path: quadratic inside any group sharing
+    one hot shingle, so never the default at scale)."""
     from llmaix_spark.operators.canonicalize import connected_components
 
-    pairs = ngram_jaccard_pairs(docs, threshold, n, id_col, text_col)
+    pairs_fn = pairs_fn or minhash_dedup_pairs
+    pairs = pairs_fn(docs, threshold, n, id_col=id_col, text_col=text_col)
     # CC picks the lexicographic min — zero-pad so string order == numeric
     pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
     edges = pairs.select(
@@ -389,6 +397,43 @@ def embedding_dup_pairs(
         F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb")
     )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = cosine_expr(F.col("ea"), F.col("eb"))
+    return pairs.select(
+        "vec_a", "vec_b", F.round(cos, round_dp).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
+def embedding_dup_pairs_ivf(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs — the 100 TB path.
+
+    Vectors are IVF-assigned to their nearest centroid (one broadcast
+    pass, similarity.assign_buckets) and cosine is computed only WITHIN
+    buckets: cost drops from O(N²) to Σ|bucket|² with a shuffle keyed on
+    the bucket id, and the bucket column doubles as a write-partition key
+    for pruned scans. Recall is limited to same-bucket pairs — true
+    near-duplicates (cosine ≈ 1) land in the same bucket by construction;
+    mid-similarity cross-bucket pairs are missed (measured vs the exact
+    generator in tests). Brute-force `embedding_dup_pairs` stays the
+    small-SF oracle path."""
+    from llmaix_spark.operators.similarity import assign_buckets
+
+    bucketed, _cent = assign_buckets(
+        embeddings, n_centroids, id_col, vec_col, round_dp
+    )
+    a = bucketed.select(
+        "bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("ea")
+    )
+    b = bucketed.select(
+        "bucket", F.col("vec_id").alias("vec_b"), F.col("v").alias("eb")
+    )
+    pairs = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
     cos = cosine_expr(F.col("ea"), F.col("eb"))
     return pairs.select(
         "vec_a", "vec_b", F.round(cos, round_dp).alias("cosine")

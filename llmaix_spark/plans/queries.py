@@ -625,7 +625,10 @@ def q_dedup_minhash(spark, sf_dir):
     return dd.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), 0.5)
 
 
-def _minhash_sql() -> str:
+def _minhash_pairs_ctes() -> str:
+    """CTE chain ending in mh_pairs(da, db, jaccard): the full MinHash →
+    banded-LSH → exact-verify pair generator, shared by the pair query
+    and the LSH clustering oracle."""
     h = f"({_HASH60_SQL.format(v='s')} % {_P})"
     mins = ",\n       ".join(
         f"min(({a} * {h} + {b}) % {_P}) AS h{i}"
@@ -637,8 +640,7 @@ def _minhash_sql() -> str:
         )
         for b in range(8)
     )
-    return f"""
-WITH {_TRIGRAM_SQL},
+    return f"""{_TRIGRAM_SQL},
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 banded AS (
   SELECT doc_id, generate_subscripts(bv, 1) - 1 AS band_idx, unnest(bv) AS band_val
@@ -649,14 +651,16 @@ cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM banded a
 common AS (SELECT da, db, count(*) c
            FROM cand JOIN sh sa ON sa.doc_id = da
                      JOIN sh sb ON sb.doc_id = db AND sb.s = sa.s
-           GROUP BY 1, 2)
-SELECT da AS doc_a, db AS doc_b,
-       round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
-FROM common JOIN cnt na ON da = na.doc_id JOIN cnt nb ON db = nb.doc_id
-WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5"""
+           GROUP BY 1, 2),
+mh_pairs AS (
+  SELECT da, db, round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+  FROM common JOIN cnt na ON da = na.doc_id JOIN cnt nb ON db = nb.doc_id
+  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5)"""
 
 
-SQL_DEDUP_MINHASH = _minhash_sql()
+SQL_DEDUP_MINHASH = f"""
+WITH {_minhash_pairs_ctes()}
+SELECT da AS doc_a, db AS doc_b, jaccard FROM mh_pairs"""
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -694,6 +698,38 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4"""
+
+
+def q_dedup_embedding_ivf(spark, sf_dir):
+    """Bucketed embedding near-dup pairs (pairwise cosine within IVF
+    buckets) — the scale path twin of dedup_embedding. The oracle
+    replicates bucket assignment, so the approximation is value-checked;
+    recall vs brute force is measured in tests/test_dedup_similarity."""
+    return dd.embedding_dup_pairs_ivf(
+        _t(spark, sf_dir, "embeddings"), 0.4, n_centroids=16, round_dp=4
+    )
+
+
+SQL_DEDUP_EMBEDDING_IVF = """
+WITH
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS centv
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+assigned AS (
+  SELECT vec_id, v, bucket FROM (
+    SELECT e.vec_id, e.embedding AS v, c.centroid_id AS bucket,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(c.centv, e.embedding), 4)
+                        DESC,
+                      c.centroid_id) AS rnk
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rnk = 1)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM assigned a JOIN assigned b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4"""
 
 
 def q_similarity_topk(spark, sf_dir):
@@ -826,10 +862,33 @@ SQL_FINGERPRINT = _fingerprint_sql()
 
 
 def q_dedup_groups(spark, sf_dir):
-    """Near-dup clustering: connected components over the jaccard-pair
-    graph. The DuckDB oracle computes the same components with a
-    recursive CTE — the iterative/driver CC is checked against SQL."""
+    """Near-dup clustering over the EXACT pair generator (the oracle
+    path — dedup_groups defaults to LSH pairs; the exact variant is
+    passed explicitly here so the recursive-CTE oracle stays exact)."""
+    return dd.dedup_groups(
+        _t(spark, sf_dir, "documents"), 0.5, pairs_fn=dd.ngram_jaccard_pairs
+    )
+
+
+def q_dedup_groups_lsh(spark, sf_dir):
+    """Near-dup clustering over the DEFAULT (banded-LSH) pair generator —
+    the 100 TB path. The DuckDB oracle replicates the LSH banding itself,
+    so candidate recall is compared exactly, not statistically."""
     return dd.dedup_groups(_t(spark, sf_dir, "documents"), 0.5)
+
+
+SQL_DEDUP_GROUPS_LSH = f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+sym AS (SELECT da a, db b FROM mh_pairs UNION SELECT db, da FROM mh_pairs),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node),
+cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(cc.comp, d.doc_id) AS group_id,
+       (d.doc_id = coalesce(cc.comp, d.doc_id)) AS keep
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node"""
 
 
 SQL_DEDUP_GROUPS = f"""
@@ -1484,6 +1543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "similarity_topk": q_similarity_topk,
     "textstats_tokens": q_textstats_tokens,
     "textstats_quality": q_textstats_quality,
@@ -1494,6 +1554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metrics_multiclass": q_metrics_multiclass,
     "invariant_per_turn": q_invariant_per_turn,
     "dedup_groups": q_dedup_groups,
+    "dedup_groups_lsh": q_dedup_groups_lsh,
     "multimodal_features": q_multimodal_features,
     # rows-only
     "anonymizer_conversations": q_anonymizer,
@@ -1530,6 +1591,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_embedding_ivf": SQL_DEDUP_EMBEDDING_IVF,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "textstats_tokens": SQL_TEXTSTATS_TOKENS,
     "textstats_quality": SQL_TEXTSTATS_QUALITY,
@@ -1540,6 +1602,7 @@ ORACLES: dict[str, str] = {
     "metrics_multiclass": SQL_METRICS_MULTICLASS,
     "invariant_per_turn": SQL_INVARIANT_PER_TURN,
     "dedup_groups": SQL_DEDUP_GROUPS,
+    "dedup_groups_lsh": SQL_DEDUP_GROUPS_LSH,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,

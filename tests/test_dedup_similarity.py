@@ -155,3 +155,33 @@ def test_ivf_topk_recall_at_query_config(emb):
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     assert len(a & e) / len(e) >= 0.8
+
+
+def test_embedding_ivf_pairs_subset_of_exact(emb):
+    """The bucketed (scale-path) pair generator must return a subset of
+    the brute-force pairs — same cosine, same threshold, only the
+    same-bucket restriction removed pairs."""
+    exact = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in dd.embedding_dup_pairs(emb, 0.4, round_dp=4).collect()
+    }
+    ivf = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in dd.embedding_dup_pairs_ivf(emb, 0.4, n_centroids=8).collect()
+    }
+    assert ivf <= exact
+    assert len(ivf) > 0
+
+
+def test_dedup_groups_lsh_default_matches_exact_groups(docs):
+    """dedup_groups defaults to the LSH pair generator; on this corpus
+    the banded candidates recover every J>=0.5 pair, so the clusterings
+    must coincide (the driver oracle checks both independently in SQL)."""
+    lsh = {(r["doc_id"], r["group_id"]) for r in dd.dedup_groups(docs, 0.5).collect()}
+    exact = {
+        (r["doc_id"], r["group_id"])
+        for r in dd.dedup_groups(
+            docs, 0.5, pairs_fn=dd.ngram_jaccard_pairs
+        ).collect()
+    }
+    assert lsh == exact
