@@ -145,6 +145,45 @@ def generate_dollartext(text: str, spans, replacement_char: str = "■") -> str:
     return "".join(chars)
 
 
+def generate_classwise_dollartext(
+    text: str, annotations, replacement_char: str = "■"
+) -> dict[str, str]:
+    """F5 classwise variant (reference `generate_classwise_dollartext`,
+    webapp/report_redaction/utils.py:186-217): one masked text PER LABEL,
+    each masking only that label's spans — the inputs to per-label
+    redaction scores. Annotations: dicts with label/begin/end (the CAS
+    parser's span rows). Spans are clamped to the text like
+    generate_dollartext (the reference splices unclamped; clamping keeps
+    the output length-preserving on malformed spans)."""
+    assert len(replacement_char) == 1
+    out: dict[str, str] = {}
+    for ann in annotations or []:
+        label = ann["label"]
+        masked = out.get(label, text)
+        out[label] = generate_dollartext(
+            masked, [(ann["begin"], ann["end"])], replacement_char
+        )
+    return out
+
+
+def dollartext_udf(replacement_char: str = "■"):
+    """pandas UDF: (text, array<array<int>> spans) → span-masked text."""
+
+    def _mask(text: pd.Series, spans: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                generate_dollartext(
+                    t, list(s) if s is not None else [], replacement_char
+                )
+                if t is not None
+                else None
+                for t, s in zip(text, spans)
+            ]
+        )
+
+    return F.pandas_udf(_mask, StringType())
+
+
 # --- Spark exposure (Arrow-batched) -----------------------------------------
 
 

@@ -108,6 +108,41 @@ def score_redactions(
     )
 
 
+def classwise_dollartext(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    replacement_char: str = "■",
+) -> DataFrame:
+    """F5 classwise variant, distributed: docs(id, text) +
+    spans(id, label, begin, end) → (id, label, dollartext) with only that
+    label's spans masked (reference generate_classwise_dollartext,
+    webapp/report_redaction/utils.py:186-217 — a driver-side dict of one
+    masked text per label; here one ROW per (doc, label), which is the
+    shape `accumulate_redaction_metrics(label_col=...)` consumes).
+
+    One map-side-combinable groupBy((id, label)) collects the span list,
+    one join attaches the text (AQE broadcasts whichever side is small),
+    and the masking itself is a row-local Arrow UDF — no further shuffle.
+    """
+    from llmaix_spark.functions.masking import dollartext_udf
+
+    agg = spans.groupBy(id_col, "label").agg(
+        F.collect_list(
+            F.array(F.col("begin").cast("int"), F.col("end").cast("int"))
+        ).alias("_spans")
+    )
+    joined = agg.join(docs.select(id_col, text_col), id_col)
+    return joined.select(
+        id_col,
+        "label",
+        dollartext_udf(replacement_char)(
+            F.col(text_col), F.col("_spans")
+        ).alias("dollartext"),
+    )
+
+
 def accumulate_redaction_metrics(
     scored: DataFrame, label_col: str | None = None
 ) -> DataFrame:

@@ -1138,6 +1138,87 @@ SELECT 'pii' AS label, tp, fp, tn, fn,
 FROM c"""
 
 
+def q_redaction_classwise(spark, sf_dir):
+    """F5 classwise → A3 per-label scores, end-to-end: span tables are
+    derived from the first occurrence of a per-label token ('spark' /
+    'window'), ground truth masks exactly that span via
+    classwise_dollartext, the automatic variant additionally masks the
+    first char (one FP per doc unless the token IS the prefix), and the
+    per-label confusion is accumulated. The SQL twin computes the same
+    counts in closed form (corpus chars are [a-z ] — space is the only
+    'special' char)."""
+    from llmaix_spark.operators.redaction import (
+        accumulate_redaction_metrics,
+        classwise_dollartext,
+        score_redactions,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    span_parts = []
+    for tok in ("spark", "window"):
+        pos = F.instr("text", tok)
+        span_parts.append(
+            d.filter(pos > 0).select(
+                "doc_id",
+                F.lit(tok).alias("label"),
+                (pos - 1).alias("begin"),
+                (pos - 1 + len(tok)).alias("end"),
+            )
+        )
+    gt_spans = span_parts[0].unionByName(span_parts[1])
+    auto_spans = gt_spans.unionByName(
+        gt_spans.select(
+            "doc_id", "label", F.lit(0).alias("begin"), F.lit(1).alias("end")
+        )
+    )
+    gt = classwise_dollartext(d, gt_spans).withColumnRenamed(
+        "dollartext", "gt_text"
+    )
+    auto = classwise_dollartext(d, auto_spans).withColumnRenamed(
+        "dollartext", "auto_text"
+    )
+    rows = (
+        gt.join(auto, ["doc_id", "label"])
+        .join(d, "doc_id")
+        .select("label", "gt_text", "auto_text", F.col("text").alias("orig_text"))
+    )
+    acc = accumulate_redaction_metrics(score_redactions(rows), "label")
+    return acc.select(
+        "label",
+        *[F.col(c).cast("bigint").alias(c) for c in ("tp", "fp", "tn", "fn")],
+        "micro_precision",
+        "micro_recall",
+        "micro_f1_score",
+    )
+
+
+SQL_REDACTION_CLASSWISE = """
+WITH hits AS (
+  SELECT doc_id, 'spark' AS label, 5 AS m, strpos(text, 'spark') AS p, text
+  FROM documents WHERE strpos(text, 'spark') > 0
+  UNION ALL
+  SELECT doc_id, 'window', 6, strpos(text, 'window'), text
+  FROM documents WHERE strpos(text, 'window') > 0),
+per AS (
+  SELECT label, m AS tp,
+         CASE WHEN p = 1 THEN 0 ELSE 1 END AS fp,
+         length(replace(text, ' ', '')) - m
+           - CASE WHEN p = 1 THEN 0 ELSE 1 END AS tn
+  FROM hits),
+c AS (
+  SELECT label,
+         CAST(sum(tp) AS BIGINT) tp, CAST(sum(fp) AS BIGINT) fp,
+         CAST(sum(tn) AS BIGINT) tn, CAST(0 AS BIGINT) fn
+  FROM per GROUP BY label)
+SELECT label, tp, fp, tn, fn,
+       round(tp * 1.0 / (tp + fp), 4) AS micro_precision,
+       round(tp * 1.0 / (tp + fn), 4) AS micro_recall,
+       round(2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+             / ((tp * 1.0 / (tp + fp)) + (tp * 1.0 / (tp + fn))), 4)
+         AS micro_f1_score
+FROM c"""
+
+
 def q_labels_join(spark, sf_dir):
     """JN1: LLM-output ids joined to an annotation table on
     report_id_short, with the existence indicator."""
@@ -1550,6 +1631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "redaction_metrics": q_redaction_metrics,
+    "redaction_classwise": q_redaction_classwise,
     "labels_join": q_labels_join,
     "metrics_multiclass": q_metrics_multiclass,
     "invariant_per_turn": q_invariant_per_turn,
@@ -1598,6 +1680,7 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "redaction_metrics": SQL_REDACTION_METRICS,
+    "redaction_classwise": SQL_REDACTION_CLASSWISE,
     "labels_join": SQL_LABELS_JOIN,
     "metrics_multiclass": SQL_METRICS_MULTICLASS,
     "invariant_per_turn": SQL_INVARIANT_PER_TURN,
