@@ -105,3 +105,26 @@ def export_pivot(
         .agg(*aggs if len(aggs) > 1 else [aggs[0]])
     )
     return wide
+
+
+def join_file_manifest(
+    records: DataFrame,
+    manifest: DataFrame,
+    id_col: str = "id",
+    path_col: str = "path",
+) -> DataFrame:
+    """JN3: records ⋈ file manifest by id. The reference constructs the
+    path per row from a directory listing
+    (webapp/report_redaction/routes.py:420 — os.path.join(zip_dir,
+    f"{id}.pdf")); distributed, the listing is a table (e.g. binaryFile
+    source + input_file_name) joined once — AQE broadcasts the manifest
+    when it fits. Duplicate manifest rows per id are collapsed first
+    (the reference's filesystem guarantees one file per id; a duplicate
+    would otherwise fan out the records), and `file_found` marks records
+    whose file is missing instead of erroring row-by-row."""
+    m = manifest.select(F.col(id_col), F.col(path_col)).dropDuplicates(
+        [id_col]
+    )
+    return records.join(m, id_col, "left").withColumn(
+        "file_found", F.col(path_col).isNotNull()
+    )

@@ -1138,6 +1138,31 @@ SELECT 'pii' AS label, tp, fp, tn, fn,
 FROM c"""
 
 
+def q_file_manifest_join(spark, sf_dir):
+    """JN3: records joined to a file manifest by id with a found-flag
+    (manifest derived from even doc_ids; duplicate manifest rows injected
+    to exercise the collapse)."""
+    from llmaix_spark.operators.labels import join_file_manifest
+
+    d = _t(spark, sf_dir, "documents")
+    records = d.select(F.col("doc_id").cast("string").alias("id"))
+    files = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.concat(F.lit("pdfs/"), F.col("doc_id").cast("string"), F.lit(".pdf")).alias("path"),
+    )
+    manifest = files.unionByName(files)  # duplicates must collapse
+    return join_file_manifest(records, manifest)
+
+
+SQL_FILE_MANIFEST_JOIN = """
+WITH r AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents),
+m AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+             'pdfs/' || CAST(doc_id AS VARCHAR) || '.pdf' AS path
+      FROM documents WHERE doc_id % 2 = 0)
+SELECT r.id, m.path, (m.id IS NOT NULL) AS file_found
+FROM r LEFT JOIN m ON r.id = m.id"""
+
+
 def q_redaction_classwise(spark, sf_dir):
     """F5 classwise → A3 per-label scores, end-to-end: span tables are
     derived from the first occurrence of a per-label token ('spark' /
@@ -1633,6 +1658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redaction_metrics": q_redaction_metrics,
     "redaction_classwise": q_redaction_classwise,
     "labels_join": q_labels_join,
+    "file_manifest_join": q_file_manifest_join,
     "metrics_multiclass": q_metrics_multiclass,
     "invariant_per_turn": q_invariant_per_turn,
     "dedup_groups": q_dedup_groups,
@@ -1682,6 +1708,7 @@ ORACLES: dict[str, str] = {
     "redaction_metrics": SQL_REDACTION_METRICS,
     "redaction_classwise": SQL_REDACTION_CLASSWISE,
     "labels_join": SQL_LABELS_JOIN,
+    "file_manifest_join": SQL_FILE_MANIFEST_JOIN,
     "metrics_multiclass": SQL_METRICS_MULTICLASS,
     "invariant_per_turn": SQL_INVARIANT_PER_TURN,
     "dedup_groups": SQL_DEDUP_GROUPS,
