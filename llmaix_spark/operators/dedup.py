@@ -427,6 +427,9 @@ def embedding_dup_pairs_ivf(
     bucketed, _cent = assign_buckets(
         embeddings, n_centroids, id_col, vec_col, round_dp
     )
+    # both sides of the self-join consume the assignment — materialize it
+    # once (lazy localCheckpoint: GC-released, no persist leak)
+    bucketed = bucketed.localCheckpoint(eager=False)
     a = bucketed.select(
         "bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("ea")
     )

@@ -1,14 +1,16 @@
-"""Input connectors (SURVEY §2.1 S1/S4/S6/S8/S10).
+"""Input connectors (SURVEY §2.1 S1/S2/S4/S5/S6/S7/S8/S10).
 
-The reference ingests CSV/XLSX/PDF/TXT/DOCX through per-file pandas reads
-inside a thread pool (webapp/input_processing/routes.py:380-591). Here
-every source is a Spark reader returning the canonical envelope
-`(id, report, metadata)` — schema-on-read, splittable, parallel by file
-block rather than by file.
+The reference ingests CSV/XLSX/PDF/TXT/DOCX/zip through per-file pandas
+reads inside a thread pool (webapp/input_processing/routes.py:380-591).
+Here every source is a Spark reader returning the canonical envelope
+`(id, report, metadata)` — splittable text formats parallelize by file
+block; whole-file formats (xlsx/docx/zip) go through the binaryFile
+source + Arrow-batched mapInPandas, one file per row, decoded
+executor-side with stdlib zipfile+ElementTree (no engine deps).
 
-PDF-OCR (S3) and DOCX (S5) need codec libraries this container lacks;
-their Spark-side shape is the binaryFile source + a mapInPandas decode —
-exactly operators/multimodal.decode_media, which stands in for both.
+PDF-OCR (S3) needs codec libraries this container lacks; its Spark-side
+shape is the same binaryFile + mapInPandas pattern —
+operators/multimodal.decode_media carries it with a stubbed codec.
 """
 
 from __future__ import annotations
@@ -106,29 +108,211 @@ def read_malformed_csv(spark: SparkSession, path: str) -> DataFrame:
     return stamped.select("id", "report", "metadata")
 
 
+def _parse_xlsx_rows(payload: bytes) -> list[list[str]]:
+    """Minimal stdlib XLSX decode (zip + SpreadsheetML): first worksheet,
+    shared strings + inline strings + raw values, cells placed by their
+    A1-style reference so sparse rows stay aligned. Enough for the
+    reference's (id, report) sheets; swap in openpyxl for exotic files."""
+    import io
+    import re
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
+        sheet_name = next(
+            n for n in sorted(zf.namelist())
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        root = ET.fromstring(zf.read(sheet_name))
+        rows: list[list[str]] = []
+        for row in root.iter(f"{NS}row"):
+            cells: dict[int, str] = {}
+            for c in row.findall(f"{NS}c"):
+                ref = c.get("r", "")
+                col = 0
+                for ch in ref:
+                    if ch.isalpha():
+                        col = col * 26 + (ord(ch.upper()) - 64)
+                col = max(col - 1, 0)
+                ctype = c.get("t", "n")
+                if ctype == "s":
+                    v = c.find(f"{NS}v")
+                    text = shared[int(v.text)] if v is not None else ""
+                elif ctype == "inlineStr":
+                    text = "".join(
+                        t.text or "" for t in c.iter(f"{NS}t")
+                    )
+                else:
+                    v = c.find(f"{NS}v")
+                    text = v.text if v is not None and v.text else ""
+                cells[col] = text
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i, "") for i in range(width)])
+    return rows
+
+
 def read_reports_excel(
     spark: SparkSession, path: str, id_col: str = "id", report_col: str = "report"
 ) -> DataFrame:
     """S2: XLSX with (id, report) columns → envelope. Excel is a
-    driver-side decode (never splittable anyway) via pandas; the engine
-    (openpyxl) is absent in this container, so the read is gated — the
-    Spark-side envelope/id/metadata path is identical to the CSV source.
-    """
-    import pandas as pd
-
+    driver-side decode (never splittable anyway): pandas/openpyxl when
+    available, else the stdlib zip+XML parser above — this container has
+    no engine, so the stdlib path is the tested one. The Spark-side
+    envelope/id/metadata path is identical to the CSV source
+    (reference reads pd.read_excel(dtype=str),
+    webapp/llm_processing/routes.py:1202-1215)."""
     try:
+        import pandas as pd
+
         pdf = pd.read_excel(path, dtype=str)
-    except ImportError as e:  # no openpyxl/xlrd in this environment
-        raise NotImplementedError(
-            "Excel decode requires openpyxl (not installed); "
-            "convert to CSV or install the engine"
-        ) from e
-    raw = spark.createDataFrame(pdf[[id_col, report_col]])
+        header = list(pdf.columns)
+        data = pdf.fillna("").astype(str).values.tolist()
+    except Exception:  # no engine (openpyxl/xlrd) in this container
+        with open(path, "rb") as f:
+            rows = _parse_xlsx_rows(f.read())
+        if not rows:
+            raise ValueError(f"empty or unreadable xlsx: {path}")
+        header, data = rows[0], rows[1:]
+    i_id, i_rep = header.index(id_col), header.index(report_col)
+    raw = spark.createDataFrame(
+        [(r[i_id] if i_id < len(r) else "",
+          r[i_rep] if i_rep < len(r) else "") for r in data],
+        f"{id_col} string, {report_col} string",
+    )
     out = raw.select(
         F.col(id_col).cast("string").alias("orig_id"),
         whitespace_scrub_expr(F.col(report_col)).alias("report"),
     ).withColumn("id", gen_id_expr(F.col("orig_id"), F.col("report")))
     return _stamp(out.select("id", "report"), "excel", F.lit(path))
+
+
+def read_reports_zip(spark: SparkSession, path: str) -> DataFrame:
+    """S7: zip-embedded preprocessed CSV — each zip's first member
+    matching `preprocessed_*.csv` is the table (reference
+    read_preprocessed_csv_from_zip, webapp/llm_processing/utils.py:247-263).
+
+    Distributed: binaryFile source (one row per zip, whole archives are
+    not splittable) → Arrow-batched mapInPandas unzips and parses member
+    CSVs executor-side — a directory of thousands of zips fans out one
+    per task, no driver involvement."""
+    import io
+    import zipfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("zip_path", T.StringType()),
+            T.StructField("orig_id", T.StringType()),
+            T.StructField("report", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"zip_path": [], "orig_id": [], "report": []}
+            for zpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(content))
+                except zipfile.BadZipFile:
+                    continue  # malformed archive → zero rows, job survives
+                member = next(
+                    (
+                        fi.filename
+                        for fi in zf.infolist()
+                        if fi.filename.startswith("preprocessed_")
+                        and fi.filename.endswith(".csv")
+                    ),
+                    None,
+                )
+                if member is None:
+                    continue
+                with zf.open(member) as f:
+                    mdf = pd.read_csv(f, dtype=str)
+                for _, r in mdf.iterrows():
+                    rows["zip_path"].append(zpath)
+                    rows["orig_id"].append(str(r.get("id", "")))
+                    rows["report"].append(
+                        r.get("report") if r.get("report") is not None else ""
+                    )
+            yield pd.DataFrame(rows)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zip")
+        .load(path)
+        .select("path", "content")
+    )
+    parsed = raw.mapInPandas(run, out_schema)
+    out = parsed.select(
+        F.col("zip_path"),
+        F.col("orig_id"),
+        whitespace_scrub_expr(F.col("report")).alias("report"),
+    ).withColumn("id", gen_id_expr(F.col("orig_id"), F.col("report")))
+    return _stamp(out, "zip", F.col("zip_path")).select(
+        "id", "report", "metadata"
+    )
+
+
+def read_reports_docx(spark: SparkSession, path: str) -> DataFrame:
+    """S5: DOCX → one report per file, paragraphs joined with newlines
+    (reference `'\\n'.join(p.text for p in Document(file).paragraphs)`,
+    webapp/input_processing/routes.py:504-510). DOCX is a zip of
+    WordprocessingML — decoded with stdlib zipfile+ElementTree inside an
+    Arrow-batched mapInPandas over the binaryFile source, so a corpus of
+    documents decodes executor-side, one file per row."""
+    import io
+    import zipfile
+    import xml.etree.ElementTree as ET
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+    out_schema = T.StructType(
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("report", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            files, reports = [], []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                        root = ET.fromstring(zf.read("word/document.xml"))
+                except (zipfile.BadZipFile, KeyError, ET.ParseError):
+                    continue
+                paragraphs = [
+                    "".join(t.text or "" for t in p.iter(f"{W}t"))
+                    for p in root.iter(f"{W}p")
+                ]
+                files.append(fpath.rsplit("/", 1)[-1])
+                reports.append("\n".join(paragraphs))
+            yield pd.DataFrame({"file": files, "report": reports})
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.docx")
+        .load(path)
+        .select("path", "content")
+    )
+    parsed = raw.mapInPandas(run, out_schema)
+    out = parsed.withColumn(
+        "id", gen_id_expr(F.col("file"), F.col("report"))
+    )
+    return _stamp(out, "docx", F.col("file")).select("id", "report", "metadata")
 
 
 def read_annotations(
