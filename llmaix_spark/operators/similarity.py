@@ -56,28 +56,108 @@ def cosine_topk(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means fit for IVF centroids.
+
+    Init = the k lowest-id vectors (reproducible, no RNG); each Lloyd
+    iteration is ONE job with ONE shuffle: the k centroids are inlined as
+    a literal array expression, so the nearest-centroid assignment is a
+    pure per-row expression (argmax over k cosines via
+    array_position(array_max) — first max wins, i.e. lowest centroid id
+    tiebreak, bound once with bind_array), and the per-cluster
+    elementwise mean reduces through `dim` map-side-combinable avg()
+    aggregates — pure codegen, no Python, no window. The k×dim result is
+    collected back per iteration (k·dim floats of driver traffic). Empty
+    clusters keep their previous centroid. Means are L2-normalized
+    (spherical k-means — the right objective for cosine assignment).
+
+    Returns centroids(centroid_id, centv) — feed to `assign_buckets`.
+    """
+    import math
+
+    from llmaix_spark.functions.arrays import bind_array
+
+    dim = len(
+        embeddings.select(F.col(vec_col).alias("v")).limit(1).collect()[0]["v"]
+    )
+    cents = [
+        (i, [float(x) for x in r["v"]])
+        for i, r in enumerate(
+            embeddings.orderBy(id_col)
+            .limit(k)
+            .select(F.col(vec_col).alias("v"))
+            .collect()
+        )
+    ]
+    corpus = embeddings.select(F.col(vec_col).alias("v"))
+    for _ in range(iterations):
+        cent_arr = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in vec])
+                for _cid, vec in cents
+            ]
+        )
+        cos = F.transform(
+            cent_arr, lambda c: F.round(cosine_expr(c, F.col("v")), 6)
+        )
+        bucket = (
+            bind_array(cos, lambda c: F.array_position(c, F.array_max(c)))
+            - 1
+        ).cast("int")
+        means = (
+            corpus.select(bucket.alias("centroid_id"), "v")
+            .groupBy("centroid_id")
+            .agg(
+                *[
+                    F.avg(F.element_at("v", d + 1)).alias(f"m{d}")
+                    for d in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = dict(cents)
+        for r in means:
+            vec = [r[f"m{d}"] for d in range(dim)]
+            norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            new[r["centroid_id"]] = [x / norm for x in vec]
+        cents = sorted(new.items())
+    return embeddings.sparkSession.createDataFrame(
+        cents, "centroid_id int, centv array<float>"
+    )
+
+
 def assign_buckets(
     embeddings: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF bucket assignment with deterministic centroids (the
-    n_centroids lowest ids — reproducible without a kmeans fit; swap in
-    persisted kmeans centroids at scale). Returns (bucketed, centroids).
+    """IVF bucket assignment. Default centroids = the n_centroids
+    lowest-id vectors (reproducible without a fit — and exactly what the
+    DuckDB oracle replicates); pass `centroids` from `kmeans_centroids`
+    for fitted buckets at scale. Returns (bucketed, centroids).
 
     Nearest-centroid choice orders by ROUNDED cosine with centroid_id as
     tiebreak: the rounding makes assignment reproducible across engines
     and float orders (the DuckDB oracle computes cosine in float32,
     Spark in double — see SQL_ANN_IVF_TOPK)."""
-    centroids = (
-        embeddings.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("centv"),
+            )
         )
-    )
     scored = F.broadcast(centroids).join(
         embeddings.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
@@ -104,14 +184,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe buckets nearest to each
     query. Same output schema as cosine_topk. Fully deterministic
     (rounded-cosine orderings with id tiebreaks), so the whole IVF path —
     centroid choice, bucket assignment, probing, final ranks — has an
-    exact SQL twin despite recall < 1 vs brute force."""
+    exact SQL twin despite recall < 1 vs brute force. Pass `centroids`
+    from `kmeans_centroids` for fitted buckets."""
     bucketed, centroids = assign_buckets(
-        embeddings, n_centroids, id_col, vec_col, round_dp
+        embeddings, n_centroids, id_col, vec_col, round_dp, centroids
     )
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")

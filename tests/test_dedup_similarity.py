@@ -185,3 +185,33 @@ def test_dedup_groups_lsh_default_matches_exact_groups(docs):
         ).collect()
     }
     assert lsh == exact
+
+
+def test_kmeans_centroids_fit(emb):
+    """Spherical k-means for IVF: deterministic (no RNG — first-k init,
+    argmax-with-first-win assignment), unit-norm centroids, pluggable
+    into ivf_topk with a recall floor."""
+    import math
+
+    cent = sim.kmeans_centroids(emb, k=8, iterations=3)
+    rows = cent.collect()
+    assert sorted(r["centroid_id"] for r in rows) == list(range(8))
+    assert all(
+        abs(math.sqrt(sum(x * x for x in r["centv"])) - 1.0) < 1e-5
+        for r in rows
+    )
+    key = lambda r: (r["centroid_id"], tuple(round(x, 8) for x in r["centv"]))
+    rows2 = sim.kmeans_centroids(emb, k=8, iterations=3).collect()
+    assert sorted(map(key, rows)) == sorted(map(key, rows2))
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk(emb, [0, 1, 2], k=10).collect()
+    }
+    fitted = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ivf_topk(
+            emb, [0, 1, 2], k=10, nprobe=4, centroids=cent
+        ).collect()
+    }
+    assert len(fitted & exact) / len(exact) >= 0.5
