@@ -1625,6 +1625,56 @@ SELECT conv_id, subj_surface, {pred_case} AS pred, obj_surface FROM x"""
 SQL_EXTRACTION_STUB = _extraction_stub_sql()
 
 
+def q_extraction_variables(spark, sf_dir):
+    """L7 fan-out as a driver-checked query: every document × every
+    variable prompted once; the `{symptom}` value is injected into the
+    prompt as the only capitalized surface, so the stub grammar extracts
+    exactly (variable, works_at, MegaCorp) per pair — closed-form in SQL
+    over the lowercase corpus. Exercises the broadcast crossJoin, the
+    per-variable prompt formatting, the JSON round-trip and the variable
+    passthrough column."""
+    from llmaix_spark.operators.extraction import (
+        TRIPLE_ARRAY_SCHEMA,
+        ExtractionConfig,
+        extract_with_variables,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    transcripts = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("text"),
+    )
+    cfg = ExtractionConfig(
+        prompt_template="{symptom} works at MegaCorp. {report}",
+        malformed_rate=0.0,
+    )
+    raw = extract_with_variables(
+        transcripts,
+        ["Alice Smith", "Bob Jones"],
+        cfg,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    j = F.from_json("parsed", TRIPLE_ARRAY_SCHEMA)
+    return (
+        raw.withColumn("j", j)
+        .select("conv_id", "variable", F.explode("j.triples").alias("t"))
+        .select(
+            "conv_id",
+            "variable",
+            F.col("t.subj").alias("subj_surface"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj_surface"),
+        )
+    )
+
+
+SQL_EXTRACTION_VARIABLES = """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id, v AS variable,
+       v AS subj_surface, 'works_at' AS pred, 'MegaCorp' AS obj_surface
+FROM documents CROSS JOIN (VALUES ('Alice Smith'), ('Bob Jones')) AS t(v)"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1677,6 +1727,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_decode": q_multimodal_decode,
     "extraction_stub": q_extraction_stub,
+    "extraction_variables": q_extraction_variables,
 }
 
 ORACLES: dict[str, str] = {
@@ -1724,6 +1775,7 @@ ORACLES: dict[str, str] = {
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
     "kg_pipeline_edges": SQL_KG_PIPELINE_EDGES,
     "extraction_stub": SQL_EXTRACTION_STUB,
+    "extraction_variables": SQL_EXTRACTION_VARIABLES,
     "anonymizer_conversations": SQL_ANONYMIZER,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
 }

@@ -102,3 +102,16 @@ def test_read_reports_docx(spark, tmp_path):
     assert rows[0]["report"] == "First paragraph with two runs.\nSecond paragraph."
     assert rows[0]["id"].startswith("doc1.docx$")
     assert '"source":"docx"' in rows[0]["metadata"].replace('": "', '":"')
+
+
+def test_read_reports_excel_many(spark, tmp_path):
+    """Distributed many-workbook variant: executor-side decode, bad
+    workbooks skipped."""
+    from llmaix_spark.sources.readers import read_reports_excel_many
+
+    _write_xlsx(tmp_path / "a.xlsx")
+    _write_xlsx(tmp_path / "b.xlsx")
+    (tmp_path / "bad.xlsx").write_bytes(b"nope")
+    df = read_reports_excel_many(spark, str(tmp_path))
+    rows = sorted(r["report"] for r in df.collect())
+    assert rows == ["hello world", "hello world", "inline text", "inline text"]
