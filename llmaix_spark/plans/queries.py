@@ -1388,6 +1388,59 @@ def q_kg_canonical_triples(spark, sf_dir):
     return canonical_triples(q_kg_pipeline_edges(spark, sf_dir))
 
 
+def q_kg_pipeline_nodes(spark, sf_dir):
+    """The pipeline's nodes table (S9's second output): one row per
+    canonical entity with sorted alias set and total reference count.
+    The alias array is projected to a '|'-joined string for the driver's
+    hash compare; the oracle rebuilds the same aggregation on top of the
+    shared canonicalization body."""
+    from llmaix_spark.pipeline import PipelineConfig, run_pipeline_from_triples
+
+    def _triples():
+        return q_kg_triples(spark, sf_dir).select(
+            "conv_id",
+            F.col("subj").alias("subj_surface"),
+            "pred",
+            F.col("obj").alias("obj_surface"),
+        )
+
+    out_dir = _kg_scratch_dir(str(abs(hash(sf_dir)) % 10**8))
+    res = run_pipeline_from_triples(
+        spark,
+        _triples,
+        PipelineConfig(out_dir=out_dir, checkpoint_stages="final"),
+    )
+    return res["nodes"].select(
+        "entity_id",
+        "canonical_name",
+        F.concat_ws("|", "aliases").alias("aliases"),
+        "kind",
+        F.col("n_refs").cast("bigint").alias("n_refs"),
+    )
+
+
+SQL_KG_PIPELINE_NODES = (
+    _kg_canonical_body()
+    + f""",
+surf AS (
+  SELECT s AS surface, CAST(count(*) AS BIGINT) AS n_refs FROM (
+    SELECT subj AS s FROM triples
+    UNION ALL SELECT obj FROM triples)
+  WHERE length(s) > 0 GROUP BY s),
+smap AS (
+  SELECT surface, n_refs, {_norm_sql('surface')} AS norm FROM surf),
+assigned AS (
+  SELECT m.surface, m.n_refs, c.canonical
+  FROM smap m JOIN canon c ON m.norm = c.norm)
+SELECT substring(sha256(canonical), 1, 16) AS entity_id,
+       canonical AS canonical_name,
+       array_to_string(list_sort(list(DISTINCT surface)), '|') AS aliases,
+       'entity' AS kind,
+       CAST(sum(n_refs) AS BIGINT) AS n_refs
+FROM assigned GROUP BY canonical"""
+)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """Approximate ANN (IVF probing). Recall < 1 vs brute force BY
     DESIGN, but the IVF path itself is fully deterministic (first-N
@@ -1724,6 +1777,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anonymizer_conversations": q_anonymizer,
     "kg_pipeline_edges": q_kg_pipeline_edges,
     "kg_canonical_triples": q_kg_canonical_triples,
+    "kg_pipeline_nodes": q_kg_pipeline_nodes,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_decode": q_multimodal_decode,
     "extraction_stub": q_extraction_stub,
@@ -1774,6 +1828,7 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
     "kg_pipeline_edges": SQL_KG_PIPELINE_EDGES,
+    "kg_pipeline_nodes": SQL_KG_PIPELINE_NODES,
     "extraction_stub": SQL_EXTRACTION_STUB,
     "extraction_variables": SQL_EXTRACTION_VARIABLES,
     "anonymizer_conversations": SQL_ANONYMIZER,
