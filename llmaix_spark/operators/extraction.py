@@ -292,11 +292,25 @@ _BACKEND_SINGLETON: dict[str, object] = {}
 def _get_backend(cfg: ExtractionConfig):
     """Per-executor lazy singleton (the reference keeps one llama-server
     alive across jobs keyed on current_model, routes.py:806-863). The key
-    carries every output-shaping knob — two jobs with different stub
-    rates in one worker must not share an instance."""
-    key = (
-        f"{cfg.backend}:{cfg.endpoint}:{cfg.simulate_cost_ms}:"
-        f"{cfg.quirk_rate}:{cfg.malformed_rate}:{cfg.truncate_rate}"
+    carries every output-shaping knob — stub rates, sampling params,
+    schema, and the whole `extra` dict (endpoint_type/model/api_key/
+    system_prompt) — two jobs with different configs in one long-lived
+    worker must never share an instance."""
+    key = json.dumps(
+        [
+            cfg.backend,
+            cfg.endpoint,
+            cfg.simulate_cost_ms,
+            cfg.quirk_rate,
+            cfg.malformed_rate,
+            cfg.truncate_rate,
+            cfg.temperature,
+            cfg.n_predict,
+            cfg.seed,
+            cfg.json_schema,
+            sorted((str(k), str(v)) for k, v in cfg.extra.items()),
+        ],
+        sort_keys=True,
     )
     be = _BACKEND_SINGLETON.get(key)
     if be is None:

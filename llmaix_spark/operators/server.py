@@ -202,11 +202,18 @@ class ServerManager:
         except (urllib.error.URLError, OSError, ValueError):
             return False  # not listening yet
 
+    def cancel(self) -> None:
+        """Abort a pending startup wait (reference CancellableJob._canceled):
+        await_server_ready raises instead of returning, so a canceled
+        launch is never mistaken for a healthy one."""
+        self._canceled = True
+
     def await_server_ready(self, proc: subprocess.Popen) -> None:
         """Poll /health with a bounded timeout (reference
         _await_server_ready). A live process is NOT 'ready' — readiness
         requires status == ok. Raises ServerStartupError with the
-        classified cause + log tail when the child dies or times out."""
+        classified cause + log tail when the child dies, times out, or
+        the wait is canceled."""
         deadline = time.monotonic() + self.cfg.server_startup_timeout
         while not self._canceled:
             exit_code = proc.poll()
@@ -233,6 +240,17 @@ class ServerManager:
             if self._health_ok():
                 return
             time.sleep(self.cfg.health_poll_interval)
+        # loop exited via cancel(): the child may still be starting — shut it
+        # down and surface the cancellation as a startup failure, never as
+        # readiness (reference CancellableJob: a canceled job must not run).
+        log_text = self.read_server_log()
+        shutdown_server(proc, self.cfg.shutdown_timeout)
+        raise ServerStartupError(
+            "llama-server startup wait canceled.\nStartup log tail:\n"
+            f"{log_text}",
+            "canceled",
+            log_text,
+        )
 
     # -- lifecycle -----------------------------------------------------------
 

@@ -146,3 +146,26 @@ def test_extract_with_variables_fanout(spark):
     assert len(wide) == 2
     for r in wide:
         assert r["Alice"] == "1" and r["Bob"] == "1"
+
+
+def test_backend_singleton_keyed_on_full_config():
+    """Two jobs with different output-shaping knobs (incl. the `extra`
+    dict) in one long-lived worker must not share a backend instance;
+    identical configs must reuse one (reference keeps one llama-server
+    keyed on current_model, routes.py:806-863)."""
+    from llmaix_spark.operators.extraction import _get_backend
+
+    base = ExtractionConfig()
+    assert _get_backend(base) is _get_backend(ExtractionConfig())
+    assert _get_backend(base) is not _get_backend(
+        ExtractionConfig(truncate_rate=0.5)
+    )
+    assert _get_backend(base) is not _get_backend(
+        ExtractionConfig(seed=7)
+    )
+    assert _get_backend(base) is not _get_backend(
+        ExtractionConfig(json_schema={"type": "object"})
+    )
+    assert _get_backend(base) is not _get_backend(
+        ExtractionConfig(extra={"endpoint_type": "chat"})
+    )

@@ -241,6 +241,37 @@ def test_raises_and_shuts_down_on_timeout():
     proc.terminate.assert_called_once()
 
 
+def test_cancel_aborts_wait_with_shutdown():
+    """A canceled startup wait raises (cause 'canceled') and shuts the
+    child down — it must never be mistaken for readiness (reference
+    CancellableJob._canceled gate around the health poll)."""
+    m = _mgr()
+    m.cancel()
+    proc = _proc(None)  # alive, would otherwise poll forever
+    with mock.patch.object(m, "read_server_log", return_value=""):
+        with pytest.raises(ServerStartupError) as ctx:
+            m.await_server_ready(proc)
+    assert ctx.value.cause == "canceled"
+    proc.terminate.assert_called_once()
+
+
+def test_cancel_mid_poll():
+    """cancel() flipped between health polls aborts the next iteration."""
+    m = _mgr()
+    proc = _proc(None)
+
+    def _flip():
+        m.cancel()
+        return False
+
+    with mock.patch.object(m, "_health_ok", side_effect=_flip), \
+            mock.patch.object(srv.time, "sleep"), \
+            mock.patch.object(m, "read_server_log", return_value=""):
+        with pytest.raises(ServerStartupError) as ctx:
+            m.await_server_ready(proc)
+    assert ctx.value.cause == "canceled"
+
+
 # --- start_server state machine ------------------------------------------------
 
 
