@@ -236,13 +236,17 @@ def read_reports_zip(spark: SparkSession, path: str) -> DataFrame:
                 if member is None:
                     continue
                 with zf.open(member) as f:
-                    mdf = pd.read_csv(f, dtype=str)
-                for _, r in mdf.iterrows():
-                    rows["zip_path"].append(zpath)
-                    rows["orig_id"].append(str(r.get("id", "")))
-                    rows["report"].append(
-                        r.get("report") if r.get("report") is not None else ""
-                    )
+                    # dtype=str still yields float NaN for empty cells —
+                    # fillna before they can poison the Arrow string batch
+                    mdf = pd.read_csv(f, dtype=str).fillna("")
+                n = len(mdf)
+                rows["zip_path"].extend([zpath] * n)
+                rows["orig_id"].extend(
+                    mdf["id"].tolist() if "id" in mdf.columns else [""] * n
+                )
+                rows["report"].extend(
+                    mdf["report"].tolist() if "report" in mdf.columns else [""] * n
+                )
             yield pd.DataFrame(rows)
 
     raw = (

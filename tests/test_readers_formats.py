@@ -81,6 +81,21 @@ def test_read_reports_zip(spark, tmp_path):
     assert all("$" in i for i in ids)
 
 
+def test_read_reports_zip_empty_cells_stay_strings(spark, tmp_path):
+    """Missing CSV cells arrive as pandas NaN even under dtype=str; they
+    must surface as empty strings, not 'nan' or a broken Arrow batch."""
+    from llmaix_spark.sources.readers import read_reports_zip
+
+    z = tmp_path / "holes.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("preprocessed_h.csv", "id,report\n,orphan report\nb1,\n")
+    rows = read_reports_zip(spark, str(tmp_path)).collect()
+    assert len(rows) == 2
+    by_report = {r["report"]: r for r in rows}
+    assert set(by_report) == {"orphan report", ""}
+    assert "nan" not in {r["id"].split("$")[0] for r in rows}
+
+
 def test_read_reports_zip_skips_zip_without_member(spark, tmp_path):
     from llmaix_spark.sources.readers import read_reports_zip
 
