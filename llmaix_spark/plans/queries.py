@@ -1728,6 +1728,43 @@ SELECT CAST(doc_id AS VARCHAR) AS conv_id, v AS variable,
 FROM documents CROSS JOIN (VALUES ('Alice Smith'), ('Bob Jones')) AS t(v)"""
 
 
+def q_pdf_roundtrip(spark, sf_dir):
+    """S3/F12 PDF text ops, value-checked end to end through the actual
+    binary format: documents.text → render_simple_pdf (stdlib twin of the
+    reference's create_pdf, webapp/input_processing/routes.py:73-130;
+    Flate-compressed content stream, wrap-after-space) → extract_pdf_text
+    (twin of get_pymupdf_text_wordwise, report_redaction/utils.py:383-411;
+    zlib inflate + Tj/TJ tokenizer). Wrap keeps the break space on the
+    line and extraction concatenates shown runs, so the roundtrip is the
+    identity — the oracle is the documents table itself. One Arrow-batched
+    mapInPandas pass, embarrassingly parallel (no shuffle)."""
+    import pandas as pd
+
+    from llmaix_spark.sources.pdf import extract_pdf_text, render_simple_pdf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text": [
+                        extract_pdf_text(render_simple_pdf(t or ""))
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id bigint, text string"
+    )
+
+
+SQL_PDF_ROUNDTRIP = """
+SELECT doc_id, coalesce(text, '') AS text FROM documents"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1782,6 +1819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "extraction_stub": q_extraction_stub,
     "extraction_variables": q_extraction_variables,
+    "pdf_roundtrip": q_pdf_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -1833,4 +1871,5 @@ ORACLES: dict[str, str] = {
     "extraction_variables": SQL_EXTRACTION_VARIABLES,
     "anonymizer_conversations": SQL_ANONYMIZER,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "pdf_roundtrip": SQL_PDF_ROUNDTRIP,
 }

@@ -1,0 +1,301 @@
+"""PDF text connector (S3 text layer / F12 PDF text ops) — stdlib only.
+
+The reference round-trips text through PDFs with PyMuPDF:
+
+  create_pdf                  text → line-wrapped one-column PDF
+                              (webapp/input_processing/routes.py:73-130)
+  get_pymupdf_text_wordwise   PDF → span texts concatenated WITHOUT
+                              separators (add_spaces appends one space per
+                              span) (webapp/report_redaction/utils.py:383-411)
+
+This module is the dependency-free twin: `render_simple_pdf` writes a
+valid single-font PDF (Flate-compressed content stream, correct xref),
+`extract_pdf_text` decodes Flate streams with zlib and tokenizes the
+content stream — string literals with the full escape table, hex strings,
+`Tj`/`TJ`/`'`/`"` show operators — concatenating shown text in stream
+order exactly like the reference's span walk. `render_simple_pdf` wraps
+*after* the break space (the space stays on the line), so
+extract(render(text)) == text for any text: the pair is value-checkable
+end to end (driver query `pdf_roundtrip`).
+
+Honest boundary: font-subset PDFs with custom CMaps need a real PDF
+library to map glyph codes to Unicode — out of scope (text here decodes
+as Latin-1/WinAnsi, which covers PDFs this engine writes and simple
+generated reports). Scanned PDFs have no text layer and extract to "" —
+the reference routes those to OCR (input_processing/routes.py:398-495);
+the OCR codec stays stubbed in operators/multimodal.py.
+
+`read_reports_pdf` is the distributed ingest: binaryFile source (PDFs are
+not splittable) → Arrow-batched mapInPandas, one file per row, decoded
+executor-side — the same scale shape as the docx/zip/xlsx readers.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_WS = b"\x00\t\n\x0c\r "
+_NUMERIC = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
+_ESCAPES = {
+    ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
+    ord("b"): b"\b", ord("f"): b"\f",
+    ord("("): b"(", ord(")"): b")", ord("\\"): b"\\",
+}
+
+
+def _parse_literal(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a `(...)` string literal starting at data[i] == '(' —
+    balanced parens, backslash escapes incl. up-to-3-digit octal and
+    line continuations. Returns (decoded bytes, index past ')')."""
+    out = bytearray()
+    depth, i, n = 1, i + 1, len(data)
+    while i < n and depth:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if e in _ESCAPES:
+                out += _ESCAPES[e]
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                oct_digits = bytearray()
+                while i < n and len(oct_digits) < 3 and 0x30 <= data[i] <= 0x37:
+                    oct_digits.append(data[i])
+                    i += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+            elif e in (0x0A, 0x0D):  # \<EOL> line continuation
+                i += 1
+                if e == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: backslash dropped, char kept
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _parse_hex(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a `<...>` hex string starting at data[i] == '<'. Odd digit
+    counts are zero-padded per spec."""
+    j = data.find(b">", i)
+    if j < 0:
+        j = len(data)
+    hx = bytes(c for c in data[i + 1:j] if c in b"0123456789abcdefABCDEF")
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii")), j + 1
+
+
+def _content_text(content: bytes, add_spaces: bool) -> str:
+    """Concatenate the text shown by a content stream's Tj/TJ/'/" ops in
+    stream order (the reference's span walk, utils.py:393-406: spans join
+    with no separator; add_spaces appends one space per span)."""
+    pieces: list[str] = []
+    pend: list[bytes] = []
+
+    def show() -> None:
+        if pend:
+            pieces.append(b"".join(pend).decode("latin-1"))
+            if add_spaces:
+                pieces.append(" ")
+        pend.clear()
+
+    def op(tok: bytes) -> None:
+        if not tok:
+            return
+        if tok in (b"Tj", b"TJ", b"'", b'"'):
+            show()
+        elif _NUMERIC.fullmatch(tok):
+            pass  # numeric operand (e.g. TJ kerning, " word spacing)
+        else:
+            pend.clear()  # any other operator consumes its operands
+
+    i, n = 0, len(content)
+    tok = bytearray()
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # (
+            op(bytes(tok)); tok.clear()
+            s, i = _parse_literal(content, i)
+            pend.append(s)
+        elif c == 0x3C and i + 1 < n and content[i + 1] == 0x3C:  # <<
+            op(bytes(tok)); tok.clear()
+            i += 2
+        elif c == 0x3C:  # <hex>
+            op(bytes(tok)); tok.clear()
+            s, i = _parse_hex(content, i)
+            pend.append(s)
+        elif c == 0x25:  # % comment to end of line
+            op(bytes(tok)); tok.clear()
+            while i < n and content[i] not in (0x0A, 0x0D):
+                i += 1
+        elif c in _WS or c in b"[]{}>/":
+            op(bytes(tok)); tok.clear()
+            i += 1
+        else:
+            tok.append(c)
+            i += 1
+    op(bytes(tok))
+    return "".join(pieces)
+
+
+def _iter_streams(payload: bytes):
+    """Yield decoded stream bodies: `stream ... endstream` spans, zlib-
+    inflated when the preceding object dict says /FlateDecode. Undecodable
+    streams are skipped, never fatal (malformed inputs must not kill the
+    ingest — same policy as the zip/docx readers)."""
+    for m in re.finditer(rb"stream\r?\n", payload):
+        start = m.end()
+        end = payload.find(b"endstream", start)
+        if end < 0:
+            continue
+        raw = payload[start:end]
+        head = payload[max(0, m.start() - 400):m.start()]
+        if b"/FlateDecode" in head:
+            try:
+                # decompressobj tolerates the EOL padding before endstream
+                yield zlib.decompressobj().decompress(raw)
+            except zlib.error:
+                continue
+        else:
+            yield raw
+
+
+def extract_pdf_text(payload: bytes, add_spaces: bool = False) -> str:
+    """PDF bytes → concatenated shown text (reference
+    get_pymupdf_text_wordwise, webapp/report_redaction/utils.py:383-411).
+    Streams without a BT text object are ignored; a PDF with no text
+    layer returns "" (the reference's cue to fall back to OCR)."""
+    return "".join(
+        _content_text(s, add_spaces)
+        for s in _iter_streams(payload or b"")
+        if b"BT" in s
+    )
+
+
+def _escape_pdf_text(line: str) -> str:
+    return (
+        line.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    )
+
+
+def _wrap_keep_spaces(text: str, width: int) -> list[str]:
+    """Greedy wrap that breaks AFTER a space (the space stays at the end
+    of the line), so ''.join(lines) == text — the property the roundtrip
+    oracle relies on. Runs longer than `width` with no space hard-cut."""
+    out = []
+    while len(text) > width:
+        cut = text.rfind(" ", 1, width + 1)
+        cut = cut + 1 if cut > 0 else width
+        out.append(text[:cut])
+        text = text[cut:]
+    out.append(text)
+    return out
+
+
+def render_simple_pdf(
+    text: str, width: int = 80, compress: bool = True
+) -> bytes:
+    """text → a valid single-page, single-font PDF (reference create_pdf,
+    webapp/input_processing/routes.py:73-130 — margins/font fixed, text
+    line-wrapped; one long page here instead of pagination since the
+    extraction contract is stream-order text, not layout)."""
+    lines = _wrap_keep_spaces(text or "", width)
+    body = (
+        "BT /F1 10 Tf 56 780 Td 12 TL\n"
+        + "\n".join(f"({_escape_pdf_text(ln)}) Tj T*" for ln in lines)
+        + "\nET"
+    )
+    content = body.encode("latin-1", "replace")
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< " + filt + b"/Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for idx, obj in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{idx} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF"
+    ).encode()
+    return bytes(out)
+
+
+def read_reports_pdf(spark: SparkSession, path: str) -> DataFrame:
+    """S3 text layer at scale: a directory of PDFs → envelope
+    (id, report, metadata), decoded executor-side via binaryFile +
+    Arrow-batched mapInPandas (one whole file per row — PDFs are not
+    splittable). PDFs with no text layer yield an EMPTY report row, kept
+    so the skip-empty filter / OCR stage can route them (reference falls
+    back to OCR exactly when the text layer is empty,
+    webapp/input_processing/routes.py:398-495)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from llmaix_spark.functions.text import gen_id_expr, whitespace_scrub_expr
+    from llmaix_spark.sources.readers import _stamp
+
+    out_schema = T.StructType(
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("report", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            files, reports = [], []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    text = extract_pdf_text(bytes(content))
+                except Exception:  # never fatal — treat as no text layer
+                    text = ""
+                files.append(fpath.rsplit("/", 1)[-1])
+                reports.append(text)
+            yield pd.DataFrame({"file": files, "report": reports})
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+        .select("path", "content")
+    )
+    parsed = raw.mapInPandas(run, out_schema)
+    out = parsed.select(
+        "file", whitespace_scrub_expr(F.col("report")).alias("report")
+    ).withColumn("id", gen_id_expr(F.col("file"), F.col("report")))
+    return _stamp(out, "pdf", F.col("file")).select("id", "report", "metadata")

@@ -1,0 +1,142 @@
+"""S3 text layer / F12 PDF text ops — stdlib render/extract pair
+(reference create_pdf @ webapp/input_processing/routes.py:73-130,
+get_pymupdf_text_wordwise @ webapp/report_redaction/utils.py:383-411)."""
+
+from __future__ import annotations
+
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from llmaix_spark.sources.pdf import (
+    _content_text,
+    _wrap_keep_spaces,
+    extract_pdf_text,
+    render_simple_pdf,
+)
+
+# --- content-stream tokenizer ------------------------------------------------
+
+
+def test_tj_and_TJ_show_ops():
+    assert _content_text(b"BT (Hello) Tj ET", False) == "Hello"
+    # TJ: strings shown, kerning numbers skipped
+    assert _content_text(b"BT [(Wor) -20 (ld)] TJ ET", False) == "World"
+
+
+def test_quote_show_ops():
+    assert _content_text(b"BT (y) ' ET", False) == "y"
+    # ": word-spacing + char-spacing operands precede the string
+    assert _content_text(b'BT 2 1.5 (x) " ET', False) == "x"
+
+
+def test_escapes_and_octal():
+    assert (
+        _content_text(rb"BT (a\(b\)c\\d\101\n) Tj ET", False) == "a(b)c\\dA\n"
+    )
+
+
+def test_hex_string_and_odd_padding():
+    assert _content_text(b"BT <48 69> Tj ET", False) == "Hi"
+    # odd digit count zero-padded per spec: <4> = 0x40 = '@'
+    assert _content_text(b"BT <4> Tj ET", False) == "@"
+
+
+def test_non_show_operator_consumes_operands():
+    # a string operand consumed by Tm must not leak into the next Tj
+    got = _content_text(b"BT (dropped) 1 0 0 1 5 5 Tm (shown) Tj ET", False)
+    assert got == "shown"
+
+
+def test_add_spaces_one_per_span():
+    # reference add_spaces appends one space per shown span (utils.py:402)
+    assert _content_text(b"BT (a) Tj (b) Tj ET", True) == "a b "
+
+
+def test_comment_and_dict_skipped():
+    got = _content_text(b"BT % (not shown)\n(real) Tj << /K (v) >> ET", False)
+    assert got == "real"
+
+
+# --- wrap + roundtrip ---------------------------------------------------------
+
+
+@given(st.text(alphabet="ab ", max_size=300), st.integers(5, 40))
+@settings(max_examples=100, deadline=None)
+def test_wrap_concatenation_is_identity(text, width):
+    assert "".join(_wrap_keep_spaces(text, width)) == text
+
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+        max_size=400,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_render_extract_roundtrip(text, compress):
+    assert extract_pdf_text(render_simple_pdf(text, compress=compress)) == text
+
+
+def test_flate_stream_actually_compressed():
+    pdf = render_simple_pdf("hello world " * 50, compress=True)
+    assert b"/FlateDecode" in pdf
+    assert b"hello world" not in pdf  # body really is compressed
+    assert extract_pdf_text(pdf) == "hello world " * 50
+
+
+def test_no_text_layer_and_garbage_inputs():
+    assert extract_pdf_text(b"%PDF-1.4\nno streams here\n%%EOF") == ""
+    assert extract_pdf_text(b"not a pdf") == ""
+    assert extract_pdf_text(b"") == ""
+    # corrupt flate stream is skipped, not fatal
+    bad = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length 4 >>\n"
+        b"stream\nXXXX\nendstream\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(bad) == ""
+
+
+def test_uncompressed_stream_without_bt_ignored():
+    # a metadata/xobject stream with no BT text object contributes nothing
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 12 >>\nstream\n(sneaky) Tj\nendstream\n"
+        b"endobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == ""
+
+
+def test_handcrafted_foreign_pdf():
+    """A PDF this module did NOT write: different object order, raw
+    (uncompressed) stream, TJ arrays and ' ops mixed."""
+    body = b"BT /F1 9 Tf [(fir) 3 (st)] TJ ( line) Tj (second) ' ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"5 0 obj\n<< /Length " + str(len(body)).encode() + b" >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "first linesecond"
+    assert extract_pdf_text(pdf, add_spaces=True) == "first  line second "
+
+
+# --- distributed reader ---------------------------------------------------------
+
+
+def test_read_reports_pdf(spark, tmp_path):
+    from llmaix_spark.sources.pdf import read_reports_pdf
+
+    (tmp_path / "a.pdf").write_bytes(render_simple_pdf("alpha report"))
+    (tmp_path / "b.pdf").write_bytes(
+        render_simple_pdf("beta report", compress=False)
+    )
+    (tmp_path / "scan.pdf").write_bytes(b"%PDF-1.4\n%%EOF")  # no text layer
+    (tmp_path / "note.txt").write_bytes(b"ignored by glob")
+    df = read_reports_pdf(spark, str(tmp_path))
+    rows = {r["report"]: r for r in df.collect()}
+    assert set(rows) == {"alpha report", "beta report", ""}
+    # empty-text rows kept for the OCR-fallback route; ids present on all
+    assert all(r["id"] for r in rows.values())
+    assert '"source":"pdf"' in rows["alpha report"]["metadata"]
