@@ -1774,6 +1774,51 @@ SQL_PDF_ROUNDTRIP = """
 SELECT doc_id, coalesce(text, '') AS text FROM documents"""
 
 
+def q_pdf_redaction(spark, sf_dir):
+    """anonymize_pdf twin through the binary format: render each document
+    to a PDF, redact two corpus terms (black boxes + dollartext removal
+    of the underlying text — reference llm_processing/utils.py:76-146),
+    extract the text back. The terms share no prefix/suffix overlap and
+    '$' never occurs in the corpus (text is ^[a-z ]+$), so simultaneous
+    span masking equals DuckDB's sequential replace() — the oracle is a
+    two-level replace with length-matched '$' runs."""
+    import pandas as pd
+
+    from llmaix_spark.sources.pdf import (
+        extract_pdf_text,
+        redact_pdf,
+        render_simple_pdf,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["table", "window"]
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text": [
+                        extract_pdf_text(
+                            redact_pdf(render_simple_pdf(t or ""), terms)
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id bigint, text string"
+    )
+
+
+SQL_PDF_REDACTION = """
+SELECT doc_id,
+       replace(replace(coalesce(text, ''), 'table', '$$$$$'),
+               'window', '$$$$$$') AS text
+FROM documents"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1829,6 +1874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extraction_stub": q_extraction_stub,
     "extraction_variables": q_extraction_variables,
     "pdf_roundtrip": q_pdf_roundtrip,
+    "pdf_redaction": q_pdf_redaction,
 }
 
 ORACLES: dict[str, str] = {
@@ -1881,4 +1927,5 @@ ORACLES: dict[str, str] = {
     "anonymizer_conversations": SQL_ANONYMIZER,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "pdf_roundtrip": SQL_PDF_ROUNDTRIP,
+    "pdf_redaction": SQL_PDF_REDACTION,
 }

@@ -210,19 +210,19 @@ def _wrap_keep_spaces(text: str, width: int) -> list[str]:
     return out
 
 
-def render_simple_pdf(
-    text: str, width: int = 80, compress: bool = True
-) -> bytes:
-    """text → a valid single-page, single-font PDF (reference create_pdf,
-    webapp/input_processing/routes.py:73-130 — margins/font fixed, text
-    line-wrapped; one long page here instead of pagination since the
-    extraction contract is stream-order text, not layout)."""
-    lines = _wrap_keep_spaces(text or "", width)
-    body = (
-        "BT /F1 10 Tf 56 780 Td 12 TL\n"
-        + "\n".join(f"({_escape_pdf_text(ln)}) Tj T*" for ln in lines)
-        + "\nET"
-    )
+# fixed layout of render_simple_pdf: Courier (monospace — every glyph is
+# 0.6 em, so char positions are computable without font tables), 10 pt,
+# left margin 56, first baseline 780, leading 12
+FONT_SIZE = 10
+CHAR_W = 0.6 * FONT_SIZE
+MARGIN_X = 56.0
+FIRST_BASELINE = 780.0
+LEADING = 12.0
+
+
+def _build_pdf(body: str, compress: bool) -> bytes:
+    """Wrap a content-stream body into a valid single-page PDF (objects,
+    Flate filter, xref, trailer)."""
     content = body.encode("latin-1", "replace")
     filt = b""
     if compress:
@@ -233,7 +233,7 @@ def render_simple_pdf(
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
         b"<< " + filt + b"/Length " + str(len(content)).encode()
         + b" >>\nstream\n" + content + b"\nendstream",
     ]
@@ -251,6 +251,101 @@ def render_simple_pdf(
         f"startxref\n{xref_at}\n%%EOF"
     ).encode()
     return bytes(out)
+
+
+def _text_body(lines: list[str]) -> str:
+    return (
+        f"BT /F1 {FONT_SIZE} Tf {MARGIN_X:g} {FIRST_BASELINE:g} Td "
+        f"{LEADING:g} TL\n"
+        + "\n".join(f"({_escape_pdf_text(ln)}) Tj T*" for ln in lines)
+        + "\nET"
+    )
+
+
+def render_simple_pdf(
+    text: str, width: int = 80, compress: bool = True
+) -> bytes:
+    """text → a valid single-page, single-font PDF (reference create_pdf,
+    webapp/input_processing/routes.py:73-130 — margins/font fixed, text
+    line-wrapped; one long page here instead of pagination since the
+    extraction contract is stream-order text, not layout)."""
+    return _build_pdf(_text_body(_wrap_keep_spaces(text or "", width)), compress)
+
+
+def find_term_spans(text: str, terms: list[str]) -> list[tuple[int, int]]:
+    """All exact occurrences of each term as [begin, end) spans — the
+    reference's per-term page.search_for loop
+    (webapp/llm_processing/utils.py:112-118), non-overlapping per term,
+    left to right."""
+    spans: list[tuple[int, int]] = []
+    for term in terms or []:
+        if not term:
+            continue
+        start = 0
+        while True:
+            i = text.find(term, start)
+            if i < 0:
+                break
+            spans.append((i, i + len(term)))
+            start = i + len(term)
+    return spans
+
+
+def redact_pdf(
+    payload: bytes,
+    terms: list[str],
+    replacement_char: str = "$",
+    width: int = 80,
+    compress: bool = True,
+) -> bytes:
+    """anonymize_pdf twin (reference webapp/llm_processing/utils.py:76-146:
+    search each term's instances, cover with black rectangles, REMOVE the
+    underlying text). Here the text is removed by length-preserving
+    dollartext masking (generate_dollartext, the F3/F5 kernel —
+    report_redaction/utils.py:170-184) and the black boxes are filled
+    rects computed from the renderer's fixed Courier metrics, one per
+    masked run per line.
+
+    Operates on PDFs this engine renders — the same closed loop as the
+    reference, whose redaction path consumes its own create_pdf outputs.
+    Contract (tested): extract_pdf_text(redact_pdf(p, terms)) ==
+    generate_dollartext(extract_pdf_text(p), find_term_spans(...)).
+    """
+    from llmaix_spark.functions.masking import generate_dollartext
+
+    text = extract_pdf_text(payload)
+    spans = find_term_spans(text, terms)
+    masked = generate_dollartext(text, spans, replacement_char)
+    flags = [False] * len(text)
+    for a, b in spans:
+        for i in range(max(a, 0), min(b, len(text))):
+            flags[i] = True
+    lines = _wrap_keep_spaces(masked, width)
+    rects: list[str] = []
+    off = 0
+    for li, line in enumerate(lines):
+        baseline = FIRST_BASELINE - LEADING * li
+        j = 0
+        while j < len(line):
+            if flags[off + j]:
+                k = j
+                while k < len(line) and flags[off + k]:
+                    k += 1
+                x = MARGIN_X + CHAR_W * j
+                w = CHAR_W * (k - j)
+                # cover ascent + descent around the baseline
+                rects.append(
+                    f"q 0 0 0 rg {x:g} {baseline - 2:g} {w:g} "
+                    f"{FONT_SIZE:g} re f Q"
+                )
+                j = k
+            else:
+                j += 1
+        off += len(line)
+    body = _text_body(lines)
+    if rects:
+        body += "\n" + "\n".join(rects)
+    return _build_pdf(body, compress)
 
 
 def read_reports_pdf(spark: SparkSession, path: str) -> DataFrame:

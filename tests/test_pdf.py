@@ -122,6 +122,66 @@ def test_handcrafted_foreign_pdf():
     assert extract_pdf_text(pdf, add_spaces=True) == "first  line second "
 
 
+# --- redaction overlay (anonymize_pdf twin) ----------------------------------
+
+
+def _content_body(pdf: bytes) -> str:
+    m = pdf.find(b"stream\n")
+    e = pdf.find(b"endstream", m)
+    return zlib.decompressobj().decompress(pdf[m + 7:e]).decode("latin-1")
+
+
+def test_redact_pdf_masks_and_draws_boxes():
+    from llmaix_spark.functions.masking import generate_dollartext
+    from llmaix_spark.sources.pdf import find_term_spans, redact_pdf
+
+    t = "patient jane doe of munich, seen by doe weekly"
+    r = redact_pdf(render_simple_pdf(t), ["doe", "munich"])
+    got = extract_pdf_text(r)
+    assert got == generate_dollartext(
+        t, find_term_spans(t, ["doe", "munich"]), "$"
+    )
+    assert "doe" not in got and "munich" not in got
+    # one black rect per masked run: doe ×2 + munich ×1
+    assert _content_body(r).count("re f") == 3
+
+
+def test_redact_pdf_run_split_across_wrap():
+    from llmaix_spark.sources.pdf import redact_pdf
+
+    # no spaces → hard cut at 80 splits the term across two lines
+    t = "a" * 75 + "secretword" + "b" * 20
+    r = redact_pdf(render_simple_pdf(t), ["secretword"])
+    assert extract_pdf_text(r) == "a" * 75 + "$" * 10 + "b" * 20
+    assert _content_body(r).count("re f") == 2  # one box per line fragment
+
+
+def test_redact_pdf_no_match_keeps_text():
+    from llmaix_spark.sources.pdf import redact_pdf
+
+    t = "nothing sensitive here"
+    r = redact_pdf(render_simple_pdf(t), ["absent", ""])
+    assert extract_pdf_text(r) == t
+    assert "re f" not in _content_body(r)
+
+
+def test_redact_pdf_literal_dollar_not_boxed():
+    """A '$' already in the source text is not a masked run (flags are
+    span-driven, not character-driven)."""
+    from llmaix_spark.sources.pdf import redact_pdf
+
+    r = redact_pdf(render_simple_pdf("price $5 secret"), ["secret"])
+    assert extract_pdf_text(r) == "price $5 $$$$$$"
+    assert _content_body(r).count("re f") == 1
+
+
+def test_find_term_spans_non_overlapping_greedy():
+    from llmaix_spark.sources.pdf import find_term_spans
+
+    assert find_term_spans("aaaa", ["aa"]) == [(0, 2), (2, 4)]
+    assert find_term_spans("xy", ["x", "y"]) == [(0, 1), (1, 2)]
+
+
 # --- distributed reader ---------------------------------------------------------
 
 
