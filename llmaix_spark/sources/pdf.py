@@ -253,9 +253,10 @@ def _build_pdf(body: str, compress: bool) -> bytes:
     return bytes(out)
 
 
-def _text_body(lines: list[str]) -> str:
+def _text_body(lines: list[str], invisible: bool = False) -> str:
+    mode = "3 Tr " if invisible else ""  # render mode 3 = neither fill nor stroke
     return (
-        f"BT /F1 {FONT_SIZE} Tf {MARGIN_X:g} {FIRST_BASELINE:g} Td "
+        f"BT /F1 {FONT_SIZE} Tf {mode}{MARGIN_X:g} {FIRST_BASELINE:g} Td "
         f"{LEADING:g} TL\n"
         + "\n".join(f"({_escape_pdf_text(ln)}) Tj T*" for ln in lines)
         + "\nET"
@@ -346,6 +347,45 @@ def redact_pdf(
     if rects:
         body += "\n" + "\n".join(rects)
     return _build_pdf(body, compress)
+
+
+def _drawing_ops(payload: bytes) -> list[str]:
+    """Every decoded stream with its BT..ET text objects removed — the
+    non-text (vector drawing) operators that must survive text-layer
+    surgery (e.g. redaction rects)."""
+    kept = []
+    for s in _iter_streams(payload):
+        ops = re.sub(rb"BT\b.*?\bET", b"", s, flags=re.DOTALL)
+        if ops.strip():
+            kept.append(ops.decode("latin-1").strip())
+    return kept
+
+
+def remove_selectable_text_from_pdf(
+    payload: bytes, compress: bool = True
+) -> bytes:
+    """Strip the selectable text layer, keeping vector drawing ops —
+    the reference uses this to produce 'scanned' PDFs that exercise the
+    OCR path (remove_selectable_text_from_pdf,
+    webapp/input_processing/routes.py:520-550). Same closed loop as
+    redact_pdf: operates on PDFs this engine renders."""
+    body = "\n".join(_drawing_ops(payload)) or "% empty page"
+    return _build_pdf(body, compress)
+
+
+def add_text_layer_to_pdf(
+    payload: bytes, text: str, width: int = 80, compress: bool = True
+) -> bytes:
+    """Overlay an INVISIBLE text layer (render mode 3 — glyphs neither
+    filled nor stroked, but selectable/extractable) onto a text-free PDF:
+    the reference writes OCR output back this way so downstream stages
+    can treat scanned and born-digital PDFs identically
+    (add_text_layer_to_pdf, webapp/input_processing/routes.py:249-279).
+    Existing drawing ops (the page image's stand-in here) are kept under
+    the new layer. extract_pdf_text sees the layer like any other text."""
+    parts = _drawing_ops(payload)
+    parts.append(_text_body(_wrap_keep_spaces(text or "", width), invisible=True))
+    return _build_pdf("\n".join(parts), compress)
 
 
 def read_reports_pdf(spark: SparkSession, path: str) -> DataFrame:

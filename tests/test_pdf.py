@@ -182,6 +182,45 @@ def test_find_term_spans_non_overlapping_greedy():
     assert find_term_spans("xy", ["x", "y"]) == [(0, 1), (1, 2)]
 
 
+# --- text-layer surgery (scan simulation + OCR layer) -------------------------
+
+
+def test_remove_selectable_text():
+    from llmaix_spark.sources.pdf import remove_selectable_text_from_pdf
+
+    p = render_simple_pdf("very selectable text")
+    scanned = remove_selectable_text_from_pdf(p)
+    assert extract_pdf_text(scanned) == ""
+
+
+def test_remove_text_keeps_drawing_ops():
+    """Stripping the text layer must not strip redaction rects."""
+    from llmaix_spark.sources.pdf import (
+        redact_pdf,
+        remove_selectable_text_from_pdf,
+    )
+
+    r = redact_pdf(render_simple_pdf("the secret word"), ["secret"])
+    scanned = remove_selectable_text_from_pdf(r)
+    assert extract_pdf_text(scanned) == ""
+    assert _content_body(scanned).count("re f") == 1
+
+
+def test_add_invisible_text_layer():
+    """scan → OCR → invisible text layer: extraction then works exactly
+    like a born-digital PDF (reference add_text_layer_to_pdf)."""
+    from llmaix_spark.sources.pdf import (
+        add_text_layer_to_pdf,
+        remove_selectable_text_from_pdf,
+    )
+
+    scanned = remove_selectable_text_from_pdf(render_simple_pdf("original"))
+    ocr_text = "ocr recovered this text"
+    layered = add_text_layer_to_pdf(scanned, ocr_text)
+    assert extract_pdf_text(layered) == ocr_text
+    assert "3 Tr" in _content_body(layered)  # glyphs invisible
+
+
 # --- distributed reader ---------------------------------------------------------
 
 
