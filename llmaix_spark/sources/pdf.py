@@ -15,13 +15,14 @@ content stream — string literals with the full escape table, hex strings,
 `Tj`/`TJ`/`'`/`"` show operators — concatenating shown text in stream
 order exactly like the reference's span walk. `render_simple_pdf` wraps
 *after* the break space (the space stays on the line), so
-extract(render(text)) == text for any text: the pair is value-checkable
-end to end (driver query `pdf_roundtrip`).
+extract(render(text)) == text for any Latin-1-encodable text: the pair
+is value-checkable end to end (driver query `pdf_roundtrip`).
 
-Honest boundary: font-subset PDFs with custom CMaps need a real PDF
-library to map glyph codes to Unicode — out of scope (text here decodes
-as Latin-1/WinAnsi, which covers PDFs this engine writes and simple
-generated reports). Scanned PDFs have no text layer and extract to "" —
+Honest boundary: simple Type1 fonts carry single-byte Latin-1/WinAnsi
+codes, so text OUTSIDE that repertoire (€, CJK, emoji) is rendered as
+'?' (a real Unicode PDF writer needs CID fonts + ToUnicode CMaps, out of
+scope) — and font-subset PDFs with custom CMaps likewise need a real PDF
+library to extract. Scanned PDFs have no text layer and extract to "" —
 the reference routes those to OCR (input_processing/routes.py:398-495);
 the OCR codec stays stubbed in operators/multimodal.py.
 
@@ -117,57 +118,82 @@ def _content_text(content: bytes, add_spaces: bool) -> str:
                 pieces.append(" ")
         pend.clear()
 
-    def op(tok: bytes) -> None:
-        if not tok:
-            return
-        if tok in (b"Tj", b"TJ", b"'", b'"'):
+    for kind, val, _a, _b in _lex(content):
+        if kind == "str":
+            pend.append(val)
+        elif val in (b"Tj", b"TJ", b"'", b'"'):
             show()
-        elif _NUMERIC.fullmatch(tok):
+        elif _NUMERIC.fullmatch(val):
             pass  # numeric operand (e.g. TJ kerning, " word spacing)
         else:
             pend.clear()  # any other operator consumes its operands
+    return "".join(pieces)
 
-    i, n = 0, len(content)
+
+_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
+
+
+def _lex(data: bytes):
+    """Content-stream lexer: yields ('str', decoded_bytes, pos, pos) for
+    string/hex literals and ('tok', token, start, end) for bare tokens —
+    aware of literals, dicts, comments, and inline images (the binary
+    data between an ID operator and its whitespace-delimited EI is
+    skipped, never tokenized: it can contain '(' or fake operators)."""
+    i, n = 0, len(data)
     tok = bytearray()
+    tok_start = 0
     while i < n:
-        c = content[i]
-        if c == 0x28:  # (
-            op(bytes(tok)); tok.clear()
-            s, i = _parse_literal(content, i)
-            pend.append(s)
-        elif c == 0x3C and i + 1 < n and content[i + 1] == 0x3C:  # <<
-            op(bytes(tok)); tok.clear()
-            i += 2
-        elif c == 0x3C:  # <hex>
-            op(bytes(tok)); tok.clear()
-            s, i = _parse_hex(content, i)
-            pend.append(s)
-        elif c == 0x25:  # % comment to end of line
-            op(bytes(tok)); tok.clear()
-            while i < n and content[i] not in (0x0A, 0x0D):
+        c = data[i]
+        if c in _WS or c in b"()<>[]{}/%":
+            if tok:
+                t = bytes(tok)
+                tok.clear()
+                if t == b"ID":  # inline image: jump past the binary blob
+                    m = _EI_RE.search(data, i)
+                    i = m.end() if m else n
+                    continue
+                yield ("tok", t, tok_start, i)
+            if c == 0x28:  # (
+                s, i = _parse_literal(data, i)
+                yield ("str", s, i, i)
+            elif c == 0x3C and i + 1 < n and data[i + 1] == 0x3C:  # <<
+                i += 2
+            elif c == 0x3C:  # <hex>
+                s, i = _parse_hex(data, i)
+                yield ("str", s, i, i)
+            elif c == 0x25:  # % comment to end of line
+                while i < n and data[i] not in (0x0A, 0x0D):
+                    i += 1
+            else:
                 i += 1
-        elif c in _WS or c in b"[]{}>/":
-            op(bytes(tok)); tok.clear()
-            i += 1
         else:
+            if not tok:
+                tok_start = i
             tok.append(c)
             i += 1
-    op(bytes(tok))
-    return "".join(pieces)
+    if tok:
+        yield ("tok", bytes(tok), tok_start, n)
+
+
+# `stream` must not match the tail of `endstream` — that phantom span
+# would re-contain the NEXT object's stream and extract its text twice
+_STREAM_RE = re.compile(rb"(?<!end)stream\r?\n")
 
 
 def _iter_streams(payload: bytes):
     """Yield decoded stream bodies: `stream ... endstream` spans, zlib-
-    inflated when the preceding object dict says /FlateDecode. Undecodable
-    streams are skipped, never fatal (malformed inputs must not kill the
-    ingest — same policy as the zip/docx readers)."""
-    for m in re.finditer(rb"stream\r?\n", payload):
+    inflated when the OWNING object's dict (bounded by the nearest
+    preceding `obj` keyword, not a fixed lookback) says /FlateDecode.
+    A stream whose declared Flate data does not inflate is skipped —
+    corrupt, never fatal (same policy as the zip/docx readers)."""
+    for m in _STREAM_RE.finditer(payload):
         start = m.end()
         end = payload.find(b"endstream", start)
         if end < 0:
             continue
         raw = payload[start:end]
-        head = payload[max(0, m.start() - 400):m.start()]
+        dict_from = payload.rfind(b"obj", 0, m.start())
+        head = payload[max(dict_from, 0):m.start()]
         if b"/FlateDecode" in head:
             try:
                 # decompressobj tolerates the EOL padding before endstream
@@ -181,12 +207,15 @@ def _iter_streams(payload: bytes):
 def extract_pdf_text(payload: bytes, add_spaces: bool = False) -> str:
     """PDF bytes → concatenated shown text (reference
     get_pymupdf_text_wordwise, webapp/report_redaction/utils.py:383-411).
-    Streams without a BT text object are ignored; a PDF with no text
-    layer returns "" (the reference's cue to fall back to OCR)."""
+    Streams with no text machinery at all (no BT and no show operator —
+    e.g. image data) are skipped; the BT-less gate stays loose because a
+    /Contents array may legally split one text object across streams.
+    A PDF with no text layer returns "" (the reference's cue to fall back
+    to OCR)."""
     return "".join(
         _content_text(s, add_spaces)
         for s in _iter_streams(payload or b"")
-        if b"BT" in s
+        if b"BT" in s or b"Tj" in s or b"TJ" in s
     )
 
 
@@ -199,10 +228,13 @@ def _escape_pdf_text(line: str) -> str:
 def _wrap_keep_spaces(text: str, width: int) -> list[str]:
     """Greedy wrap that breaks AFTER a space (the space stays at the end
     of the line), so ''.join(lines) == text — the property the roundtrip
-    oracle relies on. Runs longer than `width` with no space hard-cut."""
+    oracle relies on. Runs longer than `width` with no space hard-cut;
+    every emitted line is ≤ width chars."""
+    if width < 1:
+        raise ValueError(f"wrap width must be >= 1, got {width}")
     out = []
     while len(text) > width:
-        cut = text.rfind(" ", 1, width + 1)
+        cut = text.rfind(" ", 1, width)  # space at index <= width-1
         cut = cut + 1 if cut > 0 else width
         out.append(text[:cut])
         text = text[cut:]
@@ -349,13 +381,40 @@ def redact_pdf(
     return _build_pdf(body, compress)
 
 
+def _strip_text_objects(data: bytes) -> bytes:
+    """Remove BT..ET text objects from a content stream. Lexer-based, not
+    a regex: 'ET' inside a string literal (e.g. '(report ETA 5pm)') must
+    not terminate the span — a naive regex would leave the rest of the
+    text object behind and leak supposedly-removed text. An unterminated
+    BT (malformed stream) drops everything to the end — fail closed."""
+    spans: list[tuple[int, int]] = []
+    bt_start: int | None = None
+    for kind, val, a, b in _lex(data):
+        if kind != "tok":
+            continue
+        if val == b"BT" and bt_start is None:
+            bt_start = a
+        elif val == b"ET" and bt_start is not None:
+            spans.append((bt_start, b))
+            bt_start = None
+    if bt_start is not None:
+        spans.append((bt_start, len(data)))
+    out = bytearray()
+    prev = 0
+    for a, b in spans:
+        out += data[prev:a]
+        prev = b
+    out += data[prev:]
+    return bytes(out)
+
+
 def _drawing_ops(payload: bytes) -> list[str]:
     """Every decoded stream with its BT..ET text objects removed — the
     non-text (vector drawing) operators that must survive text-layer
     surgery (e.g. redaction rects)."""
     kept = []
     for s in _iter_streams(payload):
-        ops = re.sub(rb"BT\b.*?\bET", b"", s, flags=re.DOTALL)
+        ops = _strip_text_objects(s)
         if ops.strip():
             kept.append(ops.decode("latin-1").strip())
     return kept

@@ -99,11 +99,12 @@ def test_no_text_layer_and_garbage_inputs():
     assert extract_pdf_text(bad) == ""
 
 
-def test_uncompressed_stream_without_bt_ignored():
-    # a metadata/xobject stream with no BT text object contributes nothing
+def test_stream_without_text_machinery_ignored():
+    # a pure drawing/metadata stream (no BT and no show operator)
+    # contributes nothing — only streams with text machinery are lexed
     pdf = (
-        b"%PDF-1.4\n1 0 obj\n<< /Length 12 >>\nstream\n(sneaky) Tj\nendstream\n"
-        b"endobj\n%%EOF"
+        b"%PDF-1.4\n1 0 obj\n<< /Length 26 >>\nstream\n"
+        b"q 0 0 0 rg 1 2 3 4 re f Q\nendstream\nendobj\n%%EOF"
     )
     assert extract_pdf_text(pdf) == ""
 
@@ -180,6 +181,94 @@ def test_find_term_spans_non_overlapping_greedy():
 
     assert find_term_spans("aaaa", ["aa"]) == [(0, 2), (2, 4)]
     assert find_term_spans("xy", ["x", "y"]) == [(0, 1), (1, 2)]
+
+
+# --- parser robustness (regressions from review) ------------------------------
+
+
+def test_multi_stream_pdf_no_phantom_duplication():
+    """`stream` must not match the tail of `endstream`: a phantom span
+    there re-contains the NEXT stream and duplicates its text."""
+    s1, s2 = b"BT (alpha) Tj ET", b"BT (beta) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Length 16 >>\nstream\n" + s1 + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length 15 >>\nstream\n" + s2 + b"\nendstream\nendobj\n"
+        b"%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "alphabeta"
+
+
+def test_flate_flag_bounded_by_owning_object():
+    """An uncompressed stream must not inherit /FlateDecode from a
+    NEIGHBORING object's dict (the lookback is bounded by `obj`)."""
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Filter /FlateDecode /Length 4 >>\nstream\n"
+        + zlib.compress(b"BT (zipped) Tj ET")
+        + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length 14 >>\nstream\nBT (raw) Tj ET\nendstream\n"
+        b"endobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "zippedraw"
+
+
+def test_strip_text_objects_literal_aware():
+    """'ET' inside a string literal must not terminate the BT..ET span —
+    the regex version leaked the rest of the text object as 'drawing
+    ops' (PHI leak through the scan-simulation loop)."""
+    from llmaix_spark.sources.pdf import (
+        add_text_layer_to_pdf,
+        remove_selectable_text_from_pdf,
+    )
+
+    t = "report ETA 5pm patient jane doe end"
+    scanned = remove_selectable_text_from_pdf(render_simple_pdf(t))
+    assert extract_pdf_text(scanned) == ""
+    layered = add_text_layer_to_pdf(scanned, "ocr text")
+    assert extract_pdf_text(layered) == "ocr text"
+    assert "jane doe" not in _content_body(scanned)
+
+
+def test_continuation_stream_without_bt_still_extracted():
+    """A /Contents array may split one text object across streams; the
+    BT-less continuation still carries show ops and must not be gated
+    away."""
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Length 10 >>\nstream\nBT (first) Tj\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length 17 >>\nstream\n(second) Tj ET\nendstream\nendobj\n"
+        b"%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "firstsecond"
+
+
+def test_inline_image_binary_skipped():
+    """ID..EI binary (which may contain '(' or fake operators) must not
+    be tokenized into text."""
+    body = b"BT (before) Tj ET BI /W 2 /H 1 ID \x28\x00\xff(junk) Tj EI BT (after) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "beforeafter"
+
+
+def test_wrap_width_guard_and_bound():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _wrap_keep_spaces("abc", 0)
+    # a space exactly at index `width` must not produce a width+1 line
+    lines = _wrap_keep_spaces("a" * 80 + " " + "b" * 10, 80)
+    assert all(len(ln) <= 80 for ln in lines)
+    assert "".join(lines) == "a" * 80 + " " + "b" * 10
+
+
+def test_non_latin1_renders_as_replacement_not_crash():
+    # documented boundary: out-of-repertoire chars become '?'
+    assert extract_pdf_text(render_simple_pdf("prix 100 € fin")) == "prix 100 ? fin"
 
 
 # --- text-layer surgery (scan simulation + OCR layer) -------------------------
