@@ -129,9 +129,12 @@ def confusion_matrix_svg_from_long(
     itself is tiny (|classes|²) — collecting it is the correct driver
     move; classes are the sorted union of gt/pred values."""
     rows = cm_long.select("gt", "pred", "n").collect()
-    classes = sorted({r["gt"] for r in rows} | {r["pred"] for r in rows})
+    # NULL gt/pred (failed extraction, outer join) renders as a class of
+    # its own instead of crashing sorted() on None < str
+    label = lambda v: "(null)" if v is None else v  # noqa: E731
+    classes = sorted({label(r["gt"]) for r in rows} | {label(r["pred"]) for r in rows})
     idx = {c: i for i, c in enumerate(classes)}
     m = [[0.0] * len(classes) for _ in classes]
     for r in rows:
-        m[idx[r["gt"]]][idx[r["pred"]]] += r["n"]
+        m[idx[label(r["gt"])]][idx[label(r["pred"])]] += r["n"]
     return render_confusion_matrix_svg(m, classes, title, xlabel, ylabel)

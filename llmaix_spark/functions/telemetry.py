@@ -10,8 +10,6 @@ metrics row; the rows aggregate like any other DataFrame.
 
 from __future__ import annotations
 
-import math
-
 
 def parse_prometheus_text(metrics_text: str) -> dict[str, float]:
     """Flatten prometheus text-exposition samples to {name: value}
@@ -36,8 +34,6 @@ def parse_prometheus_text(metrics_text: str) -> dict[str, float]:
             value = float(parts[0])
         except ValueError:
             continue
-        if math.isnan(value):
-            value = float("nan")
         out[name.strip()] = value
     return out
 

@@ -19,6 +19,7 @@ and test_server_lifecycle.py) without needing a binary or a model.
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import tempfile
 import time
@@ -254,20 +255,51 @@ class ServerManager:
 
     # -- lifecycle -----------------------------------------------------------
 
+    def _model_key(self) -> str:
+        """Identity of the model the current config would launch. For HF
+        loading the launch command carries hf_repo/hf_file/hf_quant and
+        model_name is irrelevant — keying reuse on model_name alone would
+        silently keep serving the OLD repo after cfg.hf_repo changes."""
+        if self.cfg.hf_repo:
+            return f"hf:{self.cfg.hf_repo}:{self.cfg.hf_file or self.cfg.hf_quant or ''}"
+        return f"local:{self.cfg.model_name}"
+
+    def _replace_server_log(self) -> None:
+        """Open a fresh startup-log capture, closing and unlinking the
+        previous one (a long-lived executor that swaps models or retries
+        failed startups must not leak an fd + /tmp file per launch)."""
+        old = self._server_log
+        self._server_log = tempfile.NamedTemporaryFile(
+            mode="w+", prefix="llama_server_", suffix=".log", delete=False
+        )
+        if old is not None:
+            try:
+                old.close()
+                os.unlink(old.name)
+            except OSError:
+                pass
+
     def start_server(self) -> None:
-        """Spawn (or reuse) the server for cfg.model_name. On startup
-        failure the child is shut down and the model state reset so a
-        subsequent attempt re-launches instead of assuming the dead
+        """Spawn (or reuse) the server for the configured model. On
+        startup failure the child is shut down and the model state reset
+        so a subsequent attempt re-launches instead of assuming the dead
         process is ready (reference start_server, routes.py:806-863)."""
+        # a new launch is a new cancellable wait — a cancel() from a
+        # previous job must not poison every future startup
+        self._canceled = False
         if self.cfg.hf_repo:
             # Hugging Face model: llama-server downloads via -hf
             model_path = None
         else:
             model_dir = Path(self.cfg.model_path)
             model_path = model_dir / self.cfg.model_name
-            assert model_path.absolute().parent == model_dir.absolute()
+            if model_path.absolute().parent != model_dir.absolute():
+                raise ValueError(
+                    f"model_name escapes model_path: {self.cfg.model_name!r}"
+                )
 
-        if self.current_model == self.cfg.model_name and self.proc is not None:
+        model_key = self._model_key()
+        if self.current_model == model_key and self.proc is not None:
             if self.proc.poll() is None:
                 return  # same model, still alive
         if self.proc is not None:
@@ -275,13 +307,11 @@ class ServerManager:
 
         command = build_server_command(self.cfg, model_path)
         # capture startup logs so failures can be reported with evidence
-        self._server_log = tempfile.NamedTemporaryFile(
-            mode="w+", prefix="llama_server_", suffix=".log", delete=False
-        )
+        self._replace_server_log()
         self.proc = subprocess.Popen(
             command, stdout=self._server_log, stderr=subprocess.STDOUT
         )
-        self.current_model = self.cfg.model_name
+        self.current_model = model_key
         try:
             self.await_server_ready(self.proc)
         except Exception:

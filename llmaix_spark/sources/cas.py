@@ -83,16 +83,29 @@ def parse_cas_json(
         F.explode_outer(overlapping).alias("chunk"),
     )
 
-    start_idx = F.greatest(F.col("begin") - F.col("chunk.begin"), F.lit(0))
+    # indices clamped into [0, size-1] (the reference clamps begin to 0
+    # and end to len(g)-1, utils.py:118-121); a malformed chunk with an
+    # EMPTY g array yields NULL x0/x1 instead of element_at(..., 0),
+    # which throws and would kill the whole job on one bad document
+    g_size = F.size("chunk.g")
+    start_idx = F.least(
+        F.greatest(F.col("begin") - F.col("chunk.begin"), F.lit(0)),
+        g_size - 1,
+    )
     end_idx = F.least(
-        F.col("end") - F.col("chunk.begin"), F.size("chunk.g") - 1
+        F.greatest(F.col("end") - F.col("chunk.begin"), F.lit(0)),
+        g_size - 1,
     )
     page_matches = F.filter(
         "_pages",
         lambda p: (p["begin"] <= F.col("chunk.end"))
         & (p["end"] >= F.col("chunk.begin")),
     )
-    last_page = F.element_at(page_matches, -1)["pageNumber"]
+    # try_element_at: a chunk overlapping NO page (malformed/missing page
+    # table) yields NULL page_number — plain element_at(-1) on an empty
+    # array throws under ANSI mode and would kill the job
+    last_page = F.try_element_at(page_matches, F.lit(-1))["pageNumber"]
+    has_g = F.col("chunk").isNotNull() & (g_size > 0)
 
     return rows.select(
         id_col,
@@ -100,9 +113,9 @@ def parse_cas_json(
         "begin",
         "end",
         F.when(F.col("chunk").isNotNull(), last_page).alias("page_number"),
-        F.element_at(F.col("chunk.g"), start_idx + 1).alias("x0"),
+        F.when(has_g, F.element_at(F.col("chunk.g"), start_idx + 1)).alias("x0"),
         F.col("chunk.y").alias("y0"),
-        F.element_at(F.col("chunk.g"), end_idx + 1).alias("x1"),
+        F.when(has_g, F.element_at(F.col("chunk.g"), end_idx + 1)).alias("x1"),
         (F.col("chunk.y") + F.col("chunk.h")).alias("y1"),
     )
 

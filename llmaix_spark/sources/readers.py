@@ -44,8 +44,15 @@ def read_reports_csv(
 ) -> DataFrame:
     """S1: CSV with (id, report) columns → envelope. Header required,
     values kept as strings (the reference reads dtype=str,
-    webapp/labelannotation/routes.py:747)."""
-    raw = spark.read.csv(path, header=True, inferSchema=False)
+    webapp/labelannotation/routes.py:747). multiLine=True because report
+    values routinely contain embedded newlines inside quotes (that is why
+    whitespace_scrub_expr exists) — pandas handles those, Spark's default
+    line-split mode would shear such rows into garbage. Cost: a multiLine
+    CSV file is not block-splittable; parallelism comes from the file
+    count, same as the reference's per-file reads."""
+    raw = spark.read.csv(
+        path, header=True, inferSchema=False, multiLine=True, escape='"'
+    )
     out = raw.select(
         F.col(id_col).cast("string").alias("orig_id"),
         whitespace_scrub_expr(F.col(report_col)).alias("report"),
@@ -133,13 +140,19 @@ def _parse_xlsx_rows(payload: bytes) -> list[list[str]]:
         rows: list[list[str]] = []
         for row in root.iter(f"{NS}row"):
             cells: dict[int, str] = {}
+            next_col = 0  # cells without r= are positioned sequentially
             for c in row.findall(f"{NS}c"):
                 ref = c.get("r", "")
                 col = 0
+                has_ref = any(ch.isalpha() for ch in ref)
                 for ch in ref:
                     if ch.isalpha():
                         col = col * 26 + (ord(ch.upper()) - 64)
-                col = max(col - 1, 0)
+                # the r= attribute is optional in SpreadsheetML — without
+                # it the cell follows its predecessor (collapsing all
+                # unreferenced cells onto column 0 would shear the row)
+                col = col - 1 if has_ref else next_col
+                next_col = col + 1
                 ctype = c.get("t", "n")
                 if ctype == "s":
                     v = c.find(f"{NS}v")
@@ -235,10 +248,15 @@ def read_reports_zip(spark: SparkSession, path: str) -> DataFrame:
                 )
                 if member is None:
                     continue
-                with zf.open(member) as f:
-                    # dtype=str still yields float NaN for empty cells —
-                    # fillna before they can poison the Arrow string batch
-                    mdf = pd.read_csv(f, dtype=str).fillna("")
+                try:
+                    with zf.open(member) as f:
+                        # dtype=str still yields float NaN for empty cells —
+                        # fillna before they can poison the Arrow string batch
+                        mdf = pd.read_csv(f, dtype=str).fillna("")
+                except Exception:
+                    # empty/truncated/encrypted member → zero rows, job
+                    # survives (same policy as the BadZipFile branch)
+                    continue
                 n = len(mdf)
                 rows["zip_path"].extend([zpath] * n)
                 rows["orig_id"].extend(

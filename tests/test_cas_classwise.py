@@ -226,3 +226,46 @@ def test_cas_spans_feed_classwise_dollartext(spark, cas_doc):
     }
     assert got["person"] == "■■■■■■■■■■ was admitted to Ward 7 yesterday."
     assert got["ward"] == "Anna Meier was admitted to ■■■■■■ yesterday."
+
+
+def test_parse_cas_json_empty_g_yields_null_bbox(spark):
+    """A malformed chunk with g=[] must yield NULL x0/x1, not an
+    element_at(..., 0) error that kills the job."""
+    import json as _json
+
+    from llmaix_spark.sources.cas import parse_cas_json
+
+    doc = {
+        "sofa_string": "short text",
+        "spans": [{"label": "person", "begin": 0, "end": 5}],
+        "chunks": [{"begin": 0, "end": 9, "y": 1.0, "h": 2.0, "g": []}],
+        "pages": [{"begin": 0, "end": 9, "pageNumber": 0,
+                   "width": 600.0, "height": 800.0}],
+    }
+    df = spark.createDataFrame([("d1", _json.dumps(doc))], ["doc_id", "cas_json"])
+    rows = parse_cas_json(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["x0"] is None and rows[0]["x1"] is None
+    assert rows[0]["page_number"] == 0  # chunk overlap itself still holds
+
+
+def test_parse_cas_json_no_page_overlap_yields_null_page(spark):
+    """A chunk overlapping NO page (empty/malformed page table) yields
+    NULL page_number — element_at(-1) on the empty match array throws
+    under ANSI mode and must not be reachable."""
+    import json as _json
+
+    from llmaix_spark.sources.cas import parse_cas_json
+
+    doc = {
+        "sofa_string": "short text",
+        "spans": [{"label": "person", "begin": 0, "end": 5}],
+        "chunks": [{"begin": 0, "end": 9, "y": 1.0, "h": 2.0,
+                    "g": [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]}],
+        "pages": [],
+    }
+    df = spark.createDataFrame([("d1", _json.dumps(doc))], ["doc_id", "cas_json"])
+    rows = parse_cas_json(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["page_number"] is None
+    assert rows[0]["x0"] == 0.0 and rows[0]["x1"] == 5.0

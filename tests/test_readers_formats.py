@@ -130,3 +130,52 @@ def test_read_reports_excel_many(spark, tmp_path):
     df = read_reports_excel_many(spark, str(tmp_path))
     rows = sorted(r["report"] for r in df.collect())
     assert rows == ["hello world", "hello world", "inline text", "inline text"]
+
+
+def test_read_reports_csv_multiline_quoted_field(spark, tmp_path):
+    """Quoted report values with embedded newlines (the reason
+    whitespace_scrub_expr exists) must parse as ONE row."""
+    from llmaix_spark.sources.readers import read_reports_csv
+
+    p = tmp_path / "r.csv"
+    p.write_text('id,report\nr1,"line one\nline two"\nr2,plain\n')
+    rows = {r["report"] for r in read_reports_csv(spark, str(p)).collect()}
+    # ONE row, newline then REMOVED by the P7 scrub (reference deletes
+    # \t\n\r outright, input_processing/routes.py:678-679)
+    assert rows == {"line oneline two", "plain"}
+
+
+def test_read_reports_zip_bad_member_survives(spark, tmp_path):
+    """A structurally valid zip whose preprocessed_*.csv member is empty
+    must yield zero rows, not a pandas parse error that kills the job."""
+    from llmaix_spark.sources.readers import read_reports_zip
+
+    z = tmp_path / "empty_member.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("preprocessed_e.csv", "")
+    ok = tmp_path / "good.zip"
+    with zipfile.ZipFile(ok, "w") as zf:
+        zf.writestr("preprocessed_g.csv", "id,report\na,fine\n")
+    rows = read_reports_zip(spark, str(tmp_path)).collect()
+    assert [r["report"] for r in rows] == ["fine"]
+
+
+def test_parse_xlsx_cells_without_ref_attribute(tmp_path):
+    """Cells lacking the optional r= attribute are positioned
+    sequentially, not collapsed onto column 0."""
+    from llmaix_spark.sources.readers import _parse_xlsx_rows
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        "<row><c t=\"inlineStr\"><is><t>id</t></is></c>"
+        "<c t=\"inlineStr\"><is><t>report</t></is></c></row>"
+        "<row><c t=\"inlineStr\"><is><t>a1</t></is></c>"
+        "<c t=\"inlineStr\"><is><t>hello</t></is></c></row>"
+        "</sheetData></worksheet>"
+    )
+    p = tmp_path / "noref.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert _parse_xlsx_rows(p.read_bytes()) == [["id", "report"], ["a1", "hello"]]

@@ -300,7 +300,7 @@ def test_start_server_reuses_live_same_model():
         assert p.call_count == 1
         m.start_server()  # same model, process alive → no respawn
         assert p.call_count == 1
-    assert m.current_model == "model.gguf"
+    assert m.current_model == "local:model.gguf"
 
 
 def test_start_server_swaps_model():
@@ -314,4 +314,54 @@ def test_start_server_swaps_model():
         m.start_server()
         assert p.call_count == 2
     proc1.terminate.assert_called_once()  # old server shut down
-    assert m.current_model == "other.gguf"
+    assert m.current_model == "local:other.gguf"
+
+
+def test_start_server_swaps_on_hf_repo_change():
+    """With -hf loading, model_name is not in the launch command — reuse
+    must key on the hf repo, or changing it silently keeps serving the
+    OLD model."""
+    m = _mgr(hf_repo="org/modelA")
+    proc1, proc2 = _proc(None), _proc(None)
+    with mock.patch.object(
+        srv.subprocess, "Popen", side_effect=[proc1, proc2]
+    ) as p, mock.patch.object(m, "_health_ok", return_value=True):
+        m.start_server()
+        m.cfg.hf_repo = "org/modelB"
+        m.start_server()
+        assert p.call_count == 2  # respawned for the new repo
+    proc1.terminate.assert_called_once()
+
+
+def test_cancel_does_not_poison_next_launch():
+    """cancel() aborts the CURRENT wait only; the next start_server on
+    the long-lived executor singleton must launch normally."""
+    m = _mgr()
+    m.cancel()
+    proc = _proc(None)
+    with mock.patch.object(srv.subprocess, "Popen", return_value=proc), \
+            mock.patch.object(m, "_health_ok", return_value=True):
+        m.start_server()  # must not raise 'canceled'
+    assert m.current_model == "local:model.gguf"
+
+
+def test_model_name_escape_raises_value_error():
+    # an explicit raise, not an assert (which vanishes under python -O)
+    m = _mgr(model_name="../../etc/evil.gguf")
+    with pytest.raises(ValueError, match="escapes model_path"):
+        m.start_server()
+
+
+def test_server_log_replaced_not_leaked(tmp_path):
+    """Each launch closes and unlinks the previous startup log."""
+    import os
+
+    m = _mgr()
+    old = tempfile.NamedTemporaryFile(
+        mode="w+", prefix="llama_server_", suffix=".log", delete=False
+    )
+    m._server_log = old
+    m._replace_server_log()
+    assert not os.path.exists(old.name)
+    assert m._server_log is not old
+    os.unlink(m._server_log.name)

@@ -82,3 +82,16 @@ def test_confusion_matrix_from_long_format(spark):
     assert svg.startswith("<svg")
     assert ">(0.50)<" in svg  # a-row split 1/1
     assert ">2<" in svg  # b→b count
+
+
+def test_confusion_matrix_from_long_with_nulls(spark):
+    """NULL gt/pred (failed extraction, outer join) renders as a '(null)'
+    class instead of crashing sorted() on None."""
+    from llmaix_spark.functions.render import confusion_matrix_svg_from_long
+
+    cm = spark.createDataFrame(
+        [("a", "a", 3), ("a", None, 2), (None, "a", 1)],
+        "gt string, pred string, n bigint",
+    )
+    svg = confusion_matrix_svg_from_long(cm)
+    assert "(null)" in svg and "<svg" in svg
