@@ -101,7 +101,11 @@ def connected_components(
             .collect()
         )
         if len(head) <= driver_threshold:
-            return _driver_cc_from_rows(edges.sparkSession, head)
+            # the hint travels with the returned plan: a ≤200k-row table
+            # joined against the (huge) mention table must be map-side.
+            # (isLocal() is False for createDataFrame output, so hinting
+            # at the caller based on it never fired.)
+            return F.broadcast(_driver_cc_from_rows(edges.sparkSession, head))
     sym = edges.select(
         F.col("norm_a").alias("src"), F.col("norm_b").alias("dst")
     ).union(
@@ -200,11 +204,10 @@ def canonical_assignments(
     without a persist the whole linking plan re-executes ~5×.
 
     The CC table (fuzzy-linked norms only) is far smaller than mentions;
-    on the driver fast path it is explicitly broadcast, so the
-    assignment join is map-side — no shuffle of the mention table."""
+    the driver fast path returns it broadcast-hinted, so the assignment
+    join is map-side — no shuffle of the mention table."""
     cc = connected_components(edges, max_iterations)
-    cc_b = F.broadcast(cc) if cc.isLocal() else cc
-    assigned = mentions.join(cc_b, "norm", "left").withColumn(
+    assigned = mentions.join(cc, "norm", "left").withColumn(
         "component", F.coalesce(F.col("component"), F.col("norm"))
     )
     out = assigned.select(

@@ -93,7 +93,9 @@ def ngram_jaccard_pairs(
     shingle, count common, filter J ≥ threshold. Returns
     (doc_a, doc_b, jaccard). This is the *exact* (oracle-checkable)
     variant; use minhash_dedup_pairs at scale."""
-    sh = word_shingles(docs, n, id_col, text_col)
+    # three consumers (count + both join sides) — materialize or the
+    # explode runs 3×; lazy localCheckpoint is GC-released (landmine #1)
+    sh = word_shingles(docs, n, id_col, text_col).localCheckpoint(eager=False)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -125,10 +127,21 @@ def ngram_jaccard_pairs(
 
 
 def doc_minhash_signatures(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash over word shingles, same 16 hash fns as entity linking."""
-    sh = word_shingles(docs, n, id_col, text_col)
+    """MinHash over word shingles, same 16 hash fns as entity linking.
+    Pass `shingles` (doc_id, shingle) to reuse an already-materialized
+    shingle table — minhash_dedup_pairs does, so the signature scheme
+    lives in exactly one place."""
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(docs, n, id_col, text_col)
+    )
     h = stable_hash60_expr(F.col("shingle")) % F.lit(_P)
     hashed = sh.select(
         "doc_id",
@@ -169,17 +182,7 @@ def minhash_dedup_pairs(
     sh_cached = word_shingles(docs, n, id_col, text_col).localCheckpoint(
         eager=False
     )
-    h = stable_hash60_expr(F.col("shingle")) % F.lit(_P)
-    hashed = sh_cached.select(
-        "doc_id",
-        *[
-            ((F.lit(a) * h + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
-            for i, (a, b) in enumerate(_MINHASH_AB)
-        ],
-    )
-    sigs = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(k)]
-    )
+    sigs = doc_minhash_signatures(docs, n, id_col, text_col, shingles=sh_cached)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -257,8 +260,12 @@ def dedup_groups(
 
     pairs_fn = pairs_fn or minhash_dedup_pairs
     pairs = pairs_fn(docs, threshold, n, id_col=id_col, text_col=text_col)
-    # CC picks the lexicographic min — zero-pad so string order == numeric
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    # CC picks the lexicographic min — zero-pad so string order == numeric.
+    # 20 chars holds every int64 including the sign, so no id can be
+    # TRUNCATED (lpad silently truncates overlong input — at 12 chars the
+    # 19-digit stable_hash60 ids would collide). For negative ids the
+    # representative is still deterministic, just not the numeric min.
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
     edges = pairs.select(
         pad("doc_a").alias("norm_a"), pad("doc_b").alias("norm_b")
     )
@@ -322,25 +329,37 @@ def simhash_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Banding: with 4 bytes and ≤3 differing bits, at least one byte is
-    identical (pigeonhole) — join on (byte_idx, byte_val), verify with
-    bit_count(xor). Exact w.r.t. the hamming predicate, never all-pairs.
+    ADAPTIVE banding: the 32 bits are sliced into max_hamming+1
+    contiguous bands, so by pigeonhole any pair within the radius shares
+    at least one identical band — join on (band_idx, band_val), verify
+    with bit_count(xor). Exact w.r.t. the hamming predicate for ANY
+    radius (a fixed 4-byte banding is exact only to 3 bits — one flipped
+    bit per byte evades every band), never all-pairs. max_hamming=3
+    reduces to the classic byte banding.
     """
+    n_bands = min(max_hamming + 1, SIMHASH_BITS)
+    base_w, extra = divmod(SIMHASH_BITS, n_bands)
+    slices = []  # (offset, width): first `extra` bands get one more bit
+    off = 0
+    for bi in range(n_bands):
+        w = base_w + (1 if bi < extra else 0)
+        slices.append((off, w))
+        off += w
     s = simhash(docs, id_col, text_col)
-    bytes_ = s.select(
+    bands_ = s.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255))
-                    for i in range(4)
+                    F.shiftright("simhash", o).bitwiseAND(F.lit((1 << w) - 1))
+                    for o, w in slices
                 ]
             )
         ).alias("byte_idx", "byte_val"),
     )
-    a = bytes_.alias("a")
-    b = bytes_.alias("b")
+    a = bands_.alias("a")
+    b = bands_.alias("b")
     cand = (
         a.join(
             b,
@@ -367,7 +386,11 @@ def simhash_dup_pairs(
 
 def cosine_expr(a, b):
     """Cosine similarity of two array<numeric> columns, double precision,
-    sequential fold (deterministic summation order)."""
+    sequential fold (deterministic summation order). try_divide: a
+    zero-magnitude vector (padding row, failed embed) yields NULL —
+    a plain division raises DIVIDE_BY_ZERO under ANSI mode (Spark 4
+    default) and would abort every cosine-based job on one bad row;
+    NULL fails every >= threshold filter, so the row simply drops out."""
     da = F.transform(a, lambda x: x.cast("double"))
     db = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(
@@ -377,7 +400,7 @@ def cosine_expr(a, b):
     )
     na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)
 
 
 def embedding_dup_pairs(

@@ -258,6 +258,11 @@ class HttpBackend:
             }
         if self.mode == "openai":
             payload["max_completion_tokens"] = self.cfg.n_predict
+        else:
+            # llama.cpp chat endpoint: without a bound a looping model
+            # generates to the server's hard limit and the L8 truncation
+            # accounting loses its reference point
+            payload["max_tokens"] = self.cfg.n_predict
         resp = self._post("/v1/chat/completions", payload)
         choices = resp.get("choices") or []
         if not choices:
@@ -307,6 +312,8 @@ def _get_backend(cfg: ExtractionConfig):
             cfg.temperature,
             cfg.n_predict,
             cfg.seed,
+            cfg.parallel_slots,
+            cfg.buffer_slots,
             cfg.json_schema,
             sorted((str(k), str(v)) for k, v in cfg.extra.items()),
         ],

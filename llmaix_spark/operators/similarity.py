@@ -112,6 +112,10 @@ def kmeans_centroids(
         ).cast("int")
         means = (
             corpus.select(bucket.alias("centroid_id"), "v")
+            # zero-magnitude vectors have NULL cosine to every centroid
+            # (cosine_expr try_divide) → NULL bucket; they belong to no
+            # cluster and must not become a phantom NULL centroid
+            .filter(F.col("centroid_id").isNotNull())
             .groupBy("centroid_id")
             .agg(
                 *[
@@ -149,6 +153,8 @@ def assign_buckets(
     tiebreak: the rounding makes assignment reproducible across engines
     and float orders (the DuckDB oracle computes cosine in float32,
     Spark in double — see SQL_ANN_IVF_TOPK)."""
+    from llmaix_spark.functions.arrays import bind_array
+
     if centroids is None:
         centroids = (
             embeddings.orderBy(id_col)
@@ -158,20 +164,31 @@ def assign_buckets(
                 F.col(vec_col).alias("centv"),
             )
         )
-    scored = F.broadcast(centroids).join(
-        embeddings.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-        )
+    # NARROW assignment: the k centroids are tiny — collect and inline
+    # them as a literal array (ordered by centroid_id), so the nearest-
+    # centroid choice is a pure per-row argmax with no join and no
+    # window. The window formulation shuffled N×k scored rows on vec_id
+    # just to pick rank 1 — a 1.6e10-row exchange at 10⁹ vectors, k=16.
+    # Semantics identical to the rank-1 window: array_position(array_max)
+    # returns the FIRST max, i.e. the lowest centroid_id on rounded-
+    # cosine ties (the cross-engine contract the oracle pins).
+    cent_rows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centv"]])
+        for r in centroids.collect()
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.round(cosine_expr(F.col("centv"), F.col("v")), round_dp).desc(),
-        F.col("centroid_id").asc(),
+    cent_ids = F.array(*[F.lit(cid) for cid, _ in cent_rows])
+    cent_arr = F.array(
+        *[F.array(*[F.lit(x) for x in vec]) for _, vec in cent_rows]
     )
-    bucketed = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter("rnk = 1")
-        .select("vec_id", "v", F.col("centroid_id").alias("bucket"))
+    cos = F.transform(
+        cent_arr, lambda c: F.round(cosine_expr(c, F.col("v")), round_dp)
     )
+    pos = bind_array(
+        cos, lambda c: F.array_position(c, F.array_max(c))
+    ).cast("int")
+    bucketed = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).select("vec_id", "v", F.element_at(cent_ids, pos).alias("bucket"))
     return bucketed, centroids
 
 

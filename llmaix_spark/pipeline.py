@@ -96,11 +96,12 @@ def run_pipeline_from_triples(
         if cfg.out_dir and not (final_only and not final):
             return _stage(spark, cfg, name, compute, partition_by)
         df = compute()
-        if final_only:
-            # throughput mode: intermediates stay in memory, consumed by
-            # several downstream actions — persist, release at the end
-            df = df.persist()
-            _to_unpersist.append(df)
+        # not written to disk → consumed by several downstream actions
+        # (nodes + edges + whatever the caller runs). Persist, or the
+        # extraction mapInPandas stage (paid LLM calls on a real backend)
+        # re-executes per action. Released by _cleanup / result["cleanup"].
+        df = df.persist()
+        _to_unpersist.append(df)
         return df
 
     triples_raw = stage("triples_raw", triples_factory)

@@ -215,3 +215,43 @@ def test_kmeans_centroids_fit(emb):
         ).collect()
     }
     assert len(fitted & exact) / len(exact) >= 0.5
+
+
+def test_simhash_adaptive_banding_exact_at_large_radius(spark):
+    """At max_hamming > 3 the fixed byte banding would silently drop
+    pairs differing by one bit per byte; adaptive (h+1)-band slicing is
+    pigeonhole-exact at any radius. Verify against brute force."""
+    import itertools
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tokens shared by every document here") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    h = 6
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= h
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.simhash_dup_pairs(docs, max_hamming=h).collect()
+    }
+    assert banded == brute and len(brute) > 0
+
+
+def test_cosine_zero_vector_yields_null_not_crash(spark):
+    """A zero-magnitude embedding must drop out of cosine paths as NULL,
+    not abort the job with DIVIDE_BY_ZERO under ANSI mode."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    pairs = dd.embedding_dup_pairs(emb, 0.5).collect()
+    ids = {x for r in pairs for x in (r["vec_a"], r["vec_b"])}
+    assert 2 not in ids and (0, 1) in {(r["vec_a"], r["vec_b"]) for r in pairs}
+    from llmaix_spark.operators import similarity as _sim
+
+    cent = _sim.kmeans_centroids(emb, k=2, iterations=2)
+    assert cent.count() == 2  # fit survives the zero vector
