@@ -32,9 +32,15 @@ def triple_precision_recall(
 
     a = prep(ours).cache()
     b = prep(reference).cache()
-    n_ours = a.count()
-    n_ref = b.count()
-    n_common = a.join(b, cols).count()
+    try:
+        n_ours = a.count()
+        n_ref = b.count()
+        n_common = a.join(b, cols).count()
+    finally:
+        # landmine #1: release once the three counts materialized —
+        # repeated evaluations otherwise accrete cached blocks
+        a.unpersist()
+        b.unpersist()
     p = n_common / n_ours if n_ours else 0.0
     r = n_common / n_ref if n_ref else 0.0
     f1 = 2 * p * r / (p + r) if (p + r) else 0.0

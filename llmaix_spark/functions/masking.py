@@ -71,7 +71,14 @@ def convert_personal_info_list(items) -> list[str]:
 def mask_text(text: str, personal_info_list, replacement_char: str = "*") -> str:
     """Length-preserving, case-insensitive literal masking
     (reference `replace_text_with_placeholder`,
-    webapp/llm_processing/utils.py:171-198)."""
+    webapp/llm_processing/utils.py:171-198).
+
+    Faithful-port note: positions are found on text.lower() and applied
+    to the original — EXACTLY the reference's loop, including its edge:
+    for the rare chars where lower() changes string length (e.g. 'İ' →
+    2 codepoints), offsets shift and the mask can land off by one. Kept
+    bit-identical to the reference rather than 'fixed', since the P/R
+    gates compare against reference behavior."""
     if text is None:
         return None
     positions = []
@@ -106,7 +113,9 @@ def replace_personal_info(
 
 
 def _meets_split_criteria(substring: str) -> bool:
-    """len>=3 or >=4 digits (reference webapp/report_redaction/utils.py:421-433)."""
+    """len>=3 or >=4 digits (reference webapp/report_redaction/utils.py:421-433).
+    The digit clause is unreachable (>=4 digits implies len>=4>=3) — in
+    the reference too; kept verbatim for parity, not an accidental port."""
     return len(substring) >= 3 or len(re.findall(r"\d", substring)) >= 4
 
 

@@ -64,21 +64,25 @@ def infer_label_types(
     set is small relative to rows (enumerable classes); else stringmatch
     (reference labelannotation/routes.py:685-691). One collect_set pass
     per label, single aggregation."""
+    # collect_set dedupes incrementally (buffer bounded by distinct-value
+    # cardinality — collect_list would buffer one element per ROW); the
+    # duplicate test compares against the NON-NULL count per column, or a
+    # unique-valued column with some nulls would read as "has duplicates"
     agg = joined.agg(
         *[
-            F.array_distinct(
-                F.collect_list(F.lower(F.trim(F.col(c).cast("string"))))
+            F.collect_set(
+                F.lower(F.trim(F.col(c).cast("string")))
             ).alias(c)
             for c in label_cols
         ],
-        F.count(F.lit(1)).alias("_n"),
+        *[F.count(F.col(c)).alias(f"_n_{c}") for c in label_cols],
     ).collect()[0]
     out = {}
     for c in label_cols:
         values = set(agg[c] or [])
         if values and values <= _BOOLISH:
             out[c] = "boolean"
-        elif 0 < len(values) < agg["_n"]:
+        elif 0 < len(values) < agg[f"_n_{c}"]:
             # repeated values ⇒ enumerable classes (reference
             # labelannotation/routes.py:685-691: duplicates ⇒ multiclass)
             out[c] = "multiclass"
@@ -99,12 +103,7 @@ def export_pivot(
     union (kept separate here — appending summary rows to a data table
     is a presentation concern)."""
     aggs = [F.first(m).alias(m) for m in metric_cols]
-    wide = (
-        per_report_metrics.groupBy(id_col)
-        .pivot(label_col)
-        .agg(*aggs if len(aggs) > 1 else [aggs[0]])
-    )
-    return wide
+    return per_report_metrics.groupBy(id_col).pivot(label_col).agg(*aggs)
 
 
 def join_file_manifest(

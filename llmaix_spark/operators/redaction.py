@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-NON_SPECIAL = set(" ,.!?:;-()\"'\n")
+# positions whose ORIGINAL char is in this set are skipped by the
+# char-level confusion counts (reference calculate_metrics,
+# report_redaction/utils.py:352-355)
+SKIP_CHARS = set(" ,.!?:;-()\"'\n")
 
 _COUNTS_SCHEMA = T.StructType(
     [
@@ -42,7 +45,7 @@ def redaction_counts(
     )
     tp = fp = tn = fn = 0
     for g, a, o in zip(ground_truth, automatic, original):
-        if o in NON_SPECIAL:
+        if o in SKIP_CHARS:
             continue
         if g == redacted_char and a == redacted_char:
             tp += 1
@@ -57,8 +60,12 @@ def redaction_counts(
 
 def redaction_counts_udf(redacted_char: str = "■"):
     def _counts(gt: pd.Series, auto: pd.Series, orig: pd.Series) -> pd.DataFrame:
+        # null guard (convention of every masking UDF): a row with a NULL
+        # text contributes zero counts instead of a TypeError that kills
+        # the stage
+        s = lambda v: v if isinstance(v, str) else ""  # noqa: E731 (None/NaN)
         rows = [
-            redaction_counts(g, a, o, redacted_char)
+            redaction_counts(s(g), s(a), s(o), redacted_char)
             for g, a, o in zip(gt, auto, orig)
         ]
         return pd.DataFrame(rows, columns=["tp", "fp", "tn", "fn"])
@@ -148,7 +155,12 @@ def accumulate_redaction_metrics(
 ) -> DataFrame:
     """A3: per-label (or overall) accumulation. macro_* = mean of
     per-report metrics; micro_* = recomputed from summed counts
-    (reference accumulate_metrics, webapp/report_redaction/routes.py:545-655)."""
+    (reference accumulate_metrics, webapp/report_redaction/routes.py:545-655).
+
+    Faithful-port note: macro averages the per-report values AFTER their
+    4dp rounding, because the reference accumulates generate_score_dict
+    outputs, which are already rounded — averaging unrounded values
+    would diverge from it by up to 1 ulp at 4dp."""
     keys = [label_col] if label_col else []
     g = scored.groupBy(*keys) if keys else scored.groupBy()
     sums = g.agg(

@@ -118,13 +118,23 @@ def q_kg_triples(spark, sf_dir):
     toks = F.split("text", " ")
 
     def build(t):
-        w = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
-            lambda j: F.struct(
-                F.element_at(t, j).alias("subj"),
-                F.element_at(t, j + 1).alias("pred"),
-                F.element_at(t, j + 2).alias("obj"),
+        # landmine #3: sequence(1, 0) DESCENDS to [1, 0] and element_at(t, 0)
+        # throws — greatest() alone does NOT protect docs under 3 tokens;
+        # gate the whole window array on size
+        w = F.when(
+            F.size(t) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda j: F.struct(
+                    F.element_at(t, j).alias("subj"),
+                    F.element_at(t, j + 1).alias("pred"),
+                    F.element_at(t, j + 2).alias("obj"),
+                ),
             ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<subj:string,pred:string,obj:string>>"
+            )
         )
         # predicate gate INSIDE the array expr: the generator then emits
         # only matching windows (~5× fewer exploded rows than

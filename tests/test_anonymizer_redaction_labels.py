@@ -254,3 +254,28 @@ def test_pivot_fields_j7(spark):
     assert got["c1"]["name"] == "John" and got["c1"]["age"] == "30"
     assert got["c2"]["age"] is None
     assert got["c3"]["name"] is None and got["c3"]["error"] is True
+
+
+def test_infer_label_types_nulls_dont_fake_duplicates(spark):
+    """A unique-valued column with some NULLs must classify stringmatch:
+    the duplicate test compares distinct values to the NON-NULL count
+    (nulls inflating the row count previously read as 'has duplicates'
+    -> multiclass)."""
+    df = spark.createDataFrame(
+        [("u1",), ("u2",), ("u3",), (None,), (None,)], ["note"]
+    )
+    assert infer_label_types(df, ["note"]) == {"note": "stringmatch"}
+
+
+def test_redaction_counts_null_text_yields_zero_counts(spark):
+    """A NULL gt/auto/orig row contributes zero counts instead of a
+    TypeError that kills the stage."""
+    from llmaix_spark.operators.redaction import score_redactions
+
+    df = spark.createDataFrame(
+        [("a", "ab■d", "ab■d", "abcd"), ("b", None, None, None)],
+        ["id", "gt_text", "auto_text", "orig_text"],
+    )
+    rows = {r["id"]: r for r in score_redactions(df).collect()}
+    assert rows["a"]["tp"] == 1
+    assert (rows["b"]["tp"], rows["b"]["fp"], rows["b"]["tn"], rows["b"]["fn"]) == (0, 0, 0, 0)

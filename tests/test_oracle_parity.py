@@ -81,3 +81,16 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_kg_triples_short_docs_dont_crash(spark, tmp_path):
+    """Docs under 3 tokens must yield zero windows — sequence(1, 0)
+    DESCENDS (landmine #3) and element_at(t, 0) would throw."""
+    from llmaix_spark.plans.queries import q_kg_triples
+
+    spark.createDataFrame(
+        [(1, "lone"), (2, "two tokens"), (3, "join fast table now")],
+        "doc_id bigint, text string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = q_kg_triples(spark, str(tmp_path)).collect()
+    assert all(r["conv_id"] == "3" for r in rows)

@@ -152,9 +152,9 @@ def test_redaction_counts_conserve_positions(chars):
     gt = "".join(chars)
     auto = "".join(reversed(chars)) if chars else ""
     tp, fp, tn, fn = redaction_counts(gt, auto, orig)
-    from llmaix_spark.operators.redaction import NON_SPECIAL
+    from llmaix_spark.operators.redaction import SKIP_CHARS
 
-    countable = sum(1 for c in orig if c not in NON_SPECIAL)
+    countable = sum(1 for c in orig if c not in SKIP_CHARS)
     assert tp + fp + tn + fn == countable
 
 
