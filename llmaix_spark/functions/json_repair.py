@@ -101,12 +101,21 @@ def repaired_content_expr(col: Column) -> Column:
         F.lit("")
     )
     c = F.regexp_replace(c, "[\n\r\\\\]", "")
-    c = F.regexp_replace(c, r",\s*}", "}")
+    # (?U): Java \s is ASCII-only, but the Python twin's re.sub matches
+    # Unicode whitespace (NBSP-padded model output) — the two
+    # implementations must agree on the error flag
+    c = F.regexp_replace(c, r"(?U),\s*}", "}")
     return c
 
 
 def parsed_map_expr(col: Column) -> Column:
-    """J4 as coalesce(from_json(repaired), from_json(null-scrubbed))."""
+    """J4 as coalesce(from_json(repaired), from_json(null-scrubbed)).
+
+    Narrowed contract vs the Python twin's J5: from_json keeps each
+    value's raw JSON token ('true', '1.50'), while repair_and_parse
+    applies Python str() ('True', '1.5'). The stub/extraction grammar
+    emits strings only, where both agree; consumers comparing against
+    the Python harness on boolean/number-valued JSON must normalize."""
     repaired = repaired_content_expr(col)
     first = F.from_json(repaired, "map<string,string>")
     retry_src = F.replace(

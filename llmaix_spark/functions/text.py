@@ -144,7 +144,10 @@ def quote_scrub_expr(col: Column) -> Column:
 
 
 def fuzzy_tokens_expr(col: Column) -> Column:
-    toks = F.regexp_extract_all(col, F.lit(r"\w+"), 0)
+    # (?U): Java \w is ASCII-only (landmine #3) — without the flag
+    # 'Müller' tokenizes as ['M','ller'], diverging from the reference's
+    # Python \b\w+\b (report_redaction/utils.py:429)
+    toks = F.regexp_extract_all(col, F.lit(r"(?U)\w+"), 0)
     return F.filter(
         toks,
         lambda t: (F.length(t) >= 3)

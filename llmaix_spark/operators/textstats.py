@@ -39,7 +39,10 @@ def token_count_bpe(col: Column) -> Column:
     """BPE-ish token count: word pieces + standalone punctuation (the
     pre-tokenizer regex families used by GPT-style BPEs, simplified)."""
     return F.size(
-        F.regexp_extract_all(col, F.lit(r"[A-Za-zÀ-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÿ0-9]"), 0)
+        # letter ranges exclude U+00D7 (×) and U+00F7 (÷) like standard
+        # Latin-1 letter classes, so 'a×b' counts as 3 tokens, not 1;
+        # the SQL oracle (queries.py) carries the identical class
+        F.regexp_extract_all(col, F.lit(r"[A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÖØ-öø-ÿ0-9]"), 0)
     )
 
 

@@ -781,7 +781,7 @@ SQL_TEXTSTATS_TOKENS = r"""
 SELECT doc_id,
        CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
                             x -> length(x) > 0)) AS BIGINT) AS n_tokens_ws,
-       CAST(len(regexp_extract_all(text, '[A-Za-zÀ-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÿ0-9]')) AS BIGINT) AS n_tokens_bpe
+       CAST(len(regexp_extract_all(text, '[A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÖØ-öø-ÿ0-9]')) AS BIGINT) AS n_tokens_bpe
 FROM documents"""
 
 

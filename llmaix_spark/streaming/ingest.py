@@ -46,22 +46,31 @@ def start_triples_stream(
     checkpoint_dir: str,
     cfg: ExtractionConfig | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """transcripts dir → append-only triples_raw parquet.
 
     foreachBatch reuses the exact batch operators (assembly + mapInPandas
     extraction) per micro-batch: each micro-batch must contain whole
     conversations (one file = one conversation shard set), which the
-    file-drop layout guarantees. Checkpointing gives exactly-once file
-    processing across restarts."""
+    file-drop layout guarantees.
+
+    Exactly-once: foreachBatch is only AT-LEAST-once (a crash between the
+    data write and the offset commit replays the batch), so the sink must
+    be idempotent per batch_id — each batch OVERWRITES its own
+    `batch_id=N` partition; a replayed batch rewrites the same partition
+    instead of appending duplicates. Readers load `output_dir` as normal
+    partitioned parquet."""
     cfg = cfg or ExtractionConfig()
-    stream = stream_transcripts(spark, input_dir)
+    stream = stream_transcripts(spark, input_dir, max_files_per_trigger)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         triples, _raw = extract_triples(batch_df, cfg)
-        triples.write.mode("append").parquet(output_dir)
+        triples.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -85,6 +85,31 @@ def sessionize_stateful(
     than `gap_seconds` after the previous one, or when the group times
     out past the watermark."""
 
+    # applyInPandasWithState hands the UDF SESSION-TZ-naive timestamps,
+    # but GroupState event-time timeouts compare against the UTC
+    # watermark — extracting epoch ms without localizing first skews the
+    # timeout by the tz offset (and west of UTC, setTimeoutTimestamp can
+    # land BEFORE the watermark, which kills the query). Capture the tz
+    # at plan time and convert to true UTC epoch inside the UDF.
+    session_tz = events.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
+
+    def _utc_ms(series: pd.Series) -> list[int]:
+        s = pd.to_datetime(series)
+        s = (
+            s.dt.tz_localize(session_tz) if s.dt.tz is None else s
+        ).dt.tz_convert("UTC")
+        return [int(t.value // 1_000_000) for t in s]
+
+    def _ts(ms: int) -> pd.Timestamp:
+        # tz-aware UTC out: Arrow then converts correctly regardless of
+        # the session timezone (a naive Timestamp would be re-read as
+        # session-local, shifting the emitted session bounds)
+        return pd.Timestamp(ms, unit="ms", tz="UTC")
+
+    gap_ms = gap_seconds * 1000
+
     def fn(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
@@ -97,17 +122,15 @@ def sessionize_stateful(
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "session_start": [_ts(start_ms)],
+                    "session_end": [_ts(last_ms)],
                     "n_events": [n],
                 }
             )
             return
         ts_ms: list[int] = []
         for pdf in pdfs:
-            ts_ms.extend(
-                int(t.value // 1_000_000) for t in pd.to_datetime(pdf["ts"])
-            )
+            ts_ms.extend(_utc_ms(pdf["ts"]))
         ts_ms.sort()
         if state.exists:
             start_ms, last_ms, n = state.get
@@ -115,23 +138,32 @@ def sessionize_stateful(
             start_ms, last_ms, n = ts_ms[0], ts_ms[0], 0
         closed = []
         for t in ts_ms:
-            if t - last_ms > gap_seconds * 1000:
+            # cross-batch out-of-order events (late but above the
+            # watermark) may precede the open session: extending must
+            # never move last_ms BACKWARDS (that inverted session bounds
+            # and split sessions whose pairwise gaps were all in range)
+            if t < start_ms:
+                if start_ms - t > gap_ms:
+                    closed.append((t, t, 1))  # too early to merge
+                else:
+                    start_ms = t
+                    n += 1
+            elif t <= last_ms:
+                n += 1  # inside the open window
+            elif t - last_ms > gap_ms:
                 closed.append((start_ms, last_ms, n))
-                start_ms, n = t, 0
-            last_ms = t
-            n += 1
+                start_ms, last_ms, n = t, t, 1
+            else:
+                last_ms = t
+                n += 1
         state.update((start_ms, last_ms, n))
-        state.setTimeoutTimestamp(last_ms + gap_seconds * 1000)
+        state.setTimeoutTimestamp(last_ms + gap_ms)
         if closed:
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(closed),
-                    "session_start": [
-                        pd.Timestamp(s, unit="ms") for s, _e, _n in closed
-                    ],
-                    "session_end": [
-                        pd.Timestamp(e, unit="ms") for _s, e, _n in closed
-                    ],
+                    "session_start": [_ts(s) for s, _e, _n in closed],
+                    "session_end": [_ts(e) for _s, e, _n in closed],
                     "n_events": [n_ for _s, _e, n_ in closed],
                 }
             )

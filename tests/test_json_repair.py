@@ -77,3 +77,27 @@ def test_expr_variant_matches_python(spark):
             # null JSON values: from_json maps null → None
             norm = {k: ("" if v is None or v.strip() in ("", "?") else v) for k, v in got.items()}
             assert norm == py, r["content"]
+
+
+def test_jvm_repair_unicode_whitespace_trailing_comma(spark):
+    """Java \\s is ASCII-only: the ',\\s*}' scrub must also collapse
+    NBSP-padded trailing commas like the Python twin's re.sub does, or
+    the two sides disagree on the error flag."""
+    from pyspark.sql import functions as F
+
+    from llmaix_spark.functions.json_repair import (
+        json_error_expr,
+        repair_and_parse,
+        repaired_content_expr,
+    )
+
+    raw = '{"a": "x", }'
+    d, _rep, err = repair_and_parse(raw)
+    assert not err and d == {"a": "x"}
+    df = spark.createDataFrame([(raw,)], ["content"])
+    [row] = df.select(
+        repaired_content_expr(F.col("content")).alias("r"),
+        json_error_expr(F.col("content")).alias("e"),
+    ).collect()
+    assert row["r"] == '{"a": "x"}'
+    assert row["e"] is False

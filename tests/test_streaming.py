@@ -57,3 +57,25 @@ def test_streaming_incremental_extraction(spark, tmp_path):
         for r in got2.groupBy("conv_id").count().withColumnRenamed("count", "n").collect()
     }
     assert counts == {"c1": 1, "c2": 1, "c3": 1}
+
+
+def test_streaming_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed micro-batch (fresh
+    checkpoint over the same input — the crash-before-offset-commit
+    shape) must OVERWRITE its batch_id partition, not append duplicates."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    _write_batch(os.path.join(in_dir, "batch1.parquet"), ["c1", "c2"])
+
+    q = start_triples_stream(spark, in_dir, out_dir, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    # same input replayed from scratch → same batch_id=0 → same rows
+    q2 = start_triples_stream(spark, in_dir, out_dir, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    counts = {
+        r["conv_id"]: r["n"]
+        for r in got.groupBy("conv_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert counts == {"c1": 1, "c2": 1}

@@ -88,3 +88,72 @@ def test_stateful_sessionizer(spark, tmp_path):
     # only user 1's FIRST session closed (gap exceeded within the batch);
     # the open sessions stay in state until later batches / timeout
     assert (1, 2) in got
+
+
+def test_stateful_sessionizer_out_of_order_within_batch(spark, tmp_path):
+    """A late event that lands between two in-session events must extend
+    the session, not move its end backwards and split it (sessions with
+    end < start were possible before the min/max state transitions)."""
+    from llmaix_spark.streaming.windows import sessionize_stateful, stream_events
+
+    in_dir = str(tmp_path / "ev3")
+    os.makedirs(in_dir)
+    # all pairwise-adjacent gaps < 30 min once sorted, then a 2h jump
+    # closes the session so it is emitted within this batch
+    rows = [
+        (1, T0 + timedelta(minutes=20), 1, "click", 1.0, "{}"),
+        (2, T0, 1, "click", 1.0, "{}"),               # "late" vs event 1
+        (3, T0 + timedelta(minutes=40), 1, "click", 1.0, "{}"),
+        (4, T0 + timedelta(hours=3), 1, "click", 1.0, "{}"),
+    ]
+    _write_events(os.path.join(in_dir, "a.parquet"), rows)
+    out = sessionize_stateful(stream_events(spark, in_dir), gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows_out = spark.sql("select * from sessions_ooo").collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert r["n_events"] == 3
+    assert r["session_end"] >= r["session_start"]
+    assert (r["session_end"] - r["session_start"]).total_seconds() == 2400
+
+
+def test_stateful_sessionizer_non_utc_session_timezone(spark, tmp_path):
+    """Event-time timeouts compare against the UTC watermark; naive
+    session-tz epoch extraction skewed them by the tz offset (and west
+    of UTC could kill the query with 'timeout earlier than watermark')."""
+    from llmaix_spark.streaming.windows import sessionize_stateful, stream_events
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        in_dir = str(tmp_path / "ev4")
+        os.makedirs(in_dir)
+        rows = [
+            (1, T0, 1, "click", 1.0, "{}"),
+            (2, T0 + timedelta(minutes=5), 1, "click", 1.0, "{}"),
+            (3, T0 + timedelta(hours=2), 1, "click", 1.0, "{}"),
+        ]
+        _write_events(os.path.join(in_dir, "a.parquet"), rows)
+        out = sessionize_stateful(stream_events(spark, in_dir), gap_seconds=1800)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sessions_tz")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows_out = spark.sql("select * from sessions_tz").collect()
+        assert len(rows_out) == 1 and rows_out[0]["n_events"] == 2
+        # bounds survive the tz round-trip: 5-minute session
+        delta = rows_out[0]["session_end"] - rows_out[0]["session_start"]
+        assert delta.total_seconds() == 300
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

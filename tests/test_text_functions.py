@@ -140,3 +140,14 @@ def test_first_non_empty(spark):
         tx.first_non_empty_expr(F.array(F.lit(""), F.lit("?"), F.lit("ok"))),
     )
     assert got == "ok"
+
+
+def test_fuzzy_tokens_unicode_words(spark):
+    """Java \\w is ASCII-only (landmine #3): without (?U), 'Müller'
+    tokenizes as ['M','ller'], diverging from the reference's Python
+    \\b\\w+\\b."""
+    from llmaix_spark.functions.text import fuzzy_tokens_expr
+
+    df = spark.createDataFrame([("Anna Müller",)], ["s"])
+    [row] = df.select(fuzzy_tokens_expr(F.col("s")).alias("t")).collect()
+    assert row["t"] == ["Anna", "Müller"]

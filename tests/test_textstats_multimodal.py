@@ -99,3 +99,14 @@ def test_frame_sample_plan(spark):
     assert sorted(got["v1"]) == [0, 1000, 2000, 3000]
     assert got["v2"] == [0]
     assert "i1" not in got
+
+
+def test_bpe_tokens_multiplication_sign_is_punct(spark):
+    """U+00D7/U+00F7 are not letters: 'a×b' is 3 BPE-ish tokens."""
+    from pyspark.sql import functions as F
+
+    from llmaix_spark.operators.textstats import token_count_bpe
+
+    df = spark.createDataFrame([("a×b 3÷4",)], ["text"])
+    [row] = df.select(token_count_bpe(F.col("text")).alias("n")).collect()
+    assert row["n"] == 6
