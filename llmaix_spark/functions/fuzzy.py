@@ -43,7 +43,11 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
-def ratio(a: str, b: str) -> float:
+def ratio(a: str, b: str) -> float | None:
+    # null propagation mirrors the JVM twin (ratio_expr → NULL), instead
+    # of a TypeError from len(None)
+    if a is None or b is None:
+        return None
     if not a and not b:
         return 100.0
     return 100.0 * (1.0 - levenshtein(a, b) / max(len(a), len(b), 1))

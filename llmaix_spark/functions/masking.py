@@ -217,5 +217,10 @@ def masked_report_udf(replacement_char: str = "■", ignore_short: int = 0):
     return F.pandas_udf(_mask, StringType())
 
 
-def masked_col(text: Column, pii: Column, replacement_char: str = "■") -> Column:
-    return masked_report_udf(replacement_char)(text, pii)
+def masked_col(
+    text: Column,
+    pii: Column,
+    replacement_char: str = "■",
+    ignore_short: int = 0,
+) -> Column:
+    return masked_report_udf(replacement_char, ignore_short)(text, pii)

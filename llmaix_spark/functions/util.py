@@ -28,6 +28,14 @@ def merge_metadata_expr(metadata_json: Column, run_metadata: dict) -> Column:
         F.from_json(metadata_json, "map<string,string>"),
         F.from_json(F.lit("{}"), "map<string,string>"),
     )
+    # drop the run's keys from the STORED map first: map_concat throws
+    # DUPLICATED_MAP_KEY (default dedup policy) when re-processing rows
+    # whose metadata already carries a previous run's entry — run keys
+    # win, matching the reference's dict assignment semantics
+    run_keys = F.array(*[F.lit(k) for k in run_metadata])
+    parsed = F.map_filter(
+        parsed, lambda k, _v: ~F.array_contains(run_keys, k)
+    )
     run_map = F.create_map(
         *[x for k, v in run_metadata.items() for x in (F.lit(k), F.lit(str(v)))]
     )

@@ -76,6 +76,7 @@ def anonymize_conversations(
             F.col("conv_text"),
             F.col("personal_info_list"),
             replacement_char,
+            ignore_short_sequences,
         ),
     )
 

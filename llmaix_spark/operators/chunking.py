@@ -26,7 +26,10 @@ def chunk_by_words(
     `words_per_chunk` space-separated words, order-preserving."""
     from llmaix_spark.functions.arrays import bind_array
 
-    toks = F.split(F.col(text_col), " ")
+    # NULL text → one empty chunk, not a silently-vanished document
+    # (posexplode over a NULL array emits zero rows; dropping is
+    # skip_empty's counted job, not an uncounted side effect here)
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     k = words_per_chunk
     chunks = bind_array(
         toks,

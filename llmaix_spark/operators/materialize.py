@@ -60,7 +60,11 @@ def write_stage(
         w = w.partitionBy(*partition_by)
     w.parquet(data_dir)
 
-    back = spark.read.parquet(data_dir)
+    # explicit schema on the read-back: an EMPTY partitioned write emits
+    # only _SUCCESS, and schema inference on it throws
+    # UNABLE_TO_INFER_SCHEMA — a stage that legitimately produces zero
+    # rows must still materialize
+    back = spark.read.schema(df.schema).parquet(data_dir)
     # one cached pass feeds both the lineage write and the manifest count
     lineage = lineage_for(back, stage).persist()
     lineage_dir = os.path.join(d, "lineage")
@@ -93,7 +97,12 @@ def load_if_complete(
             manifest = json.load(f)
         if not manifest.get("complete"):
             return None
-        df = spark.read.parquet(os.path.join(d, "data"))
+        # schema from the manifest: a ZERO-row partitioned stage has no
+        # part files to infer from, but is still a valid complete stage
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(manifest["schema"])
+        df = spark.read.schema(schema).parquet(os.path.join(d, "data"))
         if df.count() != manifest["rows"]:
             return None
         return df
@@ -131,8 +140,25 @@ def write_graph_tables(
                 "edges": f"{table_prefix}.edges",
             }
         except Exception:
+            # the nodes table may have been created before the edges
+            # write failed — drop the partial pair so catalog readers
+            # never see fresh nodes next to stale/absent edges
+            spark = nodes.sparkSession
+            for t in (f"{table_prefix}.nodes", f"{table_prefix}.edges"):
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+                except Exception:
+                    pass
             if out_dir is None:
                 raise
+            import warnings
+
+            warnings.warn(
+                f"catalog write to {table_prefix} failed; partial tables "
+                "dropped, falling back to parquet",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     assert out_dir is not None, "need out_dir without a table catalog"
     write_stage(nodes, out_dir, "nodes")
     write_stage(edges, out_dir, "edges", partition_by=["pred"])
@@ -146,6 +172,11 @@ def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     import glob
 
     dirs = glob.glob(os.path.join(out_dir, "stage=*", "lineage"))
+    if not dirs:
+        # fresh/empty out_dir: empty lineage, not an IndexError
+        return spark.createDataFrame(
+            [], "partition_id int, stage string, output_rows bigint"
+        )
     dfs = [spark.read.parquet(d) for d in dirs]
     out = dfs[0]
     for d in dfs[1:]:

@@ -115,8 +115,12 @@ def frame_sample_plan(
     """Deterministic frame-sampling plan for video rows: pure column
     exprs emitting (media_id, frame_idx, offset_ms) — the work list a
     downstream decode_media-style stage would consume."""
+    # clamp malformed negative durations to 0 BEFORE the floor — a
+    # negative n would make sequence(0, n-1) DESCEND (landmine #3) and
+    # emit frames at negative offsets
+    dur = F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(0))
     n = F.least(
-        F.floor(F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms) + 1,
+        F.floor(dur / every_ms) + 1,
         F.lit(max_frames),
     ).cast("int")
     return (

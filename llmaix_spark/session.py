@@ -62,8 +62,10 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
-        # one shuffle partition per core by default; AQE coalesces down
+        # one shuffle partition per core by default; AQE coalesces down.
+        # local[N,maxFailures] is valid Spark syntax — parse N only.
         n = master.split("[")[-1].rstrip("]") if "[" in master else str(cpus)
+        n = n.split(",")[0].strip()
         shuffle_partitions = cpus if n == "*" else max(int(n), 1)
 
     b = (

@@ -279,3 +279,19 @@ def test_redaction_counts_null_text_yields_zero_counts(spark):
     rows = {r["id"]: r for r in score_redactions(df).collect()}
     assert rows["a"]["tp"] == 1
     assert (rows["b"]["tp"], rows["b"]["fp"], rows["b"]["tn"], rows["b"]["fn"]) == (0, 0, 0, 0)
+
+
+def test_anonymizer_ignore_short_sequences_forwarded(spark):
+    """The short-sequence filter must actually reach the masking UDF."""
+    from llmaix_spark.operators.anonymizer import anonymize_conversations
+
+    t = spark.createDataFrame(
+        [("c1", 0, "Jo Ab met Maximilian Grossmann", None, None)],
+        "conv_id string, turn_idx int, text string, tool string, ts timestamp",
+    )
+    masked = {
+        r["conv_id"]: r["masked_report"]
+        for r in anonymize_conversations(t, ignore_short_sequences=6).collect()
+    }
+    # short PII (<=6 chars) survives; long PII masked
+    assert "Maximilian" not in masked["c1"]

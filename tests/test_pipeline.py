@@ -150,3 +150,26 @@ def test_resume_recovers_from_partial_stage(spark, transcripts, tmp_path):
         for r in r2["edges"].collect()
     )
     assert edges1 == edges2
+
+
+def test_write_stage_empty_partitioned(spark, tmp_path):
+    """A stage that legitimately produces zero rows must materialize (and
+    read back) an empty table, not die on UNABLE_TO_INFER_SCHEMA."""
+    from llmaix_spark.operators.materialize import load_if_complete, write_stage
+
+    empty = spark.createDataFrame([], "subj_id string, pred string, obj_id string")
+    back = write_stage(empty, str(tmp_path), "edges", partition_by=["pred"])
+    assert back.count() == 0
+    assert back.columns == ["subj_id", "obj_id", "pred"] or set(back.columns) == {
+        "subj_id", "pred", "obj_id"
+    }
+    resumed = load_if_complete(spark, str(tmp_path), "edges")
+    assert resumed is not None and resumed.count() == 0
+
+
+def test_read_lineage_empty_dir(spark, tmp_path):
+    from llmaix_spark.operators.materialize import read_lineage
+
+    df = read_lineage(spark, str(tmp_path))
+    assert df.count() == 0
+    assert df.columns == ["partition_id", "stage", "output_rows"]

@@ -61,3 +61,33 @@ def test_read_reports_excel_gated(spark, tmp_path):
     fake.write_bytes(b"PK\x03\x04 not a real xlsx")
     with pt.raises((NotImplementedError, ValueError, Exception)):
         read_reports_excel(spark, str(fake))
+
+
+def test_merge_metadata_overwrites_existing_run_key(spark):
+    """Re-processing rows whose metadata already carries a previous run's
+    entry must OVERWRITE it (reference dict assignment), not throw
+    DUPLICATED_MAP_KEY."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from llmaix_spark.functions.util import merge_metadata_expr
+
+    df = spark.createDataFrame(
+        [('{"llm_processing": "old", "keep": "me"}',)], ["metadata"]
+    )
+    [row] = df.select(
+        merge_metadata_expr(
+            F.col("metadata"), {"llm_processing": "run42"}
+        ).alias("m")
+    ).collect()
+    got = _json.loads(row["m"])
+    assert got == {"keep": "me", "llm_processing": "run42"}
+
+
+def test_ratio_null_propagation():
+    from llmaix_spark.functions.fuzzy import ratio
+
+    assert ratio(None, "x") is None
+    assert ratio("x", None) is None
+    assert ratio("", "") == 100.0
