@@ -46,8 +46,17 @@ BENCH_QUERIES = [
 
 
 def _sf_from_dir(sf_dir: str) -> float:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    return float(m.group(1)) if m else 0.1
+    """Scale factor from the dir name; 0.1 with a WARNING when absent or
+    unparsable (the scaling-proxy fixture is generated at this sf, so a
+    silent default would measure a different scale than the headline)."""
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    if not m:
+        print(
+            f"WARNING: no sf<N> in {sf_dir!r}; scaling proxy uses sf=0.1",
+            file=sys.stderr,
+        )
+        return 0.1
+    return float(m.group(1))
 
 
 def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -108,12 +117,15 @@ def _pipeline_worker(
     # warmup biases the efficiency ratio (2nd run still carries ~25% JIT)
     one_run(0.0)
     raw_edges, raw_wall = one_run(0.0)
-    if not include_raw:
-        raw_edges, raw_wall = 0, 0.0
     if simulate_ms > 0:
         n_edges, wall = one_run(simulate_ms)
     else:
         n_edges, wall = raw_edges, raw_wall
+    if not include_raw:
+        # zero the REPORTED raw block only — after the sim_ms==0 path
+        # has taken its measured numbers from it (zeroing first made
+        # SPARK_GRAFT_SIM_MS=0 report 0 edges in 0.0s → divide by zero)
+        raw_edges, raw_wall = 0, 0.0
     spark.stop()
     print(
         json.dumps(
@@ -121,7 +133,9 @@ def _pipeline_worker(
                 "master": master,
                 "edges": n_edges,
                 "sec": round(wall, 3),
-                "triples_per_sec": round(n_edges / wall, 1),
+                # wall can be 0.0 on the include_raw=False + sim_ms=0
+                # path (raw numbers zeroed, then reused as the result)
+                "triples_per_sec": round(n_edges / wall, 1) if wall else None,
                 "simulate_cost_ms": simulate_ms,
                 "raw": {
                     "edges": raw_edges,
@@ -153,8 +167,15 @@ def pipeline_throughput(
         timeout=1200,
         cwd=REPO,
     )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not lines:
+        # surface the worker's actual failure instead of an IndexError
+        # that discards returncode and stderr
+        raise RuntimeError(
+            f"pipeline worker {master} failed (rc={out.returncode}).\n"
+            f"stderr tail:\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

@@ -175,8 +175,11 @@ def generate_transcripts(sf: float, seed: int = SEED) -> tuple[pd.DataFrame, pd.
 
 def ensure_transcripts(sf: float, out_dir: str, seed: int = SEED) -> str:
     """Write transcripts.parquet + triples_ref.parquet under out_dir/sf{sf}
-    if absent; return the directory path. Cached across runs."""
-    d = os.path.join(out_dir, f"sf{sf}")
+    if absent; return the directory path. Cached across runs; the cache
+    key includes a non-default seed (otherwise a seed-7 request would
+    silently return cached seed-42 data)."""
+    tag = f"sf{sf}" if seed == SEED else f"sf{sf}_seed{seed}"
+    d = os.path.join(out_dir, tag)
     tpath = os.path.join(d, "transcripts.parquet")
     gpath = os.path.join(d, "triples_ref.parquet")
     if os.path.exists(tpath) and os.path.exists(gpath):

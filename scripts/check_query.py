@@ -22,10 +22,15 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from llmaix_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
-    if "--sf" in sys.argv:
-        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        if i + 1 >= len(argv):
+            sys.exit("--sf needs a directory argument")
+        sf_dir = argv[i + 1]
+        del argv[i:i + 2]  # remove flag AND value from the name list
+    args = [a for a in argv if not a.startswith("--")]
     spark = get_spark(app_name="check_query")
     con = duckdb.connect()
     for t in TABLES:
@@ -38,9 +43,20 @@ def main() -> None:
     failed = []
     for name in args:
         t0 = time.time()
-        sdf = queries[name](spark, sf_dir)
-        s_cols = sdf.columns
-        s_rows = [tuple(r) for r in sdf.collect()]
+        # per-query isolation, like preflight: a typo or one failing
+        # query must not hide the rest (or skip spark.stop())
+        if name not in queries:
+            print(f"FAIL {name} — unknown query (not in queries())")
+            failed.append(name)
+            continue
+        try:
+            sdf = queries[name](spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name} err={type(e).__name__}: {e}")
+            failed.append(name)
+            continue
         if name not in oracles:
             print(f"ROWS {name} rows={len(s_rows)} ({time.time()-t0:.1f}s)")
             continue

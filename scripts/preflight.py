@@ -25,12 +25,19 @@ TABLES = [
 
 
 def normalize(rows, columns):
+    import decimal
+
     idx = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
     for row in rows:
         vals = []
         for i in idx:
             v = row[i]
+            # DuckDB may hand back decimal.Decimal where Spark has double
+            # — both must land on the same rounded float or numerically
+            # equal values compare unequal (Decimal('0.3') != 0.3)
+            if isinstance(v, decimal.Decimal):
+                v = float(v)
             if isinstance(v, float):
                 v = "NaN" if math.isnan(v) else round(v, 6) or 0.0
             vals.append(v)
@@ -51,7 +58,9 @@ def main() -> None:
     t0 = time.time()
     edf = entrymod.entry(spark)
     n_entry = edf.count()
-    entry_ok = n_entry >= 0 and len(edf.schema.fields) > 0
+    # the driver handoff requires rows > 0 — a vacuous >= 0 gate would
+    # green-light an entry() the real driver rejects
+    entry_ok = n_entry > 0 and len(edf.schema.fields) > 0
     print(f"entry(): rows={n_entry} schema_ok={entry_ok} "
           f"({time.time() - t0:.1f}s)")
 
