@@ -54,41 +54,252 @@ def expect_exactly_one(
     )
 
 
-_BOOLISH = {"true", "false", "1", "0", "yes", "no", "y", "n", "ja", "nein"}
+# The reference's boolean test (labelannotation/routes.py:685) requires
+# the annotation value set to be EXACTLY one of these case-sensitive
+# pairs. (Its `1 in annotation_values and 0 in annotation_values` int
+# clause can never fire — annotation_values is pre-filtered to str.)
+_BOOL_PAIRS = (
+    frozenset({"True", "False"}),
+    frozenset({"true", "false"}),
+    frozenset({"1", "0"}),
+    frozenset({"yes", "no"}),
+)
+# check_labels' valid-boolean token list (routes.py:722,726), str forms.
+_VALID_BOOL = {"True", "False", "true", "false", "1", "0", "yes", "no"}
+
+
+def _extract_first_non_empty(values: set[str]) -> set[str]:
+    """Driver-side twin of the reference's `extract_first_non_empty_string`
+    (labelannotation/routes.py:581-594), applied to a DISTINCT value set
+    (the transform is per-value, so set-of-transformed == transform-of-set;
+    the reference also DROPS empty strings before parsing). A value that
+    fails to parse aborts — exactly the reference's raise."""
+    import ast
+
+    out = set()
+    for v in values:
+        if v == "":
+            continue
+        try:
+            lst = ast.literal_eval(v)
+        except Exception as e:  # noqa: BLE001 — mirror the reference abort
+            raise ValueError(
+                f"malformed list-valued label cell {v!r} "
+                "(reference labelannotation/routes.py:589 raises here)"
+            ) from e
+        out.add(next((x for x in lst if x != ""), ""))
+    return out
+
+
+def _bounded_distinct_sets(
+    df: DataFrame, cols: list[str], max_classes: int
+) -> dict[str, dict]:
+    """Per-column distinct string values with a HARD driver bound.
+
+    Two passes, both single map-side-combinable aggregates:
+      1. approx_count_distinct + null count + starts-with-'[' flag for
+         every column (constant-size HLL sketches — never OOMs).
+      2. for columns whose sketch reads ≤ 1.5×max_classes, collect
+         `slice(sort_array(collect_set), 1, max_classes+1)` — at most
+         max_classes+1 strings cross to the driver.
+    The final over/under decision is EXACT: a column is "over" iff the
+    sliced set still holds max_classes+1 values (the 1.5× sketch margin
+    only decides who skips pass 2 — HLL's ~2% rsd cannot miss a true
+    ≤max_classes column at a 50% margin). Returns per column:
+      values: set[str] | None   (None ⇔ > max_classes distinct values)
+      n_null: int, any_bracket: bool
+    """
+    if not cols:
+        return {}
+    strcols = {c: F.col(c).cast("string") for c in cols}
+    probe = df.agg(
+        *[F.approx_count_distinct(strcols[c]).alias(f"_d_{c}") for c in cols],
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_n_{c}")
+            for c in cols
+        ],
+        *[
+            F.max(F.startswith(strcols[c], F.lit("["))).alias(f"_b_{c}")
+            for c in cols
+        ],
+    ).collect()[0]
+    small = [c for c in cols if probe[f"_d_{c}"] <= 1.5 * max_classes]
+    sets_row = (
+        df.agg(
+            *[
+                F.slice(
+                    F.sort_array(F.collect_set(strcols[c])),
+                    1,
+                    max_classes + 1,
+                ).alias(c)
+                for c in small
+            ]
+        ).collect()[0]
+        if small
+        else None
+    )
+    out = {}
+    for c in cols:
+        vals = None
+        if c in small:
+            got = list(sets_row[c] or [])
+            if len(got) <= max_classes:
+                vals = set(got)
+        out[c] = {
+            "values": vals,
+            "n_null": int(probe[f"_n_{c}"]),
+            "any_bracket": bool(probe[f"_b_{c}"]),
+        }
+    return out
 
 
 def infer_label_types(
-    joined: DataFrame, label_cols: list[str]
-) -> dict[str, str]:
-    """A6: boolean if the value set is bool-ish; multiclass if the value
-    set is small relative to rows (enumerable classes); else stringmatch
-    (reference labelannotation/routes.py:685-691). One collect_set pass
-    per label, single aggregation."""
-    # collect_set dedupes incrementally (buffer bounded by distinct-value
-    # cardinality — collect_list would buffer one element per ROW); the
-    # duplicate test compares against the NON-NULL count per column, or a
-    # unique-valued column with some nulls would read as "has duplicates"
-    agg = joined.agg(
-        *[
-            F.collect_set(
-                F.lower(F.trim(F.col(c).cast("string")))
-            ).alias(c)
-            for c in label_cols
-        ],
-        *[F.count(F.col(c)).alias(f"_n_{c}") for c in label_cols],
-    ).collect()[0]
-    out = {}
+    llm_output: DataFrame,
+    annotations: DataFrame,
+    label_cols: list[str],
+    max_classes: int = 200,
+    preset: dict[str, str] | None = None,
+) -> dict[str, dict]:
+    """A6: reference-faithful label-type inference
+    (labelannotation/routes.py:679-693), driver-bounded.
+
+    Per label:
+      ignore      — label column absent from the annotation table (:679-683)
+      boolean     — annotation value set is EXACTLY a 2-value T/F pair
+                    (one of True/False, true/false, 1/0, yes/no — :685)
+      multiclass  — set(llm values) == set(annotation values) (:687);
+                    llm values first pass the bracketed-list extraction
+                    when any value starts with '[' (:670-671)
+      preset[c]   — a caller-preselected type survives when neither rule
+                    fires (:689 `elif not label['label_type']`)
+      stringmatch — otherwise
+    Annotation values are the column's non-NULL strings (:684 isinstance
+    filter); NULLs on the LLM side block multiclass (a NaN in the
+    reference's set never equals any annotation string).
+
+    Scale: value sets cross the driver only when the column has ≤
+    max_classes distinct values (see _bounded_distinct_sets); a column
+    over the bound can be neither boolean (needs exactly 2) nor a
+    verified multiclass, so it resolves to preset/stringmatch with
+    label_classes=[] — the one documented divergence from the reference,
+    which materializes every distinct value in driver memory.
+
+    Returns {label: {"label_type": str, "label_classes": [sorted str]}}
+    (label_classes ⇔ the reference's ",".join(set(annotation_values)),
+    sorted here for determinism).
+    """
+    preset = preset or {}
+    present = [c for c in label_cols if c in annotations.columns]
+    ann_info = _bounded_distinct_sets(annotations, present, max_classes)
+    llm_info = _bounded_distinct_sets(
+        llm_output, [c for c in present if c in llm_output.columns], max_classes
+    )
+    out: dict[str, dict] = {}
     for c in label_cols:
-        values = set(agg[c] or [])
-        if values and values <= _BOOLISH:
-            out[c] = "boolean"
-        elif 0 < len(values) < agg[f"_n_{c}"]:
-            # repeated values ⇒ enumerable classes (reference
-            # labelannotation/routes.py:685-691: duplicates ⇒ multiclass)
-            out[c] = "multiclass"
+        if c not in annotations.columns:
+            # reference flashes a warning and marks the label ignored
+            out[c] = {"label_type": "ignore", "label_classes": []}
+            continue
+        ann_vals = ann_info[c]["values"]
+        li = llm_info.get(c)
+        llm_vals = li["values"] if li else None
+        if li and li["any_bracket"] and llm_vals is not None:
+            if li["n_null"] > 0:
+                # reference: literal_eval(nan) raises → request aborts
+                raise ValueError(
+                    f"label {c!r}: NULLs in a list-valued LLM column"
+                )
+            llm_vals = _extract_first_non_empty(llm_vals)
+        llm_comparable = (
+            llm_vals if (li and li["n_null"] == 0) else None
+        )  # a NULL on the llm side ⇒ set equality can never hold
+        if ann_vals is not None and frozenset(ann_vals) in _BOOL_PAIRS:
+            t = "boolean"
+        elif (
+            ann_vals is not None
+            and llm_comparable is not None
+            and llm_comparable == ann_vals
+        ):
+            t = "multiclass"
         else:
-            out[c] = "stringmatch"
+            t = preset.get(c) or "stringmatch"
+        out[c] = {
+            "label_type": t,
+            "label_classes": sorted(ann_vals) if ann_vals is not None else [],
+        }
     return out
+
+
+def check_labels(
+    llm_output: DataFrame,
+    annotations: DataFrame,
+    label_type_mapping: dict[str, dict],
+    max_classes: int = 200,
+) -> list[dict]:
+    """Port of the reference's `check_labels` sanity pass
+    (labelannotation/routes.py:699-736): validates each label's value
+    sets against its selected type BEFORE evaluation, returning one dict
+    per violation ({"label", "issue", "detail"}) instead of UI flashes.
+    Empty list ⇔ all checks pass. Driver transfer bounded exactly as in
+    infer_label_types; an over-bound column reports "too_many_values"
+    for boolean/multiclass (it cannot satisfy either) and skips the
+    set-level checks."""
+    cols = [c for c in label_type_mapping if c in annotations.columns]
+    ann_info = _bounded_distinct_sets(annotations, cols, max_classes)
+    llm_info = _bounded_distinct_sets(
+        llm_output,
+        [c for c in label_type_mapping if c in llm_output.columns],
+        max_classes,
+    )
+    issues: list[dict] = []
+
+    def _issue(label: str, issue: str, detail) -> None:
+        issues.append({"label": label, "issue": issue, "detail": detail})
+
+    for c, spec in label_type_mapping.items():
+        ltype = spec["label_type"]
+        if ltype == "ignore" or c not in annotations.columns:
+            continue
+        ann_vals = ann_info[c]["values"]
+        li = llm_info.get(c)
+        llm_vals = li["values"] if li else None
+        if li and li["any_bracket"] and llm_vals is not None:
+            llm_vals = _extract_first_non_empty(llm_vals)
+        if li and li["n_null"] > 0 and llm_vals is not None:
+            llm_vals = llm_vals | {None}  # reference sets carry NaN
+        if ltype == "multiclass":
+            # routes.py:703-710
+            if llm_vals is None or ann_vals is None or llm_vals != ann_vals:
+                _issue(c, "classes_differ_llm_vs_annotation", None)
+            if ann_vals is None or ann_vals != set(spec["label_classes"]):
+                _issue(c, "classes_differ_annotation_vs_selected", None)
+        elif ltype == "boolean":
+            # routes.py:712-728
+            if (
+                llm_vals is None
+                or ann_vals is None
+                or len(llm_vals) > 2
+                or len(ann_vals) > 2
+            ):
+                _issue(c, "too_many_values", None)
+            bad_llm = sorted(
+                (v for v in (llm_vals or ()) if v not in _VALID_BOOL),
+                key=lambda x: (x is None, x),
+            )
+            if bad_llm:
+                _issue(c, "invalid_llm_values", bad_llm)
+            bad_ann = sorted(
+                v for v in (ann_vals or ()) if v not in _VALID_BOOL
+            )
+            if bad_ann:
+                _issue(c, "invalid_annotation_values", bad_ann)
+        elif ltype == "stringmatch":
+            # routes.py:730-736
+            if llm_vals is not None and "" in llm_vals:
+                _issue(c, "llm_empty_values", None)
+            if ann_vals is not None and "" in ann_vals:
+                _issue(c, "annotation_empty_values", None)
+    return issues
 
 
 def export_pivot(

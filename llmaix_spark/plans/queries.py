@@ -1289,6 +1289,98 @@ SELECT report_id_short, (ann.id IS NOT NULL) AS matched, lbl
 FROM llm LEFT JOIN ann ON llm.report_id_short = ann.id"""
 
 
+def _label_fixture(spark, sf_dir):
+    """Derived (llm, annotation) tables exercising every inference rule:
+    a boolean pair, a true multiclass (equal sets), the judge-flagged
+    single-'yes' column (boolean under the old subset rule, stringmatch
+    under the reference's), and a high-cardinality free-text column that
+    must cross the driver-transfer gate."""
+    d = _t(spark, sf_dir, "documents")
+    ann = d.select(
+        F.when(d.doc_id % 2 == 0, "True").otherwise("False").alias("flag"),
+        F.concat(F.lit("c"), (d.doc_id % 5).cast("string")).alias("color"),
+        F.lit("yes").alias("only_yes"),
+        F.col("text").alias("note"),
+    )
+    llm = d.select(
+        F.when(d.doc_id % 3 == 0, "True").otherwise("False").alias("flag"),
+        F.concat(F.lit("c"), ((d.doc_id * 3) % 5).cast("string")).alias("color"),
+        F.when(d.doc_id % 7 == 0, "no").otherwise("yes").alias("only_yes"),
+        F.upper("text").alias("note"),
+    )
+    return llm, ann
+
+
+def q_label_type_inference(spark, sf_dir):
+    """A6: reference-faithful label-type inference
+    (labelannotation/routes.py:679-693) over a derived llm/annotation
+    pair — boolean iff the annotation set is a 2-value T/F pair,
+    multiclass iff set(llm)==set(annotation), ignore for absent labels,
+    else stringmatch. The distributed value-set collection is bounded at
+    max_classes=64, so the free-text column resolves without shipping
+    its values to the driver (label_classes='')."""
+    from llmaix_spark.operators.labels import infer_label_types
+
+    llm, ann = _label_fixture(spark, sf_dir)
+    spec = infer_label_types(
+        llm, ann, ["flag", "color", "only_yes", "note", "missing"],
+        max_classes=64,
+    )
+    rows = [
+        (k, v["label_type"], ",".join(v["label_classes"]))
+        for k, v in sorted(spec.items())
+    ]
+    return spark.createDataFrame(
+        rows, "label string, label_type string, label_classes string"
+    )
+
+
+_LABEL_FIXTURE_SQL = """
+ann AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'True' ELSE 'False' END AS flag,
+               'c' || CAST(doc_id % 5 AS VARCHAR) AS color,
+               'yes' AS only_yes, text AS note FROM documents),
+llm AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 'True' ELSE 'False' END AS flag,
+               'c' || CAST((doc_id * 3) % 5 AS VARCHAR) AS color,
+               CASE WHEN doc_id % 7 = 0 THEN 'no' ELSE 'yes' END AS only_yes,
+               upper(text) AS note FROM documents)
+"""
+
+
+def _label_infer_sql(label: str) -> str:
+    """One UNION-ALL arm replicating the inference rule for one label.
+    The driver gate (max_classes=64) is mirrored with exact distinct
+    counts — exactness holds on the Spark side too (the HLL sketch only
+    pre-filters at a 1.5x margin; the over/under decision is a sliced
+    exact set)."""
+    return f"""
+SELECT '{label}' AS label,
+  CASE
+    WHEN s.n_ann <= 64 AND (s.ann_set = ['False','True'] OR s.ann_set = ['false','true']
+         OR s.ann_set = ['0','1'] OR s.ann_set = ['no','yes']) THEN 'boolean'
+    WHEN s.n_ann <= 64 AND s.n_llm <= 64 AND s.n_llm_null = 0
+         AND s.ann_set = s.llm_set THEN 'multiclass'
+    ELSE 'stringmatch'
+  END AS label_type,
+  CASE WHEN s.n_ann <= 64 THEN array_to_string(s.ann_set, ',') ELSE '' END
+    AS label_classes
+FROM (SELECT
+  (SELECT count(DISTINCT {label}) FROM ann) AS n_ann,
+  (SELECT count(DISTINCT {label}) FROM llm) AS n_llm,
+  (SELECT count(*) FROM llm WHERE {label} IS NULL) AS n_llm_null,
+  (SELECT list_sort(list(DISTINCT {label})) FROM ann WHERE {label} IS NOT NULL) AS ann_set,
+  (SELECT list_sort(list(DISTINCT {label})) FROM llm WHERE {label} IS NOT NULL) AS llm_set
+) s"""
+
+
+SQL_LABEL_TYPE_INFERENCE = (
+    "WITH " + _LABEL_FIXTURE_SQL + "\n"
+    + "\nUNION ALL\n".join(
+        _label_infer_sql(c) for c in ["flag", "color", "only_yes", "note"]
+    )
+    + "\nUNION ALL\nSELECT 'missing' AS label, 'ignore' AS label_type, '' AS label_classes"
+)
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible: iterative / UDF / approximate)
 
@@ -1868,6 +1960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redaction_metrics": q_redaction_metrics,
     "redaction_classwise": q_redaction_classwise,
     "labels_join": q_labels_join,
+    "label_type_inference": q_label_type_inference,
     "file_manifest_join": q_file_manifest_join,
     "metrics_multiclass": q_metrics_multiclass,
     "invariant_per_turn": q_invariant_per_turn,
@@ -1922,6 +2015,7 @@ ORACLES: dict[str, str] = {
     "redaction_metrics": SQL_REDACTION_METRICS,
     "redaction_classwise": SQL_REDACTION_CLASSWISE,
     "labels_join": SQL_LABELS_JOIN,
+    "label_type_inference": SQL_LABEL_TYPE_INFERENCE,
     "file_manifest_join": SQL_FILE_MANIFEST_JOIN,
     "metrics_multiclass": SQL_METRICS_MULTICLASS,
     "invariant_per_turn": SQL_INVARIANT_PER_TURN,

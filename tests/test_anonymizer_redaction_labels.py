@@ -130,16 +130,138 @@ def test_expect_exactly_one(spark):
     assert [(r["id"], r["n"]) for r in bad.collect()] == [("b", 2)]
 
 
-def test_infer_label_types(spark):
-    df = spark.createDataFrame(
-        [("yes", "red", "free text one"), ("no", "blue", "free text two"),
-         ("yes", "red", "another string"), ("1", "green", "more words here")],
+def _types(spec):
+    return {k: v["label_type"] for k, v in spec.items()}
+
+
+def test_infer_label_types_reference_truth_table(spark):
+    """Pins labelannotation/routes.py:679-693 exactly:
+    boolean ⇔ annotation set is a 2-value T/F pair;
+    multiclass ⇔ set(llm) == set(annotation); else stringmatch."""
+    ann = spark.createDataFrame(
+        [("True", "red", "yes", "txt a"), ("False", "blue", "yes", "txt b"),
+         ("True", "red", "yes", "txt c"), ("False", "green", "yes", "txt d")],
+        "flag string, color string, only_yes string, note string",
+    )
+    llm = spark.createDataFrame(
+        [("True", "green", "yes", "out a"), ("True", "blue", "no", "out b"),
+         ("False", "red", "yes", "out c"), ("False", "red", "yes", "out d")],
+        "flag string, color string, only_yes string, note string",
+    )
+    got = infer_label_types(llm, ann, ["flag", "color", "only_yes", "note", "absent"])
+    assert _types(got) == {
+        "flag": "boolean",        # ann set == {"True","False"}
+        "color": "multiclass",    # set(llm) == set(ann) == {red,blue,green}
+        # the case the old subset-of-boolish rule got wrong: a single
+        # 'yes' is NOT a 2-value pair, and llm {yes,no} != ann {yes}
+        "only_yes": "stringmatch",
+        "note": "stringmatch",
+        "absent": "ignore",       # label missing from the annotation table
+    }
+    assert got["color"]["label_classes"] == ["blue", "green", "red"]
+    assert got["absent"]["label_classes"] == []
+
+
+def test_infer_label_types_case_sensitive_pairs(spark):
+    """The reference pair check is case-sensitive: {'True','false'} is
+    not a pair; {'TRUE','FALSE'} is not a pair; sets of 1 or 3 boolish
+    values are not boolean."""
+    ann = spark.createDataFrame(
+        [("True", "TRUE", "yes", "1"), ("false", "FALSE", "no", "0"),
+         ("True", "TRUE", "maybe", "1")],
+        "mixed string, upper string, triple string, one_zero string",
+    )
+    llm = ann  # set(llm)==set(ann) everywhere → multiclass unless boolean
+    got = _types(infer_label_types(llm, ann, list(ann.columns)))
+    assert got == {
+        "mixed": "multiclass", "upper": "multiclass",
+        "triple": "multiclass", "one_zero": "boolean",
+    }
+
+
+def test_infer_label_types_bracket_extraction_and_preset(spark):
+    """List-valued LLM cells go through extract_first_non_empty_string
+    (routes.py:670-671, :581-594) before the set comparison; a preset
+    type survives when neither rule fires (routes.py:689)."""
+    ann = spark.createDataFrame([("red",), ("blue",)], "color string")
+    llm = spark.createDataFrame(
+        [("['red']",), ("['', 'blue']",), ("",)], "color string"
+    )
+    # extraction: {'red', 'blue'} (the "" llm cell is dropped) == ann set
+    got = infer_label_types(llm, ann, ["color"])
+    assert got["color"]["label_type"] == "multiclass"
+    # malformed list cell → the reference raises mid-request
+    bad = spark.createDataFrame([("['red'",), ("[1,",)], "color string")
+    with pytest.raises(ValueError, match="malformed"):
+        infer_label_types(bad, ann, ["color"])
+    # preset survives only the else-branch
+    llm2 = spark.createDataFrame([("purple",)], "color string")
+    got2 = infer_label_types(llm2, ann, ["color"], preset={"color": "stringmatch"})
+    assert got2["color"]["label_type"] == "stringmatch"
+
+
+def test_infer_label_types_llm_nulls_block_multiclass(spark):
+    """A NaN on the LLM side makes the reference's set comparison fail
+    (nan ∉ annotation strings) → stringmatch, not multiclass."""
+    ann = spark.createDataFrame([("a",), ("b",)], "cls string")
+    llm = spark.createDataFrame([("a",), ("b",), (None,)], "cls string")
+    assert _types(infer_label_types(llm, ann, ["cls"])) == {"cls": "stringmatch"}
+
+
+def test_infer_label_types_driver_bounded(spark):
+    """A high-cardinality column never ships its value set to the driver:
+    > max_classes distinct ⇒ stringmatch with empty label_classes."""
+    ann = spark.range(500).select(
+        F.concat(F.lit("v"), F.col("id")).alias("free"),
+        (F.col("id") % 2 == 0).cast("string").alias("flag"),
+    )
+    got = infer_label_types(ann, ann, ["free", "flag"], max_classes=50)
+    assert got["free"] == {"label_type": "stringmatch", "label_classes": []}
+    assert got["flag"]["label_type"] == "boolean"  # cast bool → true/false
+
+
+def test_check_labels_reference_warning_table(spark):
+    """Mirrors the reference's flash-warning cases
+    (labelannotation/routes.py:699-736)."""
+    from llmaix_spark.operators.labels import check_labels
+
+    ann = spark.createDataFrame(
+        [("True", "red", ""), ("False", "blue", "x"), ("maybe", "red", "y")],
         "flag string, color string, note string",
     )
-    got = infer_label_types(df, ["flag", "color", "note"])
-    assert got["flag"] == "boolean"
-    assert got["color"] == "multiclass"
-    assert got["note"] == "stringmatch"
+    llm = spark.createDataFrame(
+        [("True", "red", "x"), ("False", "green", "y"), ("1", "blue", "z")],
+        "flag string, color string, note string",
+    )
+    mapping = {
+        "flag": {"label_type": "boolean", "label_classes": ["False", "True"]},
+        "color": {"label_type": "multiclass", "label_classes": ["blue", "red"]},
+        "note": {"label_type": "stringmatch", "label_classes": []},
+    }
+    got = check_labels(llm, ann, mapping)
+    by_label = {(i["label"], i["issue"]): i for i in got}
+    # boolean: 3 distinct values on both sides + invalid tokens
+    assert ("flag", "too_many_values") in by_label
+    assert by_label[("flag", "invalid_annotation_values")]["detail"] == ["maybe"]
+    assert ("flag", "invalid_llm_values") not in by_label  # '1' is valid
+    # multiclass: llm {red,green,blue} != ann {red,blue}; ann != selected?
+    assert ("color", "classes_differ_llm_vs_annotation") in by_label
+    assert ("color", "classes_differ_annotation_vs_selected") not in by_label
+    # stringmatch: empty annotation value, no empty llm values
+    assert ("note", "annotation_empty_values") in by_label
+    assert ("note", "llm_empty_values") not in by_label
+
+
+def test_check_labels_clean_pass(spark):
+    from llmaix_spark.operators.labels import check_labels
+
+    ann = spark.createDataFrame([("yes", "a"), ("no", "b")],
+                                "flag string, cls string")
+    mapping = {
+        "flag": {"label_type": "boolean", "label_classes": ["no", "yes"]},
+        "cls": {"label_type": "multiclass", "label_classes": ["a", "b"]},
+    }
+    assert check_labels(ann, ann, mapping) == []
 
 
 def test_export_pivot(spark):
@@ -256,15 +378,18 @@ def test_pivot_fields_j7(spark):
     assert got["c3"]["name"] is None and got["c3"]["error"] is True
 
 
-def test_infer_label_types_nulls_dont_fake_duplicates(spark):
-    """A unique-valued column with some NULLs must classify stringmatch:
-    the duplicate test compares distinct values to the NON-NULL count
-    (nulls inflating the row count previously read as 'has duplicates'
-    -> multiclass)."""
+def test_infer_label_types_ann_nulls_are_dropped(spark):
+    """NULLs in the ANNOTATION column are dropped (the reference keeps
+    only isinstance-str values, routes.py:684): {'True','False',NULL}
+    still reads as the boolean pair."""
     df = spark.createDataFrame(
-        [("u1",), ("u2",), ("u3",), (None,), (None,)], ["note"]
+        [("True",), ("False",), (None,)], ["flag"]
     )
-    assert infer_label_types(df, ["note"]) == {"note": "stringmatch"}
+    got = infer_label_types(df, df, ["flag"])
+    # llm side has a NULL too → multiclass blocked, but boolean is
+    # decided from the annotation set alone
+    assert got["flag"]["label_type"] == "boolean"
+    assert got["flag"]["label_classes"] == ["False", "True"]
 
 
 def test_redaction_counts_null_text_yields_zero_counts(spark):
