@@ -17,7 +17,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-from llmaix_spark.functions.fuzzy import ratio
+from llmaix_spark.functions.fuzzy import qratio, wratio
 from llmaix_spark.functions.json_repair import _is_empty_value
 
 _UMLAUTS = {
@@ -120,12 +120,22 @@ def _meets_split_criteria(substring: str) -> bool:
 
 
 def find_fuzzy_matches(
-    text: str, personal_info_list, threshold: int = 90
-) -> list[tuple[str, float]]:
+    text: str, personal_info_list, threshold: int = 90,
+    scorer: str = "WRatio", limit: int = 5,
+) -> list[tuple[str, int]]:
     """Row-local fuzzy matcher (reference `find_fuzzy_matches`,
     webapp/report_redaction/utils.py:413-437): split each PII item into
     word tokens, keep tokens per the split criteria, score every word of
-    the text, keep (word, score) pairs ≥ threshold, dedupe."""
+    the text with thefuzz WRatio (or QRatio), keep the top-`limit`
+    (word, score) pairs ≥ threshold per probe token — process.extract's
+    default limit=5, ties resolved by word order like heapq.nlargest —
+    and dedupe across probes."""
+    if scorer == "WRatio":
+        score_fn = wratio
+    elif scorer == "QRatio":
+        score_fn = qratio
+    else:  # reference raises the same way (utils.py:414-420)
+        raise ValueError("Invalid scorer. Must be 'QRatio' or 'WRatio'")
     if not text:
         return []
     words = text.split()
@@ -136,10 +146,9 @@ def find_fuzzy_matches(
         for sub in re.findall(r"\w+", str(info)):
             if not _meets_split_criteria(sub):
                 continue
-            for w in words:
-                s = ratio(sub, w)
-                if s >= threshold:
-                    out.add((w, s))
+            scored = [(w, score_fn(sub, w)) for w in words]
+            top = sorted(scored, key=lambda t: -t[1])[:limit]
+            out.update((w, s) for w, s in top if s >= threshold)
     return sorted(out)
 
 

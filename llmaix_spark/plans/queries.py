@@ -574,6 +574,68 @@ FROM part a JOIN part b
 WHERE levenshtein(a.p_name, b.p_name) <= 4"""
 
 
+def q_fuzzy_token_sort(spark, sf_dir):
+    """F6: token-sort composite closing the WRatio reorder gap — same
+    blocking join as fuzzy_part_pairs, but the right surface is
+    word-REVERSED and scored with greatest(plain, token_sort): reordered
+    names pass the 90 gate that plain normalized Levenshtein fails
+    (reference scorer: thefuzz WRatio, report_redaction/utils.py:431).
+    `plain` is kept in the output so the rescue is visible."""
+    from llmaix_spark.functions.fuzzy import ratio_expr, token_sort_ratio_expr
+
+    p = _t(spark, sf_dir, "part")
+    key = F.split("p_name", " ").getItem(0)
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        key.alias("k"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.concat_ws(" ", F.reverse(F.split("p_name", " "))).alias("name_b"),
+        key.alias("k"),
+    )
+    plain = F.round(ratio_expr(F.col("name_a"), F.col("name_b")), 4)
+    tsort = F.round(
+        token_sort_ratio_expr(F.col("name_a"), F.col("name_b"), process=False),
+        4,
+    )
+    return (
+        a.join(b, ["k"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .select(
+            "part_a",
+            "part_b",
+            plain.alias("plain"),
+            tsort.alias("tsort"),
+        )
+        .filter(F.greatest(F.col("plain"), F.col("tsort")) >= 90)
+        .distinct()
+    )
+
+
+SQL_FUZZY_TOKEN_SORT = """
+WITH b AS (
+  SELECT p_partkey AS part_b,
+         array_to_string(list_reverse(string_split(p_name, ' ')), ' ') AS name_b,
+         string_split(p_name, ' ')[1] AS k
+  FROM part),
+scored AS (
+  SELECT DISTINCT a.p_partkey AS part_a, b.part_b,
+    round(100.0 * (1.0 - levenshtein(a.p_name, b.name_b)
+                   / greatest(length(a.p_name), length(b.name_b), 1)), 4) AS plain,
+    round(100.0 * (1.0 - levenshtein(
+            array_to_string(list_sort(string_split(a.p_name, ' ')), ' '),
+            array_to_string(list_sort(string_split(b.name_b, ' ')), ' '))
+          / greatest(length(array_to_string(list_sort(string_split(a.p_name, ' ')), ' ')),
+                     length(array_to_string(list_sort(string_split(b.name_b, ' ')), ' ')),
+                     1)), 4) AS tsort
+  FROM part a JOIN b ON string_split(a.p_name, ' ')[1] = b.k
+   AND a.p_partkey < b.part_b)
+SELECT part_a, part_b, plain, tsort
+FROM scored WHERE greatest(plain, tsort) >= 90"""
+
+
 def q_masking(spark, sf_dir):
     """F3 length-preserving masking, oracled via fixed-word replace (the
     general UDF handles arbitrary case-insensitive PII lists — pytest
@@ -1945,6 +2007,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metrics_boolean": q_metrics_boolean,
     "metrics_stringmatch": q_metrics_stringmatch,
     "fuzzy_part_pairs": q_fuzzy_part_pairs,
+    "fuzzy_token_sort": q_fuzzy_token_sort,
     "masking": q_masking,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2000,6 +2063,7 @@ ORACLES: dict[str, str] = {
     "metrics_boolean": SQL_METRICS_BOOLEAN,
     "metrics_stringmatch": SQL_METRICS_STRINGMATCH,
     "fuzzy_part_pairs": SQL_FUZZY_PART_PAIRS,
+    "fuzzy_token_sort": SQL_FUZZY_TOKEN_SORT,
     "masking": SQL_MASKING,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
