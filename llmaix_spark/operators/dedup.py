@@ -260,21 +260,33 @@ def dedup_groups(
 
     pairs_fn = pairs_fn or minhash_dedup_pairs
     pairs = pairs_fn(docs, threshold, n, id_col=id_col, text_col=text_col)
-    # CC picks the lexicographic min — zero-pad so string order == numeric.
-    # 20 chars holds every int64 including the sign, so no id can be
-    # TRUNCATED (lpad silently truncates overlong input — at 12 chars the
-    # 19-digit stable_hash60 ids would collide). For negative ids the
-    # representative is still deterministic, just not the numeric min.
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+    # CC picks the lexicographic min — encode ids as zero-padded 20-digit
+    # strings of (id + 2^63), computed in DECIMAL(20,0) so the full int64
+    # range round-trips: string order == numeric order for NEGATIVE ids
+    # too (a bare lpad of '-123' can't cast back and the assignment join
+    # silently dropped those docs), and 20 digits hold 2^64-1 so nothing
+    # truncates (lpad silently truncates overlong input — at 12 chars the
+    # 19-digit stable_hash60 ids would collide).
+    off = F.lit("9223372036854775808").cast("decimal(20,0)")  # 2^63
+    pad = lambda c: F.lpad(  # noqa: E731
+        (F.col(c).cast("decimal(20,0)") + off)
+        .cast("decimal(20,0)")
+        .cast("string"),
+        20,
+        "0",
+    )
     edges = pairs.select(
         pad("doc_a").alias("norm_a"), pad("doc_b").alias("norm_b")
     )
     cc = connected_components(edges)
+    unpad = lambda c: (  # noqa: E731
+        F.col(c).cast("decimal(21,0)") - off
+    ).cast("bigint")
     ids = docs.select(F.col(id_col).alias("doc_id"))
     assigned = ids.join(
         cc.select(
-            F.col("norm").cast("bigint").alias("doc_id"),
-            F.col("component").cast("bigint").alias("group_id"),
+            unpad("norm").alias("doc_id"),
+            unpad("component").alias("group_id"),
         ),
         "doc_id",
         "left",
@@ -334,9 +346,24 @@ def simhash_dup_pairs(
     at least one identical band — join on (band_idx, band_val), verify
     with bit_count(xor). Exact w.r.t. the hamming predicate for ANY
     radius (a fixed 4-byte banding is exact only to 3 bits — one flipped
-    bit per byte evades every band), never all-pairs. max_hamming=3
-    reduces to the classic byte banding.
+    bit per byte evades every band). max_hamming=3 reduces to the
+    classic byte banding. A radius ≥ SIMHASH_BITS admits EVERY pair
+    (max hamming over 32 bits is 32), where banding can no longer cover
+    the predicate (a pair differing in all bits shares no band) — that
+    degenerate request short-circuits to the explicit all-pairs join it
+    semantically is.
     """
+    if max_hamming >= SIMHASH_BITS:
+        s = simhash(docs, id_col, text_col)
+        a = s.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+        )
+        b = s.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
+        )
+        every = a.join(b, F.col("doc_a") < F.col("doc_b"))
+        ham_all = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        return every.select("doc_a", "doc_b", ham_all.alias("hamming"))
     n_bands = min(max_hamming + 1, SIMHASH_BITS)
     base_w, extra = divmod(SIMHASH_BITS, n_bands)
     slices = []  # (offset, width): first `extra` bands get one more bit

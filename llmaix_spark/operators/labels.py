@@ -21,17 +21,21 @@ def join_annotations(
     annotations: DataFrame,
     llm_id_col: str = "id",
     ann_id_col: str = "id",
+    broadcast: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """JN1: left join LLM output to annotations on report_id_short with
     an existence indicator. Returns (joined, unmatched) — the reference
     fails the job if unmatched is non-empty (routes.py:803-809); here
-    the caller decides. Annotation tables are small → broadcast."""
+    the caller decides. broadcast=True fits the reference's shape (a
+    hand-curated annotation CSV, small by construction); pass False for
+    a machine-generated ground-truth table that scales with the corpus
+    and AQE will pick the strategy by measured size."""
     left = llm_output.withColumn(
         "report_id_short", report_id_short_expr(F.col(llm_id_col))
     )
     right = annotations.withColumnRenamed(ann_id_col, "_ann_id")
     joined = left.join(
-        F.broadcast(right),
+        F.broadcast(right) if broadcast else right,
         left.report_id_short == F.col("_ann_id"),
         "left",
     ).withColumn("matched", F.col("_ann_id").isNotNull())

@@ -128,23 +128,56 @@ def write_graph_tables(
     """
     targets = {}
     if table_prefix:
+        # stage-and-swap: both tables are written under *_stg names
+        # first, then swapped in only after BOTH writes succeed. A
+        # failed refresh therefore leaves the PREVIOUS consistent
+        # nodes/edges snapshot untouched (writing createOrReplace on the
+        # final names destroyed it before the failure could surface),
+        # and readers never see fresh nodes next to stale edges.
+        spark = nodes.sparkSession
+        stg = {t: f"{table_prefix}.{t}_stg" for t in ("nodes", "edges")}
+        # RENAME targets must not repeat the catalog part
+        # (IDENTIFIER_TOO_MANY_NAME_PARTS) — strip it when the prefix is
+        # catalog-qualified (e.g. "spark_catalog.default" → "default")
+        prefix_nocat = (
+            table_prefix.split(".", 1)[1]
+            if table_prefix.count(".") >= 1
+            else table_prefix
+        )
         try:
-            nodes.writeTo(f"{table_prefix}.nodes").createOrReplace()
+            # drop-then-create instead of createOrReplace: staging names
+            # are ephemeral (no history to preserve) and plain CTAS is
+            # supported by BOTH Iceberg and the V2 session catalog
+            # (which rejects REPLACE TABLE AS SELECT)
+            for t in stg.values():
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            nodes.writeTo(stg["nodes"]).create()
             (
-                edges.writeTo(f"{table_prefix}.edges")
+                edges.writeTo(stg["edges"])
                 .partitionedBy(F.col("pred"))
-                .createOrReplace()
+                .create()
             )
+            for t in ("nodes", "edges"):
+                spark.sql(f"DROP TABLE IF EXISTS {table_prefix}.{t}")
+                spark.sql(
+                    f"ALTER TABLE {stg[t]} RENAME TO {prefix_nocat}.{t}"
+                )
+                try:
+                    # the session catalog moves a managed table's data on
+                    # rename but forgets its PARTITION metadata — recover
+                    # it; Iceberg's rename is pure metadata and rejects
+                    # MSCK, hence best-effort
+                    spark.sql(f"MSCK REPAIR TABLE {table_prefix}.{t}")
+                except Exception:
+                    pass
             return {
                 "nodes": f"{table_prefix}.nodes",
                 "edges": f"{table_prefix}.edges",
             }
         except Exception:
-            # the nodes table may have been created before the edges
-            # write failed — drop the partial pair so catalog readers
-            # never see fresh nodes next to stale/absent edges
-            spark = nodes.sparkSession
-            for t in (f"{table_prefix}.nodes", f"{table_prefix}.edges"):
+            # drop only this invocation's staging leftovers — the last
+            # good snapshot (if any) stays readable
+            for t in stg.values():
                 try:
                     spark.sql(f"DROP TABLE IF EXISTS {t}")
                 except Exception:
@@ -154,8 +187,9 @@ def write_graph_tables(
             import warnings
 
             warnings.warn(
-                f"catalog write to {table_prefix} failed; partial tables "
-                "dropped, falling back to parquet",
+                f"catalog write to {table_prefix} failed; staging tables "
+                "dropped, last good snapshot preserved, falling back to "
+                "parquet",
                 RuntimeWarning,
                 stacklevel=2,
             )

@@ -324,3 +324,15 @@ class ServerManager:
             shutdown_server(self.proc, self.cfg.shutdown_timeout)
             self.proc = None
             self.current_model = None
+        # release the FINAL startup-log capture too — _replace_server_log
+        # only cleans the previous one on the next launch, so without
+        # this a stopped manager leaks one fd + /tmp file for its
+        # lifetime
+        log = self._server_log
+        self._server_log = None
+        if log is not None:
+            try:
+                log.close()
+                os.unlink(log.name)
+            except OSError:
+                pass

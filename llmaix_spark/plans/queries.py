@@ -235,12 +235,16 @@ GROUP BY l_returnflag, l_linestatus"""
 
 
 def q_join_top_orders(spark, sf_dir):
+    # no broadcast hint: a forced broadcast of the segment slice is fine
+    # at sf0.1 but overrides AQE's size check — at 100x the slice is GBs
+    # and the hint turns a safe SMJ into an executor OOM. AQE broadcasts
+    # it when (and only when) it fits (round-2 verdict, scale hazard #2).
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        F.broadcast(c)
+        c
         .join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey")

@@ -1,0 +1,80 @@
+"""Catalog stage-and-swap semantics for write_graph_tables (S9).
+
+The V2 session catalog (spark_catalog) supports CTAS + partitionedBy +
+RENAME, so the real catalog path — not just the parquet fallback — is
+exercised here: both tables land under *_stg names and swap in only
+after BOTH writes succeed, so a failed refresh preserves the previous
+consistent snapshot (round-2 advice: createOrReplace on the final names
+destroyed it before the failure surfaced).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from llmaix_spark.operators.materialize import write_graph_tables
+
+PREFIX = "spark_catalog.default"
+
+
+@pytest.fixture()
+def clean_tables(spark):
+    names = [f"{PREFIX}.{t}{s}" for t in ("nodes", "edges")
+             for s in ("", "_stg")]
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    yield
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def _graph(spark, n, tag):
+    nodes = spark.range(n).select(
+        F.col("id").alias("node_id"), F.lit(tag).alias("canonical")
+    )
+    edges = spark.range(n * 2).select(
+        F.col("id").alias("subj_id"),
+        (F.col("id") + 1).alias("obj_id"),
+        F.when(F.col("id") % 2 == 0, "joins").otherwise("merges").alias("pred"),
+    )
+    return nodes, edges
+
+
+def test_catalog_write_and_swap(spark, clean_tables):
+    nodes, edges = _graph(spark, 5, "v1")
+    targets = write_graph_tables(nodes, edges, table_prefix=PREFIX)
+    assert targets == {"nodes": f"{PREFIX}.nodes", "edges": f"{PREFIX}.edges"}
+    assert spark.table(f"{PREFIX}.nodes").count() == 5
+    assert spark.table(f"{PREFIX}.edges").count() == 10
+    # no staging leftovers after a successful swap
+    stg = {t.name for t in spark.catalog.listTables("default")}
+    assert "nodes_stg" not in stg and "edges_stg" not in stg
+    # a second refresh replaces the snapshot atomically
+    nodes2, edges2 = _graph(spark, 7, "v2")
+    write_graph_tables(nodes2, edges2, table_prefix=PREFIX)
+    assert spark.table(f"{PREFIX}.nodes").count() == 7
+    assert spark.table(f"{PREFIX}.nodes").first()["canonical"] == "v2"
+
+
+def test_failed_refresh_preserves_last_snapshot(spark, clean_tables):
+    nodes, edges = _graph(spark, 5, "v1")
+    write_graph_tables(nodes, edges, table_prefix=PREFIX)
+    # a refresh whose EDGES write fails mid-flight (after nodes_stg
+    # succeeded) must leave the v1 snapshot fully readable
+    nodes2, _ = _graph(spark, 9, "v2")
+    bad_edges = spark.range(4).select(
+        F.col("id").alias("subj_id"),
+        F.col("id").alias("obj_id"),
+        F.raise_error(F.lit("simulated write failure")).cast("string").alias("pred"),
+    )
+    with pytest.raises(Exception, match="simulated write failure"):
+        write_graph_tables(nodes2, bad_edges, table_prefix=PREFIX)
+    assert spark.table(f"{PREFIX}.nodes").count() == 5
+    assert spark.table(f"{PREFIX}.nodes").first()["canonical"] == "v1"
+    assert spark.table(f"{PREFIX}.edges").count() == 10
+    # staging leftovers from the failed run are gone
+    stg = {t.name for t in spark.catalog.listTables("default")}
+    assert "nodes_stg" not in stg and "edges_stg" not in stg
+    # and a subsequent good refresh still swaps in cleanly
+    nodes3, edges3 = _graph(spark, 3, "v3")
+    write_graph_tables(nodes3, edges3, table_prefix=PREFIX)
+    assert spark.table(f"{PREFIX}.nodes").count() == 3

@@ -241,6 +241,43 @@ def test_simhash_adaptive_banding_exact_at_large_radius(spark):
     assert banded == brute and len(brute) > 0
 
 
+def test_simhash_radius_at_bit_width_is_all_pairs(spark):
+    """max_hamming >= SIMHASH_BITS admits every pair, but banding cannot
+    cover that predicate (a pair differing in all 32 bits shares no
+    band) — the degenerate radius must short-circuit to all-pairs so the
+    'exact for ANY radius' contract actually holds (round-2 advice)."""
+    docs = spark.createDataFrame(
+        [(i, f"totally distinct text number {i} {'x' * i}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    got = dd.simhash_dup_pairs(docs, max_hamming=dd.SIMHASH_BITS).collect()
+    assert len(got) == 6 * 5 // 2
+    assert all(0 <= r["hamming"] <= dd.SIMHASH_BITS for r in got)
+
+
+def test_dedup_groups_negative_ids(spark):
+    """Negative doc ids must round-trip the CC's string encoding: the
+    representative is the NUMERIC min of the component and no assignment
+    is dropped (a bare zero-lpad of '-123' failed the bigint cast-back
+    and silently made every negative doc its own group)."""
+    docs = spark.createDataFrame(
+        [(-7, "alpha beta gamma delta epsilon"),
+         (-3, "alpha beta gamma delta epsilon"),
+         (5, "alpha beta gamma delta epsilon"),
+         (9, "completely different words entirely here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["group_id"], r["keep"])
+        for r in dd.dedup_groups(
+            docs, 0.5, pairs_fn=dd.ngram_jaccard_pairs
+        ).collect()
+    }
+    assert got == {
+        -7: (-7, True), -3: (-7, False), 5: (-7, False), 9: (9, True),
+    }
+
+
 def test_cosine_zero_vector_yields_null_not_crash(spark):
     """A zero-magnitude embedding must drop out of cosine paths as NULL,
     not abort the job with DIVIDE_BY_ZERO under ANSI mode."""

@@ -160,6 +160,22 @@ def test_read_server_log_empty_without_log():
     assert ServerManager(ServerConfig()).read_server_log() == ""
 
 
+def test_stop_unlinks_final_server_log():
+    """stop() must release the LAST log capture — _replace_server_log
+    only cleans the previous one on the next launch, so a stopped
+    manager used to leak one fd + /tmp file (round-2 advice)."""
+    import os
+
+    m = ServerManager(ServerConfig())
+    m._replace_server_log()
+    path = m._server_log.name
+    assert os.path.exists(path)
+    m.stop()
+    assert m._server_log is None
+    assert not os.path.exists(path)
+    m.stop()  # idempotent
+
+
 # --- shutdown escalation -------------------------------------------------------
 
 
