@@ -142,7 +142,15 @@ def doc_minhash_signatures(
         if shingles is not None
         else word_shingles(docs, n, id_col, text_col)
     )
-    h = stable_hash60_expr(F.col("shingle")) % F.lit(_P)
+    # accept either a (doc_id, shingle) string table or a pre-hashed
+    # (doc_id, sh_h) table — the signature scheme is identical (sh_h IS
+    # stable_hash60(shingle), the value this expression consumes)
+    base = (
+        F.col("sh_h")
+        if "sh_h" in sh.columns
+        else stable_hash60_expr(F.col("shingle"))
+    )
+    h = base % F.lit(_P)
     hashed = sh.select(
         "doc_id",
         *[
@@ -179,8 +187,21 @@ def minhash_dedup_pairs(
     # released by the ContextCleaner when the returned DataFrame goes out
     # of scope, so repeated calls don't leak caches (a bare persist() here
     # outlives every call — CLAUDE.md landmine #1).
-    sh_cached = word_shingles(docs, n, id_col, text_col).localCheckpoint(
-        eager=False
+    #
+    # The table carries the 8-byte shingle HASH, not the string: the
+    # per-doc dedup shuffle and the verification join both key on sh_h,
+    # cutting exchange bytes ~5× vs ~40-char shingle strings (round-2
+    # verdict item 6). Signatures are unchanged (they always consumed
+    # stable_hash60(shingle)); n_common/jaccard are exact modulo 60-bit
+    # hash collisions inside a candidate pair (~1e-13 per doc — and a
+    # collision can only LOWER a jaccard, never create a false pair).
+    sh_cached = (
+        word_shingles(docs, n, id_col, text_col, distinct=False)
+        .select(
+            "doc_id", stable_hash60_expr(F.col("shingle")).alias("sh_h")
+        )
+        .dropDuplicates(["doc_id", "sh_h"])
+        .localCheckpoint(eager=False)
     )
     sigs = doc_minhash_signatures(docs, n, id_col, text_col, shingles=sh_cached)
     banded = sigs.select(
@@ -214,13 +235,14 @@ def minhash_dedup_pairs(
         )
         .distinct()
     )
-    # exact verify: jaccard of the candidate pairs only
+    # exact verify: jaccard of the candidate pairs only, joined on the
+    # 8-byte hash key
     cnt = sh_cached.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh_cached.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
-    sb = sh_cached.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    sa = sh_cached.select(F.col("doc_id").alias("doc_a"), F.col("sh_h"))
+    sb = sh_cached.select(F.col("doc_id").alias("doc_b"), F.col("sh_h"))
     common = (
         cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        .join(sb, ["doc_b", "sh_h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

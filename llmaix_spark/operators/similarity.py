@@ -139,6 +139,13 @@ def kmeans_centroids(
     )
 
 
+# inlined-literal assignment cap: above k×dim floats the plan ITSELF
+# becomes the bottleneck (k=4096, dim=1024 → a ~100 MB plan shipped to
+# every task); past it the centroid matrix travels as a broadcast numpy
+# array inside an Arrow-batched pandas UDF instead (round-2 verdict #3).
+LITERAL_ASSIGN_MAX = 16384
+
+
 def assign_buckets(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -146,6 +153,7 @@ def assign_buckets(
     vec_col: str = "embedding",
     round_dp: int = 4,
     centroids: DataFrame | None = None,
+    literal_max: int = LITERAL_ASSIGN_MAX,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF bucket assignment. Default centroids = the n_centroids
     lowest-id vectors (reproducible without a fit — and exactly what the
@@ -179,6 +187,59 @@ def assign_buckets(
         (int(r["centroid_id"]), [float(x) for x in r["centv"]])
         for r in centroids.collect()
     )
+    n_floats = sum(len(vec) for _, vec in cent_rows)
+    if n_floats > literal_max:
+        # big-k path: same semantics (rounded cosine, first-max = lowest
+        # centroid_id tiebreak, NULL bucket for zero vectors), but the
+        # centroid matrix rides a broadcast variable into a vectorized
+        # pandas UDF — still a NARROW plan (no join, no shuffle), and
+        # the plan tree stays O(1) regardless of k×dim. The only
+        # divergence is numpy's pairwise float summation vs the literal
+        # path's sequential fold, visible only on exact round_dp
+        # boundaries.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import LongType
+
+        cent_mat = np.asarray([vec for _, vec in cent_rows], dtype=np.float64)
+        cent_ids_arr = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
+        cent_norms = np.linalg.norm(cent_mat, axis=1)
+        bc = embeddings.sparkSession.sparkContext.broadcast(
+            (cent_mat, cent_ids_arr, cent_norms)
+        )
+
+        # no type hints: `from __future__ import annotations` stringifies
+        # them and the locally-imported pd alias can't be resolved by
+        # the eval-type inferencer — pass the SCALAR eval type explicitly
+        def _nearest_fn(v):
+            mat, ids, cnorms = bc.value
+            out = []
+            for vec in v:
+                if vec is None:
+                    out.append(None)
+                    continue
+                x = np.asarray(vec, dtype=np.float64)
+                nx = np.linalg.norm(x)
+                denom = nx * cnorms
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, (mat @ x) / denom, np.nan)
+                cos = np.round(cos, round_dp)
+                if np.all(np.isnan(cos)):
+                    out.append(None)  # zero vector: no bucket (cosine NULL)
+                else:
+                    out.append(int(ids[int(np.nanargmax(cos))]))
+            return pd.Series(out, dtype="object")
+
+        from pyspark.sql.functions import PandasUDFType
+
+        _nearest = F.pandas_udf(
+            _nearest_fn, LongType(), PandasUDFType.SCALAR
+        )
+
+        bucketed = embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+        ).select("vec_id", "v", _nearest(F.col("v")).alias("bucket"))
+        return bucketed, centroids
     cent_ids = F.array(*[F.lit(cid) for cid, _ in cent_rows])
     cent_arr = F.array(
         *[F.array(*[F.lit(x) for x in vec]) for _, vec in cent_rows]

@@ -1676,6 +1676,140 @@ ranked AS (
 SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 10"""
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall gate for the FITTED IVF path (round-2 verdict item 4):
+    recall@10 of ivf_topk with kmeans_centroids(k=16, 2 Lloyd
+    iterations, nprobe=4) against the exact brute-force top-10, as a
+    1-row value-oracled result. The whole chain — deterministic k-means
+    init (lowest-id vectors), per-iteration rounded-cosine assignment
+    (6dp, lowest-centroid tiebreak), spherical re-normalization, float32
+    truncation of the final centroids, 4dp probing/ranking — is
+    replicated in the DuckDB oracle, so the measured recall is
+    cross-engine checked, not just asserted in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(emb, k=16, iterations=2)
+    ivf = sim.ivf_topk(
+        emb, [0, 1, 2, 3, 4], k=10, n_centroids=16, nprobe=4,
+        round_dp=4, centroids=cents,
+    )
+    exact = sim.cosine_topk(emb, [0, 1, 2, 3, 4], k=10, round_dp=4)
+    joined = exact.select("query_id", "vec_id").join(
+        ivf.select("query_id", "vec_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_exact"), F.count("_hit").alias("n_hit")
+    )
+    recall = F.round(F.col("n_hit") / F.col("n_exact"), 4)
+    return agg.select(
+        "n_exact",
+        "n_hit",
+        recall.alias("recall"),
+        (recall >= 0.8).alias("recall_ok"),
+    )
+
+
+def _kmeans_sql(k: int = 16, iters: int = 2) -> str:
+    """Unrolled Lloyd iterations replicating kmeans_centroids exactly:
+    init = k lowest-id vectors (cid = rank order); assignment = argmax
+    of round(cosine, 6) with first-max (lowest-cid) tiebreak, zero
+    vectors (NULL cosine) unassigned; new centroid = L2-normalized
+    per-dimension mean, empty clusters keep the previous centroid;
+    doubles throughout the iterations (Spark truncates to float32 only
+    in the final createDataFrame — mirrored by the consumer)."""
+    parts = [
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         CAST(embedding AS DOUBLE[]) AS centv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for t in range(iters):
+        prev, cur = f"c{t}", f"c{t + 1}"
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+           round(list_cosine_similarity(c.centv, e.embedding), 6) AS cos,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(c.centv, e.embedding), 6)
+                        DESC NULLS LAST,
+                      c.cid) AS rnk
+    FROM embeddings e CROSS JOIN {prev} c)
+  WHERE rnk = 1 AND cos IS NOT NULL),
+m{t} AS (
+  SELECT cid, list(av ORDER BY d) AS mv FROM (
+    SELECT cid, d, avg(val) AS av FROM (
+      SELECT cid, generate_subscripts(v, 1) AS d, unnest(v) AS val FROM a{t})
+    GROUP BY cid, d)
+  GROUP BY cid),
+n{t} AS (
+  SELECT cid, list_transform(
+           mv, x -> CASE WHEN nrm = 0 THEN x ELSE x / nrm END) AS centv
+  FROM (SELECT cid, mv,
+               sqrt(list_sum(list_transform(mv, x -> x * x))) AS nrm
+        FROM m{t})),
+{cur} AS (
+  SELECT p.cid, COALESCE(n.centv, p.centv) AS centv
+  FROM {prev} p LEFT JOIN n{t} n ON p.cid = n.cid)""")
+    return ",\n".join(parts)
+
+
+SQL_ANN_RECALL = f"""
+WITH {_kmeans_sql(16, 2)},
+centf AS (
+  SELECT cid AS centroid_id,
+         list_transform(centv, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS centv
+  FROM c2),
+assigned AS (
+  SELECT vec_id, v, bucket FROM (
+    SELECT e.vec_id, e.embedding AS v, c.centroid_id AS bucket,
+           round(list_cosine_similarity(c.centv, e.embedding), 4) AS cos,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(c.centv, e.embedding), 4)
+                        DESC NULLS LAST,
+                      c.centroid_id) AS rnk
+    FROM embeddings e CROSS JOIN centf c)
+  WHERE rnk = 1 AND cos IS NOT NULL),
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+probes AS (
+  SELECT query_id, qv, bucket FROM (
+    SELECT q.query_id, q.qv, c.centroid_id AS bucket,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.centv), 4) DESC
+                        NULLS LAST,
+                      c.centroid_id) AS rnk
+    FROM q CROSS JOIN centf c)
+  WHERE rnk <= 4),
+ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY round(list_cosine_similarity(p.qv, a.v), 4) DESC,
+                      a.vec_id) AS rank
+    FROM probes p JOIN assigned a ON a.bucket = p.bucket
+    WHERE a.vec_id != p.query_id)
+  WHERE rank <= 10),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, e.embedding), 4)
+                        DESC,
+                      e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id)
+  WHERE rank <= 10),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(count(i.vec_id) AS BIGINT) AS n_hit
+  FROM exact e LEFT JOIN ivf i
+    ON e.query_id = i.query_id AND e.vec_id = i.vec_id)
+SELECT n_exact, n_hit,
+       round(n_hit * 1.0 / n_exact, 4) AS recall,
+       (round(n_hit * 1.0 / n_exact, 4) >= 0.8) AS recall_ok
+FROM agg"""
+
+
 def _media_table(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -2040,6 +2174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_canonical_triples": q_kg_canonical_triples,
     "kg_pipeline_nodes": q_kg_pipeline_nodes,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_recall": q_ann_recall,
     "multimodal_decode": q_multimodal_decode,
     "extraction_stub": q_extraction_stub,
     "extraction_variables": q_extraction_variables,
@@ -2098,6 +2233,7 @@ ORACLES: dict[str, str] = {
     "extraction_variables": SQL_EXTRACTION_VARIABLES,
     "anonymizer_conversations": SQL_ANONYMIZER,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_recall": SQL_ANN_RECALL,
     "pdf_roundtrip": SQL_PDF_ROUNDTRIP,
     "pdf_redaction": SQL_PDF_REDACTION,
 }

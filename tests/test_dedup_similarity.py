@@ -241,6 +241,19 @@ def test_simhash_adaptive_banding_exact_at_large_radius(spark):
     assert banded == brute and len(brute) > 0
 
 
+def test_assign_buckets_broadcast_path_matches_literal(emb):
+    """Above the k×dim literal cap the centroid matrix must ride a
+    broadcast variable into a vectorized pandas UDF instead of being
+    inlined into the plan (a k=4096×dim=1024 literal plan is ~100 MB).
+    Same assignment either way: rounded cosine, lowest-centroid-id
+    tiebreak, NULL bucket for zero vectors."""
+    lit, _ = sim.assign_buckets(emb, n_centroids=8)
+    big, _ = sim.assign_buckets(emb, n_centroids=8, literal_max=1)
+    a = {r["vec_id"]: r["bucket"] for r in lit.collect()}
+    b = {r["vec_id"]: r["bucket"] for r in big.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_simhash_radius_at_bit_width_is_all_pairs(spark):
     """max_hamming >= SIMHASH_BITS admits every pair, but banding cannot
     cover that predicate (a pair differing in all 32 bits shares no
