@@ -59,32 +59,111 @@ def cosine_topk(
     )
 
 
+# inlined-literal assignment cap: above k×dim floats the plan ITSELF
+# becomes the bottleneck (k=4096, dim=1024 → a ~100 MB plan shipped to
+# every task); past it the centroid matrix travels as a broadcast numpy
+# array inside an Arrow-batched pandas UDF instead (round-2 verdict #3).
+LITERAL_ASSIGN_MAX = 16384
+
+
+def _nearest_centroid_col(
+    df: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    vcol,
+    round_dp: int,
+    literal_max: int = LITERAL_ASSIGN_MAX,
+):
+    """Column mapping a vector column to its nearest centroid id:
+    rounded cosine, first-max (= lowest centroid id, cent_rows sorted)
+    tiebreak, NULL for zero vectors (NULL cosine to every centroid).
+
+    Both strategies are NARROW (no join, no window, zero shuffle):
+    below `literal_max` total floats the centroids are inlined as a
+    literal array with a per-row argmax; above it the matrix rides a
+    broadcast variable into a vectorized pandas UDF, keeping the plan
+    tree O(1) regardless of k×dim. The only cross-path divergence is
+    numpy's pairwise float summation vs the sequential fold, visible
+    only on exact round_dp boundaries (path-parity pinned in tests).
+    Shared by `assign_buckets` and every `kmeans_centroids` iteration.
+    """
+    from llmaix_spark.functions.arrays import bind_array
+
+    n_floats = sum(len(vec) for _, vec in cent_rows)
+    if n_floats <= literal_max:
+        cent_ids = F.array(*[F.lit(int(cid)) for cid, _ in cent_rows])
+        cent_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in cent_rows]
+        )
+        cos = F.transform(
+            cent_arr, lambda c: F.round(cosine_expr(c, vcol), round_dp)
+        )
+        pos = bind_array(
+            cos, lambda c: F.array_position(c, F.array_max(c))
+        ).cast("int")
+        return F.element_at(cent_ids, pos).cast("bigint")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    cent_mat = np.asarray([vec for _, vec in cent_rows], dtype=np.float64)
+    cent_ids_arr = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
+    cent_norms = np.linalg.norm(cent_mat, axis=1)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (cent_mat, cent_ids_arr, cent_norms)
+    )
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and the locally-imported pd alias can't be resolved by the
+    # eval-type inferencer — pass the SCALAR eval type explicitly
+    def _nearest_fn(v):
+        mat, ids, cnorms = bc.value
+        out = []
+        for vec in v:
+            if vec is None:
+                out.append(None)
+                continue
+            x = np.asarray(vec, dtype=np.float64)
+            nx = np.linalg.norm(x)
+            denom = nx * cnorms
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, (mat @ x) / denom, np.nan)
+            cos = np.round(cos, round_dp)
+            if np.all(np.isnan(cos)):
+                out.append(None)  # zero vector: no bucket (cosine NULL)
+            else:
+                out.append(int(ids[int(np.nanargmax(cos))]))
+        return pd.Series(out, dtype="object")
+
+    from pyspark.sql.functions import PandasUDFType
+
+    _nearest = F.pandas_udf(_nearest_fn, LongType(), PandasUDFType.SCALAR)
+    return _nearest(vcol)
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 16,
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    literal_max: int = LITERAL_ASSIGN_MAX,
 ) -> DataFrame:
     """Deterministic spherical k-means fit for IVF centroids.
 
     Init = the k lowest-id vectors (reproducible, no RNG); each Lloyd
-    iteration is ONE job with ONE shuffle: the k centroids are inlined as
-    a literal array expression, so the nearest-centroid assignment is a
-    pure per-row expression (argmax over k cosines via
-    array_position(array_max) — first max wins, i.e. lowest centroid id
-    tiebreak, bound once with bind_array), and the per-cluster
-    elementwise mean reduces through `dim` map-side-combinable avg()
-    aggregates — pure codegen, no Python, no window. The k×dim result is
-    collected back per iteration (k·dim floats of driver traffic). Empty
-    clusters keep their previous centroid. Means are L2-normalized
+    iteration is ONE job with ONE shuffle: the nearest-centroid
+    assignment is a narrow per-row expression (_nearest_centroid_col —
+    literal argmax or broadcast-UDF above the plan-size cap), and the
+    per-cluster elementwise mean reduces through `dim`
+    map-side-combinable avg() aggregates — no window. The k×dim result
+    is collected back per iteration (k·dim floats of driver traffic).
+    Empty clusters keep their previous centroid. Means are L2-normalized
     (spherical k-means — the right objective for cosine assignment).
 
     Returns centroids(centroid_id, centv) — feed to `assign_buckets`.
     """
     import math
-
-    from llmaix_spark.functions.arrays import bind_array
 
     dim = len(
         embeddings.select(F.col(vec_col).alias("v")).limit(1).collect()[0]["v"]
@@ -100,19 +179,9 @@ def kmeans_centroids(
     ]
     corpus = embeddings.select(F.col(vec_col).alias("v"))
     for _ in range(iterations):
-        cent_arr = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in vec])
-                for _cid, vec in cents
-            ]
+        bucket = _nearest_centroid_col(
+            corpus, cents, F.col("v"), round_dp=6, literal_max=literal_max
         )
-        cos = F.transform(
-            cent_arr, lambda c: F.round(cosine_expr(c, F.col("v")), 6)
-        )
-        bucket = (
-            bind_array(cos, lambda c: F.array_position(c, F.array_max(c)))
-            - 1
-        ).cast("int")
         means = (
             corpus.select(bucket.alias("centroid_id"), "v")
             # zero-magnitude vectors have NULL cosine to every centroid
@@ -132,18 +201,11 @@ def kmeans_centroids(
         for r in means:
             vec = [r[f"m{d}"] for d in range(dim)]
             norm = math.sqrt(sum(x * x for x in vec)) or 1.0
-            new[r["centroid_id"]] = [x / norm for x in vec]
+            new[int(r["centroid_id"])] = [x / norm for x in vec]
         cents = sorted(new.items())
     return embeddings.sparkSession.createDataFrame(
         cents, "centroid_id int, centv array<float>"
     )
-
-
-# inlined-literal assignment cap: above k×dim floats the plan ITSELF
-# becomes the bottleneck (k=4096, dim=1024 → a ~100 MB plan shipped to
-# every task); past it the centroid matrix travels as a broadcast numpy
-# array inside an Arrow-batched pandas UDF instead (round-2 verdict #3).
-LITERAL_ASSIGN_MAX = 16384
 
 
 def assign_buckets(

@@ -254,6 +254,17 @@ def test_assign_buckets_broadcast_path_matches_literal(emb):
     assert a == b and len(a) > 0
 
 
+def test_kmeans_broadcast_path_matches_literal(emb):
+    """kmeans_centroids inlines k×dim literals per Lloyd iteration; the
+    same plan-size cap as assign_buckets must route the fit through the
+    broadcast-UDF assignment with identical centroids."""
+    lit = sim.kmeans_centroids(emb, k=8, iterations=2).collect()
+    big = sim.kmeans_centroids(emb, k=8, iterations=2, literal_max=1).collect()
+    a = {r["centroid_id"]: list(r["centv"]) for r in lit}
+    b = {r["centroid_id"]: list(r["centv"]) for r in big}
+    assert a == b and len(a) == 8
+
+
 def test_simhash_radius_at_bit_width_is_all_pairs(spark):
     """max_hamming >= SIMHASH_BITS admits every pair, but banding cannot
     cover that predicate (a pair differing in all 32 bits shares no
