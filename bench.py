@@ -101,7 +101,7 @@ def run_headline_queries(
 
 def _pipeline_worker(
     master: str, transcripts_path: str, cpus: int, simulate_ms: float,
-    include_raw: bool = True,
+    include_raw: bool = True, sim_reps: int = 1,
 ) -> None:
     """Subprocess body: two warmup runs (codegen JIT + python-worker pool
     spawn, at zero simulated cost) then the measured run. One JSON line
@@ -141,9 +141,25 @@ def _pipeline_worker(
     # two zero-cost passes before measuring at EVERY level — asymmetric
     # warmup biases the efficiency ratio (2nd run still carries ~25% JIT)
     one_run(0.0)
-    raw_edges, raw_wall = one_run(0.0)
+    if include_raw:
+        # the REPORTED raw-stub number is a median of 3 post-warmup runs
+        # (a second warmup precedes them — the 2nd session run still
+        # carries ~25% JIT). Post-warmup runs are stable within a
+        # session (~±5%); the residual round-over-round spread is
+        # PER-PROCESS (an occasional subprocess runs wholly slow —
+        # BENCH.md noise band), which no in-process median can remove.
+        one_run(0.0)
+        runs = [one_run(0.0) for _ in range(3)]
+        raw_edges, raw_wall = sorted(runs, key=lambda t: t[1])[1]
+    else:
+        raw_edges, raw_wall = one_run(0.0)
     if simulate_ms > 0:
-        n_edges, wall = one_run(simulate_ms)
+        # sim_reps > 1 on the HIGH scaling level only: its measured run
+        # is short (~1 min) and draws ±7% on this box, which alone can
+        # push the efficiency ratio across the 0.8 gate; the low level's
+        # run is ~4 min and self-averages.
+        sims = [one_run(simulate_ms) for _ in range(max(sim_reps, 1))]
+        n_edges, wall = sorted(sims, key=lambda t: t[1])[len(sims) // 2]
     else:
         n_edges, wall = raw_edges, raw_wall
     if not include_raw:
@@ -176,7 +192,7 @@ def _pipeline_worker(
 
 def pipeline_throughput(
     master: str, transcripts_path: str, cpus: int, simulate_ms: float = 0.0,
-    include_raw: bool = True,
+    include_raw: bool = True, sim_reps: int = 1,
 ) -> dict:
     """Run one parallelism level in an isolated subprocess — sequential
     sessions in one JVM contaminate each other's timings (shared JIT
@@ -186,7 +202,7 @@ def pipeline_throughput(
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--pipeline-worker",
          master, transcripts_path, str(cpus), str(simulate_ms),
-         "1" if include_raw else "0"],
+         "1" if include_raw else "0", str(sim_reps)],
         capture_output=True,
         text=True,
         timeout=1200,
@@ -238,7 +254,9 @@ def main() -> None:
     r_low = pipeline_throughput(
         f"local[{low}]", tpath, low, sim_ms, include_raw=False
     )
-    r_high = pipeline_throughput(f"local[{high}]", tpath, high, sim_ms)
+    r_high = pipeline_throughput(
+        f"local[{high}]", tpath, high, sim_ms, sim_reps=3
+    )
     r_raw = r_high["raw"]
     speedup = r_high["triples_per_sec"] / max(r_low["triples_per_sec"], 1e-9)
     efficiency = round(speedup / (high / low), 4)
@@ -276,6 +294,7 @@ if __name__ == "__main__":
         _pipeline_worker(
             sys.argv[2], sys.argv[3], int(sys.argv[4]), float(sys.argv[5]),
             include_raw=(len(sys.argv) < 7 or sys.argv[6] == "1"),
+            sim_reps=int(sys.argv[7]) if len(sys.argv) > 7 else 1,
         )
     else:
         main()
