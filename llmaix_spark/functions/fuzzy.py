@@ -52,21 +52,36 @@ def _tokens_expr(col: Column) -> Column:
     return F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
 
 
+def _null_guard(a: Column, b: Column, expr: Column) -> Column:
+    """NULL in → NULL out. concat_ws/greatest/least silently SKIP NULL
+    operands, so without this the token composites score a NULL surface
+    as ratio('','') = 100 against everything — a cross-product of
+    garbage matches above any gate."""
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
+        expr
+    )
+
+
 def token_sort_ratio_expr(a: Column, b: Column, process: bool = True) -> Column:
     """thefuzz token_sort_ratio shape: sort the (processed) word tokens,
     rejoin, score. Rescues reordered surfaces ('Dr. Anna Meier' vs
-    'Meier, Anna') that plain ratio fails at the 90 gate."""
+    'Meier, Anna') that plain ratio fails at the 90 gate. NULL-safe like
+    ratio_expr (the Python twin follows thefuzz and scores None as 0 —
+    both fail any positive gate)."""
+    raw_a, raw_b = a, b
     if process:
         a, b = _processed_expr(a), _processed_expr(b)
     sa = F.concat_ws(" ", F.array_sort(_tokens_expr(a)))
     sb = F.concat_ws(" ", F.array_sort(_tokens_expr(b)))
-    return ratio_expr(sa, sb)
+    return _null_guard(raw_a, raw_b, ratio_expr(sa, sb))
 
 
 def token_set_ratio_expr(a: Column, b: Column, process: bool = True) -> Column:
     """thefuzz token_set_ratio shape: score the sorted token-set
     intersection against each side's intersection+remainder string, take
-    the max — 100 when one surface's tokens are a subset of the other's."""
+    the max — 100 when one surface's tokens are a subset of the other's.
+    NULL-safe like ratio_expr."""
+    raw_a, raw_b = a, b
     if process:
         a, b = _processed_expr(a), _processed_expr(b)
     ta = F.array_sort(F.array_distinct(_tokens_expr(a)))
@@ -76,8 +91,12 @@ def token_set_ratio_expr(a: Column, b: Column, process: bool = True) -> Column:
     only_b = F.concat_ws(" ", F.array_sort(F.array_except(tb, ta)))
     s1 = F.trim(F.concat_ws(" ", sect, only_a))
     s2 = F.trim(F.concat_ws(" ", sect, only_b))
-    return F.greatest(
-        ratio_expr(sect, s1), ratio_expr(sect, s2), ratio_expr(s1, s2)
+    return _null_guard(
+        raw_a,
+        raw_b,
+        F.greatest(
+            ratio_expr(sect, s1), ratio_expr(sect, s2), ratio_expr(s1, s2)
+        ),
     )
 
 
@@ -111,7 +130,7 @@ def partial_ratio_expr(
         ),
     )
     # equal lengths → diff 0 → single offset; empty strings → ratio 100
-    return best
+    return _null_guard(a, b, best)
 
 
 def wratio_expr(a: Column, b: Column) -> Column:
@@ -135,9 +154,13 @@ def wratio_expr(a: Column, b: Column) -> Column:
     ).otherwise(
         F.greatest(base, partial, tsor * pscale, tser * pscale)
     )
-    return F.when(
+    guarded = F.when(
         (F.length(pa) == 0) | (F.length(pb) == 0), F.lit(0.0)
     ).otherwise(F.round(composite, 4))
+    # NULL-safe like ratio_expr: length(NULL)==0 is NULL, not true, and
+    # greatest() skips NULL operands — without the outer guard a NULL
+    # surface scored 95 via the token composites and passed the 90 gate
+    return _null_guard(a, b, guarded)
 
 
 def levenshtein(a: str, b: str) -> int:

@@ -267,6 +267,11 @@ def check_labels(
         ann_vals = ann_info[c]["values"]
         li = llm_info.get(c)
         llm_vals = li["values"] if li else None
+        if li and li["any_bracket"] and li["n_null"] > 0:
+            # the exact state infer_label_types hard-aborts on
+            # (literal_eval over a NaN) — the sanity pass must SURFACE
+            # it, not sail past what inference then crashes on
+            _issue(c, "null_in_list_valued_column", None)
         if li and li["any_bracket"] and llm_vals is not None:
             llm_vals = _extract_first_non_empty(llm_vals)
         if li and li["n_null"] > 0 and llm_vals is not None:

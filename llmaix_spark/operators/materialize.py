@@ -144,6 +144,22 @@ def write_graph_tables(
             if table_prefix.count(".") >= 1
             else table_prefix
         )
+        def _exists(name: str) -> bool:
+            try:
+                return spark.catalog.tableExists(name)
+            except Exception:
+                return False
+
+        def _msck(name: str) -> None:
+            try:
+                # the session catalog moves a managed table's data on
+                # rename but forgets its PARTITION metadata — recover
+                # it; Iceberg's rename is pure metadata and rejects
+                # MSCK, hence best-effort
+                spark.sql(f"MSCK REPAIR TABLE {name}")
+            except Exception:
+                pass
+
         try:
             # drop-then-create instead of createOrReplace: staging names
             # are ephemeral (no history to preserve) and plain CTAS is
@@ -157,26 +173,48 @@ def write_graph_tables(
                 .partitionedBy(F.col("pred"))
                 .create()
             )
+            # swap by rename-ASIDE, never drop-then-rename: if the
+            # second rename fails mid-swap, the previous snapshot still
+            # exists under *_old and is restored below — a DROP here
+            # would make the staged copy the only one, and the error
+            # path used to delete that too
             for t in ("nodes", "edges"):
-                spark.sql(f"DROP TABLE IF EXISTS {table_prefix}.{t}")
+                spark.sql(f"DROP TABLE IF EXISTS {table_prefix}.{t}_old")
+                if _exists(f"{table_prefix}.{t}"):
+                    spark.sql(
+                        f"ALTER TABLE {table_prefix}.{t} "
+                        f"RENAME TO {prefix_nocat}.{t}_old"
+                    )
                 spark.sql(
                     f"ALTER TABLE {stg[t]} RENAME TO {prefix_nocat}.{t}"
                 )
-                try:
-                    # the session catalog moves a managed table's data on
-                    # rename but forgets its PARTITION metadata — recover
-                    # it; Iceberg's rename is pure metadata and rejects
-                    # MSCK, hence best-effort
-                    spark.sql(f"MSCK REPAIR TABLE {table_prefix}.{t}")
-                except Exception:
-                    pass
+                _msck(f"{table_prefix}.{t}")
+            for t in ("nodes", "edges"):
+                spark.sql(f"DROP TABLE IF EXISTS {table_prefix}.{t}_old")
             return {
                 "nodes": f"{table_prefix}.nodes",
                 "edges": f"{table_prefix}.edges",
             }
         except Exception:
-            # drop only this invocation's staging leftovers — the last
-            # good snapshot (if any) stays readable
+            # roll the ENTIRE previous snapshot back FIRST: any table
+            # whose *_old sibling exists is restored to it — including
+            # tables already swapped to the new version this run (a
+            # mid-swap failure must not leave fresh nodes next to stale
+            # edges). Only then drop this invocation's staging
+            # leftovers.
+            for t in ("nodes", "edges"):
+                try:
+                    if _exists(f"{table_prefix}.{t}_old"):
+                        spark.sql(
+                            f"DROP TABLE IF EXISTS {table_prefix}.{t}"
+                        )
+                        spark.sql(
+                            f"ALTER TABLE {table_prefix}.{t}_old "
+                            f"RENAME TO {prefix_nocat}.{t}"
+                        )
+                        _msck(f"{table_prefix}.{t}")
+                except Exception:
+                    pass
             for t in stg.values():
                 try:
                     spark.sql(f"DROP TABLE IF EXISTS {t}")

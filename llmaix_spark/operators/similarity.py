@@ -66,12 +66,25 @@ def cosine_topk(
 LITERAL_ASSIGN_MAX = 16384
 
 
+def _round_half_up(arr, dp: int):
+    """HALF_UP (away-from-zero) rounding of a numpy array — Spark's
+    F.round and DuckDB's round() both use it; np.round is half-to-even,
+    which diverges on exact half boundaries (np.round(0.03125, 4) =
+    0.0312 vs 0.0313) and would silently flip bucket assignment against
+    the literal path and the SQL oracle. NaN propagates."""
+    import numpy as np
+
+    f = 10.0**dp
+    return np.sign(arr) * np.floor(np.abs(arr) * f + 0.5) / f
+
+
 def _nearest_centroid_col(
     df: DataFrame,
     cent_rows: list[tuple[int, list[float]]],
     vcol,
     round_dp: int,
     literal_max: int = LITERAL_ASSIGN_MAX,
+    bc_out: list | None = None,
 ):
     """Column mapping a vector column to its nearest centroid id:
     rounded cosine, first-max (= lowest centroid id, cent_rows sorted)
@@ -85,6 +98,11 @@ def _nearest_centroid_col(
     numpy's pairwise float summation vs the sequential fold, visible
     only on exact round_dp boundaries (path-parity pinned in tests).
     Shared by `assign_buckets` and every `kmeans_centroids` iteration.
+
+    `bc_out`: when the big-k path creates a broadcast, it is appended
+    here so a LOOPING caller (kmeans_centroids) can destroy it after the
+    iteration's job completes instead of pinning one copy per iteration
+    until GC.
     """
     from llmaix_spark.functions.arrays import bind_array
 
@@ -112,6 +130,8 @@ def _nearest_centroid_col(
     bc = df.sparkSession.sparkContext.broadcast(
         (cent_mat, cent_ids_arr, cent_norms)
     )
+    if bc_out is not None:
+        bc_out.append(bc)
 
     # no type hints: `from __future__ import annotations` stringifies
     # them and the locally-imported pd alias can't be resolved by the
@@ -128,7 +148,7 @@ def _nearest_centroid_col(
             denom = nx * cnorms
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(denom > 0, (mat @ x) / denom, np.nan)
-            cos = np.round(cos, round_dp)
+            cos = _round_half_up(cos, round_dp)
             if np.all(np.isnan(cos)):
                 out.append(None)  # zero vector: no bucket (cosine NULL)
             else:
@@ -179,8 +199,10 @@ def kmeans_centroids(
     ]
     corpus = embeddings.select(F.col(vec_col).alias("v"))
     for _ in range(iterations):
+        bcs: list = []
         bucket = _nearest_centroid_col(
-            corpus, cents, F.col("v"), round_dp=6, literal_max=literal_max
+            corpus, cents, F.col("v"), round_dp=6, literal_max=literal_max,
+            bc_out=bcs,
         )
         means = (
             corpus.select(bucket.alias("centroid_id"), "v")
@@ -197,6 +219,11 @@ def kmeans_centroids(
             )
             .collect()
         )
+        # the iteration's job is done — release this round's centroid
+        # broadcast now instead of pinning one ~k×dim copy per iteration
+        # until the ContextCleaner gets to it
+        for b in bcs:
+            b.destroy()
         new = dict(cents)
         for r in means:
             vec = [r[f"m{d}"] for d in range(dim)]
@@ -225,9 +252,12 @@ def assign_buckets(
     Nearest-centroid choice orders by ROUNDED cosine with centroid_id as
     tiebreak: the rounding makes assignment reproducible across engines
     and float orders (the DuckDB oracle computes cosine in float32,
-    Spark in double — see SQL_ANN_IVF_TOPK)."""
-    from llmaix_spark.functions.arrays import bind_array
-
+    Spark in double — see SQL_ANN_IVF_TOPK). The assignment itself is
+    `_nearest_centroid_col` — a NARROW per-row expression either way
+    (literal argmax below the plan-size cap, broadcast-UDF above; the
+    rank-1 window formulation this replaced shuffled N×k scored rows on
+    vec_id just to pick rank 1 — a 1.6e10-row exchange at 10⁹ vectors,
+    k=16). bucket is always BIGINT regardless of which path ran."""
     if centroids is None:
         centroids = (
             embeddings.orderBy(id_col)
@@ -237,84 +267,16 @@ def assign_buckets(
                 F.col(vec_col).alias("centv"),
             )
         )
-    # NARROW assignment: the k centroids are tiny — collect and inline
-    # them as a literal array (ordered by centroid_id), so the nearest-
-    # centroid choice is a pure per-row argmax with no join and no
-    # window. The window formulation shuffled N×k scored rows on vec_id
-    # just to pick rank 1 — a 1.6e10-row exchange at 10⁹ vectors, k=16.
-    # Semantics identical to the rank-1 window: array_position(array_max)
-    # returns the FIRST max, i.e. the lowest centroid_id on rounded-
-    # cosine ties (the cross-engine contract the oracle pins).
     cent_rows = sorted(
         (int(r["centroid_id"]), [float(x) for x in r["centv"]])
         for r in centroids.collect()
     )
-    n_floats = sum(len(vec) for _, vec in cent_rows)
-    if n_floats > literal_max:
-        # big-k path: same semantics (rounded cosine, first-max = lowest
-        # centroid_id tiebreak, NULL bucket for zero vectors), but the
-        # centroid matrix rides a broadcast variable into a vectorized
-        # pandas UDF — still a NARROW plan (no join, no shuffle), and
-        # the plan tree stays O(1) regardless of k×dim. The only
-        # divergence is numpy's pairwise float summation vs the literal
-        # path's sequential fold, visible only on exact round_dp
-        # boundaries.
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql.types import LongType
-
-        cent_mat = np.asarray([vec for _, vec in cent_rows], dtype=np.float64)
-        cent_ids_arr = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
-        cent_norms = np.linalg.norm(cent_mat, axis=1)
-        bc = embeddings.sparkSession.sparkContext.broadcast(
-            (cent_mat, cent_ids_arr, cent_norms)
-        )
-
-        # no type hints: `from __future__ import annotations` stringifies
-        # them and the locally-imported pd alias can't be resolved by
-        # the eval-type inferencer — pass the SCALAR eval type explicitly
-        def _nearest_fn(v):
-            mat, ids, cnorms = bc.value
-            out = []
-            for vec in v:
-                if vec is None:
-                    out.append(None)
-                    continue
-                x = np.asarray(vec, dtype=np.float64)
-                nx = np.linalg.norm(x)
-                denom = nx * cnorms
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = np.where(denom > 0, (mat @ x) / denom, np.nan)
-                cos = np.round(cos, round_dp)
-                if np.all(np.isnan(cos)):
-                    out.append(None)  # zero vector: no bucket (cosine NULL)
-                else:
-                    out.append(int(ids[int(np.nanargmax(cos))]))
-            return pd.Series(out, dtype="object")
-
-        from pyspark.sql.functions import PandasUDFType
-
-        _nearest = F.pandas_udf(
-            _nearest_fn, LongType(), PandasUDFType.SCALAR
-        )
-
-        bucketed = embeddings.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-        ).select("vec_id", "v", _nearest(F.col("v")).alias("bucket"))
-        return bucketed, centroids
-    cent_ids = F.array(*[F.lit(cid) for cid, _ in cent_rows])
-    cent_arr = F.array(
-        *[F.array(*[F.lit(x) for x in vec]) for _, vec in cent_rows]
+    bucket = _nearest_centroid_col(
+        embeddings, cent_rows, F.col("v"), round_dp, literal_max
     )
-    cos = F.transform(
-        cent_arr, lambda c: F.round(cosine_expr(c, F.col("v")), round_dp)
-    )
-    pos = bind_array(
-        cos, lambda c: F.array_position(c, F.array_max(c))
-    ).cast("int")
     bucketed = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-    ).select("vec_id", "v", F.element_at(cent_ids, pos).alias("bucket"))
+    ).select("vec_id", "v", bucket.alias("bucket"))
     return bucketed, centroids
 
 

@@ -252,6 +252,23 @@ def test_check_labels_reference_warning_table(spark):
     assert ("note", "llm_empty_values") not in by_label
 
 
+def test_check_labels_surfaces_null_in_list_valued_column(spark):
+    """The bracket-column-with-NULLs state aborts infer_label_types (the
+    reference's literal_eval crash) — the sanity pass must REPORT it,
+    not sail past what inference then crashes on (review finding)."""
+    from llmaix_spark.operators.labels import check_labels
+
+    ann = spark.createDataFrame([("red",), ("blue",)], "color string")
+    llm = spark.createDataFrame([("['red']",), (None,)], "color string")
+    mapping = {
+        "color": {"label_type": "multiclass", "label_classes": ["blue", "red"]}
+    }
+    got = check_labels(llm, ann, mapping)
+    assert ("color", "null_in_list_valued_column") in {
+        (i["label"], i["issue"]) for i in got
+    }
+
+
 def test_check_labels_clean_pass(spark):
     from llmaix_spark.operators.labels import check_labels
 

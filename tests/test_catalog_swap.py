@@ -19,7 +19,7 @@ PREFIX = "spark_catalog.default"
 @pytest.fixture()
 def clean_tables(spark):
     names = [f"{PREFIX}.{t}{s}" for t in ("nodes", "edges")
-             for s in ("", "_stg")]
+             for s in ("", "_stg", "_old")]
     for n in names:
         spark.sql(f"DROP TABLE IF EXISTS {n}")
     yield
@@ -78,3 +78,34 @@ def test_failed_refresh_preserves_last_snapshot(spark, clean_tables):
     nodes3, edges3 = _graph(spark, 3, "v3")
     write_graph_tables(nodes3, edges3, table_prefix=PREFIX)
     assert spark.table(f"{PREFIX}.nodes").count() == 3
+
+
+def test_mid_swap_failure_restores_whole_snapshot(spark, clean_tables,
+                                                 monkeypatch):
+    """A failure DURING the swap phase (after nodes already swapped to
+    the new version, before edges did) must roll the whole previous
+    snapshot back — never fresh nodes next to stale edges, and never a
+    dropped table (review finding: the old drop-then-rename sequence
+    plus staging cleanup could delete the only remaining edges copy)."""
+    nodes, edges = _graph(spark, 5, "v1")
+    write_graph_tables(nodes, edges, table_prefix=PREFIX)
+
+    real_sql = spark.sql
+
+    def failing_sql(query, *a, **kw):
+        if "edges_stg RENAME" in query:
+            raise RuntimeError("injected rename failure")
+        return real_sql(query, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", failing_sql, raising=False)
+    nodes2, edges2 = _graph(spark, 9, "v2")
+    with pytest.raises(Exception, match="injected rename failure"):
+        write_graph_tables(nodes2, edges2, table_prefix=PREFIX)
+    monkeypatch.undo()
+    # the ENTIRE v1 snapshot is back — nodes too, though its swap had
+    # already completed when the edges rename failed
+    assert spark.table(f"{PREFIX}.nodes").count() == 5
+    assert spark.table(f"{PREFIX}.nodes").first()["canonical"] == "v1"
+    assert spark.table(f"{PREFIX}.edges").count() == 10
+    names = {t.name for t in spark.catalog.listTables("default")}
+    assert not names & {"nodes_stg", "edges_stg", "nodes_old", "edges_old"}

@@ -254,6 +254,19 @@ def test_assign_buckets_broadcast_path_matches_literal(emb):
     assert a == b and len(a) > 0
 
 
+def test_round_half_up_matches_spark_round():
+    """The broadcast-UDF path must round HALF_UP like F.round/DuckDB,
+    not numpy's half-to-even: np.round(0.03125, 4) = 0.0312 would flip
+    bucket assignment vs the literal path on exact half boundaries."""
+    import math
+
+    import numpy as np
+
+    got = sim._round_half_up(np.array([0.03125, -0.03125, 0.5, float("nan")]), 4)
+    assert got[0] == 0.0313 and got[1] == -0.0313 and got[2] == 0.5
+    assert math.isnan(got[3])
+
+
 def test_kmeans_broadcast_path_matches_literal(emb):
     """kmeans_centroids inlines k×dim literals per Lloyd iteration; the
     same plan-size cap as assign_buckets must route the fit through the

@@ -126,6 +126,27 @@ def test_wratio_expr_matches_reference_gate(spark):
         assert fz.wratio(a, b) < 90
 
 
+def test_jvm_exprs_null_in_null_out(spark):
+    """A NULL surface must score NULL (filtered by any gate), NOT 95/100:
+    concat_ws collapses a NULL token array to '' (ratio('','')=100) and
+    greatest/least skip NULL operands, so without explicit guards a
+    nullable join column matched EVERY candidate row (review finding)."""
+    df = spark.createDataFrame(
+        [(None, "anna meier"), ("anna meier", None), (None, None)],
+        "a string, b string",
+    )
+    got = df.select(
+        fz.wratio_expr(F.col("a"), F.col("b")).alias("w"),
+        fz.token_sort_ratio_expr(F.col("a"), F.col("b")).alias("tsor"),
+        fz.token_set_ratio_expr(F.col("a"), F.col("b")).alias("tser"),
+        fz.partial_ratio_expr(F.col("a"), F.col("b")).alias("p"),
+        fz.ratio_expr(F.col("a"), F.col("b")).alias("r"),
+    ).collect()
+    for row in got:
+        for c in ("w", "tsor", "tser", "p", "r"):
+            assert row[c] is None, (c, row)
+
+
 def test_token_sort_expr_reorder_is_100(spark):
     df = spark.createDataFrame([("b a c", "c b a")], "a string, b string")
     r = df.select(
