@@ -1,0 +1,154 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Three operations every large-scale pretraining pipeline runs between
+dedup and tokenization, each pure DataFrame API with an exact ANSI-SQL
+twin (driver oracles in plans/queries.py):
+
+  dataset_split     deterministic hash-based train/val/test assignment —
+                    stable under reprocessing, no RNG, no shuffle
+  pack_sequences    shard-local context-window packing by cumulative
+                    token count — the batch-construction step before
+                    tokenized examples are written
+  decontaminate     n-gram overlap flagging against a held-out benchmark
+                    set — the standard eval-contamination sweep
+
+Scale notes inline per operator; none of the three ever materializes
+unbounded state on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from llmaix_spark.operators.dedup import word_shingles
+from llmaix_spark.operators.linking import stable_hash60_expr
+from llmaix_spark.operators.textstats import token_count_ws
+
+
+def split_expr(
+    id_col, weights: dict[str, float], salt: str = "split",
+    buckets: int = 10000,
+):
+    """Split-name Column for a deterministic hash split.
+
+    bucket = stable_hash60(id || ':' || salt) % buckets; each split owns
+    a contiguous bucket range sized by its weight (integer thresholds,
+    last split absorbs the rounding remainder). Re-running over a grown
+    corpus never reassigns an existing id (the classic property hash
+    splits are chosen for), and the shared md5-based hash makes the
+    assignment bit-identical in any engine (CLAUDE.md cross-engine
+    hash)."""
+    assert weights and all(w > 0 for w in weights.values())
+    total = sum(weights.values())
+    bucket = F.pmod(
+        stable_hash60_expr(
+            F.concat(id_col.cast("string"), F.lit(":" + salt))
+        ),
+        F.lit(buckets),
+    )
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name] / total
+        threshold = int(cum * buckets + 0.5)
+        cond = bucket < F.lit(threshold)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def dataset_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Assign every document to a split: (doc_id, split). Pure
+    projection — no shuffle, no RNG, no driver state; safe at any scale
+    and stable across runs and engines."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        split_expr(F.col(id_col), weights, salt, buckets).alias("split"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shard-local streaming pack: documents are sharded by id, ordered
+    by id within the shard, and cut into packs every `budget` cumulative
+    whitespace tokens — pack_id = floor(exclusive_prefix_sum / budget).
+    Returns (doc_id, shard, n_tokens, pack_id).
+
+    Semantics: a document whose tokens overflow its pack stays in it
+    (training loaders split/truncate at tokenization); packs are
+    deterministic in (shard, id) order. Scale: the window partitions by
+    shard, so packing parallelizes across n_shards — size n_shards to
+    the cluster (a GLOBAL ordered window would funnel the corpus through
+    one task). Growing the corpus only appends to each shard's tail."""
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("bigint")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shard.alias("shard"),
+        token_count_ws(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(cum_excl / budget).cast("bigint").alias("pack_id"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents sharing any word n-gram with a held-out
+    benchmark set (the standard pretraining decontamination sweep,
+    n=8..13 in published pipelines). Returns
+    (doc_id, n_shared, contaminated).
+
+    Scale: both sides reduce to 8-byte n-gram hashes before the join —
+    the shuffle keys on the hash, the benchmark side is distinct-ed
+    first and is typically tiny relative to the corpus (AQE broadcasts
+    it when it fits), and the count aggregates map-side. Exact modulo
+    60-bit hash collisions, which can only ADD a flag, never miss one."""
+    doc_sh = (
+        word_shingles(docs, n, id_col, text_col, distinct=False)
+        .select("doc_id", stable_hash60_expr(F.col("shingle")).alias("sh_h"))
+        .dropDuplicates(["doc_id", "sh_h"])
+    )
+    bench_sh = (
+        word_shingles(benchmark, n, id_col, text_col, distinct=False)
+        .select(stable_hash60_expr(F.col("shingle")).alias("sh_h"))
+        .distinct()
+    )
+    shared = (
+        doc_sh.join(bench_sh, "sh_h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -939,6 +939,77 @@ FROM hs GROUP BY doc_id"""
 SQL_FINGERPRINT = _fingerprint_sql()
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (90/5/5): pure
+    projection over the shared cross-engine hash — stable across runs,
+    engines and corpus growth (an id never changes split)."""
+    from llmaix_spark.operators.curation import dataset_split
+
+    return dataset_split(_t(spark, sf_dir, "documents"))
+
+
+SQL_DATASET_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9000 THEN 'train'
+            WHEN {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Shard-local context-window packing: documents cut into packs
+    every 256 cumulative whitespace tokens within their id-shard —
+    the batch-construction step of a training pipeline. The window
+    partitions by shard, so packing parallelizes."""
+    from llmaix_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=256,
+                          n_shards=32)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> length(x) > 0)) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                   - n_tokens) * 1.0 / 256) AS BIGINT) AS pack_id
+FROM base"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination sweep: flag documents sharing any word
+    8-gram with the held-out set (doc_id % 97 == 0 as the derived
+    benchmark slice). Both sides reduce to 8-byte hashes before the
+    join."""
+    from llmaix_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(d, d.filter(F.col("doc_id") % 97 == 0), n=8)
+
+
+SQL_DECONTAMINATE = f"""
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
+gr AS (SELECT doc_id,
+              t || ' ' || lead(t, 1) OVER win || ' ' || lead(t, 2) OVER win
+                || ' ' || lead(t, 3) OVER win || ' ' || lead(t, 4) OVER win
+                || ' ' || lead(t, 5) OVER win || ' ' || lead(t, 6) OVER win
+                || ' ' || lead(t, 7) OVER win AS s,
+              lead(t, 7) OVER win AS l7
+       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+sh AS (SELECT DISTINCT doc_id, {_HASH60_SQL.format(v="s")} AS sh_h
+       FROM gr WHERE l7 IS NOT NULL),
+bench AS (SELECT DISTINCT sh_h FROM sh WHERE doc_id % 97 = 0),
+shared AS (SELECT s.doc_id, count(*) AS n
+           FROM sh s JOIN bench b ON s.sh_h = b.sh_h GROUP BY 1)
+SELECT d2.doc_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_shared,
+       COALESCE(n, 0) > 0 AS contaminated
+FROM documents d2 LEFT JOIN shared ON d2.doc_id = shared.doc_id"""
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-dup clustering over the EXACT pair generator (the oracle
     path — dedup_groups defaults to LSH pairs; the exact variant is
@@ -2167,6 +2238,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "invariant_per_turn": q_invariant_per_turn,
     "dedup_groups": q_dedup_groups,
     "dedup_groups_lsh": q_dedup_groups_lsh,
+    "dataset_split": q_dataset_split,
+    "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
     "multimodal_features": q_multimodal_features,
     # rows-only
     "anonymizer_conversations": q_anonymizer,
@@ -2224,6 +2298,9 @@ ORACLES: dict[str, str] = {
     "invariant_per_turn": SQL_INVARIANT_PER_TURN,
     "dedup_groups": SQL_DEDUP_GROUPS,
     "dedup_groups_lsh": SQL_DEDUP_GROUPS_LSH,
+    "dataset_split": SQL_DATASET_SPLIT,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "decontaminate": SQL_DECONTAMINATE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,

@@ -1,0 +1,95 @@
+"""Corpus-curation operators (dataset_split / pack_sequences /
+decontaminate) — semantics beyond the driver oracles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from llmaix_spark.operators import curation as cu
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_dataset_split_proportions_and_coverage(docs):
+    got = cu.dataset_split(docs).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in got}
+    n = sum(counts.values())
+    assert n == docs.count()
+    # hash split at 500 docs: rough proportions, all three present
+    assert counts["train"] / n == pytest.approx(0.9, abs=0.1)
+    assert set(counts) == {"train", "val", "test"}
+
+
+def test_dataset_split_stable_under_corpus_growth(docs):
+    """The split of an id must not change when the corpus grows — the
+    property hash splits exist for (re-runs never leak val into train)."""
+    full = {r["doc_id"]: r["split"] for r in cu.dataset_split(docs).collect()}
+    half = {
+        r["doc_id"]: r["split"]
+        for r in cu.dataset_split(docs.filter(F.col("doc_id") % 2 == 0)).collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+
+
+def test_dataset_split_salt_and_weights(spark):
+    ids = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in cu.dataset_split(ids).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in cu.dataset_split(ids, salt="other").collect()
+    }
+    assert a != b  # a different salt reshuffles
+    # non-normalized weights normalize; single split degenerates cleanly
+    one = cu.dataset_split(ids, weights={"all": 3.0}).collect()
+    assert {r["split"] for r in one} == {"all"}
+
+
+def test_pack_sequences_semantics(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (32, "d e"), (64, "f g h i"), (1, "x " * 300)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["pack_id"])
+        for r in cu.pack_sequences(df, budget=5, n_shards=32).collect()
+    }
+    # shard 0 in id order: 3 tokens (cum 0 → pack 0), 2 tokens (cum 3 →
+    # pack 0), 4 tokens (cum 5 → pack 1)
+    assert got[0] == (0, 3, 0)
+    assert got[32] == (0, 2, 0)
+    assert got[64] == (0, 4, 1)
+    # an oversize doc stays in its own pack on its shard
+    assert got[1] == (1, 300, 0)
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram "one ... eight"
+            (1, "zzz one two three four five six seven eight trailing"),
+            # 7-gram overlap only → clean at n=8
+            (2, "one two three four five six seven different tail words"),
+            (3, "completely unrelated text with enough words to shingle fine"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_shared"], r["contaminated"])
+        for r in cu.decontaminate(docs, bench, n=8).collect()
+    }
+    assert got[1][1] is True and got[1][0] >= 1
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+
+
+def test_decontaminate_short_docs_never_flag(spark):
+    bench = spark.createDataFrame([(1, "a b c d e f g h")], ["doc_id", "text"])
+    docs = spark.createDataFrame([(2, "a b c")], ["doc_id", "text"])
+    got = cu.decontaminate(docs, bench, n=8).collect()
+    assert got[0]["contaminated"] is False
