@@ -158,6 +158,77 @@ def doc_fingerprint(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (the
+    published pretraining filter family: drop documents dominated by
+    repeated tokens / n-grams). Returns
+    (doc_id, n_words, n_distinct_words, dup_word_frac, top_bigram_frac):
+
+      dup_word_frac   = 1 - distinct_words / words
+      top_bigram_frac = occurrences of the most frequent word bigram
+                        / total bigram positions (words - 1)
+
+    Both NULL-safe (0 when the doc has too few words). Scale: one
+    explode + two map-side-combinable aggregations keyed on
+    (doc_id[, bigram]) — shuffle rows are (id, 8-byte-ish) pairs, no
+    driver state, no window."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    word_agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("tok").alias("n_distinct_words"),
+    )
+    # bigrams via the shared shingle builder (bind_array inside — the
+    # token array is never re-evaluated per element); NOT lowercased,
+    # matching the dedup shingle convention — word counts above use the
+    # lowercased token stream, each side mirrored exactly in the oracle
+    from llmaix_spark.operators.dedup import word_shingles
+
+    bi = word_shingles(docs, 2, id_col, text_col, distinct=False)
+    top_bi = (
+        bi.groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    out = (
+        ids.join(word_agg, "doc_id", "left")
+        .join(top_bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_distinct_words", F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct_words"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0)
+                    - F.try_divide(
+                        F.col("n_distinct_words"), F.col("n_words")
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.coalesce(
+                    F.try_divide(
+                        F.col("top_bigram_n"), F.col("n_words") - 1
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return out
+
+
 def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One narrow pass emitting all per-doc stats."""
     c = F.col(text_col)

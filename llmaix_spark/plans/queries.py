@@ -892,6 +892,43 @@ SELECT doc_id,
 FROM m"""
 
 
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-word fraction and
+    most-frequent-bigram occupancy per document — the published
+    pretraining quality family (drop repetition-dominated docs)."""
+    return ts.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> length(x) > 0)) AS tok
+  FROM documents),
+wa AS (SELECT doc_id, count(*) AS n_words,
+              count(DISTINCT tok) AS n_distinct
+       FROM toks GROUP BY 1),
+d AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+tk AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
+bg AS (SELECT doc_id, t || ' ' || lead(t, 1) OVER win AS s,
+              lead(t, 1) OVER win AS l1
+       FROM tk WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+bc AS (SELECT doc_id, s, count(*) AS c FROM bg WHERE l1 IS NOT NULL
+       GROUP BY 1, 2),
+tb AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY 1)
+SELECT d2.doc_id,
+       CAST(COALESCE(wa.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(wa.n_distinct, 0) AS BIGINT) AS n_distinct_words,
+       round(COALESCE(1.0 - (wa.n_distinct * 1.0 / wa.n_words), 0.0), 6)
+         AS dup_word_frac,
+       CASE WHEN tb.top_bigram_n IS NULL THEN 0.0
+            ELSE round(tb.top_bigram_n * 1.0 / (wa.n_words - 1), 6)
+       END AS top_bigram_frac
+FROM documents d2
+LEFT JOIN wa ON d2.doc_id = wa.doc_id
+LEFT JOIN tb ON d2.doc_id = tb.doc_id"""
+
+
 def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", ts.lang_id_expr(F.col("text")).alias("lang_pred"))
@@ -2227,6 +2264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk": q_similarity_topk,
     "textstats_tokens": q_textstats_tokens,
     "textstats_quality": q_textstats_quality,
+    "quality_repetition": q_quality_repetition,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "redaction_metrics": q_redaction_metrics,
@@ -2287,6 +2325,7 @@ ORACLES: dict[str, str] = {
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "textstats_tokens": SQL_TEXTSTATS_TOKENS,
     "textstats_quality": SQL_TEXTSTATS_QUALITY,
+    "quality_repetition": SQL_QUALITY_REPETITION,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "redaction_metrics": SQL_REDACTION_METRICS,

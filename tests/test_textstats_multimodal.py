@@ -110,3 +110,28 @@ def test_bpe_tokens_multiplication_sign_is_punct(spark):
     df = spark.createDataFrame([("a×b 3÷4",)], ["text"])
     [row] = df.select(token_count_bpe(F.col("text")).alias("n")).collect()
     assert row["n"] == 6
+
+
+def test_repetition_stats_semantics(spark):
+    """Gopher-family repetition signals: hand-computed fixture."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # 6 words, 2 distinct; top bigram
+                                     # 'a b' x3 of 5 positions
+            (2, "one two three"),    # no repetition: dup 0, top 1/2
+            (3, "solo"),             # 1 word: no bigrams, dup 0
+            (4, None),               # NULL text: all zeros
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_distinct_words"],
+            r["dup_word_frac"], r["top_bigram_frac"],
+        )
+        for r in ts.repetition_stats(df).collect()
+    }
+    assert got[1] == (6, 2, pytest.approx(1 - 2 / 6), pytest.approx(3 / 5))
+    assert got[2] == (3, 3, 0.0, pytest.approx(1 / 2))
+    assert got[3] == (1, 1, 0.0, 0.0)
+    assert got[4] == (0, 0, 0.0, 0.0)
