@@ -160,7 +160,24 @@ def write_graph_tables(
             except Exception:
                 pass
 
+        pre_existing: dict[str, bool] = {}
+        swapped: list[str] = []
         try:
+            # recover from a PRIOR process crash mid-swap first: a final
+            # table absent with its *_old present means the old snapshot
+            # survives only under *_old — restore it before anything
+            # else (an eager drop here would destroy the last copy). An
+            # *_old next to a live final is post-swap garbage.
+            for t in ("nodes", "edges"):
+                old = f"{table_prefix}.{t}_old"
+                if _exists(old):
+                    if _exists(f"{table_prefix}.{t}"):
+                        spark.sql(f"DROP TABLE IF EXISTS {old}")
+                    else:
+                        spark.sql(
+                            f"ALTER TABLE {old} RENAME TO {prefix_nocat}.{t}"
+                        )
+                        _msck(f"{table_prefix}.{t}")
             # drop-then-create instead of createOrReplace: staging names
             # are ephemeral (no history to preserve) and plain CTAS is
             # supported by BOTH Iceberg and the V2 session catalog
@@ -179,8 +196,8 @@ def write_graph_tables(
             # would make the staged copy the only one, and the error
             # path used to delete that too
             for t in ("nodes", "edges"):
-                spark.sql(f"DROP TABLE IF EXISTS {table_prefix}.{t}_old")
-                if _exists(f"{table_prefix}.{t}"):
+                pre_existing[t] = _exists(f"{table_prefix}.{t}")
+                if pre_existing[t]:
                     spark.sql(
                         f"ALTER TABLE {table_prefix}.{t} "
                         f"RENAME TO {prefix_nocat}.{t}_old"
@@ -188,26 +205,24 @@ def write_graph_tables(
                 spark.sql(
                     f"ALTER TABLE {stg[t]} RENAME TO {prefix_nocat}.{t}"
                 )
+                swapped.append(t)
                 _msck(f"{table_prefix}.{t}")
-            for t in ("nodes", "edges"):
-                spark.sql(f"DROP TABLE IF EXISTS {table_prefix}.{t}_old")
-            return {
-                "nodes": f"{table_prefix}.nodes",
-                "edges": f"{table_prefix}.edges",
-            }
-        except Exception:
-            # roll the ENTIRE previous snapshot back FIRST: any table
-            # whose *_old sibling exists is restored to it — including
-            # tables already swapped to the new version this run (a
-            # mid-swap failure must not leave fresh nodes next to stale
-            # edges). Only then drop this invocation's staging
-            # leftovers.
+        except Exception:  # noqa: E722 — rollback below, fallback after
+            # roll back to the EXACT pre-call state: every table this
+            # run swapped in is removed, every table it renamed aside is
+            # restored, and a table that had no previous snapshot ends
+            # up absent again — never fresh nodes next to stale edges,
+            # never a half-created first snapshot. Then drop this
+            # invocation's staging leftovers.
             for t in ("nodes", "edges"):
                 try:
-                    if _exists(f"{table_prefix}.{t}_old"):
+                    if t in swapped:
                         spark.sql(
                             f"DROP TABLE IF EXISTS {table_prefix}.{t}"
                         )
+                    if pre_existing.get(t) and _exists(
+                        f"{table_prefix}.{t}_old"
+                    ):
                         spark.sql(
                             f"ALTER TABLE {table_prefix}.{t}_old "
                             f"RENAME TO {prefix_nocat}.{t}"
@@ -222,6 +237,23 @@ def write_graph_tables(
                     pass
             if out_dir is None:
                 raise
+        else:
+            # success: the *_old cleanup is best-effort and OUTSIDE the
+            # swap try — a transient DROP failure here must not trigger
+            # a rollback of an already-complete swap (that destroyed
+            # the fresh data and mixed snapshot versions); a leftover
+            # *_old is recognized as post-swap garbage on the next run
+            for t in ("nodes", "edges"):
+                try:
+                    spark.sql(
+                        f"DROP TABLE IF EXISTS {table_prefix}.{t}_old"
+                    )
+                except Exception:
+                    pass
+            return {
+                "nodes": f"{table_prefix}.nodes",
+                "edges": f"{table_prefix}.edges",
+            }
             import warnings
 
             warnings.warn(

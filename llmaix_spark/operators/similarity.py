@@ -67,15 +67,37 @@ LITERAL_ASSIGN_MAX = 16384
 
 
 def _round_half_up(arr, dp: int):
-    """HALF_UP (away-from-zero) rounding of a numpy array — Spark's
-    F.round and DuckDB's round() both use it; np.round is half-to-even,
-    which diverges on exact half boundaries (np.round(0.03125, 4) =
-    0.0312 vs 0.0313) and would silently flip bucket assignment against
-    the literal path and the SQL oracle. NaN propagates."""
+    """Round a numpy array exactly like Spark's F.round on doubles:
+    HALF_UP over the SHORTEST-DECIMAL representation (Java BigDecimal
+    of Double.toString). Neither np.round (half-to-even:
+    np.round(0.03125, 4) = 0.0312 vs F.round's 0.0313) nor the plain
+    floor(|x|·10^dp + 0.5) trick (binary-product HALF_UP: rounds the
+    double just BELOW a decimal half-boundary UP where BigDecimal's
+    decimal view rounds it down) agrees with it everywhere. The fast
+    binary path handles the bulk; elements within 1e-6 of a scaled
+    half-boundary are re-rounded through decimal.Decimal(repr(x)) —
+    repr is the same shortest-roundtrip form Double.toString yields, so
+    those agree with F.round bit-for-bit. NaN propagates."""
     import numpy as np
 
     f = 10.0**dp
-    return np.sign(arr) * np.floor(np.abs(arr) * f + 0.5) / f
+    scaled = np.abs(arr) * f
+    base = np.sign(arr) * np.floor(scaled + 0.5) / f
+    frac = scaled - np.floor(scaled)
+    with np.errstate(invalid="ignore"):
+        suspect = np.abs(frac - 0.5) < 1e-6  # NaN compares False
+    if np.any(suspect):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-dp)
+        flat = base.reshape(-1)
+        src = np.asarray(arr, dtype=np.float64).reshape(-1)
+        for i in np.nonzero(suspect.reshape(-1))[0]:
+            v = float(src[i])
+            flat[i] = float(
+                Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return base
 
 
 def _nearest_centroid_col(

@@ -185,7 +185,9 @@ def repetition_stats(
     # bigrams via the shared shingle builder (bind_array inside — the
     # token array is never re-evaluated per element); NOT lowercased,
     # matching the dedup shingle convention — word counts above use the
-    # lowercased token stream, each side mirrored exactly in the oracle
+    # lowercased token stream. The driver oracle mirrors each side under
+    # the testdata's single-spaced-text precondition (its SQL splits on
+    # ' ', this operator on \s+ — see SQL_QUALITY_REPETITION note)
     from llmaix_spark.operators.dedup import word_shingles
 
     bi = word_shingles(docs, 2, id_col, text_col, distinct=False)

@@ -899,6 +899,12 @@ def q_quality_repetition(spark, sf_dir):
     return ts.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+# NB oracle precondition (shared with SQL_DECONTAMINATE, _TRIGRAM_SQL
+# and the simhash oracle): the SQL tokenizes with string_split(' ')
+# while the operators split on \s+ — parity holds because the testdata
+# corpus is strictly single-spaced (round-2 memory: documents.text is
+# ^[a-z ]+$). A corpus with tabs/doubled spaces would need
+# regexp-splitting on both sides.
 SQL_QUALITY_REPETITION = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -1027,6 +1033,7 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(d, d.filter(F.col("doc_id") % 97 == 0), n=8)
 
 
+# single-spaced-corpus precondition — see SQL_QUALITY_REPETITION note
 SQL_DECONTAMINATE = f"""
 WITH d AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
 tok AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),

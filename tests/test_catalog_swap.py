@@ -80,6 +80,76 @@ def test_failed_refresh_preserves_last_snapshot(spark, clean_tables):
     assert spark.table(f"{PREFIX}.nodes").count() == 3
 
 
+def test_first_write_mid_swap_failure_leaves_catalog_empty(
+    spark, clean_tables, monkeypatch
+):
+    """On a FIRST-EVER write (no previous snapshot) a mid-swap failure
+    must leave both finals absent — not an orphaned fresh nodes table
+    next to a missing edges table (review finding)."""
+    real_sql = spark.sql
+
+    def failing_sql(query, *a, **kw):
+        if "edges_stg RENAME" in query:
+            raise RuntimeError("injected rename failure")
+        return real_sql(query, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", failing_sql, raising=False)
+    nodes, edges = _graph(spark, 5, "v1")
+    with pytest.raises(Exception, match="injected rename failure"):
+        write_graph_tables(nodes, edges, table_prefix=PREFIX)
+    monkeypatch.undo()
+    names = {t.name for t in spark.catalog.listTables("default")}
+    assert not names & {"nodes", "edges", "nodes_stg", "edges_stg",
+                        "nodes_old", "edges_old"}
+
+
+def test_prior_crash_old_only_state_is_recovered(spark, clean_tables):
+    """A prior process crash between rename-aside and swap leaves the
+    snapshot ONLY under *_old: the next run must restore it, not drop
+    it as garbage (review finding) — and then refresh normally."""
+    nodes, edges = _graph(spark, 5, "v1")
+    write_graph_tables(nodes, edges, table_prefix=PREFIX)
+    # simulate the crash state: final renamed aside, swap never happened
+    spark.sql(f"ALTER TABLE {PREFIX}.nodes RENAME TO default.nodes_old")
+    nodes2, edges2 = _graph(spark, 7, "v2")
+    write_graph_tables(nodes2, edges2, table_prefix=PREFIX)
+    assert spark.table(f"{PREFIX}.nodes").count() == 7
+    assert spark.table(f"{PREFIX}.nodes").first()["canonical"] == "v2"
+    names = {t.name for t in spark.catalog.listTables("default")}
+    assert not names & {"nodes_old", "edges_old", "nodes_stg", "edges_stg"}
+
+
+def test_cleanup_failure_after_complete_swap_keeps_new_snapshot(
+    spark, clean_tables, monkeypatch
+):
+    """A transient failure dropping *_old AFTER both tables swapped must
+    NOT roll the complete swap back (review finding: cleanup inside the
+    try destroyed the fresh data and mixed snapshot versions)."""
+    nodes, edges = _graph(spark, 5, "v1")
+    write_graph_tables(nodes, edges, table_prefix=PREFIX)
+    real_sql = spark.sql
+
+    def failing_sql(query, *a, **kw):
+        if query.strip().startswith("DROP TABLE") and "_old" in query:
+            raise RuntimeError("transient metastore error")
+        return real_sql(query, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", failing_sql, raising=False)
+    nodes2, edges2 = _graph(spark, 7, "v2")
+    targets = write_graph_tables(nodes2, edges2, table_prefix=PREFIX)
+    monkeypatch.undo()
+    assert targets["nodes"] == f"{PREFIX}.nodes"
+    assert spark.table(f"{PREFIX}.nodes").count() == 7
+    assert spark.table(f"{PREFIX}.nodes").first()["canonical"] == "v2"
+    assert spark.table(f"{PREFIX}.edges").count() == 14
+    # the leftover *_old garbage is tolerated and cleared by the NEXT run
+    nodes3, edges3 = _graph(spark, 3, "v3")
+    write_graph_tables(nodes3, edges3, table_prefix=PREFIX)
+    assert spark.table(f"{PREFIX}.nodes").count() == 3
+    names = {t.name for t in spark.catalog.listTables("default")}
+    assert not names & {"nodes_old", "edges_old"}
+
+
 def test_mid_swap_failure_restores_whole_snapshot(spark, clean_tables,
                                                  monkeypatch):
     """A failure DURING the swap phase (after nodes already swapped to

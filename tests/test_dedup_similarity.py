@@ -254,17 +254,33 @@ def test_assign_buckets_broadcast_path_matches_literal(emb):
     assert a == b and len(a) > 0
 
 
-def test_round_half_up_matches_spark_round():
-    """The broadcast-UDF path must round HALF_UP like F.round/DuckDB,
-    not numpy's half-to-even: np.round(0.03125, 4) = 0.0312 would flip
-    bucket assignment vs the literal path on exact half boundaries."""
+def test_round_half_up_matches_spark_round(spark):
+    """The broadcast-UDF path must round exactly like F.round (the
+    literal path): HALF_UP over the shortest-decimal representation.
+    np.round is half-to-even (0.03125 → 0.0312) and the bare
+    floor(+0.5) trick rounds binary-below-boundary doubles UP where
+    BigDecimal rounds them down (0.00020349999999999999 at 6dp) —
+    either one silently flips bucket assignment between the two paths."""
     import math
 
     import numpy as np
 
-    got = sim._round_half_up(np.array([0.03125, -0.03125, 0.5, float("nan")]), 4)
-    assert got[0] == 0.0313 and got[1] == -0.0313 and got[2] == 0.5
-    assert math.isnan(got[3])
+    vals = [
+        0.03125, -0.03125, 0.5,
+        0.00020349999999999999,   # just BELOW the 0.0002035 boundary
+        0.00020350000000000002,   # just above it
+        0.12345650000000001, -0.12345650000000001, 1.0, 0.0,
+    ]
+    for dp in (4, 6):
+        expected = [
+            r["r"]
+            for r in spark.createDataFrame([(v,) for v in vals], "x double")
+            .select(F.round("x", dp).alias("r"))
+            .collect()
+        ]
+        got = sim._round_half_up(np.array(vals), dp)
+        assert list(got) == expected, (dp, list(got), expected)
+    assert math.isnan(sim._round_half_up(np.array([float("nan")]), 4)[0])
 
 
 def test_kmeans_broadcast_path_matches_literal(emb):
