@@ -165,3 +165,72 @@ def test_prometheus_parser_total(text):
     bytes arrive from a half-started server."""
     out = parse_prometheus_text(text)
     assert all(isinstance(v, float) for v in out.values())
+
+
+# --- round-3 kernels ---------------------------------------------------------
+
+
+@given(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False,
+              allow_infinity=False),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_round_half_up_shortest_decimal_invariant(x, dp):
+    """_round_half_up must equal HALF_UP quantization of the
+    shortest-decimal representation (the F.round-on-doubles contract)
+    for ANY double, not just away from boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from llmaix_spark.operators.similarity import _round_half_up
+
+    got = float(_round_half_up(np.array([x]), dp)[0])
+    want = float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-dp),
+                                  rounding=ROUND_HALF_UP)
+    )
+    assert got == want or (got == 0.0 and want == 0.0)
+
+
+@given(st.text(max_size=30), st.text(max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_fuzzy_twin_bounds_and_identity(a, b):
+    """thefuzz twins: scores are ints in [0, 100]; a non-empty processed
+    string scores 100 against itself; empty processed side scores 0."""
+    from llmaix_spark.functions import fuzzy as fz
+
+    for fn in (fz.wratio, fz.qratio):
+        s = fn(a, b)
+        assert isinstance(s, int) and 0 <= s <= 100
+    pa = fz.full_process(a)
+    if pa:
+        assert fz.wratio(a, a) == 100
+    else:
+        assert fz.wratio(a, b) == 0
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["train", "val", "test", "holdout"]),
+        st.floats(min_value=0.01, max_value=5.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_dataset_split_thresholds_partition_buckets(weights):
+    """The split thresholds must tile [0, buckets) completely — every
+    bucket maps to exactly one split, so no row is ever dropped or
+    double-assigned, for ANY positive weight dict."""
+    total = sum(weights.values())
+    buckets = 10000
+    names = list(weights)
+    cum, edges = 0.0, [0]
+    for n in names[:-1]:
+        cum += weights[n] / total
+        edges.append(int(cum * buckets + 0.5))
+    edges.append(buckets)
+    assert edges == sorted(edges)  # monotone ⇒ CASE chain is total
+    assert edges[-1] == buckets
