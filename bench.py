@@ -42,6 +42,12 @@ BENCH_QUERIES = [
     "textstats_quality",
     "lang_id",
     "fingerprint",
+    # round-3 curation ops (headline set 15 → 19; per-query medians are
+    # the round-over-round comparable unit, not the total)
+    "dataset_split",
+    "pack_sequences",
+    "decontaminate",
+    "quality_repetition",
 ]
 
 

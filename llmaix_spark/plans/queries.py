@@ -559,6 +559,11 @@ def q_fuzzy_part_pairs(spark, sf_dir):
     key = F.split("p_name", " ").getItem(0)
     a = p.select(F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a"), key.alias("k"))
     b = p.select(F.col("p_partkey").alias("part_b"), F.col("p_name").alias("name_b"), key.alias("k"))
+    # measured at sf0.1: a |len diff| pre-gate and the threshold-banded
+    # levenshtein BOTH pessimize here (42.8 s plain vs 65 s gated vs
+    # 93 s banded) — the palette-generated names make the blocked join
+    # OUTPUT-bound (11.7 M matching pairs), so per-pair pre-filters are
+    # pure overhead. Keep the minimal plan.
     return (
         a.join(b, ["k"])
         .filter(F.col("part_a") < F.col("part_b"))
@@ -585,25 +590,33 @@ def q_fuzzy_token_sort(spark, sf_dir):
     names pass the 90 gate that plain normalized Levenshtein fails
     (reference scorer: thefuzz WRatio, report_redaction/utils.py:431).
     `plain` is kept in the output so the rescue is visible."""
-    from llmaix_spark.functions.fuzzy import ratio_expr, token_sort_ratio_expr
+    from llmaix_spark.functions.fuzzy import ratio_expr
 
     p = _t(spark, sf_dir, "part")
     key = F.split("p_name", " ").getItem(0)
+    # precompute the token-sorted surface PER ROW, not per pair: sorting
+    # inside the pair scorer re-sorted both names for every one of the
+    # O(block²) pairs (the sorted form of the reversed surface equals
+    # the sorted form of the original — sorting is order-invariant)
+    srt = F.concat_ws(" ", F.array_sort(F.split("p_name", " ")))
     a = p.select(
         F.col("p_partkey").alias("part_a"),
         F.col("p_name").alias("name_a"),
+        srt.alias("sort_a"),
         key.alias("k"),
     )
     b = p.select(
         F.col("p_partkey").alias("part_b"),
         F.concat_ws(" ", F.reverse(F.split("p_name", " "))).alias("name_b"),
+        srt.alias("sort_b"),
         key.alias("k"),
     )
     plain = F.round(ratio_expr(F.col("name_a"), F.col("name_b")), 4)
-    tsort = F.round(
-        token_sort_ratio_expr(F.col("name_a"), F.col("name_b"), process=False),
-        4,
-    )
+    tsort = F.round(ratio_expr(F.col("sort_a"), F.col("sort_b")), 4)
+    # no length pre-gate: measured at sf0.1 it SLOWS the query (122 s
+    # gated vs 65 s without — most pairs pass it on this corpus, so it
+    # is per-pair overhead, not pruning). The presorted surfaces are
+    # the real win: 166 s → 65 s vs sorting inside the pair scorer.
     return (
         a.join(b, ["k"])
         .filter(F.col("part_a") < F.col("part_b"))
