@@ -1575,6 +1575,82 @@ SQL_LABEL_TYPE_INFERENCE = (
 )
 
 
+def q_label_check(spark, sf_dir):
+    """check_labels (labelannotation/routes.py:699-736) as a driver
+    query: the sanity pass over the same derived llm/annotation pair,
+    with a selected-classes mapping chosen to trigger exactly the
+    violations the reference would flash — color's selected classes
+    disagree with the annotation set, and only_yes marked multiclass
+    while its llm/annotation sets differ."""
+    from llmaix_spark.operators.labels import check_labels
+
+    llm, ann = _label_fixture(spark, sf_dir)
+    mapping = {
+        "flag": {"label_type": "boolean", "label_classes": ["False", "True"]},
+        "color": {"label_type": "multiclass", "label_classes": ["c0", "c1"]},
+        "only_yes": {"label_type": "multiclass", "label_classes": ["yes"]},
+        "note": {"label_type": "stringmatch", "label_classes": []},
+    }
+    issues = check_labels(llm, ann, mapping, max_classes=64)
+    rows = [
+        (i["label"], i["issue"], ",".join(i["detail"] or []))
+        for i in sorted(issues, key=lambda x: (x["label"], x["issue"]))
+    ]
+    return spark.createDataFrame(
+        rows or [("", "", "")], "label string, issue string, detail string"
+    ).filter(F.col("label") != "")
+
+
+SQL_LABEL_CHECK = (
+    "WITH " + _LABEL_FIXTURE_SQL + """
+,sets AS (SELECT
+  (SELECT list_sort(list(DISTINCT color)) FROM ann) AS color_ann,
+  (SELECT list_sort(list(DISTINCT color)) FROM llm) AS color_llm,
+  (SELECT list_sort(list(DISTINCT only_yes)) FROM ann) AS oy_ann,
+  (SELECT list_sort(list(DISTINCT only_yes)) FROM llm) AS oy_llm,
+  (SELECT list_sort(list(DISTINCT flag)) FROM ann) AS flag_ann,
+  (SELECT list_sort(list(DISTINCT flag)) FROM llm) AS flag_llm,
+  (SELECT count(DISTINCT note) FROM llm) AS note_llm_n,
+  (SELECT count(DISTINCT note) FROM ann) AS note_ann_n)
+SELECT label, issue, detail FROM (
+  SELECT 'color' AS label, 'classes_differ_llm_vs_annotation' AS issue,
+         '' AS detail FROM sets WHERE color_llm != color_ann
+  UNION ALL
+  SELECT 'color', 'classes_differ_annotation_vs_selected', ''
+  FROM sets WHERE color_ann != ['c0', 'c1']
+  UNION ALL
+  SELECT 'only_yes', 'classes_differ_llm_vs_annotation', ''
+  FROM sets WHERE oy_llm != oy_ann
+  UNION ALL
+  SELECT 'only_yes', 'classes_differ_annotation_vs_selected', ''
+  FROM sets WHERE oy_ann != ['yes']
+  UNION ALL
+  SELECT 'flag', 'too_many_values', ''
+  FROM sets WHERE len(flag_llm) > 2 OR len(flag_ann) > 2
+  UNION ALL
+  SELECT 'flag', 'invalid_llm_values',
+         array_to_string(list_sort(list_filter(flag_llm,
+           x -> x NOT IN ('True','False','true','false','1','0','yes','no'))), ',')
+  FROM sets WHERE len(list_filter(flag_llm,
+    x -> x NOT IN ('True','False','true','false','1','0','yes','no'))) > 0
+  UNION ALL
+  SELECT 'flag', 'invalid_annotation_values',
+         array_to_string(list_sort(list_filter(flag_ann,
+           x -> x NOT IN ('True','False','true','false','1','0','yes','no'))), ',')
+  FROM sets WHERE len(list_filter(flag_ann,
+    x -> x NOT IN ('True','False','true','false','1','0','yes','no'))) > 0
+  UNION ALL
+  SELECT 'note', 'llm_empty_values', ''
+  FROM sets WHERE note_llm_n <= 64
+    AND EXISTS (SELECT 1 FROM llm WHERE note = '')
+  UNION ALL
+  SELECT 'note', 'annotation_empty_values', ''
+  FROM sets WHERE note_ann_n <= 64
+    AND EXISTS (SELECT 1 FROM ann WHERE note = '')
+)"""
+)
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible: iterative / UDF / approximate)
 
@@ -2291,6 +2367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redaction_classwise": q_redaction_classwise,
     "labels_join": q_labels_join,
     "label_type_inference": q_label_type_inference,
+    "label_check": q_label_check,
     "file_manifest_join": q_file_manifest_join,
     "metrics_multiclass": q_metrics_multiclass,
     "invariant_per_turn": q_invariant_per_turn,
@@ -2352,6 +2429,7 @@ ORACLES: dict[str, str] = {
     "redaction_classwise": SQL_REDACTION_CLASSWISE,
     "labels_join": SQL_LABELS_JOIN,
     "label_type_inference": SQL_LABEL_TYPE_INFERENCE,
+    "label_check": SQL_LABEL_CHECK,
     "file_manifest_join": SQL_FILE_MANIFEST_JOIN,
     "metrics_multiclass": SQL_METRICS_MULTICLASS,
     "invariant_per_turn": SQL_INVARIANT_PER_TURN,
