@@ -26,6 +26,24 @@ from llmaix_spark.operators.linking import stable_hash60_expr
 from llmaix_spark.operators.textstats import token_count_ws
 
 
+def split_thresholds(
+    weights: dict[str, float], buckets: int = 10000
+) -> list[tuple[str, int]]:
+    """(name, exclusive upper bucket) pairs tiling [0, buckets)
+    completely — the single source of the threshold arithmetic for
+    split_expr and its tests (integer rounding of cumulative weights;
+    the last split absorbs the remainder)."""
+    assert weights and all(w > 0 for w in weights.values())
+    total = sum(weights.values())
+    names = list(weights)
+    out, cum = [], 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        out.append((name, int(cum * buckets + 0.5)))
+    out.append((names[-1], buckets))
+    return out
+
+
 def split_expr(
     id_col, weights: dict[str, float], salt: str = "split",
     buckets: int = 10000,
@@ -39,27 +57,22 @@ def split_expr(
     splits are chosen for), and the shared md5-based hash makes the
     assignment bit-identical in any engine (CLAUDE.md cross-engine
     hash)."""
-    assert weights and all(w > 0 for w in weights.values())
-    total = sum(weights.values())
     bucket = F.pmod(
         stable_hash60_expr(
             F.concat(id_col.cast("string"), F.lit(":" + salt))
         ),
         F.lit(buckets),
     )
-    names = list(weights)
-    cum = 0.0
+    pairs = split_thresholds(weights, buckets)
     expr = None
-    for name in names[:-1]:
-        cum += weights[name] / total
-        threshold = int(cum * buckets + 0.5)
-        cond = bucket < F.lit(threshold)
+    for name, upper in pairs[:-1]:
+        cond = bucket < F.lit(upper)
         expr = (
             F.when(cond, F.lit(name))
             if expr is None
             else expr.when(cond, F.lit(name))
         )
-    last = F.lit(names[-1])
+    last = F.lit(pairs[-1][0])
     return last if expr is None else expr.otherwise(last)
 
 

@@ -1593,7 +1593,9 @@ def q_label_check(spark, sf_dir):
     }
     issues = check_labels(llm, ann, mapping, max_classes=64)
     rows = [
-        (i["label"], i["issue"], ",".join(i["detail"] or []))
+        # str(): boolean-invalid details may carry a None (a NULL llm
+        # value set entry) — join must report it, not TypeError
+        (i["label"], i["issue"], ",".join(str(v) for v in (i["detail"] or [])))
         for i in sorted(issues, key=lambda x: (x["label"], x["issue"]))
     ]
     return spark.createDataFrame(

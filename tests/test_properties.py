@@ -191,7 +191,7 @@ def test_round_half_up_shortest_decimal_invariant(x, dp):
         Decimal(repr(x)).quantize(Decimal(1).scaleb(-dp),
                                   rounding=ROUND_HALF_UP)
     )
-    assert got == want or (got == 0.0 and want == 0.0)
+    assert got == want  # float == handles -0.0 vs 0.0 already
 
 
 @given(st.text(max_size=30), st.text(max_size=30))
@@ -221,16 +221,15 @@ def test_fuzzy_twin_bounds_and_identity(a, b):
 )
 @settings(max_examples=30, deadline=None)
 def test_dataset_split_thresholds_partition_buckets(weights):
-    """The split thresholds must tile [0, buckets) completely — every
-    bucket maps to exactly one split, so no row is ever dropped or
-    double-assigned, for ANY positive weight dict."""
-    total = sum(weights.values())
-    buckets = 10000
-    names = list(weights)
-    cum, edges = 0.0, [0]
-    for n in names[:-1]:
-        cum += weights[n] / total
-        edges.append(int(cum * buckets + 0.5))
-    edges.append(buckets)
-    assert edges == sorted(edges)  # monotone ⇒ CASE chain is total
-    assert edges[-1] == buckets
+    """The PRODUCTION split thresholds (curation.split_thresholds — the
+    exact pairs split_expr builds its CASE chain from) must tile
+    [0, buckets) completely: every bucket maps to exactly one split, so
+    no row is ever dropped or double-assigned, for ANY positive weight
+    dict."""
+    from llmaix_spark.operators.curation import split_thresholds
+
+    pairs = split_thresholds(weights, buckets=10000)
+    uppers = [u for _, u in pairs]
+    assert uppers == sorted(uppers)  # monotone ⇒ CASE chain is total
+    assert uppers[-1] == 10000
+    assert [n for n, _ in pairs] == list(weights)
