@@ -127,6 +127,51 @@ def pack_sequences(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cheap language-model quality proxy (the CCNet-family filter,
+    unigram variant): fit a corpus unigram model IN the same job and
+    score each document by its mean log10 token probability — gibberish
+    and boilerplate-stuffed documents score far from the corpus medians.
+    Returns (doc_id, n_words, mean_logprob); documents with no tokens
+    score NULL.
+
+    Scale: one map-side-combinable groupBy fits the model (vocab-sized,
+    stays distributed), one shuffle-join keyed on the token scores the
+    corpus (AQE broadcasts the vocab when it fits), the corpus total
+    rides a broadcast 1-row aggregate. Cross-engine determinism: the
+    per-token log10 is rounded to 6dp BEFORE averaging (1-ulp libm
+    differences die there), the mean to 4dp."""
+    from llmaix_spark.operators.textstats import _tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    toks = toks.localCheckpoint(eager=False)  # feeds the fit AND the scoring
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    scored = (
+        toks.join(freq, "tok")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log10(F.col("c") / F.col("n_total")), 6).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.round(F.avg("lp"), 4).alias("mean_logprob"),
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        "mean_logprob",
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

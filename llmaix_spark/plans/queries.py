@@ -1067,6 +1067,37 @@ SELECT d2.doc_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_shared,
 FROM documents d2 LEFT JOIN shared ON d2.doc_id = shared.doc_id"""
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-family LM quality proxy: corpus unigram model fitted in
+    the same job, per-doc mean log10 token probability. Per-token log10
+    rounded to 6dp before averaging (libm 1-ulp differences), mean to
+    4dp — the cross-engine contract."""
+    from llmaix_spark.operators.curation import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> length(x) > 0)) AS tok
+  FROM documents),
+freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c) AS n_total FROM freq),
+scored AS (
+  SELECT t.doc_id, round(log10(f.c * 1.0 / (SELECT n_total FROM tot)), 6)
+           AS lp
+  FROM toks t JOIN freq f ON t.tok = f.tok),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         round(avg(lp), 4) AS mean_logprob
+  FROM scored GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+       p.mean_logprob
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-dup clustering over the EXACT pair generator (the oracle
     path — dedup_groups defaults to LSH pairs; the exact variant is
@@ -2363,6 +2394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "textstats_tokens": q_textstats_tokens,
     "textstats_quality": q_textstats_quality,
     "quality_repetition": q_quality_repetition,
+    "unigram_logprob": q_unigram_logprob,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "redaction_metrics": q_redaction_metrics,
@@ -2425,6 +2457,7 @@ ORACLES: dict[str, str] = {
     "textstats_tokens": SQL_TEXTSTATS_TOKENS,
     "textstats_quality": SQL_TEXTSTATS_QUALITY,
     "quality_repetition": SQL_QUALITY_REPETITION,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "redaction_metrics": SQL_REDACTION_METRICS,

@@ -93,3 +93,25 @@ def test_decontaminate_short_docs_never_flag(spark):
     docs = spark.createDataFrame([(2, "a b c")], ["doc_id", "text"])
     got = cu.decontaminate(docs, bench, n=8).collect()
     assert got[0]["contaminated"] is False
+
+
+def test_unigram_logprob_semantics(spark):
+    """Corpus-fitted unigram LM proxy: common-word docs score higher
+    (closer to 0) than rare-word docs; tokenless docs score NULL."""
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zyzzyva"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in cu.unigram_logprob(df).collect()}
+    # p(the)=4/5, p(zyzzyva)=1/5
+    import math
+
+    assert got[1]["n_words"] == 4
+    assert got[1]["mean_logprob"] == pytest.approx(
+        round(round(math.log10(4 / 5), 6), 4)
+    )
+    assert got[2]["mean_logprob"] == pytest.approx(
+        round(round(math.log10(1 / 5), 6), 4)
+    )
+    assert got[1]["mean_logprob"] > got[2]["mean_logprob"]
+    assert got[3]["n_words"] == 0 and got[3]["mean_logprob"] is None
