@@ -98,11 +98,19 @@ def run_headline_queries(
             t0 = time.time()
             QUERIES[name](spark, sf_dir).count()
             times[name].append(round(time.time() - t0, 3))
+    import statistics
+
+    # statistics.median, not sorted()[n//2]: the upper-middle element
+    # biases the headline upward whenever SPARK_GRAFT_BENCH_REPS is even
     med = {
-        name: sorted(ts)[len(ts) // 2] for name, ts in times.items()
+        name: round(statistics.median(ts), 3) for name, ts in times.items()
     }
     spread = {name: [min(ts), max(ts)] for name, ts in times.items()}
-    return med, spread
+    # first-rep times separately: rep 1 is the COLD pass (fresh scratch,
+    # coldest JIT/page-cache state within the session) — the unit for
+    # cold-vs-cold round-over-round comparisons (r3 verdict item 3)
+    cold = {name: ts[0] for name, ts in times.items()}
+    return med, spread, cold
 
 
 def _pipeline_worker(
@@ -146,7 +154,10 @@ def _pipeline_worker(
 
     # two zero-cost passes before measuring at EVERY level — asymmetric
     # warmup biases the efficiency ratio (2nd run still carries ~25% JIT)
-    one_run(0.0)
+    # The FIRST pass is also the honest cold number (fresh JVM, no JIT,
+    # no page cache): reported as cold_sec so round-over-round
+    # comparisons can be cold-vs-cold instead of mixing warm medians.
+    cold_edges, cold_wall = one_run(0.0)
     if include_raw:
         # the REPORTED raw-stub number is a median of 3 post-warmup runs
         # (a second warmup precedes them — the 2nd session run still
@@ -184,6 +195,10 @@ def _pipeline_worker(
                 # path (raw numbers zeroed, then reused as the result)
                 "triples_per_sec": round(n_edges / wall, 1) if wall else None,
                 "simulate_cost_ms": simulate_ms,
+                "cold_sec": round(cold_wall, 3),
+                "cold_triples_per_sec": round(cold_edges / cold_wall, 1)
+                if cold_wall
+                else None,
                 "raw": {
                     "edges": raw_edges,
                     "sec": round(raw_wall, 3),
@@ -239,7 +254,9 @@ def main() -> None:
     spark = get_spark(master=f"local[{cpus}]", app_name="bench",
                       shuffle_partitions=cpus)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    queries, spread = run_headline_queries(spark, sf_dir, reps=reps)
+    queries, spread, queries_cold = run_headline_queries(
+        spark, sf_dir, reps=reps
+    )
     # headline total = sum of per-query MEDIANS (comparable across
     # rounds), not the wall time of all reps
     total = round(sum(queries.values()), 3)
@@ -275,12 +292,20 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "queries_spread": spread,
+                "queries_cold": queries_cold,
                 "bench_reps": reps,
                 "sf": sf,
                 "pipeline": {
                     "edges": r_raw["edges"],
                     "sec": r_raw["sec"],
                     "triples_per_sec": r_raw["triples_per_sec"],
+                    # first run of a fresh JVM, zero warmup — the
+                    # cold-vs-cold comparison unit (medians mix JIT/page
+                    # -cache-warm reps; r3 verdict item 3)
+                    "cold_sec": r_high.get("cold_sec"),
+                    "cold_triples_per_sec": r_high.get(
+                        "cold_triples_per_sec"
+                    ),
                 },
                 "scaling": {
                     "low": r_low,

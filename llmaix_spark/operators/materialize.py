@@ -163,21 +163,34 @@ def write_graph_tables(
         pre_existing: dict[str, bool] = {}
         swapped: list[str] = []
         try:
-            # recover from a PRIOR process crash mid-swap first: a final
-            # table absent with its *_old present means the old snapshot
-            # survives only under *_old — restore it before anything
-            # else (an eager drop here would destroy the last copy). An
-            # *_old next to a live final is post-swap garbage.
+            # recover from a PRIOR process crash mid-swap first. The
+            # decision is PAIR-atomic, not per-table: if ANY final table
+            # is missing while its *_old survives, the crash happened
+            # mid-swap and the *_old copies are the last complete
+            # snapshot — restore EVERY existing *_old over its final
+            # (a fresh final next to it is a half-swapped partial and is
+            # dropped), so the catalog never settles on fresh-nodes/
+            # stale-edges. Only when every final is present are the
+            # *_old tables post-swap garbage safe to drop. (Classifying
+            # each *_old independently destroyed the last old-nodes copy
+            # in the nodes-swapped/edges-not state.)
+            mid_swap_crash = any(
+                _exists(f"{table_prefix}.{t}_old")
+                and not _exists(f"{table_prefix}.{t}")
+                for t in ("nodes", "edges")
+            )
             for t in ("nodes", "edges"):
                 old = f"{table_prefix}.{t}_old"
-                if _exists(old):
-                    if _exists(f"{table_prefix}.{t}"):
-                        spark.sql(f"DROP TABLE IF EXISTS {old}")
-                    else:
-                        spark.sql(
-                            f"ALTER TABLE {old} RENAME TO {prefix_nocat}.{t}"
-                        )
-                        _msck(f"{table_prefix}.{t}")
+                if not _exists(old):
+                    continue
+                if mid_swap_crash:
+                    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}.{t}")
+                    spark.sql(
+                        f"ALTER TABLE {old} RENAME TO {prefix_nocat}.{t}"
+                    )
+                    _msck(f"{table_prefix}.{t}")
+                else:
+                    spark.sql(f"DROP TABLE IF EXISTS {old}")
             # drop-then-create instead of createOrReplace: staging names
             # are ephemeral (no history to preserve) and plain CTAS is
             # supported by BOTH Iceberg and the V2 session catalog
@@ -237,6 +250,15 @@ def write_graph_tables(
                     pass
             if out_dir is None:
                 raise
+            import warnings
+
+            warnings.warn(
+                f"catalog write to {table_prefix} failed; staging tables "
+                "dropped, last good snapshot preserved, falling back to "
+                "parquet",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         else:
             # success: the *_old cleanup is best-effort and OUTSIDE the
             # swap try — a transient DROP failure here must not trigger
@@ -254,15 +276,6 @@ def write_graph_tables(
                 "nodes": f"{table_prefix}.nodes",
                 "edges": f"{table_prefix}.edges",
             }
-            import warnings
-
-            warnings.warn(
-                f"catalog write to {table_prefix} failed; staging tables "
-                "dropped, last good snapshot preserved, falling back to "
-                "parquet",
-                RuntimeWarning,
-                stacklevel=2,
-            )
     assert out_dir is not None, "need out_dir without a table catalog"
     write_stage(nodes, out_dir, "nodes")
     write_stage(edges, out_dir, "edges", partition_by=["pred"])

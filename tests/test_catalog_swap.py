@@ -119,6 +119,49 @@ def test_prior_crash_old_only_state_is_recovered(spark, clean_tables):
     assert not names & {"nodes_old", "edges_old", "nodes_stg", "edges_stg"}
 
 
+def test_prior_half_swapped_crash_recovery_is_pair_atomic(
+    spark, clean_tables, monkeypatch
+):
+    """Prior process hard-killed AFTER swapping nodes in but BEFORE
+    edges: (nodes=fresh-partial, nodes_old=v1, edges absent,
+    edges_old=v1). Recovery must treat the *_old PAIR as the last
+    complete snapshot and restore BOTH — classifying each *_old
+    independently dropped nodes_old (the last v1-nodes copy) and left a
+    fresh-nodes/stale-edges catalog that a later failed refresh rolled
+    back TO (advice r3 finding)."""
+    nodes, edges = _graph(spark, 5, "v1")
+    write_graph_tables(nodes, edges, table_prefix=PREFIX)
+    # fabricate the half-swapped crash state
+    spark.sql(f"ALTER TABLE {PREFIX}.edges RENAME TO default.edges_old")
+    spark.sql(f"ALTER TABLE {PREFIX}.nodes RENAME TO default.nodes_old")
+    n2, _ = _graph(spark, 9, "v2-partial")
+    n2.writeTo(f"{PREFIX}.nodes").create()
+
+    # the next refresh itself fails mid-swap: the rollback target must
+    # be the RECOVERED v1 pair, not the mixed crash state
+    real_sql = spark.sql
+
+    def failing_sql(query, *a, **kw):
+        if "edges_stg RENAME" in query:
+            raise RuntimeError("injected rename failure")
+        return real_sql(query, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", failing_sql, raising=False)
+    n3, e3 = _graph(spark, 7, "v3")
+    with pytest.raises(Exception, match="injected rename failure"):
+        write_graph_tables(n3, e3, table_prefix=PREFIX)
+    monkeypatch.undo()
+    assert spark.table(f"{PREFIX}.nodes").count() == 5
+    assert spark.table(f"{PREFIX}.nodes").first()["canonical"] == "v1"
+    assert spark.table(f"{PREFIX}.edges").count() == 10
+    names = {t.name for t in spark.catalog.listTables("default")}
+    assert not names & {"nodes_stg", "edges_stg", "nodes_old", "edges_old"}
+    # and a subsequent good refresh completes
+    n4, e4 = _graph(spark, 3, "v4")
+    write_graph_tables(n4, e4, table_prefix=PREFIX)
+    assert spark.table(f"{PREFIX}.nodes").first()["canonical"] == "v4"
+
+
 def test_cleanup_failure_after_complete_swap_keeps_new_snapshot(
     spark, clean_tables, monkeypatch
 ):
