@@ -128,7 +128,11 @@ def pack_sequences(
 
 
 def unigram_logprob(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head_k: int = 50_000,
+    materialize_tokens: bool = True,
 ) -> DataFrame:
     """Cheap language-model quality proxy (the CCNet-family filter,
     unigram variant): fit a corpus unigram model IN the same job and
@@ -137,30 +141,60 @@ def unigram_logprob(
     Returns (doc_id, n_words, mean_logprob); documents with no tokens
     score NULL.
 
-    Scale: one map-side-combinable groupBy fits the model (vocab-sized,
-    stays distributed), one shuffle-join keyed on the token scores the
-    corpus (AQE broadcasts the vocab when it fits), the corpus total
-    rides a broadcast 1-row aggregate. Cross-engine determinism: the
-    per-token log10 is rounded to 6dp BEFORE averaging (1-ulp libm
-    differences die there), the mean to 4dp."""
+    Scale — the scoring join is the hazard: token frequency is Zipf, so
+    a plain shuffle-join of the token-INSTANCE table against the vocab
+    on `tok` lands "the" (~5% of all instance rows at corpus scale) on
+    one reducer once the vocab outgrows the broadcast threshold. The
+    join is therefore TWO-PATH: the `head_k` most frequent tokens
+    (TakeOrderedAndProject off the vocab — never a full sort; K≈50k
+    covers ~95% of Zipf mass) are explicitly broadcast and scored
+    map-side with NO exchange of the instance table, and only tail
+    tokens — each rarer than the rank-K boundary by construction, so no
+    hot key can cross it — take the shuffle-join. Head routing uses a
+    deterministic (count desc, tok) tie-break; the per-token arithmetic
+    is identical on both paths, so results do not depend on routing.
+    The fit itself is a map-side-combinable groupBy (no skew: partial
+    counts combine before the exchange) and the corpus total rides a
+    broadcast 1-row aggregate.
+
+    `materialize_tokens` localCheckpoints the exploded token-instance
+    table, which three consumers share (fit, head scoring, tail
+    anti-join). That state is ~corpus-sized: right at sandbox/dev scale
+    where it kills 3 re-scans, wrong at 100 TB where re-running a
+    narrow tokenize off the parquet scan is cheaper than writing a
+    corpus to executor storage — pass False there (the size gate is the
+    caller's corpus knowledge; the plan is identical either way). The
+    vocab checkpoint stays unconditional — it is |vocab|-sized, not
+    corpus-sized, and feeds three consumers too.
+
+    Cross-engine determinism: the per-token log10 is rounded to 6dp
+    BEFORE averaging (1-ulp libm differences die there), the mean to
+    4dp."""
     from llmaix_spark.operators.textstats import _tokens
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(F.col(text_col))).alias("tok"),
     )
-    toks = toks.localCheckpoint(eager=False)  # feeds the fit AND the scoring
+    if materialize_tokens:
+        toks = toks.localCheckpoint(eager=False)
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    freq = freq.localCheckpoint(eager=False)  # head + tail-join + total
     total = freq.agg(F.sum("c").alias("n_total"))
-    scored = (
-        toks.join(freq, "tok")
+    head = freq.orderBy(F.desc("c"), "tok").limit(head_k)
+    lp = F.round(F.log10(F.col("c") / F.col("n_total")), 6).alias("lp")
+    scored_head = (
+        toks.join(F.broadcast(head), "tok")
         .join(F.broadcast(total))
-        .select(
-            "doc_id",
-            F.round(F.log10(F.col("c") / F.col("n_total")), 6).alias("lp"),
-        )
+        .select("doc_id", lp)
     )
-    per_doc = scored.groupBy("doc_id").agg(
+    scored_tail = (
+        toks.join(F.broadcast(head.select("tok")), "tok", "left_anti")
+        .join(freq, "tok")
+        .join(F.broadcast(total))
+        .select("doc_id", lp)
+    )
+    per_doc = scored_head.unionByName(scored_tail).groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
         F.round(F.avg("lp"), 4).alias("mean_logprob"),
     )

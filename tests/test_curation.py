@@ -115,3 +115,27 @@ def test_unigram_logprob_semantics(spark):
     )
     assert got[1]["mean_logprob"] > got[2]["mean_logprob"]
     assert got[3]["n_words"] == 0 and got[3]["mean_logprob"] is None
+
+
+def test_unigram_logprob_two_path_routing_invariant(docs):
+    """The Zipf-head broadcast path and the tail shuffle path must
+    produce identical scores regardless of where the head/tail boundary
+    falls — head_k=0 (everything tail), a tiny head (hot tokens
+    broadcast, the rest shuffled), and the default (everything head at
+    this vocab size) agree row-for-row; materialize_tokens=False (the
+    100 TB opt-out) changes the plan, never the result."""
+    small = docs.limit(50)
+    base = sorted(
+        cu.unigram_logprob(small).collect(), key=lambda r: r["doc_id"]
+    )
+    assert base and any(r["mean_logprob"] is not None for r in base)
+    for kw in (
+        {"head_k": 0},
+        {"head_k": 7},
+        {"head_k": 7, "materialize_tokens": False},
+    ):
+        got = sorted(
+            cu.unigram_logprob(small, **kw).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert got == base, kw
