@@ -554,7 +554,16 @@ FROM j GROUP BY label"""
 def q_fuzzy_part_pairs(spark, sf_dir):
     """JN4 recast: fuzzy θ-join with explicit blocking — candidate pairs
     share the first name token (the blocking key), scored with built-in
-    levenshtein, kept at distance ≤ 4."""
+    levenshtein, kept at distance ≤ 4.
+
+    EXACT-BY-SPEC ORACLE PATH (like dedup's ngram_jaccard_pairs): the
+    oracle pins the FULL within-block pair set, so no bucket cap can
+    apply here — on this corpus the 8 coarse blocks make the query
+    output-bound by construction (11.7 M matching pairs at sf0.1,
+    measured). It is deliberately NOT on the bench headline list; the
+    production linking path (operators/linking.py) carries the bucket
+    cap + length gate, and `fuzzy_part_pairs_capped` below oracles the
+    member-cap variant that IS the 100 TB shape."""
     p = _t(spark, sf_dir, "part")
     key = F.split("p_name", " ").getItem(0)
     a = p.select(F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a"), key.alias("k"))
@@ -583,9 +592,81 @@ FROM part a JOIN part b
 WHERE levenshtein(a.p_name, b.p_name) <= 4"""
 
 
+FUZZY_BLOCK_CAP = 100
+
+
+def q_fuzzy_part_pairs_capped(spark, sf_dir):
+    """The 100×-scale variant of fuzzy_part_pairs: each block keeps only
+    its first FUZZY_BLOCK_CAP members in deterministic p_partkey order
+    (row_number ≤ K — the `least(|block|, K)` member cap mirroring
+    linking.py's bucket guard), so the self-join cost is
+    O(Σ min(|block|, K)²) instead of O(Σ |block|²) — a hot block at
+    100× the data costs the same, not 10,000×. The cap is mirrored
+    exactly in the DuckDB oracle (same window, same order), so the row
+    set stays value-checked.
+
+    Cap-recall trade-off (measured at sf0.1, K=100): the uncapped query
+    emits ~11.7 M pairs in ~43 s; the capped one emits 18,610 in
+    2.1 s. On THIS corpus blocking is coarse (8 first-token blocks of
+    ~2,500 members), so the cap drops ~99.8% of pairs — which is the
+    point: a pair set quadratic in block size is not a scale-safe
+    deliverable, and the production linking path additionally verifies
+    only LSH-banded candidates. Real matches inside a capped block are
+    found when any selective key (LSH band) pairs them."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part")
+    key = F.split("p_name", " ").getItem(0)
+    capped = (
+        p.select(
+            F.col("p_partkey").alias("pid"),
+            F.col("p_name").alias("name"),
+            key.alias("k"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("k").orderBy("pid")),
+        )
+        .filter(F.col("rn") <= FUZZY_BLOCK_CAP)
+        .drop("rn")
+    )
+    a = capped.select(
+        F.col("pid").alias("part_a"), F.col("name").alias("name_a"), "k"
+    )
+    b = capped.select(
+        F.col("pid").alias("part_b"), F.col("name").alias("name_b"), "k"
+    )
+    return (
+        a.join(b, ["k"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= 4)
+        .select("part_a", "part_b", "dist")
+        .distinct()
+    )
+
+
+SQL_FUZZY_PART_PAIRS_CAPPED = f"""
+WITH c AS (
+  SELECT p_partkey, p_name,
+         string_split(p_name, ' ')[1] AS k,
+         row_number() OVER (
+           PARTITION BY string_split(p_name, ' ')[1]
+           ORDER BY p_partkey) AS rn
+  FROM part)
+SELECT DISTINCT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM c a JOIN c b ON a.k = b.k AND a.p_partkey < b.p_partkey
+WHERE a.rn <= {FUZZY_BLOCK_CAP} AND b.rn <= {FUZZY_BLOCK_CAP}
+  AND levenshtein(a.p_name, b.p_name) <= 4"""
+
+
 def q_fuzzy_token_sort(spark, sf_dir):
     """F6: token-sort composite closing the WRatio reorder gap — same
-    blocking join as fuzzy_part_pairs, but the right surface is
+    blocking join as fuzzy_part_pairs (and the same EXACT-BY-SPEC
+    ORACLE PATH status: full within-block pair set pinned by the
+    oracle, output-bound, off the headline list; the capped shape is
+    oracled by fuzzy_part_pairs_capped), but the right surface is
     word-REVERSED and scored with greatest(plain, token_sort): reordered
     names pass the 90 gate that plain normalized Levenshtein fails
     (reference scorer: thefuzz WRatio, report_redaction/utils.py:431).
@@ -2382,6 +2463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metrics_boolean": q_metrics_boolean,
     "metrics_stringmatch": q_metrics_stringmatch,
     "fuzzy_part_pairs": q_fuzzy_part_pairs,
+    "fuzzy_part_pairs_capped": q_fuzzy_part_pairs_capped,
     "fuzzy_token_sort": q_fuzzy_token_sort,
     "masking": q_masking,
     "dedup_exact": q_dedup_exact,
@@ -2445,6 +2527,7 @@ ORACLES: dict[str, str] = {
     "metrics_boolean": SQL_METRICS_BOOLEAN,
     "metrics_stringmatch": SQL_METRICS_STRINGMATCH,
     "fuzzy_part_pairs": SQL_FUZZY_PART_PAIRS,
+    "fuzzy_part_pairs_capped": SQL_FUZZY_PART_PAIRS_CAPPED,
     "fuzzy_token_sort": SQL_FUZZY_TOKEN_SORT,
     "masking": SQL_MASKING,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -166,3 +166,73 @@ def test_partial_ratio_expr_window(spark):
         ).collect()
     ]
     assert got == [100.0, 100.0]
+
+
+# --- JVM/Python agreement band (hypothesis sweep; r3 verdict item 7) ---------
+# The JVM composite's base similarity is normalized Levenshtein, the
+# Python twin's is difflib 2M/T (module docstring) — a DOCUMENTED
+# divergence. This sweep turns it into a MEASURED one over the domain
+# the scorer runs on (short person-name surfaces: letters incl. umlauts,
+# space, [.,'-]). Stated bounds, from a 1000-pair seeded sweep plus the
+# generated cases here:
+#
+#   * py ≥ 90  ⇒  jvm ≥ py − 10   (worst observed shortfall −7.4: the
+#     transposition class — Levenshtein counts a character swap as 2
+#     edits where difflib's matching blocks lose ~1; this is the ONLY
+#     near-gate miss class observed)
+#   * py ≥ 80  ⇒  jvm ≤ py + 2    (the composite never manufactures a
+#     match above the gate: worst observed overshoot +0.67; zero
+#     jvm≥90-but-py<90 cases in the sweep)
+#   * jvm ≥ python plain processed ratio (monotone upgrade — the
+#     composite is a greatest() over the base, cross-checked against
+#     the Python twin of the base formula)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_NAME_ALPHA = "abcdefghijklmnopqrstuvwxyzäöüß .,-'"
+_surface = st.text(alphabet=_NAME_ALPHA, min_size=1, max_size=24)
+
+
+@st.composite
+def _fuzzy_pair(draw):
+    a = draw(_surface)
+    kind = draw(st.integers(0, 5))
+    if kind == 0:  # word reorder (the rescue class)
+        b = " ".join(reversed(a.split())) or a
+    elif kind == 1:  # single-char typo: sub/del/ins
+        i = draw(st.integers(0, max(len(a) - 1, 0)))
+        op = draw(st.integers(0, 2))
+        c = draw(st.sampled_from(_NAME_ALPHA))
+        b = (a[:i] + c + a[i + 1 :], a[:i] + a[i + 1 :], a[:i] + c + a[i:])[op]
+    elif kind == 2:  # transposition (the known divergence class)
+        i = draw(st.integers(0, max(len(a) - 2, 0)))
+        b = a[:i] + a[i + 1 : i + 2] + a[i : i + 1] + a[i + 2 :]
+    elif kind == 3:  # truncation/substring
+        b = a[: max(1, len(a) // 2)]
+    elif kind == 4:  # unrelated surface
+        b = draw(_surface)
+    else:
+        b = a
+    return a, b
+
+
+@given(st.lists(_fuzzy_pair(), min_size=40, max_size=40))
+@settings(max_examples=5, deadline=None, derandomize=True)
+def test_wratio_jvm_python_agreement_band(spark, pairs):
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = df.select(
+        "a", "b", fz.wratio_expr(F.col("a"), F.col("b")).alias("jvm")
+    ).collect()
+    for r in got:
+        a, b, jvm = r["a"], r["b"], r["jvm"]
+        py = fz.wratio(a, b)
+        assert jvm is not None
+        if py >= 90:
+            assert jvm >= py - 10, (a, b, py, jvm)
+        if py >= 80:
+            assert jvm <= py + 2, (a, b, py, jvm)
+        pa, pb = fz.full_process(a), fz.full_process(b)
+        if pa and pb:
+            # monotone upgrade over the (shared-formula) plain ratio
+            assert jvm >= round(fz.ratio(pa, pb), 4) - 1e-6, (a, b, jvm)
