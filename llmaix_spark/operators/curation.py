@@ -99,11 +99,19 @@ def pack_sequences(
     n_shards: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_counter=None,
 ) -> DataFrame:
     """Shard-local streaming pack: documents are sharded by id, ordered
     by id within the shard, and cut into packs every `budget` cumulative
-    whitespace tokens — pack_id = floor(exclusive_prefix_sum / budget).
-    Returns (doc_id, shard, n_tokens, pack_id).
+    tokens — pack_id = floor(exclusive_prefix_sum / budget). Returns
+    (doc_id, shard, n_tokens, pack_id).
+
+    `token_counter` is the Column-builder the budget is measured in —
+    default whitespace tokens (textstats.token_count_ws); a training
+    pipeline packs on real tokenizer budgets, so pass
+    textstats.token_count_bpe (the GPT-style pre-tokenizer families) or
+    any Column expression mapping text → count. The packing arithmetic
+    is counter-agnostic.
 
     Semantics: a document whose tokens overflow its pack stays in it
     (training loaders split/truncate at tokenization); packs are
@@ -111,11 +119,12 @@ def pack_sequences(
     shard, so packing parallelizes across n_shards — size n_shards to
     the cluster (a GLOBAL ordered window would funnel the corpus through
     one task). Growing the corpus only appends to each shard's tail."""
+    counter = token_counter or token_count_ws
     shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("bigint")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         shard.alias("shard"),
-        token_count_ws(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        counter(F.col(text_col)).cast("bigint").alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy("doc_id")
     cum_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
@@ -203,6 +212,86 @@ def unigram_logprob(
         "doc_id",
         F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
         "mean_logprob",
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    max_dup_word_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.1,
+    min_words: int = 20,
+    lo_pct: float = 0.05,
+    hi_pct: float = 0.95,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact_percentile: bool = True,
+) -> DataFrame:
+    """End-to-end corpus curation: the composition every pretraining
+    pipeline runs — repetition gates (Gopher family) + LM-quality band
+    (CCNet family) + deterministic split — in ONE job. Returns
+    (doc_id, n_words, dup_word_frac, top_bigram_frac, mean_logprob,
+    split) for the documents that survive:
+
+      1. repetition gates: n_words ≥ min_words, dup_word_frac ≤
+         max_dup_word_frac, top_bigram_frac ≤ max_top_bigram_frac;
+      2. LM band: mean unigram log-probability within the
+         [lo_pct, hi_pct] percentiles of the GATED population (both
+         tails are suspect: too-low = gibberish, too-high =
+         boilerplate);
+      3. survivors get the hash-based train/val/test split.
+
+    Scale: the stats come from repetition_stats + unigram_logprob
+    (both scale-audited — see their docstrings), joined 1:1 on doc_id;
+    the gated table is lazily localCheckpointed (the band aggregate and
+    the final filter both consume it). The percentile is a 1-row
+    aggregate broadcast back — with exact_percentile=True (default,
+    the oracle contract) it is F.percentile, which gathers the gated
+    means into one aggregation buffer: exact, but at 10^12 docs pass
+    exact_percentile=False to use approx_percentile (same plan shape,
+    thresholds approximate — the filter semantics are unchanged).
+    Thresholds are rounded to 6dp and the band compares the 4dp-rounded
+    means against the rounded thresholds (cross-engine contract)."""
+    from llmaix_spark.operators.textstats import repetition_stats
+
+    rep = repetition_stats(docs, id_col, text_col)
+    lm = unigram_logprob(docs, id_col, text_col)
+    gated = (
+        rep.join(lm.select("doc_id", "mean_logprob"), "doc_id")
+        .filter(
+            (F.col("n_words") >= min_words)
+            & (F.col("dup_word_frac") <= max_dup_word_frac)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+            & F.col("mean_logprob").isNotNull()
+        )
+        .localCheckpoint(eager=False)
+    )
+    pct = (
+        (lambda c, p: F.percentile(c, F.lit(p)))
+        if exact_percentile
+        else (lambda c, p: F.approx_percentile(c, F.lit(p), F.lit(10000)))
+    )
+    band = gated.agg(
+        F.round(pct(F.col("mean_logprob"), lo_pct), 6).alias("lo"),
+        F.round(pct(F.col("mean_logprob"), hi_pct), 6).alias("hi"),
+    )
+    return (
+        gated.join(F.broadcast(band))
+        .filter(
+            (F.col("mean_logprob") >= F.col("lo"))
+            & (F.col("mean_logprob") <= F.col("hi"))
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "dup_word_frac",
+            "top_bigram_frac",
+            "mean_logprob",
+            split_expr(
+                F.col("doc_id"),
+                weights or {"train": 0.9, "val": 0.05, "test": 0.05},
+            ).alias("split"),
+        )
     )
 
 

@@ -1116,6 +1116,37 @@ SELECT doc_id, shard, n_tokens,
 FROM base"""
 
 
+def q_pack_sequences_bpe(spark, sf_dir):
+    """pack_sequences on a REAL tokenizer budget: same shard-local
+    packing, but the cumulative count is the BPE-ish pre-tokenizer
+    token count (word pieces + digit runs + standalone punctuation —
+    textstats.token_count_bpe) instead of whitespace words. This is the
+    budget a training pipeline actually packs on; the arithmetic and
+    the plan (one exchange on shard) are identical."""
+    from llmaix_spark.operators.curation import pack_sequences
+    from llmaix_spark.operators.textstats import token_count_bpe
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        budget=256,
+        n_shards=32,
+        token_counter=token_count_bpe,
+    )
+
+
+SQL_PACK_SEQUENCES_BPE = r"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÖØ-öø-ÿ0-9]'))
+              AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                   - n_tokens) * 1.0 / 256) AS BIGINT) AS pack_id
+FROM base"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination sweep: flag documents sharing any word
     8-gram with the held-out set (doc_id % 97 == 0 as the derived
@@ -1177,6 +1208,70 @@ per_doc AS (
 SELECT d.doc_id, CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
        p.mean_logprob
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation composition (repetition gates → LM-quality
+    percentile band → hash split) — oracles the chain the way
+    kg_pipeline_edges oracles the KG chain. Gates chosen against the
+    measured sf0.01 distributions so each stage actually drops rows
+    (dup_word_frac median 0.54, top_bigram_frac p90 0.07, mean_logprob
+    range −1.61..−1.47)."""
+    from llmaix_spark.operators.curation import curate_corpus
+
+    return curate_corpus(_t(spark, sf_dir, "documents"))
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> length(x) > 0)) AS tok
+  FROM documents),
+wa AS (SELECT doc_id, count(*) AS n_words,
+              count(DISTINCT tok) AS n_distinct
+       FROM toks GROUP BY 1),
+d AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+tk AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
+bg AS (SELECT doc_id, t || ' ' || lead(t, 1) OVER win AS s,
+              lead(t, 1) OVER win AS l1
+       FROM tk WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+bc AS (SELECT doc_id, s, count(*) AS c FROM bg WHERE l1 IS NOT NULL
+       GROUP BY 1, 2),
+tb AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY 1),
+freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c) AS n_total FROM freq),
+scored AS (
+  SELECT t.doc_id, round(log10(f.c * 1.0 / (SELECT n_total FROM tot)), 6)
+           AS lp
+  FROM toks t JOIN freq f ON t.tok = f.tok),
+pd AS (SELECT doc_id, round(avg(lp), 4) AS mean_logprob
+       FROM scored GROUP BY 1),
+stats AS (
+  SELECT wa.doc_id, wa.n_words,
+         round(1.0 - (wa.n_distinct * 1.0 / wa.n_words), 6)
+           AS dup_word_frac,
+         CASE WHEN tb.top_bigram_n IS NULL THEN 0.0
+              ELSE round(tb.top_bigram_n * 1.0 / (wa.n_words - 1), 6)
+         END AS top_bigram_frac,
+         pd.mean_logprob
+  FROM wa LEFT JOIN tb ON wa.doc_id = tb.doc_id
+          JOIN pd ON wa.doc_id = pd.doc_id),
+gated AS (
+  SELECT * FROM stats
+  WHERE n_words >= 20 AND dup_word_frac <= 0.6
+    AND top_bigram_frac <= 0.1 AND mean_logprob IS NOT NULL),
+band AS (
+  SELECT round(quantile_cont(mean_logprob, 0.05), 6) AS lo,
+         round(quantile_cont(mean_logprob, 0.95), 6) AS hi
+  FROM gated)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, dup_word_frac,
+       top_bigram_frac, mean_logprob,
+       CASE WHEN {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9000 THEN 'train'
+            WHEN {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM gated, band
+WHERE mean_logprob >= lo AND mean_logprob <= hi"""
 
 
 def q_dedup_groups(spark, sf_dir):
@@ -2490,7 +2585,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_groups": q_dedup_groups,
     "dedup_groups_lsh": q_dedup_groups_lsh,
     "dataset_split": q_dataset_split,
+    "curation_pipeline": q_curation_pipeline,
     "pack_sequences": q_pack_sequences,
+    "pack_sequences_bpe": q_pack_sequences_bpe,
     "decontaminate": q_decontaminate,
     "multimodal_features": q_multimodal_features,
     # rows-only
@@ -2554,7 +2651,9 @@ ORACLES: dict[str, str] = {
     "dedup_groups": SQL_DEDUP_GROUPS,
     "dedup_groups_lsh": SQL_DEDUP_GROUPS_LSH,
     "dataset_split": SQL_DATASET_SPLIT,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "pack_sequences_bpe": SQL_PACK_SEQUENCES_BPE,
     "decontaminate": SQL_DECONTAMINATE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,

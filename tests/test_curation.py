@@ -139,3 +139,37 @@ def test_unigram_logprob_two_path_routing_invariant(docs):
             key=lambda r: r["doc_id"],
         )
         assert got == base, kw
+
+
+def test_curate_corpus_composition(docs):
+    """The composed pipeline = repetition gates ∩ LM band, split
+    assignment matching dataset_split; the approx-percentile scale path
+    runs and keeps a subset-or-equal population shape."""
+    from llmaix_spark.operators.textstats import repetition_stats
+
+    out = cu.curate_corpus(docs).collect()
+    assert 0 < len(out) < docs.count()  # every stage drops something
+    rows = {r["doc_id"]: r for r in out}
+    # survivors satisfy the gates
+    for r in out:
+        assert r["n_words"] >= 20
+        assert r["dup_word_frac"] <= 0.6
+        assert r["top_bigram_frac"] <= 0.1
+        assert r["mean_logprob"] is not None
+    # split agrees with the standalone operator
+    splits = {
+        r["doc_id"]: r["split"] for r in cu.dataset_split(docs).collect()
+    }
+    assert all(splits[i] == r["split"] for i, r in rows.items())
+    # gate-only population ⊇ survivors, and the band dropped some tails
+    rep = {r["doc_id"] for r in repetition_stats(docs).collect()
+           if r["n_words"] >= 20 and r["dup_word_frac"] <= 0.6
+           and r["top_bigram_frac"] <= 0.1}
+    assert set(rows) <= rep and len(rows) < len(rep)
+    # approx-percentile path (the 10^12-doc variant) runs; same schema
+    approx = cu.curate_corpus(docs, exact_percentile=False)
+    assert approx.columns == [
+        "doc_id", "n_words", "dup_word_frac", "top_bigram_frac",
+        "mean_logprob", "split",
+    ]
+    assert approx.count() > 0
