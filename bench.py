@@ -48,6 +48,13 @@ BENCH_QUERIES = [
     "pack_sequences",
     "decontaminate",
     "quality_repetition",
+    # round-4 additions (19 → 22): the BPE-budget packing variant, the
+    # member-capped fuzzy block join (the scale-safe fuzzy shape — the
+    # uncapped exact-by-spec pair too; stays off the headline by
+    # design), and the composed curation pipeline
+    "pack_sequences_bpe",
+    "fuzzy_part_pairs_capped",
+    "curation_pipeline",
 ]
 
 
