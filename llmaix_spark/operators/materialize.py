@@ -151,14 +151,26 @@ def write_graph_tables(
                 return False
 
         def _msck(name: str) -> None:
+            # the session catalog moves a managed table's DATA on
+            # rename but leaves its PARTITION metadata pointing at the
+            # OLD location. That is not just a read problem: DROP TABLE
+            # on a managed table deletes each partition's registered
+            # location, so dropping a renamed-aside *_old whose
+            # partitions still point under the final table's directory
+            # deletes the FRESH data that was just swapped in (found by
+            # the round-4 mid-aside recovery test — edges read 0 rows
+            # with only _SUCCESS left on disk). SYNC PARTITIONS both
+            # drops the stale entries and registers the moved ones;
+            # plain MSCK only ADDs, which leaves the data-eating stale
+            # entries in place. Iceberg's rename is pure metadata and
+            # rejects MSCK entirely, hence best-effort with fallback.
             try:
-                # the session catalog moves a managed table's data on
-                # rename but forgets its PARTITION metadata — recover
-                # it; Iceberg's rename is pure metadata and rejects
-                # MSCK, hence best-effort
-                spark.sql(f"MSCK REPAIR TABLE {name}")
+                spark.sql(f"MSCK REPAIR TABLE {name} SYNC PARTITIONS")
             except Exception:
-                pass
+                try:
+                    spark.sql(f"MSCK REPAIR TABLE {name}")
+                except Exception:
+                    pass
 
         pre_existing: dict[str, bool] = {}
         swapped: list[str] = []
@@ -190,6 +202,11 @@ def write_graph_tables(
                     )
                     _msck(f"{table_prefix}.{t}")
                 else:
+                    # SYNC the old's partition metadata to its own
+                    # directory BEFORE dropping, or the drop deletes
+                    # the stale locations — which sit under the live
+                    # final table (see _msck)
+                    _msck(old)
                     spark.sql(f"DROP TABLE IF EXISTS {old}")
             # drop-then-create instead of createOrReplace: staging names
             # are ephemeral (no history to preserve) and plain CTAS is
@@ -203,11 +220,21 @@ def write_graph_tables(
                 .partitionedBy(F.col("pred"))
                 .create()
             )
-            # swap by rename-ASIDE, never drop-then-rename: if the
-            # second rename fails mid-swap, the previous snapshot still
-            # exists under *_old and is restored below — a DROP here
-            # would make the staged copy the only one, and the error
-            # path used to delete that too
+            # swap by rename-ASIDE, never drop-then-rename: if a rename
+            # fails mid-swap, the previous snapshot still exists under
+            # *_old and is restored below — a DROP here would make the
+            # staged copy the only one, and the error path used to
+            # delete that too. ALL asides happen before ANY stg→final
+            # rename (two loops, not one): with the interleaved
+            # per-table order, a hard-kill after nodes fully swapped
+            # but before the edges aside left {nodes=fresh, nodes_old,
+            # edges=old-final, no edges_old} — a state
+            # INDISTINGUISHABLE from a post-swap-cleanup crash, so
+            # recovery misclassified nodes_old as garbage and settled
+            # on fresh-nodes/stale-edges. Asides-first makes every
+            # kill window unambiguous: some final missing with an
+            # *_old present ⇔ the *_old set is the last complete
+            # snapshot; all finals present ⇔ they are all fresh.
             for t in ("nodes", "edges"):
                 pre_existing[t] = _exists(f"{table_prefix}.{t}")
                 if pre_existing[t]:
@@ -215,6 +242,13 @@ def write_graph_tables(
                         f"ALTER TABLE {table_prefix}.{t} "
                         f"RENAME TO {prefix_nocat}.{t}_old"
                     )
+                    # repoint the aside's partition metadata at its new
+                    # directory IMMEDIATELY: every later path that
+                    # drops it (success cleanup, next-run garbage
+                    # collection) would otherwise delete the final
+                    # table's fresh data through the stale locations
+                    _msck(f"{table_prefix}.{t}_old")
+            for t in ("nodes", "edges"):
                 spark.sql(
                     f"ALTER TABLE {stg[t]} RENAME TO {prefix_nocat}.{t}"
                 )
@@ -267,6 +301,11 @@ def write_graph_tables(
             # *_old is recognized as post-swap garbage on the next run
             for t in ("nodes", "edges"):
                 try:
+                    # idempotent re-SYNC before the drop: belt and
+                    # braces against a transiently-failed aside-time
+                    # msck (a drop through stale partition locations
+                    # deletes the live final's data)
+                    _msck(f"{table_prefix}.{t}_old")
                     spark.sql(
                         f"DROP TABLE IF EXISTS {table_prefix}.{t}_old"
                     )

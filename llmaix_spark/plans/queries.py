@@ -636,13 +636,17 @@ def q_fuzzy_part_pairs_capped(spark, sf_dir):
     b = capped.select(
         F.col("pid").alias("part_b"), F.col("name").alias("name_b"), "k"
     )
+    # no distinct(): each part row owns exactly one block (its own
+    # first token) and appears at most once per side after the
+    # row_number cap, so every pair is emitted exactly once — a
+    # distinct here was a pure extra exchange on a headline-timed
+    # query (the SQL twin drops its DISTINCT for the same reason)
     return (
         a.join(b, ["k"])
         .filter(F.col("part_a") < F.col("part_b"))
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
         .filter(F.col("dist") <= 4)
         .select("part_a", "part_b", "dist")
-        .distinct()
     )
 
 
@@ -654,7 +658,7 @@ WITH c AS (
            PARTITION BY string_split(p_name, ' ')[1]
            ORDER BY p_partkey) AS rn
   FROM part)
-SELECT DISTINCT a.p_partkey AS part_a, b.p_partkey AS part_b,
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
        CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
 FROM c a JOIN c b ON a.k = b.k AND a.p_partkey < b.p_partkey
 WHERE a.rn <= {FUZZY_BLOCK_CAP} AND b.rn <= {FUZZY_BLOCK_CAP}
@@ -1122,25 +1126,35 @@ def q_pack_sequences_bpe(spark, sf_dir):
     token count (word pieces + digit runs + standalone punctuation —
     textstats.token_count_bpe) instead of whitespace words. This is the
     budget a training pipeline actually packs on; the arithmetic and
-    the plan (one exchange on shard) are identical."""
+    the plan (one exchange on shard) are identical.
+
+    Packs the EVENTS props column, not documents.text: the documents
+    fixture is strictly ^[a-z ]+$ (single-spaced letters), on which the
+    BPE regex degenerates to the whitespace count and the oracle would
+    be vacuous (review finding). events.props is JSON — braces, quotes,
+    colons, digit runs — so every BPE-distinguishing class (standalone
+    punctuation, digit runs, punctuation-adjacent words) is exercised
+    by the value hash."""
     from llmaix_spark.operators.curation import pack_sequences
     from llmaix_spark.operators.textstats import token_count_bpe
 
     return pack_sequences(
-        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "events"),
         budget=256,
         n_shards=32,
+        id_col="event_id",
+        text_col="props",
         token_counter=token_count_bpe,
     )
 
 
 SQL_PACK_SEQUENCES_BPE = r"""
 WITH base AS (
-  SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,
-         CAST(len(regexp_extract_all(text,
+  SELECT event_id AS doc_id, CAST(event_id % 32 AS BIGINT) AS shard,
+         CAST(len(regexp_extract_all(props,
               '[A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÖØ-öø-ÿ0-9]'))
               AS BIGINT) AS n_tokens
-  FROM documents)
+  FROM events)
 SELECT doc_id, shard, n_tokens,
        CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
                    - n_tokens) * 1.0 / 256) AS BIGINT) AS pack_id

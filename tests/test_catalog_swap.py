@@ -48,11 +48,18 @@ def test_catalog_write_and_swap(spark, clean_tables):
     # no staging leftovers after a successful swap
     stg = {t.name for t in spark.catalog.listTables("default")}
     assert "nodes_stg" not in stg and "edges_stg" not in stg
-    # a second refresh replaces the snapshot atomically
+    # a second refresh replaces the snapshot atomically — check the
+    # PARTITIONED table's rows too: dropping *_old through stale
+    # partition locations used to delete the fresh edges data (the
+    # round-4 MSCK SYNC finding), which a nodes-only assert missed
     nodes2, edges2 = _graph(spark, 7, "v2")
     write_graph_tables(nodes2, edges2, table_prefix=PREFIX)
     assert spark.table(f"{PREFIX}.nodes").count() == 7
     assert spark.table(f"{PREFIX}.nodes").first()["canonical"] == "v2"
+    assert spark.table(f"{PREFIX}.edges").count() == 14
+    preds = {r["pred"] for r in spark.table(f"{PREFIX}.edges")
+             .select("pred").distinct().collect()}
+    assert preds == {"joins", "merges"}
 
 
 def test_failed_refresh_preserves_last_snapshot(spark, clean_tables):
@@ -162,6 +169,54 @@ def test_prior_half_swapped_crash_recovery_is_pair_atomic(
     assert spark.table(f"{PREFIX}.nodes").first()["canonical"] == "v4"
 
 
+def test_swap_renames_all_asides_before_any_final(spark, clean_tables,
+                                                  monkeypatch):
+    """ALL rename-asides must precede ANY stg→final rename. With the
+    interleaved per-table order, a hard-kill after the nodes swap but
+    before the edges aside produced {nodes=fresh, nodes_old=v1,
+    edges=v1-final, edges_old absent} — indistinguishable from a
+    post-swap cleanup crash, so recovery dropped nodes_old (the last
+    v1-nodes copy) and settled on fresh-nodes/stale-edges (review
+    finding). Asides-first makes that state unreachable; this pins the
+    statement order so it stays unreachable."""
+    nodes, edges = _graph(spark, 5, "v1")
+    write_graph_tables(nodes, edges, table_prefix=PREFIX)
+    stmts = []
+    real_sql = spark.sql
+
+    def recording_sql(query, *a, **kw):
+        stmts.append(query)
+        return real_sql(query, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", recording_sql, raising=False)
+    nodes2, edges2 = _graph(spark, 7, "v2")
+    write_graph_tables(nodes2, edges2, table_prefix=PREFIX)
+    monkeypatch.undo()
+    aside_idx = [i for i, q in enumerate(stmts)
+                 if "RENAME TO" in q and q.rstrip().endswith("_old")]
+    final_idx = [i for i, q in enumerate(stmts)
+                 if "_stg RENAME TO" in q]
+    assert len(aside_idx) == 2 and len(final_idx) == 2
+    assert max(aside_idx) < min(final_idx)
+
+
+def test_prior_crash_mid_aside_restores_full_snapshot(spark, clean_tables):
+    """Kill window between the two asides: {nodes absent, nodes_old=v1,
+    edges=v1 final, edges_old absent}. Recovery must restore nodes_old
+    and leave the (still-old) edges final untouched — full v1, then the
+    refresh completes normally."""
+    nodes, edges = _graph(spark, 5, "v1")
+    write_graph_tables(nodes, edges, table_prefix=PREFIX)
+    spark.sql(f"ALTER TABLE {PREFIX}.nodes RENAME TO default.nodes_old")
+    nodes2, edges2 = _graph(spark, 7, "v2")
+    write_graph_tables(nodes2, edges2, table_prefix=PREFIX)
+    assert spark.table(f"{PREFIX}.nodes").count() == 7
+    assert spark.table(f"{PREFIX}.nodes").first()["canonical"] == "v2"
+    assert spark.table(f"{PREFIX}.edges").count() == 14
+    names = {t.name for t in spark.catalog.listTables("default")}
+    assert not names & {"nodes_old", "edges_old", "nodes_stg", "edges_stg"}
+
+
 def test_cleanup_failure_after_complete_swap_keeps_new_snapshot(
     spark, clean_tables, monkeypatch
 ):
@@ -262,51 +317,78 @@ def test_iceberg_runtime_snapshot_semantics():
             "(verified round 4); catalog semantics are pinned against "
             "the real V2 session catalog instead (tests above)"
         )
+    # isolated subprocess, NOT getOrCreate(): the suite's session-scoped
+    # SparkSession already exists, so getOrCreate() would return it and
+    # silently ignore the create-time-only spark.jars / extensions /
+    # catalog configs — and stopping it here would kill the shared
+    # context for the rest of the suite
+    import os
+    import subprocess
+    import sys
     import tempfile
-
-    from pyspark.sql import SparkSession
+    import textwrap
 
     wh = tempfile.mkdtemp(prefix="iceberg_wh_")
-    s = (
-        SparkSession.builder.master("local[2]")
-        .appName("iceberg-catalog-test")
-        .config("spark.jars", jar)
-        .config(
-            "spark.sql.extensions",
-            "org.apache.iceberg.spark.extensions"
-            ".IcebergSparkSessionExtensions",
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from pyspark.sql import SparkSession, functions as F
+        from llmaix_spark.operators.materialize import write_graph_tables
+
+        s = (
+            SparkSession.builder.master("local[2]")
+            .appName("iceberg-catalog-test")
+            .config("spark.jars", {jar!r})
+            .config("spark.sql.extensions",
+                    "org.apache.iceberg.spark.extensions"
+                    ".IcebergSparkSessionExtensions")
+            .config("spark.sql.catalog.ice",
+                    "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.ice.type", "hadoop")
+            .config("spark.sql.catalog.ice.warehouse", {wh!r})
+            .getOrCreate()
         )
-        .config(
-            "spark.sql.catalog.ice",
-            "org.apache.iceberg.spark.SparkCatalog",
-        )
-        .config("spark.sql.catalog.ice.type", "hadoop")
-        .config("spark.sql.catalog.ice.warehouse", wh)
-        .getOrCreate()
-    )
-    try:
+
+        def graph(n, tag):
+            nodes = s.range(n).select(
+                F.col("id").alias("node_id"), F.lit(tag).alias("canonical"))
+            edges = s.range(n * 2).select(
+                F.col("id").alias("subj_id"),
+                (F.col("id") + 1).alias("obj_id"),
+                F.when(F.col("id") % 2 == 0, "joins")
+                 .otherwise("merges").alias("pred"))
+            return nodes, edges
+
         s.sql("CREATE NAMESPACE IF NOT EXISTS ice.kg")
-        nodes, edges = _graph(s, 5, "v1")
+        nodes, edges = graph(5, "v1")
         write_graph_tables(nodes, edges, table_prefix="ice.kg")
         assert s.table("ice.kg.nodes").count() == 5
-        # failed refresh → previous snapshot intact (snapshot isolation)
-        nodes2, _ = _graph(s, 9, "v2")
+        # failed refresh -> previous snapshot intact (snapshot isolation)
+        nodes2, _ = graph(9, "v2")
         bad_edges = s.range(4).select(
             F.col("id").alias("subj_id"),
             F.col("id").alias("obj_id"),
             F.raise_error(F.lit("simulated write failure"))
-            .cast("string")
-            .alias("pred"),
-        )
-        with pytest.raises(Exception, match="simulated write failure"):
+            .cast("string").alias("pred"))
+        try:
             write_graph_tables(nodes2, bad_edges, table_prefix="ice.kg")
+            raise SystemExit("expected the edges write to fail")
+        except Exception as e:
+            assert "simulated write failure" in str(e), e
         assert s.table("ice.kg.nodes").first()["canonical"] == "v1"
         assert s.table("ice.kg.edges").count() == 10
-        # partitioned write is queryable by partition column
-        preds = {
-            r["pred"]
-            for r in s.table("ice.kg.edges").select("pred").distinct().collect()
-        }
-        assert preds == {"joins", "merges"}
-    finally:
+        preds = {{r["pred"] for r in s.table("ice.kg.edges")
+                 .select("pred").distinct().collect()}}
+        assert preds == {{"joins", "merges"}}
         s.stop()
+        print("ICEBERG-OK")
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0 and "ICEBERG-OK" in out.stdout, (
+        out.stdout[-2000:], out.stderr[-2000:]
+    )
