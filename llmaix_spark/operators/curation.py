@@ -295,6 +295,62 @@ def curate_corpus(
     )
 
 
+def build_training_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    dedup_threshold: float = 0.5,
+    dedup_pairs_fn=None,
+    contam_n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **curate_kwargs,
+) -> DataFrame:
+    """The full training-corpus construction chain in one job — the
+    composition a pretraining data pipeline actually ships:
+
+      1. near-dup dedup: connected components over the similarity-pair
+         graph, keep one survivor (min id) per group;
+      2. benchmark decontamination: drop survivors sharing any word
+         `contam_n`-gram with the held-out set;
+      3. quality curation: repetition gates + LM-quality percentile
+         band + deterministic split (curate_corpus).
+
+    Order matters and is the published order: dedup FIRST (a document
+    duplicated 1000× would otherwise dominate the unigram model and
+    the percentile band), decontaminate before fitting quality models
+    so benchmark text never leaks into the corpus statistics. The
+    unigram model and the percentile band are fitted on the CLEANED
+    population only.
+
+    Scale: composes dedup_groups (LSH pairs by default), decontaminate
+    (hash-keyed join) and curate_corpus — each scale-audited in its own
+    docstring; the glue is two survivor semi-joins on doc_id. Returns
+    curate_corpus's (doc_id, n_words, dup_word_frac, top_bigram_frac,
+    mean_logprob, split)."""
+    from llmaix_spark.operators.dedup import dedup_groups
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    groups = dedup_groups(
+        base, dedup_threshold, pairs_fn=dedup_pairs_fn
+    )
+    surv = base.join(
+        groups.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    flags = decontaminate(
+        surv,
+        benchmark.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ),
+        n=contam_n,
+    )
+    clean = surv.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    return curate_corpus(clean, **curate_kwargs)
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

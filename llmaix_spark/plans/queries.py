@@ -1339,6 +1339,118 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN cc ON d.doc_id = cc.node"""
 
 
+def q_training_corpus(spark, sf_dir):
+    """The flagship training-data composition: near-dup dedup (keep one
+    per CC group, exact-pair generator for the oracle) → 8-gram
+    benchmark decontamination (doc_id % 97 slice as the held-out set)
+    → repetition gates → LM band → split. One DuckDB twin value-checks
+    the whole chain — the training-data analog of kg_pipeline_edges.
+    The unigram model and percentile band are fitted on the CLEANED
+    population (dedup first, decontaminate before fitting)."""
+    from llmaix_spark.operators.curation import build_training_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return build_training_corpus(
+        d,
+        d.filter(F.col("doc_id") % 97 == 0),
+        dedup_pairs_fn=dd.ngram_jaccard_pairs,
+    )
+
+
+def _lead_chain(col: str, n: int, sep: str = " ") -> str:
+    """t || ' ' || lead(t,1) OVER win || ... — the n-gram surface used
+    by the 8-gram SQL twins."""
+    parts = [col] + [f"lead({col}, {i}) OVER win" for i in range(1, n)]
+    return f" || '{sep}' || ".join(parts)
+
+
+SQL_TRAINING_CORPUS = f"""
+WITH RECURSIVE
+{_TRIGRAM_SQL},
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT da, db
+  FROM common JOIN cnt na ON da = na.doc_id JOIN cnt nb ON db = nb.doc_id
+  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5),
+sym AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node),
+cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+surv AS (
+  SELECT ds.doc_id, ds.text
+  FROM documents ds LEFT JOIN cc ON ds.doc_id = cc.node
+  WHERE ds.doc_id = coalesce(cc.comp, ds.doc_id)),
+sg AS (SELECT doc_id, {_lead_chain("t", 8)} AS s8, lead(t, 7) OVER win_sg AS l7
+       FROM (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t
+             FROM (SELECT doc_id, string_split(trim(text), ' ') w
+                   FROM surv))
+       WINDOW win_sg AS (PARTITION BY doc_id ORDER BY i)),
+s8h AS (SELECT DISTINCT doc_id, {_HASH60_SQL.format(v="s8")} AS h
+        FROM sg WHERE l7 IS NOT NULL),
+bg AS (SELECT doc_id, {_lead_chain("t", 8)} AS s8, lead(t, 7) OVER win_bg AS l7
+       FROM (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t
+             FROM (SELECT doc_id, string_split(trim(text), ' ') w
+                   FROM documents WHERE doc_id % 97 = 0))
+       WINDOW win_bg AS (PARTITION BY doc_id ORDER BY i)),
+b8h AS (SELECT DISTINCT {_HASH60_SQL.format(v="s8")} AS h
+        FROM bg WHERE l7 IS NOT NULL),
+contam AS (SELECT DISTINCT s.doc_id FROM s8h s JOIN b8h b ON s.h = b.h),
+clean AS (SELECT * FROM surv
+          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+toks2 AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> length(x) > 0)) AS tok2
+  FROM clean),
+wa2 AS (SELECT doc_id, count(*) AS n_words,
+               count(DISTINCT tok2) AS n_distinct
+        FROM toks2 GROUP BY 1),
+bt AS (SELECT doc_id, {_lead_chain("t", 2)} AS s2, lead(t, 1) OVER win_bt AS l1
+       FROM (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t
+             FROM (SELECT doc_id, string_split(trim(text), ' ') w
+                   FROM clean))
+       WINDOW win_bt AS (PARTITION BY doc_id ORDER BY i)),
+bc2 AS (SELECT doc_id, s2, count(*) AS c FROM bt WHERE l1 IS NOT NULL
+        GROUP BY 1, 2),
+tb2 AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc2 GROUP BY 1),
+freq2 AS (SELECT tok2, count(*) AS c FROM toks2 GROUP BY 1),
+tot2 AS (SELECT sum(c) AS n_total FROM freq2),
+scored2 AS (
+  SELECT t.doc_id, round(log10(f.c * 1.0 / (SELECT n_total FROM tot2)), 6)
+           AS lp
+  FROM toks2 t JOIN freq2 f ON t.tok2 = f.tok2),
+pd2 AS (SELECT doc_id, round(avg(lp), 4) AS mean_logprob
+        FROM scored2 GROUP BY 1),
+stats AS (
+  SELECT wa2.doc_id, wa2.n_words,
+         round(1.0 - (wa2.n_distinct * 1.0 / wa2.n_words), 6)
+           AS dup_word_frac,
+         CASE WHEN tb2.top_bigram_n IS NULL THEN 0.0
+              ELSE round(tb2.top_bigram_n * 1.0 / (wa2.n_words - 1), 6)
+         END AS top_bigram_frac,
+         pd2.mean_logprob
+  FROM wa2 LEFT JOIN tb2 ON wa2.doc_id = tb2.doc_id
+           JOIN pd2 ON wa2.doc_id = pd2.doc_id),
+gated AS (
+  SELECT * FROM stats
+  WHERE n_words >= 20 AND dup_word_frac <= 0.6
+    AND top_bigram_frac <= 0.1 AND mean_logprob IS NOT NULL),
+band AS (
+  SELECT round(quantile_cont(mean_logprob, 0.05), 6) AS lo,
+         round(quantile_cont(mean_logprob, 0.95), 6) AS hi
+  FROM gated)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, dup_word_frac,
+       top_bigram_frac, mean_logprob,
+       CASE WHEN {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9000 THEN 'train'
+            WHEN {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM gated, band
+WHERE mean_logprob >= lo AND mean_logprob <= hi"""
+
+
 def q_metrics_multiclass(spark, sf_dir):
     """M4 in long format: (label, gt, pred, n) — the scalable confusion
     matrix (summing long rows ≡ the reference's element-wise list-of-list
@@ -2600,6 +2712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_groups_lsh": q_dedup_groups_lsh,
     "dataset_split": q_dataset_split,
     "curation_pipeline": q_curation_pipeline,
+    "training_corpus": q_training_corpus,
     "pack_sequences": q_pack_sequences,
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "decontaminate": q_decontaminate,
@@ -2666,6 +2779,7 @@ ORACLES: dict[str, str] = {
     "dedup_groups_lsh": SQL_DEDUP_GROUPS_LSH,
     "dataset_split": SQL_DATASET_SPLIT,
     "curation_pipeline": SQL_CURATION_PIPELINE,
+    "training_corpus": SQL_TRAINING_CORPUS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "pack_sequences_bpe": SQL_PACK_SEQUENCES_BPE,
     "decontaminate": SQL_DECONTAMINATE,

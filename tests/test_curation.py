@@ -173,3 +173,40 @@ def test_curate_corpus_composition(docs):
         "mean_logprob", "split",
     ]
     assert approx.count() > 0
+
+
+def test_build_training_corpus_composition(docs):
+    """Dedup → decontaminate → curate chain: only group survivors
+    appear, no contaminated doc appears, stats match curate_corpus run
+    directly on the cleaned population (the model/band must be fitted
+    AFTER cleaning, not before)."""
+    from llmaix_spark.operators import dedup as dd
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = cu.build_training_corpus(
+        docs, bench, dedup_pairs_fn=dd.ngram_jaccard_pairs
+    ).collect()
+    assert out
+    ids = {r["doc_id"] for r in out}
+    groups = {
+        r["doc_id"]: r["keep"]
+        for r in dd.dedup_groups(
+            docs, 0.5, pairs_fn=dd.ngram_jaccard_pairs
+        ).collect()
+    }
+    assert all(groups[i] for i in ids)  # survivors only
+    survivors = docs.filter(
+        F.col("doc_id").isin([i for i, k in groups.items() if k])
+    )
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in cu.decontaminate(survivors, bench).collect()
+    }
+    assert all(not flags[i] for i in ids)  # decontaminated
+    clean = survivors.filter(
+        F.col("doc_id").isin([i for i, c in flags.items() if not c])
+    )
+    direct = sorted(
+        cu.curate_corpus(clean).collect(), key=lambda r: r["doc_id"]
+    )
+    assert sorted(out, key=lambda r: r["doc_id"]) == direct
