@@ -231,6 +231,52 @@ def repetition_stats(
     return out
 
 
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token histogram (bits) — the
+    third standard repetition/quality signal next to dup_word_frac and
+    top_bigram_frac: near-zero entropy = one token repeated (spam),
+    log2(n_words) = all tokens distinct. Returns
+    (doc_id, n_words, entropy); tokenless docs score NULL entropy.
+
+    Scale: one (doc_id, tok) groupBy (map-side combinable) and one
+    doc_id groupBy — both narrow-keyed, no windows, no driver state.
+    Cross-engine contract: each -p·log2(p) term is rounded to 8dp
+    before the sum, the sum to 4dp (float addition is order-dependent;
+    rounding absorbs the ulp noise exactly as unigram_logprob's mean
+    does)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # the single-pass identity H = log2(n) − (Σ c·log2(c))/n would save
+    # the join, but loses the per-term rounding contract — keep the
+    # explicit two-step form (tc is doc-distinct-token-sized, narrow)
+    per_doc = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words")
+    )
+    terms = tc.join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.round(
+            -(F.col("c") / F.col("n_words"))
+            * F.log2(F.col("c") / F.col("n_words")),
+            8,
+        ).alias("term"),
+    )
+    ent = terms.groupBy("doc_id", "n_words").agg(
+        F.round(F.sum("term"), 4).alias("entropy")
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(ent, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        "entropy",
+    )
+
+
 def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One narrow pass emitting all per-doc stats."""
     c = F.col(text_col)

@@ -1033,6 +1033,33 @@ LEFT JOIN wa ON d2.doc_id = wa.doc_id
 LEFT JOIN tb ON d2.doc_id = tb.doc_id"""
 
 
+def q_quality_entropy(spark, sf_dir):
+    """Per-document token-histogram Shannon entropy — the third
+    standard repetition signal next to dup_word_frac/top_bigram_frac
+    (near-zero = token spam, log2(n_words) = all-distinct)."""
+    return ts.token_entropy(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_ENTROPY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> length(x) > 0)) AS tok
+  FROM documents),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+nw AS (SELECT doc_id, sum(c) AS n_words FROM tc GROUP BY 1),
+terms AS (
+  SELECT tc.doc_id, nw.n_words,
+         round(-(tc.c * 1.0 / nw.n_words)
+               * log2(tc.c * 1.0 / nw.n_words), 8) AS term
+  FROM tc JOIN nw ON tc.doc_id = nw.doc_id),
+ent AS (SELECT doc_id, n_words, round(sum(term), 4) AS entropy
+        FROM terms GROUP BY 1, 2)
+SELECT d.doc_id, CAST(COALESCE(ent.n_words, 0) AS BIGINT) AS n_words,
+       ent.entropy
+FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id"""
+
+
 def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", ts.lang_id_expr(F.col("text")).alias("lang_pred"))
@@ -2697,6 +2724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "textstats_tokens": q_textstats_tokens,
     "textstats_quality": q_textstats_quality,
     "quality_repetition": q_quality_repetition,
+    "quality_entropy": q_quality_entropy,
     "unigram_logprob": q_unigram_logprob,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2764,6 +2792,7 @@ ORACLES: dict[str, str] = {
     "textstats_tokens": SQL_TEXTSTATS_TOKENS,
     "textstats_quality": SQL_TEXTSTATS_QUALITY,
     "quality_repetition": SQL_QUALITY_REPETITION,
+    "quality_entropy": SQL_QUALITY_ENTROPY,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,

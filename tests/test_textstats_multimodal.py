@@ -135,3 +135,21 @@ def test_repetition_stats_semantics(spark):
     assert got[2] == (3, 3, 0.0, pytest.approx(1 / 2))
     assert got[3] == (1, 1, 0.0, 0.0)
     assert got[4] == (0, 0, 0.0, 0.0)
+
+
+def test_token_entropy_semantics(spark):
+    """Shannon entropy of the per-doc token histogram: 0 for one
+    repeated token, log2(n) for all-distinct, NULL for tokenless."""
+    import math
+
+    from llmaix_spark.operators.textstats import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "a b c d"), (3, "a a b b"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["n_words"] == 4
+    assert got[2]["entropy"] == round(math.log2(4), 4)
+    assert got[3]["entropy"] == 1.0  # two tokens at p=0.5
+    assert got[4]["n_words"] == 0 and got[4]["entropy"] is None
