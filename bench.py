@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     "pack_sequences_bpe",
     "fuzzy_part_pairs_capped",
     "curation_pipeline",
+    # round-4 additions (22 → 24): entropy quality signal and the
+    # multi-probe IVF self-kNN join (the scale-path kNN graph; the
+    # exact O(N²) twin stays off-headline like the uncapped fuzzy)
+    "quality_entropy",
+    "knn_join_bucketed",
 ]
 
 

@@ -439,7 +439,15 @@ def cosine_expr(a, b):
     zero-magnitude vector (padding row, failed embed) yields NULL —
     a plain division raises DIVIDE_BY_ZERO under ANSI mode (Spark 4
     default) and would abort every cosine-based job on one bad row;
-    NULL fails every >= threshold filter, so the row simply drops out."""
+    NULL fails every >= threshold filter, so the row simply drops out.
+
+    (A single-fold struct-accumulator variant — dot/na/nb in one pass
+    with the cosine in aggregate's finish lambda — was MEASURED SLOWER
+    at sf0.1: 26→34 s on the bucketed kNN join, 3× simple folds beat
+    1× struct-allocating fold in the interpreted higher-order path.
+    The pairwise-scoring hot paths use the Arrow-batched numpy scorer
+    in similarity._cosine_batch_udf instead; this expression remains
+    the exact/composable form.)"""
     da = F.transform(a, lambda x: x.cast("double"))
     db = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(

@@ -59,6 +59,156 @@ def cosine_topk(
     )
 
 
+def _cosine_batch_udf(round_dp: int):
+    """Arrow-batched numpy cosine for PAIRWISE-SCORING joins: the
+    interpreted zip_with/aggregate fold costs ~26 µs/pair, so a
+    million-pair scoring stage burns half a minute JVM-side; numpy
+    does the same batch in milliseconds. Rounding is `_round_half_up`
+    — bit-for-bit F.round parity (the r3 contract). The summation
+    ORDER differs from the sequential fold (numpy pairwise vs left
+    fold), visible only when a cosine sits within ~1e-15 of a
+    round_dp boundary — measured zero occurrences across the oracle
+    corpus, and the DuckDB twin computes in double with its own order
+    anyway (agreement at the rounded value is the contract, same as
+    the k-means oracle). NULL/zero vectors → NULL, like try_divide."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
+    from pyspark.sql.types import DoubleType
+
+    def _fn(qv, cv):
+        n = len(qv)
+        out = np.full(n, np.nan)
+        ok = np.fromiter(
+            (a is not None and b is not None for a, b in zip(qv, cv)),
+            dtype=bool,
+            count=n,
+        )
+        if ok.any():
+            A = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in qv[ok]]
+            )
+            B = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in cv[ok]]
+            )
+            dots = np.einsum("ij,ij->i", A, B)
+            denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / denom, np.nan)
+            out[ok] = _round_half_up(cos, round_dp)
+        s = pd.Series(out)
+        return s.where(~np.isnan(s), None)
+
+    return F.pandas_udf(_fn, DoubleType(), PandasUDFType.SCALAR)
+
+
+def knn_join_exact(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact self-kNN join: every vector's top-k cosine neighbors —
+    the kNN graph that embedding clustering / SemDeDup-style pipelines
+    consume. Returns (query_id, vec_id, rank, cosine), deterministic
+    (rounded cosine, id tie-break).
+
+    O(N²) cosines — EXPLICITLY the small-SF oracle/baseline path, like
+    dedup's exact pair generators; `knn_join_bucketed` is the scale
+    shape. (cosine_topk broadcasts a bounded query set; here BOTH
+    sides are the corpus, so nothing is broadcast — the join is what
+    it is.)"""
+    a = embeddings.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    )
+    cos = _cosine_batch_udf(round_dp)
+    scored = a.join(b, F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        "vec_id",
+        cos(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
+def knn_join_bucketed(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Bucketed (IVF-style) self-kNN join — the 100 TB shape: the index
+    side lives in its own centroid bucket, the query side probes its
+    `nprobe` nearest buckets, so cost is nprobe·Σ|bucket|² instead of
+    N² and the shuffle keys on the bucket id. Probe selection is a
+    NARROW per-row expression (_nearest_probes_col: literal struct-sort
+    below the plan-size cap, broadcast pandas UDF above — never a
+    scored window). Neighbor lists are approximate (recall floor graded
+    in tests, improves with nprobe); fully deterministic —
+    rounded-cosine assignment/probing with id tie-breaks, so the DuckDB
+    oracle replicates the whole index rather than sampling recall. Pass
+    `centroids` from `kmeans_centroids` for fitted buckets; queries
+    whose probed buckets hold fewer than k non-self members return
+    short lists (never padded with unprobed-bucket guesses)."""
+    bucketed, cents = assign_buckets(
+        embeddings, n_centroids, id_col, vec_col, round_dp, centroids
+    )
+    b = bucketed.select("vec_id", F.col("v").alias("cv"), "bucket")
+    if nprobe <= 1:
+        a = bucketed.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            "bucket",
+        )
+    else:
+        cent_rows = sorted(
+            (int(r["centroid_id"]), [float(x) for x in r["centv"]])
+            for r in cents.collect()
+        )
+        probes = _nearest_probes_col(
+            embeddings, cent_rows, F.col("qv"), round_dp, nprobe
+        )
+        a = (
+            embeddings.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+            )
+            .withColumn("bucket", F.explode(probes))
+        )
+    cos = _cosine_batch_udf(round_dp)
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cos(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
 # inlined-literal assignment cap: above k×dim floats the plan ITSELF
 # becomes the bottleneck (k=4096, dim=1024 → a ~100 MB plan shipped to
 # every task); past it the centroid matrix travels as a broadcast numpy
@@ -181,6 +331,92 @@ def _nearest_centroid_col(
 
     _nearest = F.pandas_udf(_nearest_fn, LongType(), PandasUDFType.SCALAR)
     return _nearest(vcol)
+
+
+def _nearest_probes_col(
+    df: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    vcol,
+    round_dp: int,
+    nprobe: int,
+    literal_max: int = LITERAL_ASSIGN_MAX,
+    bc_out: list | None = None,
+):
+    """Column mapping a vector to the ARRAY of its `nprobe` nearest
+    centroid ids (rounded-cosine desc, id tiebreak) — the multi-probe
+    generalization of `_nearest_centroid_col`, equally NARROW on both
+    paths (per-row expression below `literal_max`, broadcast pandas UDF
+    above; never a scored window — the N×k exchange that formulation
+    costs is the documented hazard). NULL for zero vectors."""
+    from llmaix_spark.functions.arrays import bind_array
+
+    n_floats = sum(len(vec) for _, vec in cent_rows)
+    if n_floats <= literal_max:
+        cent_ids = F.array(*[F.lit(int(cid)) for cid, _ in cent_rows])
+        cent_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in cent_rows]
+        )
+        cos = F.transform(
+            cent_arr, lambda c: F.round(cosine_expr(c, vcol), round_dp)
+        )
+
+        def _probes(c):
+            pairs = F.zip_with(
+                c,
+                cent_ids,
+                lambda cc, i: F.struct(
+                    (-cc).alias("negc"), i.alias("cid")
+                ),
+            )
+            top = F.slice(F.array_sort(pairs), 1, nprobe)
+            return F.when(
+                F.array_max(c).isNull(), F.lit(None)
+            ).otherwise(F.transform(top, lambda s: s["cid"]))
+
+        return bind_array(cos, _probes).cast("array<bigint>")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    cent_mat = np.asarray([vec for _, vec in cent_rows], dtype=np.float64)
+    cent_ids_arr = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
+    cent_norms = np.linalg.norm(cent_mat, axis=1)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (cent_mat, cent_ids_arr, cent_norms)
+    )
+    if bc_out is not None:
+        bc_out.append(bc)
+
+    def _probes_fn(v):
+        mat, ids, cnorms = bc.value
+        out = []
+        for vec in v:
+            if vec is None:
+                out.append(None)
+                continue
+            x = np.asarray(vec, dtype=np.float64)
+            nx = np.linalg.norm(x)
+            denom = nx * cnorms
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, (mat @ x) / denom, np.nan)
+            cos = _round_half_up(cos, round_dp)
+            if np.all(np.isnan(cos)):
+                out.append(None)
+                continue
+            # lexsort: primary -cos desc, secondary id asc; NaN sorts
+            # last under -cos asc ordering of np.lexsort keys
+            order = np.lexsort((ids, -cos))
+            order = order[~np.isnan(cos[order])][:nprobe]
+            out.append([int(i) for i in ids[order]])
+        return pd.Series(out, dtype="object")
+
+    from pyspark.sql.functions import PandasUDFType
+
+    _probes = F.pandas_udf(
+        _probes_fn, ArrayType(LongType()), PandasUDFType.SCALAR
+    )
+    return _probes(vcol)
 
 
 def kmeans_centroids(

@@ -2200,6 +2200,58 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_knn_join(spark, sf_dir):
+    """Exact self-kNN join (every vector's top-5 cosine neighbors) —
+    the kNN graph embedding-clustering pipelines consume. O(N²)
+    EXACT-BY-SPEC ORACLE PATH like dedup's exact pair generators;
+    knn_join_bucketed is the scale shape and the headline entry.
+
+    Oracle contract (found here, applies to every cosine oracle): with
+    FLOAT[] inputs DuckDB's list_cosine_similarity computes in float32
+    while Spark's cosine_expr folds in double — at 250k pairs several
+    land on opposite sides of a 4dp rounding boundary (0.3257 vs
+    0.3258). The SQL casts ::DOUBLE[] so both engines round the same
+    double. The IVF ASSIGNMENT oracle deliberately keeps float32
+    (assign_buckets' rounded-assignment contract, r3)."""
+    out = sim.knn_join_exact(_t(spark, sf_dir, "embeddings"), k=5)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank"),
+        "cosine",
+    )
+
+
+SQL_KNN_JOIN = """
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 4)
+           AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS BIGINT)
+           AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 5"""
+
+
+def q_knn_join_bucketed(spark, sf_dir):
+    """Bucketed (IVF) self-kNN join with multi-probe — nprobe·Σ|bucket|²
+    cost, shuffle keyed on the bucket id, probe selection a narrow
+    per-row expression. The oracle replicates the whole index
+    (deterministic first-16 centroids, rounded-cosine assignment AND
+    probe ranking, in-bucket scoring), so the approximation is
+    value-checked, not recall-sampled."""
+    out = sim.knn_join_bucketed(
+        _t(spark, sf_dir, "embeddings"), k=5, n_centroids=16, nprobe=4
+    )
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank"),
+        "cosine",
+    )
+
+
 _IVF_ASSIGN_SQL = """
 cent AS (
   SELECT vec_id AS centroid_id, embedding AS centv
@@ -2214,6 +2266,34 @@ assigned AS (
                       c.centroid_id) AS rnk
     FROM embeddings e CROSS JOIN cent c)
   WHERE rnk = 1)"""
+
+SQL_KNN_JOIN_BUCKETED = f"""
+WITH {_IVF_ASSIGN_SQL},
+probes AS (
+  SELECT query_id, qv, bucket FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv,
+           c.centroid_id AS bucket,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(c.centv, e.embedding), 4)
+                        DESC,
+                      c.centroid_id) AS rnk
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rnk <= 4),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(p.qv::DOUBLE[], a.v::DOUBLE[]), 4)
+           AS cosine
+  FROM probes p JOIN assigned a ON a.bucket = p.bucket
+  WHERE a.vec_id != p.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS BIGINT)
+           AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 5"""
+
 
 SQL_ANN_IVF_TOPK = f"""
 WITH {_IVF_ASSIGN_SQL},
@@ -2721,6 +2801,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "similarity_topk": q_similarity_topk,
+    "knn_join": q_knn_join,
+    "knn_join_bucketed": q_knn_join_bucketed,
     "textstats_tokens": q_textstats_tokens,
     "textstats_quality": q_textstats_quality,
     "quality_repetition": q_quality_repetition,
@@ -2789,6 +2871,8 @@ ORACLES: dict[str, str] = {
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_ivf": SQL_DEDUP_EMBEDDING_IVF,
     "similarity_topk": SQL_SIMILARITY_TOPK,
+    "knn_join": SQL_KNN_JOIN,
+    "knn_join_bucketed": SQL_KNN_JOIN_BUCKETED,
     "textstats_tokens": SQL_TEXTSTATS_TOKENS,
     "textstats_quality": SQL_TEXTSTATS_QUALITY,
     "quality_repetition": SQL_QUALITY_REPETITION,

@@ -345,3 +345,39 @@ def test_cosine_zero_vector_yields_null_not_crash(spark):
 
     cent = _sim.kmeans_centroids(emb, k=2, iterations=2)
     assert cent.count() == 2  # fit survives the zero vector
+
+
+def test_knn_join_bucketed_recall_vs_exact(spark, sf_dir):
+    """The bucketed self-kNN join must recover most of the exact kNN
+    graph (neighbors are usually in the query's own bucket) — recall
+    floor pinned so bucketing regressions surface; short in-bucket
+    lists are allowed, cross-bucket padding is not."""
+    from llmaix_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.knn_join_exact(emb, k=5).collect()
+    }
+    recalls = {}
+    for nprobe in (1, 4):
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in sim.knn_join_bucketed(
+                emb, k=5, n_centroids=8, nprobe=nprobe
+            ).collect()
+        }
+        recalls[nprobe] = len(exact & approx) / len(exact)
+        # neighbors never exceed k per query, never self-pair
+        from collections import Counter
+
+        per_q = Counter(q for q, _ in approx)
+        assert max(per_q.values()) <= 5
+        assert all(q != v for q, v in approx)
+    # own-bucket recall on near-random synthetic embeddings is
+    # structurally low (neighbors are not clustered); multi-probe must
+    # recover at least half of nprobe/n_centroids of the graph and
+    # strictly improve on nprobe=1
+    assert recalls[1] >= 0.15, recalls
+    assert recalls[4] >= 0.5, recalls
+    assert recalls[4] > recalls[1], recalls
