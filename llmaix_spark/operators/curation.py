@@ -335,9 +335,13 @@ def build_training_corpus(
     groups = dedup_groups(
         base, dedup_threshold, pairs_fn=dedup_pairs_fn
     )
+    # lazily materialize the survivor set: decontaminate consumes it
+    # twice (shingles + id frame) and its lineage is the whole dedup CC
+    # DAG (CLAUDE.md landmine #1 — without the cut the CC re-executes
+    # per consumer)
     surv = base.join(
         groups.filter(F.col("keep")).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     flags = decontaminate(
         surv,
         benchmark.select(
@@ -345,9 +349,11 @@ def build_training_corpus(
         ),
         n=contam_n,
     )
+    # same for the clean set: curate_corpus scans its input ~5× (word
+    # stats, bigram shingles, unigram tokens, id frames)
     clean = surv.join(
         flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     return curate_corpus(clean, **curate_kwargs)
 
 

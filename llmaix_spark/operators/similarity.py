@@ -49,6 +49,14 @@ def cosine_topk(
             F.round(cosine_expr(F.col("qv"), F.col("cv")), round_dp).alias("cosine"),
         )
     )
+    return _topk_per_query(scored, k)
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every similarity query: rank scored
+    (query_id, vec_id, cosine) rows per query — cosine desc, vec_id
+    tiebreak — and keep the top k. One implementation for the four
+    call sites (review finding)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
@@ -131,14 +139,7 @@ def knn_join_exact(
         "vec_id",
         cos(F.col("qv"), F.col("cv")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", "cosine")
-    )
+    return _topk_per_query(scored, k)
 
 
 def knn_join_bucketed(
@@ -164,8 +165,23 @@ def knn_join_bucketed(
     `centroids` from `kmeans_centroids` for fitted buckets; queries
     whose probed buckets hold fewer than k non-self members return
     short lists (never padded with unprobed-bucket guesses)."""
-    bucketed, cents = assign_buckets(
-        embeddings, n_centroids, id_col, vec_col, round_dp, centroids
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("centv"),
+            )
+        )
+    # ONE centroid collect, shared by assignment and probe selection
+    cent_rows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centv"]])
+        for r in centroids.collect()
+    )
+    bucketed, _ = assign_buckets(
+        embeddings, n_centroids, id_col, vec_col, round_dp, centroids,
+        cent_rows=cent_rows,
     )
     b = bucketed.select("vec_id", F.col("v").alias("cv"), "bucket")
     if nprobe <= 1:
@@ -175,10 +191,6 @@ def knn_join_bucketed(
             "bucket",
         )
     else:
-        cent_rows = sorted(
-            (int(r["centroid_id"]), [float(x) for x in r["centv"]])
-            for r in cents.collect()
-        )
         probes = _nearest_probes_col(
             embeddings, cent_rows, F.col("qv"), round_dp, nprobe
         )
@@ -199,14 +211,7 @@ def knn_join_bucketed(
             cos(F.col("qv"), F.col("cv")).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", "cosine")
-    )
+    return _topk_per_query(scored, k)
 
 
 # inlined-literal assignment cap: above k×dim floats the plan ITSELF
@@ -248,6 +253,24 @@ def _round_half_up(arr, dp: int):
                 Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP)
             )
     return base
+
+
+def _centroid_broadcast(df: DataFrame, cent_rows, bc_out: list | None):
+    """Shared broadcast scaffolding for the big-k centroid paths:
+    (matrix, ids, norms) as numpy + the broadcast handle (appended to
+    bc_out for loop-scoped destruction). One implementation so the
+    argmax and top-nprobe paths cannot drift (review finding)."""
+    import numpy as np
+
+    cent_mat = np.asarray([vec for _, vec in cent_rows], dtype=np.float64)
+    cent_ids_arr = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
+    cent_norms = np.linalg.norm(cent_mat, axis=1)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (cent_mat, cent_ids_arr, cent_norms)
+    )
+    if bc_out is not None:
+        bc_out.append(bc)
+    return cent_mat, cent_ids_arr, cent_norms, bc
 
 
 def _nearest_centroid_col(
@@ -296,14 +319,9 @@ def _nearest_centroid_col(
     import pandas as pd
     from pyspark.sql.types import LongType
 
-    cent_mat = np.asarray([vec for _, vec in cent_rows], dtype=np.float64)
-    cent_ids_arr = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
-    cent_norms = np.linalg.norm(cent_mat, axis=1)
-    bc = df.sparkSession.sparkContext.broadcast(
-        (cent_mat, cent_ids_arr, cent_norms)
+    cent_mat, cent_ids_arr, cent_norms, bc = _centroid_broadcast(
+        df, cent_rows, bc_out
     )
-    if bc_out is not None:
-        bc_out.append(bc)
 
     # no type hints: `from __future__ import annotations` stringifies
     # them and the locally-imported pd alias can't be resolved by the
@@ -347,7 +365,11 @@ def _nearest_probes_col(
     generalization of `_nearest_centroid_col`, equally NARROW on both
     paths (per-row expression below `literal_max`, broadcast pandas UDF
     above; never a scored window — the N×k exchange that formulation
-    costs is the documented hazard). NULL for zero vectors."""
+    costs is the documented hazard). NULL for zero vectors; NULL-cosine
+    (zero/dead) CENTROIDS are excluded from the ranking on BOTH paths
+    (review finding: Spark sorts a NULL struct field FIRST ascending,
+    so an unfiltered struct-sort ranked a dead centroid as everyone's
+    top probe on the literal path only — the paths must agree)."""
     from llmaix_spark.functions.arrays import bind_array
 
     n_floats = sum(len(vec) for _, vec in cent_rows)
@@ -368,7 +390,8 @@ def _nearest_probes_col(
                     (-cc).alias("negc"), i.alias("cid")
                 ),
             )
-            top = F.slice(F.array_sort(pairs), 1, nprobe)
+            valid = F.filter(pairs, lambda s: s["negc"].isNotNull())
+            top = F.slice(F.array_sort(valid), 1, nprobe)
             return F.when(
                 F.array_max(c).isNull(), F.lit(None)
             ).otherwise(F.transform(top, lambda s: s["cid"]))
@@ -379,14 +402,9 @@ def _nearest_probes_col(
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType
 
-    cent_mat = np.asarray([vec for _, vec in cent_rows], dtype=np.float64)
-    cent_ids_arr = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
-    cent_norms = np.linalg.norm(cent_mat, axis=1)
-    bc = df.sparkSession.sparkContext.broadcast(
-        (cent_mat, cent_ids_arr, cent_norms)
+    cent_mat, cent_ids_arr, cent_norms, bc = _centroid_broadcast(
+        df, cent_rows, bc_out
     )
-    if bc_out is not None:
-        bc_out.append(bc)
 
     def _probes_fn(v):
         mat, ids, cnorms = bc.value
@@ -501,11 +519,16 @@ def assign_buckets(
     round_dp: int = 4,
     centroids: DataFrame | None = None,
     literal_max: int = LITERAL_ASSIGN_MAX,
+    cent_rows: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF bucket assignment. Default centroids = the n_centroids
     lowest-id vectors (reproducible without a fit — and exactly what the
     DuckDB oracle replicates); pass `centroids` from `kmeans_centroids`
     for fitted buckets at scale. Returns (bucketed, centroids).
+    `cent_rows` skips the internal collect when the caller already
+    holds the sorted (centroid_id, vector) rows (knn_join_bucketed
+    needs them for probe selection too — without this the centroid
+    limit-scan job ran twice per call, review finding).
 
     Nearest-centroid choice orders by ROUNDED cosine with centroid_id as
     tiebreak: the rounding makes assignment reproducible across engines
@@ -525,10 +548,11 @@ def assign_buckets(
                 F.col(vec_col).alias("centv"),
             )
         )
-    cent_rows = sorted(
-        (int(r["centroid_id"]), [float(x) for x in r["centv"]])
-        for r in centroids.collect()
-    )
+    if cent_rows is None:
+        cent_rows = sorted(
+            (int(r["centroid_id"]), [float(x) for x in r["centv"]])
+            for r in centroids.collect()
+        )
     bucket = _nearest_centroid_col(
         embeddings, cent_rows, F.col("v"), round_dp, literal_max
     )
@@ -587,11 +611,4 @@ def ivf_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", "cosine")
-    )
+    return _topk_per_query(scored, k)

@@ -1384,10 +1384,13 @@ def q_training_corpus(spark, sf_dir):
     )
 
 
-def _lead_chain(col: str, n: int, sep: str = " ") -> str:
-    """t || ' ' || lead(t,1) OVER win || ... — the n-gram surface used
-    by the 8-gram SQL twins."""
-    parts = [col] + [f"lead({col}, {i}) OVER win" for i in range(1, n)]
+def _lead_chain(col: str, n: int, win: str = "win", sep: str = " ") -> str:
+    """t || ' ' || lead(t,1) OVER <win> || ... — the n-gram surface
+    used by the 8-gram SQL twins. The window NAME must match the CTE's
+    own WINDOW clause: DuckDB scopes window names per WITH statement
+    under RECURSIVE (a bare 'win' here resolved, incorrectly by luck,
+    against _TRIGRAM_SQL's unrelated window — review finding)."""
+    parts = [col] + [f"lead({col}, {i}) OVER {win}" for i in range(1, n)]
     return f" || '{sep}' || ".join(parts)
 
 
@@ -1410,14 +1413,16 @@ surv AS (
   SELECT ds.doc_id, ds.text
   FROM documents ds LEFT JOIN cc ON ds.doc_id = cc.node
   WHERE ds.doc_id = coalesce(cc.comp, ds.doc_id)),
-sg AS (SELECT doc_id, {_lead_chain("t", 8)} AS s8, lead(t, 7) OVER win_sg AS l7
+sg AS (SELECT doc_id, {_lead_chain("t", 8, win="win_sg")} AS s8,
+           lead(t, 7) OVER win_sg AS l7
        FROM (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t
              FROM (SELECT doc_id, string_split(trim(text), ' ') w
                    FROM surv))
        WINDOW win_sg AS (PARTITION BY doc_id ORDER BY i)),
 s8h AS (SELECT DISTINCT doc_id, {_HASH60_SQL.format(v="s8")} AS h
         FROM sg WHERE l7 IS NOT NULL),
-bg AS (SELECT doc_id, {_lead_chain("t", 8)} AS s8, lead(t, 7) OVER win_bg AS l7
+bg AS (SELECT doc_id, {_lead_chain("t", 8, win="win_bg")} AS s8,
+           lead(t, 7) OVER win_bg AS l7
        FROM (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t
              FROM (SELECT doc_id, string_split(trim(text), ' ') w
                    FROM documents WHERE doc_id % 97 = 0))
@@ -1435,7 +1440,8 @@ toks2 AS (
 wa2 AS (SELECT doc_id, count(*) AS n_words,
                count(DISTINCT tok2) AS n_distinct
         FROM toks2 GROUP BY 1),
-bt AS (SELECT doc_id, {_lead_chain("t", 2)} AS s2, lead(t, 1) OVER win_bt AS l1
+bt AS (SELECT doc_id, {_lead_chain("t", 2, win="win_bt")} AS s2,
+           lead(t, 1) OVER win_bt AS l1
        FROM (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t
              FROM (SELECT doc_id, string_split(trim(text), ' ') w
                    FROM clean))
@@ -2212,7 +2218,14 @@ def q_knn_join(spark, sf_dir):
     land on opposite sides of a 4dp rounding boundary (0.3257 vs
     0.3258). The SQL casts ::DOUBLE[] so both engines round the same
     double. The IVF ASSIGNMENT oracle deliberately keeps float32
-    (assign_buckets' rounded-assignment contract, r3)."""
+    (assign_buckets' rounded-assignment contract, r3).
+
+    Oracle PRECONDITION (like the single-spaced-corpus one): no
+    zero-magnitude vectors in the fixture — DuckDB's
+    list_cosine_similarity returns -1.0 for a zero vector where the
+    Spark scorers return NULL (ranked last), so a zero embedding would
+    rank differently across engines. Verified absent in the testdata;
+    a corpus with padding rows needs a norm>0 filter on both sides."""
     out = sim.knn_join_exact(_t(spark, sf_dir, "embeddings"), k=5)
     return out.select(
         "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank"),

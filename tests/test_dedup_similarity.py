@@ -381,3 +381,36 @@ def test_knn_join_bucketed_recall_vs_exact(spark, sf_dir):
     assert recalls[1] >= 0.15, recalls
     assert recalls[4] >= 0.5, recalls
     assert recalls[4] > recalls[1], recalls
+
+
+def test_nearest_probes_paths_agree_with_dead_centroid(spark):
+    """The literal struct-sort and broadcast-UDF probe paths must rank
+    identically — including EXCLUDING a zero (dead) centroid, which the
+    unfiltered struct sort ranked FIRST on the literal path only (NULL
+    struct fields sort first ascending; review finding)."""
+    from pyspark.sql import functions as F
+
+    from llmaix_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.8, 0.6]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cent_rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+
+    def run(literal_max):
+        col = sim._nearest_probes_col(
+            emb, cent_rows, F.col("embedding"), 4, 2,
+            literal_max=literal_max,
+        )
+        return {
+            r["vec_id"]: r["p"]
+            for r in emb.select("vec_id", col.alias("p")).collect()
+        }
+
+    lit = run(10_000)   # literal expression path
+    udf = run(0)        # broadcast pandas-UDF path
+    assert lit == udf, (lit, udf)
+    # the dead centroid (id 0, zero vector → NULL cosine) never probes
+    assert all(0 not in probes for probes in lit.values())
+    assert lit[1] == [1, 2] and lit[3] == [2, 1]
