@@ -110,6 +110,65 @@ def _cosine_batch_udf(round_dp: int):
     return F.pandas_udf(_fn, DoubleType(), PandasUDFType.SCALAR)
 
 
+def _bucket_knn_scorer(k: int, round_dp: int):
+    """applyInPandas body for knn_join_bucketed: one bucket's index
+    rows (is_q=False, exactly the vectors ASSIGNED here) and probing
+    query rows (is_q=True) arrive as one pandas frame; cosines are one
+    float64 matmul, rounding is `_round_half_up` (bit-exact F.round
+    parity), and each query emits its in-bucket top-k under the global
+    (cosine desc, vec_id asc, NULLs last) order — self-pairs excluded.
+    NaN cosines (zero vectors) are kept, ranked last, emitted as NULL
+    — identical to how the window ranks a NULL cosine."""
+    import numpy as np
+    import pandas as pd
+
+    def _score(pdf):
+        q = pdf[pdf["is_q"]]
+        ix = pdf[~pdf["is_q"]]
+        empty = pd.DataFrame(
+            {"query_id": [], "vec_id": [], "cosine": []}
+        ).astype({"query_id": "int64", "vec_id": "int64"})
+        if q.empty or ix.empty:
+            return empty
+        A = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in q["v"]]
+        )
+        B = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in ix["v"]]
+        )
+        na = np.linalg.norm(A, axis=1)[:, None]
+        nb = np.linalg.norm(B, axis=1)[None, :]
+        denom = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, (A @ B.T) / denom, np.nan)
+        cos = _round_half_up(cos, round_dp)
+        qids = q["vec_id"].to_numpy()
+        iids = ix["vec_id"].to_numpy()
+        out_q, out_v, out_c = [], [], []
+        for r in range(len(qids)):
+            row = cos[r]
+            mask = iids != qids[r]  # no self-pair
+            cand_ids = iids[mask]
+            cand_cos = row[mask]
+            if cand_ids.size == 0:
+                continue
+            # (NULLs last, cosine desc, vec_id asc) — the window order
+            order = np.lexsort(
+                (cand_ids, -np.nan_to_num(cand_cos, nan=-np.inf),
+                 np.isnan(cand_cos))
+            )[:k]
+            for j in order:
+                out_q.append(int(qids[r]))
+                out_v.append(int(cand_ids[j]))
+                c = cand_cos[j]
+                out_c.append(None if np.isnan(c) else float(c))
+        return pd.DataFrame(
+            {"query_id": out_q, "vec_id": out_v, "cosine": out_c}
+        )
+
+    return _score
+
+
 def knn_join_exact(
     embeddings: DataFrame,
     k: int = 5,
@@ -179,28 +238,67 @@ def knn_join_bucketed(
         (int(r["centroid_id"]), [float(x) for x in r["centv"]])
         for r in centroids.collect()
     )
-    bucketed, _ = assign_buckets(
-        embeddings, n_centroids, id_col, vec_col, round_dp, centroids,
-        cent_rows=cent_rows,
-    )
-    b = bucketed.select("vec_id", F.col("v").alias("cv"), "bucket")
     if nprobe <= 1:
+        bucketed, _ = assign_buckets(
+            embeddings, n_centroids, id_col, vec_col, round_dp,
+            centroids, cent_rows=cent_rows,
+        )
+        b = bucketed.select("vec_id", F.col("v").alias("cv"), "bucket")
         a = bucketed.select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             "bucket",
         )
     else:
-        probes = _nearest_probes_col(
-            embeddings, cent_rows, F.col("qv"), round_dp, nprobe
+        # ONE probes evaluation feeds both join sides: the assignment
+        # IS probes[0] (struct-sort (−cos, id) rank-1 ≡ the argmax's
+        # first-max-lowest-id win, NULL for zero vectors either way),
+        # so evaluating the k×dim centroid expression separately for
+        # assignment and probing doubled the per-row work — measured
+        # ~2.5 s of the sf0.1 join. The lazy localCheckpoint cuts the
+        # shared lineage so the two consumers (a-side explode, b-side
+        # bucket) don't each re-run the expression; the materialized
+        # state is corpus + nprobe ids per row — at extreme scale trade
+        # it back for recomputation by passing the probes through a
+        # persisted upstream table instead.
+        base = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            _nearest_probes_col(
+                embeddings, cent_rows, F.col(vec_col), round_dp, nprobe
+            ).alias("probes"),
+        ).localCheckpoint(eager=False)
+        # per-BUCKET matrix scoring instead of a per-pair join: the
+        # index rows and the probing query rows of one bucket cogroup
+        # into a single Arrow batch, score as ONE numpy matmul, and
+        # emit only each query's in-bucket top-k — the global top-k
+        # over probed buckets equals the top-k of the per-bucket
+        # top-ks (every global winner beats its own bucket-mates), so
+        # the final window ranks nprobe·k candidates per query instead
+        # of Σ|bucket| pairs. Measured: the per-pair Arrow UDF spent
+        # its time converting 2·|pairs| vectors; the matmul converts
+        # each vector once per bucket it appears in.
+        idx = base.select(
+            F.element_at("probes", 1).alias("bucket"),
+            F.lit(False).alias("is_q"),
+            "vec_id",
+            "v",
         )
-        a = (
-            embeddings.select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("qv"),
+        qry = base.select(
+            F.explode("probes").alias("bucket"),
+            F.lit(True).alias("is_q"),
+            "vec_id",
+            "v",
+        )
+        scored = (
+            idx.unionByName(qry)
+            .groupBy("bucket")
+            .applyInPandas(
+                _bucket_knn_scorer(k, round_dp),
+                "query_id long, vec_id long, cosine double",
             )
-            .withColumn("bucket", F.explode(probes))
         )
+        return _topk_per_query(scored, k)
     cos = _cosine_batch_udf(round_dp)
     scored = (
         a.join(b, "bucket")
