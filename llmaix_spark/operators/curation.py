@@ -215,6 +215,53 @@ def unigram_logprob(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the data-mixing step of
+    a pretraining pipeline (e.g. keep 30% of language X, all of Y):
+    a document survives iff stable_hash60(id:salt) % buckets falls
+    under its stratum's rate. Pure projection+filter like
+    dataset_split: no RNG, no shuffle, stable under corpus growth
+    (an id's fate never changes when more data arrives) and
+    bit-identical across engines (shared md5 hash). Returns the
+    surviving (doc_id, stratum) rows.
+
+    Independence note: uses a different salt than dataset_split, so
+    sampling and splitting are independent hash draws — the same salt
+    would correlate survival with the train/val/test assignment."""
+    bucket = F.pmod(
+        stable_hash60_expr(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+        ),
+        F.lit(buckets),
+    )
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(stratum_col) == name
+        thresh = F.lit(int(r * buckets + 0.5))
+        rate = (
+            F.when(cond, thresh) if rate is None else rate.when(cond, thresh)
+        )
+    thresh_col = (
+        F.lit(int(default_rate * buckets + 0.5))
+        if rate is None
+        else rate.otherwise(F.lit(int(default_rate * buckets + 0.5)))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        bucket.alias("_b"),
+        thresh_col.alias("_t"),
+    ).filter(F.col("_b") < F.col("_t")).select("doc_id", "stratum")
+
+
 def curate_corpus(
     docs: DataFrame,
     max_dup_word_frac: float = 0.6,

@@ -1251,6 +1251,27 @@ SELECT d.doc_id, CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (data mixing): keep 30%
+    of 'de', 60% of 'fr', everything else — hash-gated like
+    dataset_split, so re-runs and corpus growth never change a
+    surviving id's fate."""
+    from llmaix_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), {"de": 0.3, "fr": 0.6}
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang AS stratum
+FROM documents
+WHERE {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':sample'")} % 10000
+      < CASE WHEN lang = 'de' THEN 3000
+             WHEN lang = 'fr' THEN 6000
+             ELSE 10000 END"""
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation composition (repetition gates → LM-quality
     percentile band → hash split) — oracles the chain the way
@@ -2834,6 +2855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_groups": q_dedup_groups,
     "dedup_groups_lsh": q_dedup_groups_lsh,
     "dataset_split": q_dataset_split,
+    "stratified_sample": q_stratified_sample,
     "curation_pipeline": q_curation_pipeline,
     "training_corpus": q_training_corpus,
     "pack_sequences": q_pack_sequences,
@@ -2904,6 +2926,7 @@ ORACLES: dict[str, str] = {
     "dedup_groups": SQL_DEDUP_GROUPS,
     "dedup_groups_lsh": SQL_DEDUP_GROUPS_LSH,
     "dataset_split": SQL_DATASET_SPLIT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "training_corpus": SQL_TRAINING_CORPUS,
     "pack_sequences": SQL_PACK_SEQUENCES,

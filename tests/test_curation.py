@@ -210,3 +210,30 @@ def test_build_training_corpus_composition(docs):
         cu.curate_corpus(clean).collect(), key=lambda r: r["doc_id"]
     )
     assert sorted(out, key=lambda r: r["doc_id"]) == direct
+
+
+def test_stratified_sample_semantics(docs):
+    """Per-stratum rates roughly honored; survival deterministic and
+    stable under corpus growth; independent of the split hash."""
+    got = cu.stratified_sample(docs, {"de": 0.3, "fr": 0.6}).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["stratum"], set()).add(r["doc_id"])
+    totals = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    assert len(by.get("de", ())) / totals["de"] == pytest.approx(0.3, abs=0.15)
+    assert len(by.get("fr", ())) / totals["fr"] == pytest.approx(0.6, abs=0.15)
+    for lang in totals:
+        if lang not in ("de", "fr"):
+            assert len(by.get(lang, ())) == totals[lang]  # default keep-all
+    # growth stability: the half-corpus sample is the full sample's subset
+    half = {
+        r["doc_id"]
+        for r in cu.stratified_sample(
+            docs.filter(F.col("doc_id") % 2 == 0), {"de": 0.3, "fr": 0.6}
+        ).collect()
+    }
+    full_ids = {r["doc_id"] for r in got}
+    assert half == {i for i in full_ids if i % 2 == 0}
