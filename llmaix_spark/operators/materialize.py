@@ -177,7 +177,7 @@ def write_graph_tables(
         try:
             # recover from a PRIOR process crash mid-swap first. The
             # decision is PAIR-atomic, not per-table: if ANY final table
-            # is missing while its *_old survives, the crash happened
+            # is missing while ANY *_old survives, the crash happened
             # mid-swap and the *_old copies are the last complete
             # snapshot — restore EVERY existing *_old over its final
             # (a fresh final next to it is a half-swapped partial and is
@@ -185,11 +185,19 @@ def write_graph_tables(
             # stale-edges. Only when every final is present are the
             # *_old tables post-swap garbage safe to drop. (Classifying
             # each *_old independently destroyed the last old-nodes copy
-            # in the nodes-swapped/edges-not state.)
+            # in the nodes-swapped/edges-not state.) The missing-final
+            # and surviving-aside need NOT be the same table: when only
+            # nodes pre-existed, a kill between the two stg→final
+            # renames leaves {nodes=fresh, nodes_old, edges ABSENT, no
+            # edges_old} — the same-table pairing read that as post-swap
+            # garbage and dropped the last v1-nodes copy (r4 advice). A
+            # successful swap always creates EVERY final, so any missing
+            # final means the swap never completed and the asides are
+            # authoritative.
             mid_swap_crash = any(
-                _exists(f"{table_prefix}.{t}_old")
-                and not _exists(f"{table_prefix}.{t}")
-                for t in ("nodes", "edges")
+                not _exists(f"{table_prefix}.{t}") for t in ("nodes", "edges")
+            ) and any(
+                _exists(f"{table_prefix}.{t}_old") for t in ("nodes", "edges")
             )
             for t in ("nodes", "edges"):
                 old = f"{table_prefix}.{t}_old"

@@ -2286,7 +2286,13 @@ def q_knn_join_bucketed(spark, sf_dir):
     )
 
 
-_IVF_ASSIGN_SQL = """
+def _ivf_assign_sql(cast: str = "") -> str:
+    """The shared centroid/assignment CTE pair. `cast` is '::DOUBLE[]'
+    for oracles whose Spark twin computes assignment in float64 (the
+    multi-probe kNN join: assignment IS probes[0] from
+    _nearest_probes_col, double arithmetic on both paths) and '' for the
+    r3 float32 rounded-assignment contract (assign_buckets/ivf_topk)."""
+    return f"""
 cent AS (
   SELECT vec_id AS centroid_id, embedding AS centv
   FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -2295,21 +2301,32 @@ assigned AS (
     SELECT e.vec_id, e.embedding AS v, c.centroid_id AS bucket,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(c.centv, e.embedding), 4)
+             ORDER BY round(list_cosine_similarity(c.centv{cast},
+                                                   e.embedding{cast}), 4)
                         DESC,
                       c.centroid_id) AS rnk
     FROM embeddings e CROSS JOIN cent c)
   WHERE rnk = 1)"""
 
+
+_IVF_ASSIGN_SQL = _ivf_assign_sql()
+
+# probes + assignment both ::DOUBLE[]: Spark's _nearest_probes_col
+# computes EVERY centroid cosine in float64 (JVM double fold on the
+# literal path, numpy float64 on the broadcast path), and the rank<=4
+# probe cut has 4x the 4dp-boundary exposure of the rank-1 assignment —
+# a float32 oracle here was fixture-dependent (r4 advice). The float32
+# contract stays ONLY on SQL_ANN_IVF_TOPK's assignment (r3).
 SQL_KNN_JOIN_BUCKETED = f"""
-WITH {_IVF_ASSIGN_SQL},
+WITH {_ivf_assign_sql("::DOUBLE[]")},
 probes AS (
   SELECT query_id, qv, bucket FROM (
     SELECT e.vec_id AS query_id, e.embedding AS qv,
            c.centroid_id AS bucket,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(c.centv, e.embedding), 4)
+             ORDER BY round(list_cosine_similarity(c.centv::DOUBLE[],
+                                                   e.embedding::DOUBLE[]), 4)
                         DESC,
                       c.centroid_id) AS rnk
     FROM embeddings e CROSS JOIN cent c)

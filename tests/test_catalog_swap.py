@@ -169,6 +169,50 @@ def test_prior_half_swapped_crash_recovery_is_pair_atomic(
     assert spark.table(f"{PREFIX}.nodes").first()["canonical"] == "v4"
 
 
+def test_prior_crash_recovery_across_tables_is_decoupled(
+    spark, clean_tables, monkeypatch
+):
+    """Asymmetric pre-state (r4 advice): only NODES pre-existed. A hard
+    kill between the two stg→final renames leaves {nodes=fresh-partial,
+    nodes_old=v1, edges ABSENT, no edges_old}. The same-table pairing
+    (old present AND own final missing) read this as post-swap garbage
+    and dropped nodes_old — the last v1-nodes copy. The classifier must
+    decouple: ANY final missing + ANY *_old present ⇒ mid-swap crash,
+    restore every aside."""
+    n1, _ = _graph(spark, 5, "v1")
+    n1.writeTo(f"{PREFIX}.nodes").create()  # nodes-only pre-state
+    # fabricate the kill window: v1 renamed aside, fresh partial swapped
+    # in, the edges rename never ran
+    spark.sql(f"ALTER TABLE {PREFIX}.nodes RENAME TO default.nodes_old")
+    n2, _ = _graph(spark, 9, "v2-partial")
+    n2.writeTo(f"{PREFIX}.nodes").create()
+
+    # the next refresh fails mid-swap: its rollback target must be the
+    # RECOVERED v1-nodes/no-edges state, not the partial
+    real_sql = spark.sql
+
+    def failing_sql(query, *a, **kw):
+        if "edges_stg RENAME" in query:
+            raise RuntimeError("injected rename failure")
+        return real_sql(query, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", failing_sql, raising=False)
+    n3, e3 = _graph(spark, 7, "v3")
+    with pytest.raises(Exception, match="injected rename failure"):
+        write_graph_tables(n3, e3, table_prefix=PREFIX)
+    monkeypatch.undo()
+    assert spark.table(f"{PREFIX}.nodes").count() == 5
+    assert spark.table(f"{PREFIX}.nodes").first()["canonical"] == "v1"
+    names = {t.name for t in spark.catalog.listTables("default")}
+    assert "edges" not in names
+    assert not names & {"nodes_stg", "edges_stg", "nodes_old", "edges_old"}
+    # and a clean refresh completes from the recovered state
+    n4, e4 = _graph(spark, 3, "v4")
+    write_graph_tables(n4, e4, table_prefix=PREFIX)
+    assert spark.table(f"{PREFIX}.nodes").first()["canonical"] == "v4"
+    assert spark.table(f"{PREFIX}.edges").count() == 6
+
+
 def test_swap_renames_all_asides_before_any_final(spark, clean_tables,
                                                   monkeypatch):
     """ALL rename-asides must precede ANY stg→final rename. With the
