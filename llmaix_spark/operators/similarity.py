@@ -130,38 +130,47 @@ def _bucket_knn_scorer(k: int, round_dp: int):
         ).astype({"query_id": "int64", "vec_id": "int64"})
         if q.empty or ix.empty:
             return empty
-        A = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in q["v"]]
-        )
         B = np.vstack(
             [np.asarray(v, dtype=np.float64) for v in ix["v"]]
         )
-        na = np.linalg.norm(A, axis=1)[:, None]
         nb = np.linalg.norm(B, axis=1)[None, :]
-        denom = na * nb
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.where(denom > 0, (A @ B.T) / denom, np.nan)
-        cos = _round_half_up(cos, round_dp)
-        qids = q["vec_id"].to_numpy()
         iids = ix["vec_id"].to_numpy()
+        qids = q["vec_id"].to_numpy()
+        qvs = q["v"].to_numpy()
+        # the cosine matrix is the scorer's one large allocation:
+        # |q|·|ix| doubles. Blocking the QUERY rows bounds it to
+        # ~32 MB regardless of how the caller grouped (the group-size
+        # cap bounds the Arrow frame; this bounds the matmul product)
+        blk = max(1, 4_000_000 // max(len(iids), 1))
         out_q, out_v, out_c = [], [], []
-        for r in range(len(qids)):
-            row = cos[r]
-            mask = iids != qids[r]  # no self-pair
-            cand_ids = iids[mask]
-            cand_cos = row[mask]
-            if cand_ids.size == 0:
-                continue
-            # (NULLs last, cosine desc, vec_id asc) — the window order
-            order = np.lexsort(
-                (cand_ids, -np.nan_to_num(cand_cos, nan=-np.inf),
-                 np.isnan(cand_cos))
-            )[:k]
-            for j in order:
-                out_q.append(int(qids[r]))
-                out_v.append(int(cand_ids[j]))
-                c = cand_cos[j]
-                out_c.append(None if np.isnan(c) else float(c))
+        for start in range(0, len(qids), blk):
+            stop = min(start + blk, len(qids))
+            A = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in qvs[start:stop]]
+            )
+            na = np.linalg.norm(A, axis=1)[:, None]
+            denom = na * nb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, (A @ B.T) / denom, np.nan)
+            cos = _round_half_up(cos, round_dp)
+            for r in range(stop - start):
+                row = cos[r]
+                qid = qids[start + r]
+                mask = iids != qid  # no self-pair
+                cand_ids = iids[mask]
+                cand_cos = row[mask]
+                if cand_ids.size == 0:
+                    continue
+                # (NULLs last, cosine desc, vec_id asc) — the window order
+                order = np.lexsort(
+                    (cand_ids, -np.nan_to_num(cand_cos, nan=-np.inf),
+                     np.isnan(cand_cos))
+                )[:k]
+                for j in order:
+                    out_q.append(int(qid))
+                    out_v.append(int(cand_ids[j]))
+                    c = cand_cos[j]
+                    out_c.append(None if np.isnan(c) else float(c))
         return pd.DataFrame(
             {"query_id": out_q, "vec_id": out_v, "cosine": out_c}
         )
@@ -201,6 +210,73 @@ def knn_join_exact(
     return _topk_per_query(scored, k)
 
 
+def _capped_group_keys(both: DataFrame, cap: int) -> DataFrame:
+    """Split each bucket's two sides into hash blocks of ≤ ~cap rows so
+    no single Arrow group can approach the corpus when centroids are
+    degenerate (round-4 verdict: the last unbounded per-group
+    materialization on a production path — linking.py's LSH solved the
+    same shape with max_bucket_size).
+
+    Input: the unioned (bucket, is_q, vec_id, v) frame. Output adds
+    (qc, ic) block keys; grouping by (bucket, qc, ic) then yields every
+    (query-block × index-block) pair exactly once — a query row carries
+    ONE qc and is replicated across all ic, an index row the reverse, so
+    a (query, index) pair meets in exactly one group and the global
+    top-k over block top-ks equals the unblocked top-k (the same
+    identity the per-bucket scorer already exploits vs the flat join).
+
+    Block ids are xxhash64 hash splits, NOT row_number windows: a
+    window partitioned by a degenerate bucket would sort ~the whole
+    corpus in ONE task — the exact bottleneck being removed. Chunk
+    counts target a MEAN block of cap/2 rows per side, so exceeding cap
+    needs a 2x hash deviation (Chernoff-negligible at real block
+    sizes); the per-side sizes are pinned on a skew fixture in
+    tests/test_skew.py. Replication cost is one extra row copy per
+    cap/2 scored pairs — O(pairs/cap), invisible next to the pair
+    compute itself."""
+    sizes = both.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_q"), 1).otherwise(0)).alias("_nq"),
+        F.sum(F.when(F.col("is_q"), 0).otherwise(1)).alias("_nx"),
+    )
+    nqc = F.greatest(
+        F.ceil(F.lit(2.0) * F.col("_nq") / cap), F.lit(1)
+    ).cast("int")
+    nxc = F.greatest(
+        F.ceil(F.lit(2.0) * F.col("_nx") / cap), F.lit(1)
+    ).cast("int")
+    # broadcast audit: sizes is one row per BUCKET (= centroid count, a
+    # caller-bounded constant, never data-scaled) — safe at any corpus
+    # size. greatest(…,1): a side with 0 rows must still yield ONE
+    # block — sequence(0,-1) DESCENDS in Spark (landmine), and the
+    # empty side's blocks must cross the other side's once.
+    sized = (
+        both.join(F.broadcast(sizes), "bucket")
+        .withColumn("_nqc", nqc)
+        .withColumn("_nxc", nxc)
+    )
+    own = F.pmod(
+        F.xxhash64("vec_id"),
+        F.when(F.col("is_q"), F.col("_nqc")).otherwise(F.col("_nxc")),
+    )
+    other_n = F.when(F.col("is_q"), F.col("_nxc")).otherwise(F.col("_nqc"))
+    keyed = sized.select(
+        "bucket",
+        "is_q",
+        "vec_id",
+        "v",
+        own.alias("_own"),
+        F.explode(F.sequence(F.lit(0), other_n - 1)).alias("_oth"),
+    )
+    return keyed.select(
+        "bucket",
+        "is_q",
+        "vec_id",
+        "v",
+        F.when(F.col("is_q"), F.col("_own")).otherwise(F.col("_oth")).alias("qc"),
+        F.when(F.col("is_q"), F.col("_oth")).otherwise(F.col("_own")).alias("ic"),
+    )
+
+
 def knn_join_bucketed(
     embeddings: DataFrame,
     k: int = 5,
@@ -210,6 +286,7 @@ def knn_join_bucketed(
     vec_col: str = "embedding",
     round_dp: int = 4,
     centroids: DataFrame | None = None,
+    max_bucket_members: int | None = 4096,
 ) -> DataFrame:
     """Bucketed (IVF-style) self-kNN join — the 100 TB shape: the index
     side lives in its own centroid bucket, the query side probes its
@@ -223,7 +300,18 @@ def knn_join_bucketed(
     oracle replicates the whole index rather than sampling recall. Pass
     `centroids` from `kmeans_centroids` for fitted buckets; queries
     whose probed buckets hold fewer than k non-self members return
-    short lists (never padded with unprobed-bucket guesses)."""
+    short lists (never padded with unprobed-bucket guesses).
+
+    `max_bucket_members` (default 4096) bounds every Arrow group: a
+    degenerate/unfitted centroid set can send ~the whole corpus into
+    one bucket, and the per-bucket scorer would materialize it as one
+    pandas frame (executor OOM at scale — round-4 verdict). Buckets
+    whose sides exceed the cap are hash-split into blocks of mean
+    cap/2 rows (see _capped_group_keys); the output is BIT-IDENTICAL
+    for any cap (global top-k of block top-ks — the oracle does not
+    change). None disables the split (single group per bucket).
+    Well-fitted buckets below the cap pay only a tiny per-bucket
+    counts aggregate + broadcast join."""
     if centroids is None:
         centroids = (
             embeddings.orderBy(id_col)
@@ -238,76 +326,56 @@ def knn_join_bucketed(
         (int(r["centroid_id"]), [float(x) for x in r["centv"]])
         for r in centroids.collect()
     )
-    if nprobe <= 1:
-        bucketed, _ = assign_buckets(
-            embeddings, n_centroids, id_col, vec_col, round_dp,
-            centroids, cent_rows=cent_rows,
-        )
-        b = bucketed.select("vec_id", F.col("v").alias("cv"), "bucket")
-        a = bucketed.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            "bucket",
-        )
+    # ONE probes evaluation feeds both join sides: the assignment
+    # IS probes[0] (struct-sort (−cos, id) rank-1 ≡ the argmax's
+    # first-max-lowest-id win, NULL for zero vectors either way),
+    # so evaluating the k×dim centroid expression separately for
+    # assignment and probing doubled the per-row work — measured
+    # ~2.5 s of the sf0.1 join. The lazy localCheckpoint cuts the
+    # shared lineage so the two consumers (a-side explode, b-side
+    # bucket) don't each re-run the expression; the materialized
+    # state is corpus + nprobe ids per row — at extreme scale trade
+    # it back for recomputation by passing the probes through a
+    # persisted upstream table instead.
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _nearest_probes_col(
+            embeddings, cent_rows, F.col(vec_col), round_dp, max(nprobe, 1)
+        ).alias("probes"),
+    ).localCheckpoint(eager=False)
+    # per-BUCKET matrix scoring instead of a per-pair join: the
+    # index rows and the probing query rows of one bucket cogroup
+    # into a single Arrow batch, score as ONE numpy matmul, and
+    # emit only each query's in-bucket top-k — the global top-k
+    # over probed buckets equals the top-k of the per-bucket
+    # top-ks (every global winner beats its own bucket-mates), so
+    # the final window ranks nprobe·k candidates per query instead
+    # of Σ|bucket| pairs. Measured: the per-pair Arrow UDF spent
+    # its time converting 2·|pairs| vectors; the matmul converts
+    # each vector once per bucket it appears in.
+    idx = base.select(
+        F.element_at("probes", 1).alias("bucket"),
+        F.lit(False).alias("is_q"),
+        "vec_id",
+        "v",
+    )
+    qry = base.select(
+        F.explode("probes").alias("bucket"),
+        F.lit(True).alias("is_q"),
+        "vec_id",
+        "v",
+    )
+    both = idx.unionByName(qry)
+    if max_bucket_members is None:
+        grouped = both.groupBy("bucket")
     else:
-        # ONE probes evaluation feeds both join sides: the assignment
-        # IS probes[0] (struct-sort (−cos, id) rank-1 ≡ the argmax's
-        # first-max-lowest-id win, NULL for zero vectors either way),
-        # so evaluating the k×dim centroid expression separately for
-        # assignment and probing doubled the per-row work — measured
-        # ~2.5 s of the sf0.1 join. The lazy localCheckpoint cuts the
-        # shared lineage so the two consumers (a-side explode, b-side
-        # bucket) don't each re-run the expression; the materialized
-        # state is corpus + nprobe ids per row — at extreme scale trade
-        # it back for recomputation by passing the probes through a
-        # persisted upstream table instead.
-        base = embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("v"),
-            _nearest_probes_col(
-                embeddings, cent_rows, F.col(vec_col), round_dp, nprobe
-            ).alias("probes"),
-        ).localCheckpoint(eager=False)
-        # per-BUCKET matrix scoring instead of a per-pair join: the
-        # index rows and the probing query rows of one bucket cogroup
-        # into a single Arrow batch, score as ONE numpy matmul, and
-        # emit only each query's in-bucket top-k — the global top-k
-        # over probed buckets equals the top-k of the per-bucket
-        # top-ks (every global winner beats its own bucket-mates), so
-        # the final window ranks nprobe·k candidates per query instead
-        # of Σ|bucket| pairs. Measured: the per-pair Arrow UDF spent
-        # its time converting 2·|pairs| vectors; the matmul converts
-        # each vector once per bucket it appears in.
-        idx = base.select(
-            F.element_at("probes", 1).alias("bucket"),
-            F.lit(False).alias("is_q"),
-            "vec_id",
-            "v",
+        grouped = _capped_group_keys(both, int(max_bucket_members)).groupBy(
+            "bucket", "qc", "ic"
         )
-        qry = base.select(
-            F.explode("probes").alias("bucket"),
-            F.lit(True).alias("is_q"),
-            "vec_id",
-            "v",
-        )
-        scored = (
-            idx.unionByName(qry)
-            .groupBy("bucket")
-            .applyInPandas(
-                _bucket_knn_scorer(k, round_dp),
-                "query_id long, vec_id long, cosine double",
-            )
-        )
-        return _topk_per_query(scored, k)
-    cos = _cosine_batch_udf(round_dp)
-    scored = (
-        a.join(b, "bucket")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            cos(F.col("qv"), F.col("cv")).alias("cosine"),
-        )
+    scored = grouped.applyInPandas(
+        _bucket_knn_scorer(k, round_dp),
+        "query_id long, vec_id long, cosine double",
     )
     return _topk_per_query(scored, k)
 

@@ -2309,6 +2309,39 @@ assigned AS (
   WHERE rnk = 1)"""
 
 
+def q_knn_join_bucketed_capped(spark, sf_dir):
+    """The bucketed kNN join under a DELIBERATELY degenerate centroid
+    set with the Arrow-group cap engaged (round-4 verdict item 1): the
+    two centroids are the SAME vector (v0 duplicated), so every vector
+    ties and the id tiebreak sends 100% of the corpus into bucket 0 —
+    the worst-case skew that used to materialize the whole corpus as
+    one applyInPandas group. max_bucket_members=64 hash-splits the
+    degenerate bucket into ~16×16 blocks of ≤64 rows per side
+    (sizes pinned in tests/test_skew.py); because every vector probes
+    the one populated bucket, the blocked result must equal the EXACT
+    kNN graph — the oracle is the brute-force SQL, so the cap's
+    top-k-of-block-top-ks identity is value-checked end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("centv")
+    )
+    cents = v0.select(F.lit(0).alias("centroid_id"), "centv").unionByName(
+        v0.select(F.lit(1).alias("centroid_id"), "centv")
+    )
+    out = sim.knn_join_bucketed(
+        emb, k=5, nprobe=2, centroids=cents, max_bucket_members=64
+    )
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank"),
+        "cosine",
+    )
+
+
+# every vector lands in the duplicated centroid's bucket and probes it,
+# so the capped/blocked path must reproduce the exact kNN graph
+SQL_KNN_JOIN_BUCKETED_CAPPED = SQL_KNN_JOIN
+
+
 _IVF_ASSIGN_SQL = _ivf_assign_sql()
 
 # probes + assignment both ::DOUBLE[]: Spark's _nearest_probes_col
@@ -2854,6 +2887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk": q_similarity_topk,
     "knn_join": q_knn_join,
     "knn_join_bucketed": q_knn_join_bucketed,
+    "knn_join_bucketed_capped": q_knn_join_bucketed_capped,
     "textstats_tokens": q_textstats_tokens,
     "textstats_quality": q_textstats_quality,
     "quality_repetition": q_quality_repetition,
@@ -2925,6 +2959,7 @@ ORACLES: dict[str, str] = {
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "knn_join": SQL_KNN_JOIN,
     "knn_join_bucketed": SQL_KNN_JOIN_BUCKETED,
+    "knn_join_bucketed_capped": SQL_KNN_JOIN_BUCKETED_CAPPED,
     "textstats_tokens": SQL_TEXTSTATS_TOKENS,
     "textstats_quality": SQL_TEXTSTATS_QUALITY,
     "quality_repetition": SQL_QUALITY_REPETITION,
