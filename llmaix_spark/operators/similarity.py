@@ -617,11 +617,18 @@ def kmeans_centroids(
     iteration is ONE job with ONE shuffle: the nearest-centroid
     assignment is a narrow per-row expression (_nearest_centroid_col —
     literal argmax or broadcast-UDF above the plan-size cap), and the
-    per-cluster elementwise mean reduces through `dim`
-    map-side-combinable avg() aggregates — no window. The k×dim result
-    is collected back per iteration (k·dim floats of driver traffic).
-    Empty clusters keep their previous centroid. Means are L2-normalized
-    (spherical k-means — the right objective for cosine assignment).
+    per-cluster elementwise mean reduces in LONG format — posexplode to
+    (centroid_id, dim_index, x) then ONE groupBy(centroid_id, d).avg —
+    so the plan is O(1) in dimension (round-4 verdict item 4: the
+    previous `dim` separate avg(element_at) aggregates bloated the
+    single groupBy to thousands of expressions at dim 1024-4096,
+    hitting codegen limits). The explode's dim× row blowup collapses
+    map-side (partial_avg combine on (centroid_id, d) before the
+    exchange — ≤ k·dim rows cross per map task); the k×dim result is
+    collected back per iteration (k·dim floats of driver traffic, same
+    as the wide form). Empty clusters keep their previous centroid.
+    Means are L2-normalized (spherical k-means — the right objective
+    for cosine assignment).
 
     Returns centroids(centroid_id, centv) — feed to `assign_buckets`.
     """
@@ -652,13 +659,9 @@ def kmeans_centroids(
             # (cosine_expr try_divide) → NULL bucket; they belong to no
             # cluster and must not become a phantom NULL centroid
             .filter(F.col("centroid_id").isNotNull())
-            .groupBy("centroid_id")
-            .agg(
-                *[
-                    F.avg(F.element_at("v", d + 1)).alias(f"m{d}")
-                    for d in range(dim)
-                ]
-            )
+            .select("centroid_id", F.posexplode("v").alias("d", "x"))
+            .groupBy("centroid_id", "d")
+            .agg(F.avg("x").alias("m"))
             .collect()
         )
         # the iteration's job is done — release this round's centroid
@@ -666,11 +669,14 @@ def kmeans_centroids(
         # until the ContextCleaner gets to it
         for b in bcs:
             b.destroy()
-        new = dict(cents)
+        acc: dict[int, dict[int, float]] = {}
         for r in means:
-            vec = [r[f"m{d}"] for d in range(dim)]
+            acc.setdefault(int(r["centroid_id"]), {})[int(r["d"])] = r["m"]
+        new = dict(cents)
+        for cid, dims in acc.items():
+            vec = [dims[d] for d in range(dim)]
             norm = math.sqrt(sum(x * x for x in vec)) or 1.0
-            new[int(r["centroid_id"])] = [x / norm for x in vec]
+            new[cid] = [x / norm for x in vec]
         cents = sorted(new.items())
     return embeddings.sparkSession.createDataFrame(
         cents, "centroid_id int, centv array<float>"

@@ -383,6 +383,62 @@ def test_knn_join_bucketed_recall_vs_exact(spark, sf_dir):
     assert recalls[4] > recalls[1], recalls
 
 
+def test_kmeans_long_format_mean_at_dim_1024(spark):
+    """The Lloyd mean must stay O(1) in plan width at embedding-scale
+    dimensions (round-4 verdict item 4: `dim` separate avg(element_at)
+    aggregates bloated the groupBy to thousands of expressions at dim
+    1024-4096). Value check: both assignment paths (literal argmax and
+    forced broadcast-UDF) against a numpy twin of the full 2-iteration
+    spherical fit — same float32 storage, float64 math, rounded-cosine
+    assignment with first-max-lowest-id tiebreak."""
+    import math
+
+    import numpy as np
+
+    from llmaix_spark.operators.similarity import _round_half_up
+
+    n, dim, k, iters = 64, 1024, 4, 2
+    rows = [
+        (i, [((i * 31 + d * 7) % 97) / 97.0 + 0.01 for d in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    # numpy twin — float32 storage (array<float>) widened to float64
+    V = np.asarray(
+        [np.asarray(v, dtype=np.float32) for _, v in rows], dtype=np.float64
+    )
+    cents = {i: V[i].copy() for i in range(k)}
+    for _ in range(iters):
+        C = np.asarray([cents[i] for i in range(k)])
+        cos = (V @ C.T) / (
+            np.linalg.norm(V, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+        )
+        cos = _round_half_up(cos, 6)
+        assign = np.argmax(cos, axis=1)  # first max = lowest centroid id
+        for cid in range(k):
+            members = V[assign == cid]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[cid] = m / (math.sqrt(float(m @ m)) or 1.0)
+
+    for literal_max in (16384, 1000):  # literal path, forced broadcast path
+        got = {
+            int(r["centroid_id"]): np.asarray(r["centv"], dtype=np.float64)
+            for r in sim.kmeans_centroids(
+                emb, k=k, iterations=iters, literal_max=literal_max
+            ).collect()
+        }
+        assert set(got) == set(range(k))
+        for cid in range(k):
+            # centv is float32 storage — compare at float32 resolution;
+            # summation-order ulps are far below this
+            assert np.allclose(
+                got[cid], cents[cid], atol=5e-7, rtol=1e-6
+            ), (literal_max, cid, np.abs(got[cid] - cents[cid]).max())
+            assert abs(float(np.linalg.norm(got[cid])) - 1.0) < 1e-5
+
+
 def test_nearest_probes_paths_agree_with_dead_centroid(spark):
     """The literal struct-sort and broadcast-UDF probe paths must rank
     identically — including EXCLUDING a zero (dead) centroid, which the
