@@ -326,6 +326,123 @@ def export_pivot(
     return per_report_metrics.groupBy(id_col).pivot(label_col).agg(*aggs)
 
 
+# get_reannotated_df's boolean equivalence classes — CASE-SENSITIVE
+# membership (annotationhelper/routes.py:137-138): "Ja" coerces, "JA"
+# warns-and-keeps. Distinct from boolean_coerce_wide_expr (functions/
+# text.py), which case-folds for the three-valued predicate use.
+_REANN_TRUE = ["True", "true", "Ja", "ja", "Yes", "yes", "correct",
+               "wahr", "1", "TRUE"]
+_REANN_FALSE = ["False", "false", "Nein", "nein", "No", "no", "falsch",
+                "0", "FALSE"]
+
+# columns the reference never treats as labels (routes.py:59,81)
+_NON_LABEL_COLS = ("id", "report", "metadata", "masked_report",
+                   "personal_info_list")
+
+
+def _first_list_element_expr(v):
+    """value_annotator initialization for bracketed cells:
+    `literal_eval(v)[0] if str(v).startswith('[') else v`
+    (annotationhelper/routes.py:62-64 — plain [0], NOT the
+    first-non-empty rule labelannotation uses). Python-literal lists
+    are normalized to JSON (single→double quotes) for from_json;
+    a cell that still fails to parse falls back to the raw value where
+    the reference's literal_eval would abort the job (documented
+    divergence — a distributed op must not crash the stage on one
+    malformed cell; the twin test pins the parseable domain)."""
+    parsed = F.from_json(F.regexp_replace(v, "'", '"'), "array<string>")
+    return F.when(
+        v.startswith("["), F.coalesce(F.element_at(parsed, 1), v)
+    ).otherwise(v)
+
+
+def reannotated_id_expr(col):
+    """get_reannotated_df's id edit (annotationhelper/routes.py:160-161):
+    `'.'.join('$'.join(x.split('$')[:-1]).split('.')[:-1])` — drop the
+    last '$'-suffix, then the last '.'-suffix. Faithful on the edges:
+    an id with no '$' (or then no '.') collapses to ''."""
+    a = F.when(
+        col.contains("$"), F.regexp_replace(col, r"\$[^$]*$", "")
+    ).otherwise(F.lit(""))
+    return F.when(
+        a.contains("."), F.regexp_replace(a, r"\.[^.]*$", "")
+    ).otherwise(F.lit(""))
+
+
+def reannotate(
+    llm_output: DataFrame,
+    corrections: DataFrame,
+    label_types: dict[str, str],
+    id_col: str = "id",
+    report_col: str = "report",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Annotation-correction merge — the human-in-the-loop flow's one
+    real dataflow op (reference `get_reannotated_df` +
+    `update_record_labels_by_id`, webapp/annotationhelper/routes.py:
+    114-122, 131-163): fold corrected label values back over the
+    LLM-output table by id × label, preserving uncorrected cells.
+
+    `corrections` is the long-format correction log (record_id, label,
+    value) — exactly update_record_labels_by_id's write path; rows
+    whose record_id/label match nothing are ignored (the reference
+    returns False). When `seq_col` names an ordering column the LAST
+    correction per (record_id, label) wins (the reference applies
+    updates sequentially in request order); without it corrections are
+    assumed unique per cell.
+
+    Output = id (edited via reannotated_id_expr), report, one column
+    per label where
+      cell = correction if present else the INITIAL value_annotator
+             (the LLM value; bracketed list cells take element [0]),
+      boolean-typed labels then coerce through the case-sensitive
+      equivalence classes ('1'/'0'; unrecognized values are kept as-is
+      — the reference's warn path).
+
+    Scale shape: ONE pivot of the correction log (keyed on record_id,
+    values bounded by the declared label set) and ONE join against the
+    LLM table — AQE broadcasts the correction side when it fits (human
+    corrections are tiny by construction); everything else is narrow
+    column expressions. Re-running metrics on the merged table is just
+    evaluation.py over the result."""
+    label_cols = [
+        c for c in llm_output.columns if c not in _NON_LABEL_COLS
+    ]
+    val = F.col("value")
+    if seq_col is not None:
+        agg = F.max_by(val, F.col(seq_col))
+    else:
+        agg = F.first(val)
+    wide = (
+        corrections.groupBy(F.col("record_id"))
+        .pivot("label", label_cols)
+        .agg(agg)
+    )
+    cor_cols = {c: f"_cor_{c}" for c in label_cols}
+    wide = wide.select(
+        "record_id", *[F.col(c).alias(cor_cols[c]) for c in label_cols]
+    )
+    merged = llm_output.join(
+        wide, llm_output[id_col] == wide["record_id"], "left"
+    )
+    out_cols = [
+        reannotated_id_expr(F.col(id_col)).alias(id_col),
+        F.col(report_col),
+    ]
+    for c in label_cols:
+        cell = F.coalesce(
+            F.col(cor_cols[c]), _first_list_element_expr(F.col(c))
+        )
+        if label_types.get(c) == "boolean":
+            cell = (
+                F.when(cell.isin(_REANN_TRUE), F.lit("1"))
+                .when(cell.isin(_REANN_FALSE), F.lit("0"))
+                .otherwise(cell)  # warn-and-keep
+            )
+        out_cols.append(cell.alias(c))
+    return merged.select(*out_cols)
+
+
 def join_file_manifest(
     records: DataFrame,
     manifest: DataFrame,

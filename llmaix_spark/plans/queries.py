@@ -2040,6 +2040,79 @@ SELECT label, issue, detail FROM (
 )
 
 
+def q_labels_reannotate(spark, sf_dir):
+    """Annotation-correction merge (reference get_reannotated_df +
+    update_record_labels_by_id, annotationhelper/routes.py:114-163):
+    human corrections upserted over the LLM-output table by id × label
+    with last-correction-wins, bracketed-cell [0] initialization,
+    case-sensitive boolean coercion (warn-and-keep for unrecognized),
+    and the reference's id double-strip. The fixture exercises every
+    arm: flag cycles True/False/Ja/maybe (coerce/coerce/coerce/keep),
+    status is a bracketed list on even ids, every %5 id gets TWO flag
+    corrections (seq 1 'yes', seq 2 'Nein' — first-wins would flip the
+    value to '1'), every %7 id a status correction. The oracle computes
+    the expected cells directly from the same arithmetic."""
+    from llmaix_spark.operators.labels import reannotate
+
+    d = _t(spark, sf_dir, "documents")
+    full_id = F.concat(
+        F.col("doc_id").cast("string"),
+        F.lit(".pdf$"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+        F.lit("_0"),
+    )
+    llm = d.select(
+        full_id.alias("id"),
+        F.col("text").alias("report"),
+        F.lit("{}").alias("metadata"),
+        F.element_at(
+            F.array(F.lit("True"), F.lit("False"), F.lit("Ja"), F.lit("maybe")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("flag"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("['good', 'x']")
+        ).otherwise(F.lit("plain")).alias("status"),
+    )
+    cor_base = d.select(full_id.alias("record_id"), "doc_id")
+    cor = (
+        cor_base.filter(F.col("doc_id") % 5 == 0)
+        .select("record_id", F.lit("flag").alias("label"),
+                F.lit("yes").alias("value"), F.lit(1).alias("seq"))
+        .unionByName(
+            cor_base.filter(F.col("doc_id") % 5 == 0).select(
+                "record_id", F.lit("flag").alias("label"),
+                F.lit("Nein").alias("value"), F.lit(2).alias("seq"))
+        )
+        .unionByName(
+            cor_base.filter(F.col("doc_id") % 7 == 0).select(
+                "record_id", F.lit("status").alias("label"),
+                F.lit("fixed").alias("value"), F.lit(1).alias("seq"))
+        )
+    )
+    return reannotate(
+        llm, cor,
+        {"flag": "boolean", "status": "stringmatch"},
+        seq_col="seq",
+    )
+
+
+SQL_LABELS_REANNOTATE = """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       text AS report,
+       CASE
+         WHEN doc_id % 5 = 0 THEN '0'                 -- last correction: Nein
+         WHEN doc_id % 4 IN (0, 1, 2) THEN
+           CASE WHEN doc_id % 4 = 1 THEN '0' ELSE '1' END  -- True/Ja→1, False→0
+         ELSE 'maybe'                                 -- warn-and-keep
+       END AS flag,
+       CASE
+         WHEN doc_id % 7 = 0 THEN 'fixed'
+         WHEN doc_id % 2 = 0 THEN 'good'              -- literal_eval[0]
+         ELSE 'plain'
+       END AS status
+FROM documents"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible: iterative / UDF / approximate)
 
@@ -2898,6 +2971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redaction_metrics": q_redaction_metrics,
     "redaction_classwise": q_redaction_classwise,
     "labels_join": q_labels_join,
+    "labels_reannotate": q_labels_reannotate,
     "label_type_inference": q_label_type_inference,
     "label_check": q_label_check,
     "file_manifest_join": q_file_manifest_join,
@@ -2970,6 +3044,7 @@ ORACLES: dict[str, str] = {
     "redaction_metrics": SQL_REDACTION_METRICS,
     "redaction_classwise": SQL_REDACTION_CLASSWISE,
     "labels_join": SQL_LABELS_JOIN,
+    "labels_reannotate": SQL_LABELS_REANNOTATE,
     "label_type_inference": SQL_LABEL_TYPE_INFERENCE,
     "label_check": SQL_LABEL_CHECK,
     "file_manifest_join": SQL_FILE_MANIFEST_JOIN,

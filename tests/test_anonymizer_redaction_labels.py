@@ -292,6 +292,97 @@ def test_export_pivot(spark):
     assert rows["r2"]["date"] is None
 
 
+def test_reannotate_vs_reference_loop_twin(spark):
+    """reannotate() vs a LITERAL port of the reference's record-list
+    flow (AnnotationHelperJob.__init__ value_annotator init at
+    routes.py:50-67, update_record_labels_by_id at :114-122,
+    get_reannotated_df at :131-163): bracketed-cell [0] init,
+    sequential last-correction-wins, case-sensitive boolean coercion
+    with warn-and-keep, the id double-strip, unmatched corrections
+    ignored."""
+    import ast
+
+    from llmaix_spark.operators.labels import reannotate
+
+    rows = [
+        {"id": "r1.pdf$ab12cd34_0", "report": "alpha", "metadata": "{}",
+         "flag": "True", "status": "['good', '']", "score": "0.5"},
+        {"id": "r2.pdf$ef56ab78_0", "report": "beta", "metadata": "{}",
+         "flag": "nope", "status": "['bad']", "score": "0.7"},
+        {"id": "nodollar", "report": "gamma", "metadata": "{}",
+         "flag": "JA", "status": "plain", "score": "x"},
+    ]
+    corrections = [
+        ("r2.pdf$ef56ab78_0", "flag", "yes", 1),
+        ("r2.pdf$ef56ab78_0", "flag", "Nein", 2),  # last wins → '0'
+        ("r1.pdf$ab12cd34_0", "score", "0.9", 1),
+        ("missing$x", "flag", "True", 1),  # matches nothing → ignored
+    ]
+    label_types = {"flag": "boolean", "status": "stringmatch",
+                   "score": "stringmatch"}
+    label_cols = ["flag", "status", "score"]
+
+    # ---- literal reference loops
+    record_list = []
+    for row in rows:
+        entry = {"record_id": row["id"], "labels": []}
+        for col in label_cols:
+            v = row[col]
+            iv = ast.literal_eval(v)[0] if str(v).startswith("[") else v
+            entry["labels"].append({"label": col, "value_annotator": iv})
+        record_list.append(entry)
+    for rid, label, value, _seq in corrections:  # request order
+        for record in record_list:
+            if record["record_id"] == rid:
+                for rl in record["labels"]:
+                    if rl["label"] == label:
+                        rl["value_annotator"] = value
+    true_eq = ["True", "true", "Ja", "ja", "Yes", "yes", "correct",
+               "wahr", "1", "TRUE", True]
+    false_eq = ["False", "false", "Nein", "nein", "No", "no", "falsch",
+                "0", "FALSE", False]
+    expected = {}
+    for row, record in zip(rows, record_list):
+        out = {}
+        for rl in record["labels"]:
+            v = rl["value_annotator"]
+            if label_types[rl["label"]] == "boolean":
+                if v in true_eq:
+                    v = "1"
+                elif v in false_eq:
+                    v = "0"
+            out[rl["label"]] = v
+        out["id"] = ".".join(
+            "$".join(row["id"].split("$")[:-1]).split(".")[:-1]
+        )
+        expected[row["report"]] = out
+
+    llm = spark.createDataFrame(
+        [tuple(r[c] for c in
+               ("id", "report", "metadata", "flag", "status", "score"))
+         for r in rows],
+        "id string, report string, metadata string, flag string, "
+        "status string, score string",
+    )
+    cor = spark.createDataFrame(
+        corrections, "record_id string, label string, value string, seq int"
+    )
+    got = {
+        r["report"]: r.asDict()
+        for r in reannotate(llm, cor, label_types, seq_col="seq").collect()
+    }
+    assert set(got) == set(expected)
+    for rep, exp in expected.items():
+        for k, v in exp.items():
+            assert got[rep][k] == v, (rep, k, got[rep][k], v)
+    # spot-pin the interesting cells explicitly
+    assert got["alpha"] == {"id": "r1", "report": "alpha", "flag": "1",
+                            "status": "good", "score": "0.9"}
+    assert got["beta"]["flag"] == "0"  # last correction (Nein) wins
+    assert got["gamma"]["flag"] == "JA"  # case-sensitive: warn-and-keep
+    assert got["gamma"]["id"] == ""  # no '$' → reference collapses to ''
+
+
 # --- sources -------------------------------------------------------------------
 
 
