@@ -160,7 +160,16 @@ def fuzzy_tokens_expr(col: Column) -> Column:
 
 
 def first_non_empty_expr(arr: Column) -> Column:
-    return F.filter(arr, lambda x: ~is_empty_expr(x)).getItem(0)
+    """First element that isn't empty-ish (is_empty_expr generalizes the
+    reference's bare `item != ""`); an exhausted array yields '' — the
+    reference's `next(..., "")` default. F.get, not getItem: under ANSI
+    mode getItem(0) on the empty filtered array raises
+    INVALID_ARRAY_INDEX instead of returning the default (round-5 find,
+    caught while building the oracle)."""
+    return F.coalesce(
+        F.get(F.filter(arr, lambda x: ~is_empty_expr(x)), F.lit(0)),
+        F.lit(""),
+    )
 
 
 # --- normalization used by linking -----------------------------------------------------

@@ -2113,6 +2113,163 @@ SELECT CAST(doc_id AS VARCHAR) AS id,
 FROM documents"""
 
 
+def q_export_pivot(spark, sf_dir):
+    """A7: report × label wide export pivot (reference
+    generate_export_df, report_redaction/routes.py:683-753) over a
+    derived per-report metric table — one row per (id, label), one
+    pivot, no window."""
+    from llmaix_spark.operators.labels import export_pivot
+
+    d = _t(spark, sf_dir, "documents")
+    per = d.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.explode(F.array(F.lit("name"), F.lit("date"))).alias("label"),
+    )
+    per = per.withColumn(
+        "accuracy",
+        F.round(
+            (
+                (F.col("id").cast("bigint") * 7
+                 + F.when(F.col("label") == "name", 1).otherwise(2))
+                % 100
+            )
+            / 100.0,
+            2,
+        ),
+    )
+    return export_pivot(per, metric_cols=("accuracy",))
+
+
+SQL_EXPORT_PIVOT = """
+WITH per AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, label,
+         round(((doc_id * 7 + CASE WHEN label = 'name' THEN 1 ELSE 2 END)
+                % 100) / 100.0, 2) AS accuracy
+  FROM documents, (SELECT unnest(['name', 'date']) AS label))
+SELECT id,
+       max(CASE WHEN label = 'name' THEN accuracy END) AS name,
+       max(CASE WHEN label = 'date' THEN accuracy END) AS date
+FROM per GROUP BY id"""
+
+
+def q_leaderboard_mean(spark, sf_dir):
+    """A8: leaderboard mean of the macro-score row (reference
+    utils/leaderboard_conversion.py:117-129) — metric inputs rounded to
+    6dp first so both engines average the identical doubles."""
+    from llmaix_spark.functions.util import leaderboard_mean
+
+    d = _t(spark, sf_dir, "documents")
+    macro = d.agg(
+        F.round(F.avg((F.col("doc_id") % 7).cast("double")), 6).alias("m_f1"),
+        F.round(F.avg((F.col("doc_id") % 5).cast("double")), 6).alias("m_acc"),
+        F.round(F.avg(F.length("text").cast("double") / 1000.0), 6).alias(
+            "m_len"
+        ),
+    )
+    return leaderboard_mean(macro, ["m_f1", "m_acc", "m_len"])
+
+
+SQL_LEADERBOARD_MEAN = """
+WITH macro AS (
+  SELECT round(avg(CAST(doc_id % 7 AS DOUBLE)), 6) AS m_f1,
+         round(avg(CAST(doc_id % 5 AS DOUBLE)), 6) AS m_acc,
+         round(avg(CAST(len(text) AS DOUBLE) / 1000.0), 6) AS m_len
+  FROM documents)
+SELECT m_f1, m_acc, m_len,
+       round((m_f1 + m_acc + m_len) / 3, 6) AS leaderboard_mean
+FROM macro"""
+
+
+def q_first_non_empty(spark, sf_dir):
+    """P12: first non-empty-ish element of a list (reference
+    extract_first_non_empty_string, labelannotation/routes.py:581-594
+    with the next(...,'') default) — arm 1 is always empty-ish
+    (''/NULL), arm 2 is '?' on every 4th id, 'fallback' closes. The
+    exhausted-array arm is exercised: getItem(0) used to raise
+    INVALID_ARRAY_INDEX under ANSI mode here (round-5 fix)."""
+    from llmaix_spark.functions.text import first_non_empty_expr
+
+    d = _t(spark, sf_dir, "documents")
+    arr = F.array(
+        F.when(d.doc_id % 3 == 0, F.lit("")).otherwise(
+            F.lit(None).cast("string")
+        ),
+        F.when(d.doc_id % 4 == 0, F.lit("?")).otherwise(
+            F.substring("text", 1, 3)
+        ),
+        F.lit("fallback"),
+    )
+    return d.select("doc_id", first_non_empty_expr(arr).alias("first_val"))
+
+
+SQL_FIRST_NON_EMPTY = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 != 0 AND substr(text, 1, 3) IS NOT NULL
+                 AND trim(substr(text, 1, 3)) NOT IN ('', '?')
+            THEN substr(text, 1, 3) ELSE 'fallback' END AS first_val
+FROM documents"""
+
+
+def q_expect_exactly_one(spark, sf_dir):
+    """JN2: keys violating the expect-exactly-1 contract (reference
+    generate_report_dict raise, labelannotation/routes.py:500-507) —
+    every 25th id is duplicated, so exactly those come back with n=2."""
+    from llmaix_spark.operators.labels import expect_exactly_one
+
+    d = _t(spark, sf_dir, "documents")
+    ann = d.select(F.col("doc_id").cast("string").alias("id")).unionByName(
+        d.filter(F.col("doc_id") % 25 == 0).select(
+            F.col("doc_id").cast("string").alias("id")
+        )
+    )
+    return expect_exactly_one(ann)
+
+
+SQL_EXPECT_EXACTLY_ONE = """
+WITH ann AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 25 = 0)
+SELECT id, CAST(count(*) AS BIGINT) AS n
+FROM ann GROUP BY id HAVING count(*) != 1"""
+
+
+def q_merge_metadata(spark, sf_dir):
+    """J6: tolerant metadata merge (reference ast.literal_eval-with-
+    fallback + dict assignment, llm_processing/routes.py:1019-1027) —
+    the five arms: NULL, unparseable, plain stored map, a stored map
+    already carrying the run key (run wins), empty map. The oracle
+    states the expected JSON literally per arm (to_json emits stored
+    keys first in insertion order, then the run keys — probed, and any
+    drift fails the hash)."""
+    from llmaix_spark.functions.util import merge_metadata_expr
+
+    d = _t(spark, sf_dir, "documents")
+    meta = (
+        F.when(d.doc_id % 5 == 0, F.lit(None).cast("string"))
+        .when(d.doc_id % 5 == 1, F.lit("not json"))
+        .when(d.doc_id % 5 == 2, F.lit('{"a": "1"}'))
+        .when(d.doc_id % 5 == 3, F.lit('{"run_id": "old", "b": "2"}'))
+        .otherwise(F.lit("{}"))
+    )
+    return d.select(
+        "doc_id",
+        merge_metadata_expr(
+            meta, {"run_id": "r5", "model": "stub"}
+        ).alias("metadata"),
+    )
+
+
+SQL_MERGE_METADATA = """
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 2 THEN '{"a":"1","run_id":"r5","model":"stub"}'
+         WHEN 3 THEN '{"b":"2","run_id":"r5","model":"stub"}'
+         ELSE '{"run_id":"r5","model":"stub"}'
+       END AS metadata
+FROM documents"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible: iterative / UDF / approximate)
 
@@ -2972,6 +3129,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redaction_classwise": q_redaction_classwise,
     "labels_join": q_labels_join,
     "labels_reannotate": q_labels_reannotate,
+    "export_pivot": q_export_pivot,
+    "leaderboard_mean": q_leaderboard_mean,
+    "first_non_empty": q_first_non_empty,
+    "expect_exactly_one": q_expect_exactly_one,
+    "merge_metadata": q_merge_metadata,
     "label_type_inference": q_label_type_inference,
     "label_check": q_label_check,
     "file_manifest_join": q_file_manifest_join,
@@ -3045,6 +3207,11 @@ ORACLES: dict[str, str] = {
     "redaction_classwise": SQL_REDACTION_CLASSWISE,
     "labels_join": SQL_LABELS_JOIN,
     "labels_reannotate": SQL_LABELS_REANNOTATE,
+    "export_pivot": SQL_EXPORT_PIVOT,
+    "leaderboard_mean": SQL_LEADERBOARD_MEAN,
+    "first_non_empty": SQL_FIRST_NON_EMPTY,
+    "expect_exactly_one": SQL_EXPECT_EXACTLY_ONE,
+    "merge_metadata": SQL_MERGE_METADATA,
     "label_type_inference": SQL_LABEL_TYPE_INFERENCE,
     "label_check": SQL_LABEL_CHECK,
     "file_manifest_join": SQL_FILE_MANIFEST_JOIN,
