@@ -60,6 +60,11 @@ BENCH_QUERIES = [
     # exact O(N²) twin stays off-headline like the uncapped fuzzy)
     "quality_entropy",
     "knn_join_bucketed",
+    # round-5 additions (24 → 26): the Arrow-group-capped kNN join
+    # under total centroid skew (tracks the capped machinery's
+    # overhead) and the annotation-correction merge
+    "knn_join_bucketed_capped",
+    "labels_reannotate",
 ]
 
 
@@ -260,6 +265,37 @@ def pipeline_throughput(
     return json.loads(lines[-1])
 
 
+def _write_self_artifact(payload: dict) -> None:
+    """BENCH_SELF_r{N}.json — the machine-readable round record written
+    DIRECTLY by bench.py (round-4 verdict item 2: the driver's tail
+    capture truncated the stdout JSON line, leaving BENCH_r04.json with
+    parsed:null and the medians only in BENCH.md prose). Round
+    inference mirrors scripts/preflight.py: driver-max+1, never bumping
+    past an existing SELF tag; SPARK_GRAFT_ROUND overrides. Written to
+    a file + stderr note so the one-JSON-line stdout contract holds."""
+    import glob
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    self_rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_SELF_r*.json"))
+        if (m := re.search(r"BENCH_SELF_r(\d+)\.json$", p))
+    ]
+    inferred = max(
+        (max(rounds) + 1) if rounds else 1,
+        max(self_rounds) if self_rounds else 1,
+    )
+    tag = os.environ.get("SPARK_GRAFT_ROUND", f"{inferred:02d}")
+    path = os.path.join(REPO, f"BENCH_SELF_r{tag}.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {path}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -304,40 +340,38 @@ def main() -> None:
     speedup = r_high["triples_per_sec"] / max(r_low["triples_per_sec"], 1e-9)
     efficiency = round(speedup / (high / low), 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "queries_spread": spread,
-                "queries_cold": queries_cold,
-                "bench_reps": reps,
-                "sf": sf,
-                "pipeline": {
-                    "edges": r_raw["edges"],
-                    "sec": r_raw["sec"],
-                    "triples_per_sec": r_raw["triples_per_sec"],
-                    # first run of a fresh JVM, zero warmup — the
-                    # cold-vs-cold comparison unit (medians mix JIT/page
-                    # -cache-warm reps; r3 verdict item 3)
-                    "cold_sec": r_high.get("cold_sec"),
-                    "cold_triples_per_sec": r_high.get(
-                        "cold_triples_per_sec"
-                    ),
-                },
-                "scaling": {
-                    "low": r_low,
-                    "high": r_high,
-                    "cores_ratio": high / low,
-                    "speedup": round(speedup, 4),
-                    "efficiency": efficiency,
-                    "simulate_cost_ms": sim_ms,
-                },
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "queries_spread": spread,
+        "queries_cold": queries_cold,
+        "bench_reps": reps,
+        "sf": sf,
+        "pipeline": {
+            "edges": r_raw["edges"],
+            "sec": r_raw["sec"],
+            "triples_per_sec": r_raw["triples_per_sec"],
+            # first run of a fresh JVM, zero warmup — the
+            # cold-vs-cold comparison unit (medians mix JIT/page
+            # -cache-warm reps; r3 verdict item 3)
+            "cold_sec": r_high.get("cold_sec"),
+            "cold_triples_per_sec": r_high.get(
+                "cold_triples_per_sec"
+            ),
+        },
+        "scaling": {
+            "low": r_low,
+            "high": r_high,
+            "cores_ratio": high / low,
+            "speedup": round(speedup, 4),
+            "efficiency": efficiency,
+            "simulate_cost_ms": sim_ms,
+        },
+    }
+    _write_self_artifact(payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
