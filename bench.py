@@ -269,31 +269,24 @@ def _write_self_artifact(payload: dict) -> None:
     """BENCH_SELF_r{N}.json — the machine-readable round record written
     DIRECTLY by bench.py (round-4 verdict item 2: the driver's tail
     capture truncated the stdout JSON line, leaving BENCH_r04.json with
-    parsed:null and the medians only in BENCH.md prose). Round
-    inference mirrors scripts/preflight.py: driver-max+1, never bumping
-    past an existing SELF tag; SPARK_GRAFT_ROUND overrides. Written to
-    a file + stderr note so the one-JSON-line stdout contract holds."""
-    import glob
+    parsed:null and the medians only in BENCH.md prose). Round tag via
+    the shared llmaix_spark.roundtag inference (SPARK_GRAFT_ROUND
+    overrides). BEST-EFFORT: a failed file write must not discard the
+    ~10-minute bench result by breaking the one-JSON-line stdout
+    contract (review finding) — the caller prints the payload
+    regardless."""
+    from llmaix_spark.roundtag import infer_round_tag
 
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    self_rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(REPO, "BENCH_SELF_r*.json"))
-        if (m := re.search(r"BENCH_SELF_r(\d+)\.json$", p))
-    ]
-    inferred = max(
-        (max(rounds) + 1) if rounds else 1,
-        max(self_rounds) if self_rounds else 1,
-    )
-    tag = os.environ.get("SPARK_GRAFT_ROUND", f"{inferred:02d}")
-    path = os.path.join(REPO, f"BENCH_SELF_r{tag}.json")
-    with open(path, "w") as f:
-        json.dump(payload, f, indent=1)
-    print(f"wrote {path}", file=sys.stderr)
+    try:
+        path = os.path.join(
+            REPO, f"BENCH_SELF_r{infer_round_tag(REPO)}.json"
+        )
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {path}", file=sys.stderr)
+    except OSError as e:
+        print(f"WARNING: could not write BENCH_SELF artifact: {e}",
+              file=sys.stderr)
 
 
 def main() -> None:

@@ -350,9 +350,15 @@ def _first_list_element_expr(v):
     the reference's literal_eval would abort the job (documented
     divergence — a distributed op must not crash the stage on one
     malformed cell; the twin test pins the parseable domain)."""
+    # F.get, not element_at(…, 1): an EMPTY list cell ('[]', where the
+    # reference's [0] raises IndexError) makes element_at throw
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode and kill the
+    # stage — the same bug class fixed in first_non_empty_expr this
+    # round; get() returns NULL and the coalesce falls back to the raw
+    # cell (review finding)
     parsed = F.from_json(F.regexp_replace(v, "'", '"'), "array<string>")
     return F.when(
-        v.startswith("["), F.coalesce(F.element_at(parsed, 1), v)
+        v.startswith("["), F.coalesce(F.get(parsed, F.lit(0)), v)
     ).otherwise(v)
 
 

@@ -147,29 +147,9 @@ def main() -> None:
     # 2): CORRECTNESS_SELF_r{N}.json, N = the round in progress (one
     # past the last driver-committed CORRECTNESS_r{N}); commit it each
     # round so every query has a value-oracled row dated this round.
-    import glob
-    import re
+    from llmaix_spark.roundtag import infer_round_tag
 
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-    ]
-    self_rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_SELF_r*.json"))
-        if (m := re.search(r"CORRECTNESS_SELF_r(\d+)\.json$", p))
-    ]
-    # round inference: normally driver-max+1, but once a SELF file for
-    # the round in progress exists, keep OVERWRITING it — re-running
-    # preflight after the driver commits this round's CORRECTNESS file
-    # must not bump the tag and mislabel the artifact (r4 advice).
-    # SPARK_GRAFT_ROUND overrides both.
-    inferred = max(
-        (max(rounds) + 1) if rounds else 1,
-        max(self_rounds) if self_rounds else 1,
-    )
-    tag = os.environ.get("SPARK_GRAFT_ROUND", f"{inferred:02d}")
+    tag = infer_round_tag(REPO)
     apath = os.path.join(REPO, f"CORRECTNESS_SELF_r{tag}.json")
     with open(apath, "w") as f:
         json.dump(artifact, f, indent=1)

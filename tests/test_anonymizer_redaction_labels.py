@@ -382,6 +382,20 @@ def test_reannotate_vs_reference_loop_twin(spark):
     assert got["gamma"]["flag"] == "JA"  # case-sensitive: warn-and-keep
     assert got["gamma"]["id"] == ""  # no '$' → reference collapses to ''
 
+    # empty-list and unparseable cells must NOT kill the stage (the
+    # reference's [0] / literal_eval would raise — documented
+    # divergence: fall back to the raw cell). element_at(…, 1) threw
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT here under ANSI mode.
+    bad = spark.createDataFrame(
+        [("x.pdf$aa_0", "rep", "{}", "True", "[]", "['unterminated"),],
+        "id string, report string, metadata string, flag string, "
+        "status string, score string",
+    )
+    row = reannotate(
+        bad, cor.limit(0), label_types, seq_col="seq"
+    ).collect()[0]
+    assert row["status"] == "[]" and row["score"] == "['unterminated"
+
 
 # --- sources -------------------------------------------------------------------
 
