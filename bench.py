@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     # overhead) and the annotation-correction merge
     "knn_join_bucketed_capped",
     "labels_reannotate",
+    "decontaminate_semantic",
 ]
 
 

@@ -603,6 +603,103 @@ def _nearest_probes_col(
     return _probes(vcol)
 
 
+def max_cosine_to_set_col(
+    df: DataFrame,
+    set_rows: list[tuple[int, list[float]]],
+    vcol,
+    round_dp: int,
+    literal_max: int = LITERAL_ASSIGN_MAX,
+    bc_out: list | None = None,
+):
+    """Column mapping a vector to its MAX rounded cosine against a
+    bounded reference set — the kernel behind semantic (embedding-level)
+    decontamination. Same two-regime NARROW design as
+    `_nearest_centroid_col` (no join, no shuffle): the set inlines as a
+    literal array below `literal_max` total floats, else it rides a
+    broadcast into a vectorized pandas UDF. NULL when every cosine is
+    NULL (zero vector — same contract as the centroid paths)."""
+    n_floats = sum(len(vec) for _, vec in set_rows)
+    if n_floats <= literal_max:
+        set_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in set_rows]
+        )
+        cos = F.transform(
+            set_arr, lambda c: F.round(cosine_expr(c, vcol), round_dp)
+        )
+        return F.array_max(cos)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    cent_mat, _ids, cent_norms, bc = _centroid_broadcast(
+        df, set_rows, bc_out
+    )
+
+    def _max_fn(v):
+        mat, _i, cnorms = bc.value
+        out = []
+        for vec in v:
+            if vec is None:
+                out.append(None)
+                continue
+            x = np.asarray(vec, dtype=np.float64)
+            nx = np.linalg.norm(x)
+            denom = nx * cnorms
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, (mat @ x) / denom, np.nan)
+            cos = _round_half_up(cos, round_dp)
+            out.append(
+                None if np.all(np.isnan(cos)) else float(np.nanmax(cos))
+            )
+        return pd.Series(out, dtype="object")
+
+    from pyspark.sql.functions import PandasUDFType
+
+    _maxc = F.pandas_udf(_max_fn, DoubleType(), PandasUDFType.SCALAR)
+    return _maxc(vcol)
+
+
+def semantic_decontaminate(
+    docs_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.33,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    literal_max: int = LITERAL_ASSIGN_MAX,
+) -> DataFrame:
+    """Semantic decontamination: flag corpus documents whose embedding
+    is too close (max rounded cosine ≥ threshold) to ANY held-out
+    benchmark embedding — the embedding-space complement of the 8-gram
+    `decontaminate` (paraphrased benchmark leakage that shares no
+    n-gram). Returns (vec_id, max_cos, contaminated).
+
+    Scale shape: the benchmark side is COLLECTED and broadcast — a
+    benchmark suite is caller-bounded (10³-10⁵ vectors), never
+    corpus-scaled — so the corpus pass is one NARROW projection with
+    zero shuffle and zero join; cost is |corpus|·|bench| multiply-adds
+    inside either the JVM fold (small sets) or a numpy matmul batch
+    (broadcast UDF above the plan-size cap). Thresholding happens on
+    the ROUNDED cosine (round_dp), making the gate reproducible across
+    engines — the DuckDB oracle replicates it exactly.
+
+    Oracle precondition (same as q_knn_join): no zero-magnitude vectors
+    on either side (Spark yields NULL max_cos, DuckDB -1.0)."""
+    bench_rows = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in bench_emb.select(id_col, vec_col).collect()
+    )
+    mc = max_cosine_to_set_col(
+        docs_emb, bench_rows, F.col(vec_col), round_dp, literal_max
+    )
+    return docs_emb.select(
+        F.col(id_col).alias("vec_id"),
+        mc.alias("max_cos"),
+        (mc >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 16,

@@ -2572,6 +2572,34 @@ def q_knn_join_bucketed_capped(spark, sf_dir):
 SQL_KNN_JOIN_BUCKETED_CAPPED = SQL_KNN_JOIN
 
 
+def q_decontaminate_semantic(spark, sf_dir):
+    """Semantic (embedding-space) decontamination — the complement of
+    the 8-gram `decontaminate`: every 20th vector is the held-out
+    benchmark, the rest are the corpus; a corpus vector is contaminated
+    when its max rounded cosine to ANY benchmark vector ≥ 0.33. The
+    benchmark side broadcasts (caller-bounded), the corpus pass is one
+    narrow zero-shuffle projection; the oracle replicates the rounded
+    gate with the same ::DOUBLE[] cosine contract as the kNN oracles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    docs = emb.filter(F.col("vec_id") % 20 != 0)
+    return sim.semantic_decontaminate(docs, bench, threshold=0.33)
+
+
+SQL_DECONTAMINATE_SEMANTIC = """
+WITH bench AS (
+  SELECT embedding FROM embeddings WHERE vec_id % 20 = 0),
+scored AS (
+  SELECT d.vec_id,
+         max(round(list_cosine_similarity(d.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6))
+           AS max_cos
+  FROM embeddings d CROSS JOIN bench b
+  WHERE d.vec_id % 20 != 0
+  GROUP BY d.vec_id)
+SELECT vec_id, max_cos, (max_cos >= 0.33) AS contaminated FROM scored"""
+
+
 _IVF_ASSIGN_SQL = _ivf_assign_sql()
 
 # probes + assignment both ::DOUBLE[]: Spark's _nearest_probes_col
@@ -3118,6 +3146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_join": q_knn_join,
     "knn_join_bucketed": q_knn_join_bucketed,
     "knn_join_bucketed_capped": q_knn_join_bucketed_capped,
+    "decontaminate_semantic": q_decontaminate_semantic,
     "textstats_tokens": q_textstats_tokens,
     "textstats_quality": q_textstats_quality,
     "quality_repetition": q_quality_repetition,
@@ -3196,6 +3225,7 @@ ORACLES: dict[str, str] = {
     "knn_join": SQL_KNN_JOIN,
     "knn_join_bucketed": SQL_KNN_JOIN_BUCKETED,
     "knn_join_bucketed_capped": SQL_KNN_JOIN_BUCKETED_CAPPED,
+    "decontaminate_semantic": SQL_DECONTAMINATE_SEMANTIC,
     "textstats_tokens": SQL_TEXTSTATS_TOKENS,
     "textstats_quality": SQL_TEXTSTATS_QUALITY,
     "quality_repetition": SQL_QUALITY_REPETITION,
