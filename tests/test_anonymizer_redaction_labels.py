@@ -397,6 +397,100 @@ def test_reannotate_vs_reference_loop_twin(spark):
     assert row["status"] == "[]" and row["score"] == "['unterminated"
 
 
+def test_reannotate_randomized_stress_vs_reference_loop(spark):
+    """Seeded randomized stress (200 records, one Spark job — a
+    hypothesis-per-example loop would spawn a job per draw): random
+    label values across every arm (valid/invalid booleans, bracketed
+    lists incl. leading-empty elements, plain strings), random
+    correction logs (0-3 per cell, unmatched ids mixed in) — the
+    distributed merge must equal the literal reference loops on every
+    cell."""
+    import ast
+    import random
+
+    from llmaix_spark.operators.labels import reannotate
+
+    rng = random.Random(42)
+    bool_pool = ["True", "false", "Ja", "no", "wahr", "JA", "maybe",
+                 "1", "0", "TRUE", "Falsch"]
+    str_pool = ["alpha", "", "x y", "['a', 'b']", "['', 'kept']",
+                "plain", "['solo']"]
+    label_types = {"flag": "boolean", "note": "stringmatch"}
+    rows = []
+    for i in range(200):
+        rid = (
+            f"r{i}.pdf$h{i:04d}_0" if i % 7 else f"weird{i}"  # some no-$
+        )
+        rows.append(
+            {"id": rid, "report": f"rep{i}",
+             "flag": rng.choice(bool_pool), "note": rng.choice(str_pool)}
+        )
+    corrections = []
+    seq = 0
+    for r in rows:
+        for label in ("flag", "note"):
+            for _ in range(rng.randrange(0, 3)):
+                seq += 1
+                pool = bool_pool if label == "flag" else str_pool
+                corrections.append((r["id"], label, rng.choice(pool), seq))
+    corrections.append(("nope$missing", "flag", "True", seq + 1))
+
+    # literal reference loops (init → sequential updates → coercion)
+    record_list = []
+    for row in rows:
+        entry = {"record_id": row["id"], "labels": []}
+        for col in ("flag", "note"):
+            v = row[col]
+            iv = ast.literal_eval(v)[0] if str(v).startswith("[") else v
+            entry["labels"].append({"label": col, "value_annotator": iv})
+        record_list.append(entry)
+    for rid, label, value, _s in corrections:
+        for record in record_list:
+            if record["record_id"] == rid:
+                for rl in record["labels"]:
+                    if rl["label"] == label:
+                        rl["value_annotator"] = value
+    true_eq = ["True", "true", "Ja", "ja", "Yes", "yes", "correct",
+               "wahr", "1", "TRUE", True]
+    false_eq = ["False", "false", "Nein", "nein", "No", "no", "falsch",
+                "0", "FALSE", False]
+    expected = {}
+    for row, record in zip(rows, record_list):
+        out = {}
+        for rl in record["labels"]:
+            v = rl["value_annotator"]
+            if label_types[rl["label"]] == "boolean":
+                if v in true_eq:
+                    v = "1"
+                elif v in false_eq:
+                    v = "0"
+            out[rl["label"]] = v
+        out["id"] = ".".join(
+            "$".join(row["id"].split("$")[:-1]).split(".")[:-1]
+        )
+        expected[row["report"]] = out
+
+    llm = spark.createDataFrame(
+        [(r["id"], r["report"], r["flag"], r["note"]) for r in rows],
+        "id string, report string, flag string, note string",
+    )
+    cor = spark.createDataFrame(
+        corrections, "record_id string, label string, value string, seq int"
+    )
+    got = {
+        r["report"]: r.asDict()
+        for r in reannotate(llm, cor, label_types, seq_col="seq").collect()
+    }
+    assert set(got) == set(expected)
+    mism = [
+        (rep, k, got[rep][k], v)
+        for rep, exp in expected.items()
+        for k, v in exp.items()
+        if got[rep][k] != v
+    ]
+    assert not mism, mism[:5]
+
+
 # --- sources -------------------------------------------------------------------
 
 
