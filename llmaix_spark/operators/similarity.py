@@ -667,7 +667,13 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
-    literal_max: int = LITERAL_ASSIGN_MAX,
+    # NOT the assignment cap (16384): the literal regime's interpreted
+    # fold costs ~26 µs per cosine (the r4-measured constant), i.e.
+    # b·26 µs PER ROW against a b-vector benchmark — at b=100 that was
+    # 3.8 s of the sf0.1 bench vs milliseconds for the numpy batch.
+    # 1024 floats ≈ 16 vectors at dim 64 — the break-even where Arrow
+    # round-trip overhead stops paying for itself.
+    literal_max: int = 1024,
 ) -> DataFrame:
     """Semantic decontamination: flag corpus documents whose embedding
     is too close (max rounded cosine ≥ threshold) to ANY held-out
