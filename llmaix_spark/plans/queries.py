@@ -2050,8 +2050,8 @@ def q_labels_reannotate(spark, sf_dir):
     arm: flag cycles True/False/Ja/maybe (coerce/coerce/coerce/keep),
     status is a bracketed list on even ids, every %5 id gets TWO flag
     corrections (seq 1 'yes', seq 2 'Nein' — first-wins would flip the
-    value to '1'), every %7 id a status correction. The oracle computes
-    the expected cells directly from the same arithmetic."""
+    value to '1'), every %7 id a status correction. The oracle
+    computes the expected cells directly from the same arithmetic."""
     from llmaix_spark.operators.labels import reannotate
 
     d = _t(spark, sf_dir, "documents")
@@ -2545,12 +2545,16 @@ def q_knn_join_bucketed_capped(spark, sf_dir):
     two centroids are the SAME vector (v0 duplicated), so every vector
     ties and the id tiebreak sends 100% of the corpus into bucket 0 —
     the worst-case skew that used to materialize the whole corpus as
-    one applyInPandas group. max_bucket_members=64 hash-splits the
-    degenerate bucket into ~16×16 blocks of ≤64 rows per side
-    (sizes pinned in tests/test_skew.py); because every vector probes
-    the one populated bucket, the blocked result must equal the EXACT
-    kNN graph — the oracle is the brute-force SQL, so the cap's
-    top-k-of-block-top-ks identity is value-checked end to end."""
+    one applyInPandas group. max_bucket_members=256 hash-splits the
+    degenerate bucket into multi-block groups of ≤256 rows per side
+    (the hard per-side sizes are pinned at cap 64 in
+    tests/test_skew.py; 256 here keeps the sf0.1 headline from being
+    dominated by per-group Arrow overhead — ~256 blocks instead of
+    ~4000 — while still exercising a 16×16-block split at sf0.1);
+    because every vector probes the one populated bucket, the blocked
+    result must equal the EXACT kNN graph — the oracle is the
+    brute-force SQL, so the cap's top-k-of-block-top-ks identity is
+    value-checked end to end and is cap-invariant by construction."""
     emb = _t(spark, sf_dir, "embeddings")
     v0 = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("centv")
@@ -2559,7 +2563,7 @@ def q_knn_join_bucketed_capped(spark, sf_dir):
         v0.select(F.lit(1).alias("centroid_id"), "centv")
     )
     out = sim.knn_join_bucketed(
-        emb, k=5, nprobe=2, centroids=cents, max_bucket_members=64
+        emb, k=5, nprobe=2, centroids=cents, max_bucket_members=256
     )
     return out.select(
         "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank"),
