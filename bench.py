@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "knn_join_bucketed_capped",
     "labels_reannotate",
     "decontaminate_semantic",
+    "dsir_importance",
 ]
 
 

@@ -342,6 +342,93 @@ def curate_corpus(
     )
 
 
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style hashed importance weights (Data Selection via
+    Importance Resampling, Xie et al. 2023 — public method): score each
+    raw-corpus document by how target-like its hashed unigram profile
+    is — log10 w(x) = Σ_tokens lr(bucket(tok)), where
+    lr(b) = log10 p̂_target(b) − log10 p̂_raw(b) under Laplace-α
+    smoothing over `n_buckets` hashed features. Data mixing then keeps
+    the top-weight documents (deterministic here — no Gumbel noise).
+    Returns (doc_id, n_feats, log_weight); token-less docs → NULL.
+
+    Scale: both distribution fits are map-side-combinable groupBys on
+    the BUCKET key (≤ n_buckets groups — hash-bucketing flattens the
+    Zipf token skew that forced unigram_logprob's two-path join: 'the'
+    partial-aggregates into one of n_buckets counters map-side, it
+    never crosses an exchange as a key of its own); the log-ratio
+    table is ≤ n_buckets rows → broadcast, so scoring is a narrow
+    map-side join + one per-doc groupBy — the only corpus exchange.
+
+    Cross-engine contract: bucket = stable_hash60(tok) % n_buckets
+    (shared md5 hash), each log10 term rounded to 6dp BEFORE the
+    subtraction (identical decimal inputs ⇒ bit-identical doubles ⇒
+    bit-identical difference on both engines), per-doc sum rounded to
+    4dp — the unigram_logprob rounding discipline."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+    from llmaix_spark.operators.textstats import _tokens
+
+    B = int(n_buckets)
+
+    def _bucketed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(F.col(text_col))).alias("tok"),
+        ).select(
+            "doc_id",
+            F.pmod(stable_hash60_expr(F.col("tok")), F.lit(B)).alias("b"),
+        )
+
+    # fit + scoring share the raw bucket-instance table (landmine #1)
+    raw_b = _bucketed(docs).localCheckpoint(eager=False)
+    tgt_counts = (
+        _bucketed(target).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw_counts = raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    t_tot = tgt_counts.agg(F.sum("ct").alias("tt"))
+    r_tot = raw_counts.agg(F.sum("cr").alias("tr"))
+    # every scored bucket exists in raw_counts by construction (the
+    # scored tokens ARE the raw corpus); target-absent buckets keep
+    # the smoothing mass via coalesce(ct, 0)
+    lt = F.round(
+        F.log10((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+                / (F.col("tt") + F.lit(alpha * B))), 6
+    )
+    lraw = F.round(
+        F.log10((F.col("cr") + F.lit(alpha))
+                / (F.col("tr") + F.lit(alpha * B))), 6
+    )
+    # broadcast audit: ratio is ≤ n_buckets rows (caller-bounded
+    # constant, never data-scaled) carrying one double each
+    ratio = (
+        raw_counts.join(tgt_counts, "b", "left")
+        .join(F.broadcast(t_tot))
+        .join(F.broadcast(r_tot))
+        .select("b", (lt - lraw).alias("lr"))
+    )
+    per_doc = (
+        raw_b.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.round(F.sum("lr"), 4).alias("log_weight"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+        "log_weight",
+    )
+
+
 def build_training_corpus(
     docs: DataFrame,
     benchmark: DataFrame,

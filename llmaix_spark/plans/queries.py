@@ -1251,6 +1251,48 @@ SELECT d.doc_id, CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
 
 
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-style hashed importance weights: every 9th document is the
+    target distribution, the whole table is the raw corpus; per-doc
+    log10 importance = Σ over tokens of the bucket log-ratio
+    (Laplace-1 smoothing, 4096 hashed features via the shared md5
+    hash). Each log10 term is rounded 6dp BEFORE the subtraction so
+    both engines subtract bit-identical doubles; the per-doc sum
+    rounds at 4dp."""
+    from llmaix_spark.operators.curation import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance(d, d.filter(F.col("doc_id") % 9 == 0))
+
+
+SQL_DSIR_IMPORTANCE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'),
+             x -> length(x) > 0))), 1, 15))::BIGINT % 4096 AS b
+  FROM documents),
+tgt AS (SELECT b, count(*) AS ct FROM toks WHERE doc_id % 9 = 0 GROUP BY 1),
+raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY 1),
+tt AS (SELECT sum(ct) AS tt FROM tgt),
+tr AS (SELECT sum(cr) AS tr FROM raw),
+ratio AS (
+  SELECT r.b,
+         round(log10((COALESCE(t.ct, 0) + 1.0)
+                     / ((SELECT tt FROM tt) + 4096.0)), 6)
+         - round(log10((r.cr + 1.0)
+                       / ((SELECT tr FROM tr) + 4096.0)), 6) AS lr
+  FROM raw r LEFT JOIN tgt t ON r.b = t.b),
+per_doc AS (
+  SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         round(sum(ratio.lr), 4) AS log_weight
+  FROM toks k JOIN ratio ON k.b = ratio.b
+  GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+       p.log_weight
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language downsampling (data mixing): keep 30%
     of 'de', 60% of 'fr', everything else — hash-gated like
@@ -3181,6 +3223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "decontaminate": q_decontaminate,
+    "dsir_importance": q_dsir_importance,
     "multimodal_features": q_multimodal_features,
     # rows-only
     "anonymizer_conversations": q_anonymizer,
@@ -3260,6 +3303,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "pack_sequences_bpe": SQL_PACK_SEQUENCES_BPE,
     "decontaminate": SQL_DECONTAMINATE,
+    "dsir_importance": SQL_DSIR_IMPORTANCE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,

@@ -141,6 +141,34 @@ def test_unigram_logprob_two_path_routing_invariant(docs):
         assert got == base, kw
 
 
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    """DSIR semantics: documents drawn from the target vocabulary must
+    receive strictly higher importance weights than off-distribution
+    documents; empty docs score NULL with n_feats 0."""
+    vocab_a = ["quark", "lepton", "boson", "gluon", "hadron"]
+    vocab_b = ["ledger", "invoice", "audit", "escrow", "accrual"]
+    rows = []
+    for i in range(40):
+        words = [
+            (vocab_a if i < 20 else vocab_b)[(i * 3 + j) % 5]
+            for j in range(12)
+        ]
+        rows.append((i, " ".join(words)))
+    rows.append((99, "   "))  # token-less doc
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # target = the first 10 vocab-A documents
+    target = docs.filter(F.col("doc_id") < 10)
+    got = {
+        r["doc_id"]: (r["n_feats"], r["log_weight"])
+        for r in cu.dsir_importance(docs, target, n_buckets=512).collect()
+    }
+    a_w = [got[i][1] for i in range(20)]
+    b_w = [got[i][1] for i in range(20, 40)]
+    assert min(a_w) > max(b_w), (min(a_w), max(b_w))
+    assert got[99] == (0, None)
+    assert all(got[i][0] == 12 for i in range(40))
+
+
 def test_curate_corpus_composition(docs):
     """The composed pipeline = repetition gates ∩ LM band, split
     assignment matching dataset_split; the approx-percentile scale path
