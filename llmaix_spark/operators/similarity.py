@@ -696,6 +696,17 @@ def semantic_decontaminate(
         (int(r[id_col]), [float(x) for x in r[vec_col]])
         for r in bench_emb.select(id_col, vec_col).collect()
     )
+    if not bench_rows:
+        # an empty reference set would make max_cos (array_max over
+        # nothing) NULL for EVERY row — and NULL >= θ is NULL, so a
+        # caller's filter(~contaminated) would drop the whole corpus
+        # instead of keeping it (review finding). Decontaminating
+        # against nothing is a caller bug; fail loudly.
+        raise ValueError(
+            "semantic_decontaminate: benchmark set is empty — "
+            "every max_cos would be NULL, silently filtering out the "
+            "entire corpus downstream"
+        )
     mc = max_cosine_to_set_col(
         docs_emb, bench_rows, F.col(vec_col), round_dp, literal_max
     )

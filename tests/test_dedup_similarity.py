@@ -409,9 +409,20 @@ def test_semantic_decontaminate_paths_agree_and_null_on_zero(spark):
         out[lm] = got
     assert out[10**6] == out[1]
     assert out[1][40] == (None, None)  # zero vector: NULL, not -1/crash
-    assert any(v[1] for k, v in out[1].items() if k != 40) or True
-    # every non-zero doc got a real score
+    # every non-zero doc got a real score AND at least one real flag
+    # fires on each side of the threshold (a flipped comparison or
+    # mis-wired threshold would make contaminated constant)
+    flags = [v[1] for k, v in out[1].items() if k != 40]
+    assert any(flags) and not all(flags), flags
     assert all(v[0] is not None for k, v in out[1].items() if k != 40)
+    # an EMPTY benchmark set must fail loudly, not emit all-NULL
+    # max_cos (NULL >= θ is NULL — filter(~contaminated) would then
+    # silently drop the whole corpus)
+    with pytest.raises(ValueError, match="benchmark set is empty"):
+        sim.semantic_decontaminate(docs, bench.limit(0))
+
+
+def test_kmeans_long_format_mean_at_dim_1024(spark):
     """The Lloyd mean must stay O(1) in plan width at embedding-scale
     dimensions (round-4 verdict item 4: `dim` separate avg(element_at)
     aggregates bloated the groupBy to thousands of expressions at dim
