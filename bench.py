@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "labels_reannotate",
     "decontaminate_semantic",
     "dsir_importance",
+    "dedup_lines",
 ]
 
 

@@ -46,6 +46,70 @@ def exact_dedup(
     )
 
 
+def dedup_lines(
+    lines: DataFrame,
+    min_repeat: int = 2,
+    id_col: str = "doc_id",
+    idx_col: str = "line_idx",
+    line_col: str = "line",
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document LINE-level dedup — the C4/CCNet boilerplate step
+    (C4 drops repeated lines corpus-wide keeping the first occurrence;
+    CCNet dedups paragraphs by hash): a line's FIRST occurrence
+    (minimal (doc_id, line_idx)) always survives; later occurrences
+    survive only while the line appears in fewer than `min_repeat`
+    distinct documents. Returns (doc_id, text) rebuilt from the
+    surviving lines in original order — documents whose every line was
+    boilerplate come back with '' (they stay joinable, the caller
+    decides whether an empty doc is droppable).
+
+    Input is the exploded (doc_id, line_idx, line) table — splitting
+    is corpus-specific (newlines, sentence windows, fixed word
+    chunks), so the operator takes the lines, not the raw text.
+
+    Scale: lines reduce to 8-byte content hashes; ONE
+    map-side-combinable groupBy per hash carries (n_docs,
+    first_occurrence = min(struct(doc_id, line_idx)) — both partial-
+    aggregable, so a boilerplate line appearing in 10⁹ docs combines
+    map-side and never concentrates on a reducer as raw rows); the
+    per-hash verdict table joins back on the hash (AQE handles the
+    residual skew of the join itself) and the doc rebuild is a groupBy
+    with array_sort(collect_list(struct)) — per-doc state, line-count
+    bounded, no window over the corpus."""
+    h = stable_hash60_expr(F.col(line_col)).alias("_h")
+    keyed = lines.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(idx_col).alias("line_idx"),
+        F.col(line_col).alias("line"),
+        h,
+    )
+    stats = keyed.groupBy("_h").agg(
+        F.countDistinct("doc_id").alias("_nd"),
+        F.min(F.struct("doc_id", "line_idx")).alias("_first"),
+    )
+    kept = keyed.join(stats, "_h").filter(
+        (F.col("_nd") < min_repeat)
+        | (
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("line_idx") == F.col("_first.line_idx"))
+        )
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text")
+    )
+    ids = lines.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+
+
 def word_shingles(
     docs: DataFrame,
     n: int = 3,

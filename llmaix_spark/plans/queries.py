@@ -1251,6 +1251,73 @@ SELECT d.doc_id, CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
 
 
+def q_dedup_lines(spark, sf_dir):
+    """C4/CCNet-style cross-document line dedup: each document becomes
+    three lines — a header that is shared boilerplate on every 3rd doc,
+    a body line (first 6 words of text), and a footer that is shared
+    boilerplate on every 4th doc. min_repeat=2 ⇒ each boilerplate line
+    survives ONLY at its first (doc_id, line_idx) occurrence; unique
+    lines always survive; docs are rebuilt in line order (the oracle
+    replicates the hash → stats → verdict → string_agg chain, so
+    accidental natural-line collisions stay engine-consistent)."""
+    from llmaix_spark.operators.dedup import dedup_lines
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lines = d.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit("standard disclaimer applies to this document"),
+                ).otherwise(
+                    F.concat(F.lit("intro "), F.col("doc_id").cast("string"))
+                ),
+                F.array_join(F.slice(words, 1, 6), " "),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.lit("copyright footer all rights reserved"),
+                ).otherwise(F.array_join(F.slice(words, 7, 6), " ")),
+            )
+        ).alias("line_idx", "line"),
+    )
+    return dedup_lines(lines, min_repeat=2)
+
+
+SQL_DEDUP_LINES = r"""
+WITH lines AS (
+  SELECT doc_id, i - 1 AS line_idx,
+         CASE i
+           WHEN 1 THEN CASE WHEN doc_id % 3 = 0
+             THEN 'standard disclaimer applies to this document'
+             ELSE 'intro ' || CAST(doc_id AS VARCHAR) END
+           WHEN 2 THEN array_to_string(string_split(text, ' ')[1:6], ' ')
+           ELSE CASE WHEN doc_id % 4 = 0
+             THEN 'copyright footer all rights reserved'
+             ELSE array_to_string(string_split(text, ' ')[7:12], ' ') END
+         END AS line
+  FROM documents, (SELECT unnest([1, 2, 3]) AS i)),
+keyed AS (
+  SELECT doc_id, line_idx, line,
+         ('0x' || substr(md5(line), 1, 15))::BIGINT AS h
+  FROM lines),
+stats AS (
+  SELECT h, count(DISTINCT doc_id) AS nd,
+         min(doc_id * 1000 + line_idx) AS first_key
+  FROM keyed GROUP BY 1),
+kept AS (
+  SELECT k.doc_id, k.line_idx, k.line
+  FROM keyed k JOIN stats s ON k.h = s.h
+  WHERE s.nd < 2 OR k.doc_id * 1000 + k.line_idx = s.first_key),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS text
+  FROM kept GROUP BY 1)
+SELECT d.doc_id, COALESCE(r.text, '') AS text
+FROM (SELECT DISTINCT doc_id FROM lines) d
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id"""
+
+
 def q_dsir_importance(spark, sf_dir):
     """DSIR-style hashed importance weights: every 9th document is the
     target distribution, the whole table is the raw corpus; per-doc
@@ -3224,6 +3291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "decontaminate": q_decontaminate,
     "dsir_importance": q_dsir_importance,
+    "dedup_lines": q_dedup_lines,
     "multimodal_features": q_multimodal_features,
     # rows-only
     "anonymizer_conversations": q_anonymizer,
@@ -3304,6 +3372,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences_bpe": SQL_PACK_SEQUENCES_BPE,
     "decontaminate": SQL_DECONTAMINATE,
     "dsir_importance": SQL_DSIR_IMPORTANCE,
+    "dedup_lines": SQL_DEDUP_LINES,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,

@@ -383,6 +383,34 @@ def test_knn_join_bucketed_recall_vs_exact(spark, sf_dir):
     assert recalls[4] > recalls[1], recalls
 
 
+def test_dedup_lines_first_occurrence_semantics(spark):
+    """Line dedup contract: a cross-document repeated line survives
+    ONLY at its minimal (doc_id, line_idx); single-doc lines always
+    survive (even repeated within the doc — the corpus-boilerplate
+    rule, not within-doc compression); an all-boilerplate doc comes
+    back as '' but stays present."""
+    rows = [
+        (0, 0, "BOILER"), (0, 1, "unique a"),
+        (1, 0, "BOILER"), (1, 1, "unique b"),
+        (2, 0, "BOILER"), (2, 1, "BOILER2"),
+        (3, 0, "BOILER2"),
+        (4, 0, "twice"), (4, 1, "twice"),
+    ]
+    lines = spark.createDataFrame(
+        rows, "doc_id bigint, line_idx int, line string"
+    )
+    got = {
+        r["doc_id"]: r["text"] for r in dd.dedup_lines(lines).collect()
+    }
+    assert got == {
+        0: "BOILER\nunique a",  # first occurrence keeps the boilerplate
+        1: "unique b",
+        2: "BOILER2",
+        3: "",                  # every line was later-occurrence boilerplate
+        4: "twice\ntwice",      # within-doc repeat, single doc → kept
+    }
+
+
 def test_semantic_decontaminate_paths_agree_and_null_on_zero(spark):
     """The literal-fold and broadcast-UDF regimes of
     max_cosine_to_set_col must produce identical (max_cos,
