@@ -99,6 +99,23 @@ def _reset_kg_scratch() -> None:
     q._KG_SCRATCH.clear()
 
 
+def _exec_full(df) -> None:
+    """Materialize EVERY output column via the built-in noop sink.
+
+    Protocol change (round 5, review finding): `.count()` references no
+    columns, so Catalyst's ColumnPruning legally deletes projection-only
+    work above the last join/aggregate — the timed number for queries
+    whose cost IS the projection (first_non_empty, merge_metadata,
+    dedup_lines' string rebuild, labels_reannotate's coercion chain)
+    measured little more than the scan. The noop sink computes all
+    columns with zero driver transfer and no files — what preflight's
+    collect() executes, minus the driver round-trip. Join/agg-dominated
+    queries are unaffected (their plans were never prunable), so r4
+    medians for those stay comparable; the cheap projection queries
+    re-baseline at r5 run 7 (BENCH.md notes which)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def run_headline_queries(
     spark, sf_dir: str, reps: int = 3
 ) -> tuple[dict[str, float], dict[str, list[float]], dict[str, float]]:
@@ -113,14 +130,14 @@ def run_headline_queries(
     # queries must NOT be headline queries, or their queries_cold entry
     # records a fully warm rerun as "cold" (review finding) —
     # textstats_tokens and kg_mentions are off the headline list.
-    QUERIES["textstats_tokens"](spark, sf_dir).count()
-    QUERIES["kg_mentions"](spark, sf_dir).count()
+    _exec_full(QUERIES["textstats_tokens"](spark, sf_dir))
+    _exec_full(QUERIES["kg_mentions"](spark, sf_dir))
     times: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _rep in range(reps):
         _reset_kg_scratch()
         for name in BENCH_QUERIES:
             t0 = time.time()
-            QUERIES[name](spark, sf_dir).count()
+            _exec_full(QUERIES[name](spark, sf_dir))
             times[name].append(round(time.time() - t0, 3))
     import statistics
 

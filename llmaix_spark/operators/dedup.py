@@ -66,7 +66,12 @@ def dedup_lines(
 
     Input is the exploded (doc_id, line_idx, line) table — splitting
     is corpus-specific (newlines, sentence windows, fixed word
-    chunks), so the operator takes the lines, not the raw text.
+    chunks), so the operator takes the lines, not the raw text. NULL
+    lines are splitter artifacts, not content: they are dropped before
+    grouping (md5(NULL) is NULL and would silently vanish in the hash
+    equi-join anyway — review finding; pass '' for an intentional
+    blank line, it hashes and dedups like any other), but their docs
+    still appear in the output (via the pre-filter id set).
 
     Scale: lines reduce to 8-byte content hashes; ONE
     map-side-combinable groupBy per hash carries (n_docs,
@@ -76,14 +81,19 @@ def dedup_lines(
     per-hash verdict table joins back on the hash (AQE handles the
     residual skew of the join itself) and the doc rebuild is a groupBy
     with array_sort(collect_list(struct)) — per-doc state, line-count
-    bounded, no window over the corpus."""
+    bounded, no window over the corpus. `keyed` is lazily
+    localCheckpointed: three consumers (stats aggregate, join probe
+    side, the id set) would otherwise re-run the caller's scan +
+    explode 3× (landmine #1)."""
     h = stable_hash60_expr(F.col(line_col)).alias("_h")
     keyed = lines.select(
         F.col(id_col).alias("doc_id"),
         F.col(idx_col).alias("line_idx"),
         F.col(line_col).alias("line"),
         h,
-    )
+    ).localCheckpoint(eager=False)
+    ids = keyed.select("doc_id").distinct()
+    keyed = keyed.filter(F.col("line").isNotNull())
     stats = keyed.groupBy("_h").agg(
         F.countDistinct("doc_id").alias("_nd"),
         F.min(F.struct("doc_id", "line_idx")).alias("_first"),
@@ -104,7 +114,6 @@ def dedup_lines(
             sep,
         ).alias("text")
     )
-    ids = lines.select(F.col(id_col).alias("doc_id")).distinct()
     return ids.join(rebuilt, "doc_id", "left").select(
         "doc_id", F.coalesce("text", F.lit("")).alias("text")
     )

@@ -395,6 +395,8 @@ def test_dedup_lines_first_occurrence_semantics(spark):
         (2, 0, "BOILER"), (2, 1, "BOILER2"),
         (3, 0, "BOILER2"),
         (4, 0, "twice"), (4, 1, "twice"),
+        (5, 0, None), (5, 1, "real five"),
+        (6, 0, None),
     ]
     lines = spark.createDataFrame(
         rows, "doc_id bigint, line_idx int, line string"
@@ -408,6 +410,8 @@ def test_dedup_lines_first_occurrence_semantics(spark):
         2: "BOILER2",
         3: "",                  # every line was later-occurrence boilerplate
         4: "twice\ntwice",      # within-doc repeat, single doc → kept
+        5: "real five",         # NULL line dropped, doc survives
+        6: "",                  # only-NULL doc present with empty text
     }
 
 
