@@ -56,6 +56,59 @@ def windowed_event_counts(
     )
 
 
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def stream_docs(spark: SparkSession, input_dir: str) -> DataFrame:
+    return spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(input_dir)
+
+
+def dedup_doc_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on the normalized content hash with
+    WATERMARK-BOUNDED state — the ingest-side twin of the batch
+    `dedup.exact_dedup` (a 100 TB firehose re-crawls the same pages
+    continuously; deduping at ingest keeps the at-rest table clean
+    instead of re-sweeping it):
+
+      * first occurrence of a content hash passes through; duplicates
+        arriving within `watermark` of event time are DROPPED inside
+        the stateful operator (`dropDuplicatesWithinWatermark` — plain
+        streaming dropDuplicates keeps every key forever, an unbounded
+        state table at crawl scale; the watermark variant evicts hash
+        state once event time passes it, so state is bounded by
+        ingest-rate × window, not corpus size);
+      * duplicates farther apart than the watermark are NOT caught
+        here — that is the periodic batch dedup's job over the at-rest
+        table (same division of labor as linking: streaming handles
+        the hot window, batch the global sweep).
+
+    The content key reuses `_norm_text` + an 8-byte hash, so what this
+    operator drops is exactly what the batch exact_dedup would
+    collapse."""
+    from llmaix_spark.operators.dedup import _norm_text
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    keyed = docs.withColumn(
+        "_h", stable_hash60_expr(_norm_text(F.col(text_col)))
+    )
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -157,3 +157,66 @@ def test_stateful_sessionizer_non_utc_session_timezone(spark, tmp_path):
         assert delta.total_seconds() == 300
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def _write_docs(path, rows):
+    df = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("text", pa.string()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(df, schema=schema), path)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Ingest-side exact dedup: a re-crawled document arriving within
+    the watermark of its first occurrence is dropped on the SAME
+    normalized-content key the batch exact_dedup collapses
+    (case/whitespace variants included); distinct content passes. Two
+    file drops across two query runs share dedup state through the
+    checkpoint."""
+    from llmaix_spark.streaming.windows import dedup_doc_stream, stream_docs
+
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    _write_docs(
+        os.path.join(in_dir, "a.parquet"),
+        [
+            (1, T0, "hello world"),
+            (2, T0 + timedelta(minutes=1), "other text"),
+            (3, T0 + timedelta(minutes=2), "Hello   WORLD"),  # norm-dup of 1
+        ],
+    )
+
+    def _run():
+        q = (
+            dedup_doc_stream(stream_docs(spark, in_dir))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    got1 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {1, 2}
+    # second drop, new query run: state survives via the checkpoint —
+    # the re-crawl of doc 1's content is still inside the watermark
+    _write_docs(
+        os.path.join(in_dir, "b.parquet"),
+        [
+            (4, T0 + timedelta(minutes=3), "HELLO  world"),  # dup again
+            (5, T0 + timedelta(minutes=4), "fresh content"),
+        ],
+    )
+    _run()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {1, 2, 5}
