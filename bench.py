@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "decontaminate_semantic",
     "dsir_importance",
     "dedup_lines",
+    "pack_shards",
 ]
 
 

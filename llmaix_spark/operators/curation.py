@@ -136,6 +136,95 @@ def pack_sequences(
     )
 
 
+def materialize_packs(
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 32,
+    eos: str = "</s>",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_counter=None,
+) -> DataFrame:
+    """The physical shard-writing step after `pack_sequences`: one row
+    per (shard, pack_id) holding the EOS-joined pack text in (shard,
+    doc_id) order plus the char-offset span index a training loader
+    needs to recover document boundaries. Returns
+    (shard, pack_id, n_docs, pack_len, text, spans) — `spans` is the
+    compact string "doc_id:begin:end;…" (begin inclusive, end
+    exclusive, offsets into `text`; a string, not array<struct>, so
+    the cross-engine value compare stays exact).
+
+    Scale: pack assignment is pack_sequences (shard-partitioned
+    window, never global); the join back to the text is 1:1 on doc_id;
+    the concat is ONE groupBy (shard, pack_id) whose state is a single
+    pack's documents — bounded by budget, not the corpus. The span
+    arithmetic runs per-pack over the collected struct list
+    (bind_array once — landmine #2: an unbound computed array
+    re-evaluates per lambda access)."""
+    from llmaix_spark.functions.arrays import bind_array
+
+    packs = pack_sequences(
+        docs, budget, n_shards, id_col, text_col, token_counter
+    )
+    joined = packs.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ),
+        "doc_id",
+    )
+    per_pack = joined.groupBy("shard", "pack_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "text"))
+        ).alias("items")
+    )
+    eos_len = len(eos)
+
+    def _spans(items):
+        acc0 = F.struct(
+            F.lit(0).alias("off"), F.lit("").alias("s")
+        )
+        return F.aggregate(
+            items,
+            acc0,
+            lambda acc, it: F.struct(
+                (acc["off"] + F.length(it["text"]) + F.lit(eos_len)).alias(
+                    "off"
+                ),
+                F.concat(
+                    acc["s"],
+                    F.when(acc["s"] == "", F.lit("")).otherwise(F.lit(";")),
+                    it["doc_id"].cast("string"),
+                    F.lit(":"),
+                    acc["off"].cast("string"),
+                    F.lit(":"),
+                    (acc["off"] + F.length(it["text"])).cast("string"),
+                ).alias("s"),
+            ),
+            lambda acc: acc["s"],
+        )
+
+    return per_pack.select(
+        "shard",
+        "pack_id",
+        F.size("items").cast("bigint").alias("n_docs"),
+        bind_array(
+            F.col("items"),
+            lambda items: F.length(
+                F.array_join(
+                    F.transform(items, lambda s: s["text"]), eos
+                )
+            ),
+        ).cast("bigint").alias("pack_len"),
+        bind_array(
+            F.col("items"),
+            lambda items: F.array_join(
+                F.transform(items, lambda s: s["text"]), eos
+            ),
+        ).alias("text"),
+        bind_array(F.col("items"), _spans).alias("spans"),
+    )
+
+
 def unigram_logprob(
     docs: DataFrame,
     id_col: str = "doc_id",

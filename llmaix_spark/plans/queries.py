@@ -1147,6 +1147,47 @@ SELECT doc_id, shard, n_tokens,
 FROM base"""
 
 
+def q_pack_shards(spark, sf_dir):
+    """materialize_packs — the physical shard-writing step: one row
+    per (shard, pack_id) with the EOS-joined text in doc order and the
+    char-offset span string a loader needs to recover document
+    boundaries. The oracle rebuilds the same packs, string_agg's the
+    text, and derives spans from the windowed cumulative length."""
+    from llmaix_spark.operators.curation import materialize_packs
+
+    return materialize_packs(
+        _t(spark, sf_dir, "documents"), budget=256, n_shards=32
+    )
+
+
+SQL_PACK_SHARDS = r"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+         text
+  FROM documents),
+packs AS (
+  SELECT doc_id, shard, text,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                     - n_tokens) * 1.0 / 256) AS BIGINT) AS pack_id
+  FROM base),
+off AS (
+  SELECT shard, pack_id, doc_id, text,
+         COALESCE(sum(length(text) + 4) OVER (
+           PARTITION BY shard, pack_id ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS begin
+  FROM packs)
+SELECT shard, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) + 4 * (count(*) - 1) AS BIGINT) AS pack_len,
+       string_agg(text, '</s>' ORDER BY doc_id) AS text,
+       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(begin AS VARCHAR)
+                  || ':' || CAST(begin + length(text) AS VARCHAR),
+                  ';' ORDER BY doc_id) AS spans
+FROM off GROUP BY shard, pack_id"""
+
+
 def q_pack_sequences_bpe(spark, sf_dir):
     """pack_sequences on a REAL tokenizer budget: same shard-local
     packing, but the cumulative count is the BPE-ish pre-tokenizer
@@ -3288,6 +3329,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": q_curation_pipeline,
     "training_corpus": q_training_corpus,
     "pack_sequences": q_pack_sequences,
+    "pack_shards": q_pack_shards,
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "decontaminate": q_decontaminate,
     "dsir_importance": q_dsir_importance,
@@ -3369,6 +3411,7 @@ ORACLES: dict[str, str] = {
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "training_corpus": SQL_TRAINING_CORPUS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "pack_shards": SQL_PACK_SHARDS,
     "pack_sequences_bpe": SQL_PACK_SEQUENCES_BPE,
     "decontaminate": SQL_DECONTAMINATE,
     "dsir_importance": SQL_DSIR_IMPORTANCE,

@@ -141,6 +141,44 @@ def test_unigram_logprob_two_path_routing_invariant(docs):
         assert got == base, kw
 
 
+def test_materialize_packs_spans_recover_documents(spark):
+    """The loader contract: slicing a pack's text by its span index
+    must recover every original document byte-for-byte, in doc order,
+    with the EOS between consecutive docs; pack membership must match
+    pack_sequences exactly."""
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(i % 4 + 2)))
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    orig = dict(rows)
+    packs = {
+        (r["shard"], r["pack_id"]): r
+        for r in cu.materialize_packs(
+            docs, budget=5, n_shards=3, eos="<EOS>"
+        ).collect()
+    }
+    assign = {
+        r["doc_id"]: (r["shard"], r["pack_id"])
+        for r in cu.pack_sequences(docs, budget=5, n_shards=3).collect()
+    }
+    seen = set()
+    for (shard, pid), row in packs.items():
+        spans = [
+            tuple(int(x) for x in part.split(":"))
+            for part in row["spans"].split(";")
+        ]
+        assert row["n_docs"] == len(spans)
+        assert row["pack_len"] == len(row["text"])
+        prev_end = None
+        for doc_id, begin, end in spans:
+            assert row["text"][begin:end] == orig[doc_id]
+            assert assign[doc_id] == (shard, pid)
+            if prev_end is not None:  # EOS between consecutive docs
+                assert row["text"][prev_end:begin] == "<EOS>"
+            prev_end = end
+            seen.add(doc_id)
+    assert seen == set(orig)  # every document is in exactly one pack
+
+
 def test_dsir_importance_ranks_target_like_docs_higher(spark):
     """DSIR semantics: documents drawn from the target vocabulary must
     receive strictly higher importance weights than off-distribution
