@@ -594,3 +594,66 @@ def embedding_dup_pairs_ivf(
     return pairs.select(
         "vec_a", "vec_b", F.round(cos, round_dp).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def dup_ngram_spans(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated n-gram detection (the bounded n-gram
+    variant of Lee et al. 2022's suffix-array substring dedup — the
+    C4/Pile "repeated span" diagnostic): per document, how many of its
+    word n-gram positions carry an n-gram that also occurs in at least
+    ``min_docs`` distinct documents. Complements dedup_lines (line
+    granularity) and ngram_jaccard (whole-doc similarity) with
+    span-level duplication mass.
+
+    Returns (doc_id, n_ngrams, dup_ngrams, dup_frac) for EVERY input
+    document (short docs report 0 / 0 / 0.0).
+
+    Scale: n-grams are 60-bit rolling hashes (textstats.ngram_hash_array
+    — one md5 per token, no shingle strings), so the shuffle key is
+    8 bytes. The per-hash doc-frequency groupBy partitions by h and the
+    stats join reuses that partitioning; the final per-doc rollup is a
+    map-side-combinable count pair. No windows, no driver collects.
+    """
+    from llmaix_spark.operators.textstats import ngram_hash_array
+
+    hs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngram_hash_array(F.col(text_col), n)).alias("h"),
+    )
+    stats = hs.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        hs.join(stats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("nd") >= min_docs, 1).otherwise(0)
+            ).alias("dup_ngrams"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("bigint").alias("n_ngrams"),
+            F.coalesce("dup_ngrams", F.lit(0))
+            .cast("bigint")
+            .alias("dup_ngrams"),
+            F.when(F.col("n_ngrams").isNull(), F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("dup_ngrams").cast("double")
+                    / F.col("n_ngrams").cast("double"),
+                    4,
+                )
+            )
+            .alias("dup_frac"),
+        )
+    )

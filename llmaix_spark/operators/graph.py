@@ -1,0 +1,119 @@
+"""Graph analytics over the materialized KG edges table.
+
+The reference pipeline stops at nodes/edges materialization
+(reference: llmaix scripts' structured-output → report tables); a
+KG consumer's first downstream question is "which entities matter" —
+answered here with a fixed-iteration PageRank expressed as pure
+DataFrame joins/aggregations so Catalyst plans every step (no GraphX
+dependency, no RDDs).
+
+Scale notes (100 TB):
+- The edge list is deduplicated once, repartitioned by ``src`` and
+  persisted: every iteration's contribution join then reuses the same
+  hash partitioning on the big side, so only the (much smaller) rank
+  table shuffles per iteration.
+- Per-iteration state is persisted and the PREVIOUS iteration
+  explicitly unpersisted (the repo's landmine #1: leaked lineage
+  re-executes the whole upstream DAG once per remaining iteration).
+- The dangling-mass term is a one-row aggregate broadcast via
+  crossJoin — no driver collect inside the loop.
+- Ranks are rounded to 10dp at every iteration boundary so the
+  cross-engine state divergence stays bounded by the rounding grid
+  (double sums are order-dependent; ~1e-15 per iteration would
+  otherwise compound), and to 6dp at the output surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+    iterations: int = 3,
+    damping: float = 0.85,
+    state_dp: int = 10,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a (possibly multi-)edge table.
+
+    Edges are deduplicated on (src, dst); self-loops participate like
+    any other edge. Dangling nodes (no out-edges) redistribute their
+    mass uniformly. Returns (entity_id, pagerank) for EVERY node, with
+    pagerank rounded to ``out_dp`` — the full result set, so the
+    driver's order-insensitive hash compare needs no top-k threshold.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # one scalar action at setup; the loop stays lazy
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame([], "entity_id string, pagerank double")
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # co-partitioned with e on src; tiny relative to e — persist with it
+    e_deg = e.join(outdeg, "src").persist()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    prev = None
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        new_ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / n
+                    + damping
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                       + F.col("dm") / n),
+                    state_dp,
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        new_ranks.count()  # materialize BEFORE dropping the old state
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks = new_ranks
+
+    out = ranks.select(
+        F.col("node").alias("entity_id"),
+        F.round("rank", out_dp).alias("pagerank"),
+    )
+    # the output is tiny (one row per entity); localCheckpoint cuts the
+    # iterative lineage so downstream consumers never re-run the loop,
+    # then every intermediate can be dropped
+    out = out.localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    e_deg.unpersist()
+    e.unpersist()
+    nodes.unpersist()
+    return out

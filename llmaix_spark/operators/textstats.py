@@ -100,21 +100,16 @@ def quality_score_expr(col: Column) -> Column:
     return F.round((len_score + shape_score + sw_score) / 3.0, 6)
 
 
-def doc_fingerprint(
-    docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Winnowing-lite fingerprint: min/max/count-distinct of 60-bit hashes
-    over word n-grams. Two docs sharing fp_min almost surely share a
-    passage — the cheap first-pass dup blocker.
-
-    Rolling-hash construction: each TOKEN is md5-hashed once, the n-gram
-    hash is the rotate-XOR composition of its n token hashes — n× fewer
-    md5 evaluations than hashing shingle strings and no string
-    materialization at all. Dedup is count(DISTINCT hash) inside the
-    aggregation (8-byte shuffle, 2⁻⁶⁰ collision odds, bit-identical in
-    the SQL oracle)."""
+def ngram_hash_array(text_col, n: int):
+    """60-bit rolling-hash word n-grams as an array Column (one hash
+    per n-gram position, document order preserved). Each TOKEN is
+    md5-hashed once, the n-gram hash is the rotate-XOR composition of
+    its n token hashes — n× fewer md5 evaluations than hashing shingle
+    strings and no string materialization at all. Shared by
+    doc_fingerprint and dedup.dup_ngram_spans; the SQL twin is
+    queries._fingerprint_sql's gram expression."""
     toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+        F.split(F.trim(text_col), r"\s+"), lambda t: F.length(t) > 0
     )
     th = F.transform(toks, lambda t: stable_hash60_expr(t))
 
@@ -135,7 +130,7 @@ def doc_fingerprint(
     # bind the token-hash array ONCE as a lambda variable: referencing the
     # raw `th` expression inside the gram lambda would re-evaluate the
     # whole md5 transform for every element_at (observed 12× slowdown)
-    grams = F.element_at(
+    return F.element_at(
         F.transform(
             F.array(th),
             lambda arr: F.when(
@@ -148,6 +143,17 @@ def doc_fingerprint(
         ),
         1,
     )
+
+
+def doc_fingerprint(
+    docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Winnowing-lite fingerprint: min/max/count-distinct of 60-bit hashes
+    over word n-grams. Two docs sharing fp_min almost surely share a
+    passage — the cheap first-pass dup blocker. Dedup is
+    count(DISTINCT hash) inside the aggregation (8-byte shuffle, 2⁻⁶⁰
+    collision odds, bit-identical in the SQL oracle)."""
+    grams = ngram_hash_array(F.col(text_col), n)
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("h")
     )

@@ -1075,8 +1075,9 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
-def _fingerprint_sql(n: int = 5) -> str:
-    h = _HASH60_SQL.format(v="t")
+def _gram_expr_sql(n: int) -> str:
+    """The rotate-XOR n-gram hash over a doc-ordered token-hash window
+    (SQL twin of textstats.ngram_hash_array's per-position gram)."""
     terms = []
     for j in range(n):
         lead = "th" if j == 0 else f"lead(th, {j}) OVER win"
@@ -1091,6 +1092,12 @@ def _fingerprint_sql(n: int = 5) -> str:
     g = terms[0]
     for t in terms[1:]:
         g = f"xor({g}, {t})"
+    return g
+
+
+def _fingerprint_sql(n: int = 5) -> str:
+    h = _HASH60_SQL.format(v="t")
+    g = _gram_expr_sql(n)
     return f"""
 WITH d AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
 tok AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
@@ -1105,6 +1112,47 @@ FROM hs GROUP BY doc_id"""
 
 
 SQL_FINGERPRINT = _fingerprint_sql()
+
+
+def q_dup_ngram_spans(spark, sf_dir):
+    """Cross-document repeated n-gram mass (trigrams, ≥2 distinct
+    docs): the bounded n-gram variant of suffix-array substring dedup.
+    Trigrams (not the fingerprint's 5-grams) so the synthetic corpus's
+    small vocabulary actually produces cross-doc repeats to count."""
+    from llmaix_spark.operators.dedup import dup_ngram_spans
+
+    return dup_ngram_spans(_t(spark, sf_dir, "documents"), n=3)
+
+
+def _dup_ngram_sql(n: int = 3, min_docs: int = 2) -> str:
+    h = _HASH60_SQL.format(v="t")
+    g = _gram_expr_sql(n)
+    return f"""
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
+th0 AS (SELECT doc_id, i, {h} AS th FROM tok WHERE length(t) > 0),
+gram AS (SELECT doc_id, {g} AS g,
+                lead(th, {n - 1}) OVER win AS l_last
+         FROM th0 WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+hs AS (SELECT doc_id, g AS h FROM gram WHERE l_last IS NOT NULL),
+stats AS (SELECT h, count(DISTINCT doc_id) AS nd FROM hs GROUP BY 1),
+per_doc AS (
+  SELECT hs.doc_id,
+         CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(CASE WHEN s.nd >= {min_docs} THEN 1 ELSE 0 END)
+              AS BIGINT) AS dup_ngrams
+  FROM hs JOIN stats s ON hs.h = s.h
+  GROUP BY 1)
+SELECT doc.doc_id,
+       COALESCE(p.n_ngrams, 0) AS n_ngrams,
+       COALESCE(p.dup_ngrams, 0) AS dup_ngrams,
+       CASE WHEN p.n_ngrams IS NULL THEN 0.0
+            ELSE round(CAST(p.dup_ngrams AS DOUBLE)
+                       / CAST(p.n_ngrams AS DOUBLE), 4) END AS dup_frac
+FROM documents doc LEFT JOIN per_doc p ON doc.doc_id = p.doc_id"""
+
+
+SQL_DUP_NGRAM_SPANS = _dup_ngram_sql()
 
 
 def q_dataset_split(spark, sf_dir):
@@ -1823,6 +1871,67 @@ SELECT substring(sha256(cs.canonical), 1, 16) AS subj_id,
 FROM triples t
 JOIN canon cs ON {_norm_sql('t.subj')} = cs.norm
 JOIN canon co ON {_norm_sql('t.obj')} = co.norm"""
+)
+
+
+def _pagerank_iter_sql(i: int) -> str:
+    """One unrolled PageRank iteration (contribution sum + dangling
+    mass + damped update), mirroring operators/graph.py::pagerank —
+    ranks rounded 10dp per iteration in BOTH engines so the
+    order-dependent double sums can never drift past the grid."""
+    p = f"pr_r{i - 1}"
+    return f""",
+pr_c{i} AS MATERIALIZED (
+  SELECT e.dst, sum(r.rank / o.od) AS contrib
+  FROM pr_edges e
+  JOIN {p} r ON e.src = r.node
+  JOIN pr_outdeg o ON e.src = o.src
+  GROUP BY 1),
+pr_d{i} AS MATERIALIZED (
+  SELECT COALESCE(sum(r.rank), 0.0::DOUBLE) AS dm
+  FROM {p} r LEFT JOIN pr_outdeg o ON r.node = o.src
+  WHERE o.src IS NULL),
+pr_r{i} AS MATERIALIZED (
+  SELECT n.node,
+         round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM pr_n)
+               + 0.85::DOUBLE * (COALESCE(c.contrib, 0.0::DOUBLE)
+                                 + (SELECT dm FROM pr_d{i})
+                                   / (SELECT n FROM pr_n)),
+               10) AS rank
+  FROM pr_nodes n LEFT JOIN pr_c{i} c ON n.node = c.dst)"""
+
+
+# Fixed-iteration PageRank over the pipeline's edge graph (3 iterations,
+# damping 0.85, dangling mass redistributed uniformly). Built on the same
+# canonicalization body as SQL_KG_PIPELINE_EDGES; the Spark twin is
+# operators/graph.py::pagerank over q_kg_pipeline_edges.
+SQL_KG_PAGERANK = (
+    _kg_canonical_body()
+    + f""",
+pr_edges AS MATERIALIZED (
+  SELECT DISTINCT substring(sha256(cs.canonical), 1, 16) AS src,
+                  substring(sha256(co.canonical), 1, 16) AS dst
+  FROM triples t
+  JOIN canon cs ON {_norm_sql('t.subj')} = cs.norm
+  JOIN canon co ON {_norm_sql('t.obj')} = co.norm),
+pr_nodes AS MATERIALIZED (
+  -- explicit DISTINCT, not bare UNION: under this statement's WITH
+  -- RECURSIVE prefix DuckDB 1.0 compiles a materialized CTE's UNION
+  -- as UNION ALL (observed: 1158 rows / 25 distinct), silently
+  -- duplicating every node
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM pr_edges
+    UNION ALL
+    SELECT dst FROM pr_edges)),
+pr_n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM pr_nodes),
+pr_outdeg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS DOUBLE) AS od FROM pr_edges GROUP BY 1),
+pr_r0 AS MATERIALIZED (
+  SELECT node, 1.0::DOUBLE / (SELECT n FROM pr_n) AS rank
+  FROM pr_nodes)"""
+    + "".join(_pagerank_iter_sql(i) for i in (1, 2, 3))
+    + """
+SELECT node AS entity_id, round(rank, 6) AS pagerank FROM pr_r3"""
 )
 
 
@@ -2567,6 +2676,19 @@ def q_kg_pipeline_nodes(spark, sf_dir):
         "kind",
         F.col("n_refs").cast("bigint").alias("n_refs"),
     )
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (3 iters, d=0.85) over the pipeline's
+    materialized edge graph — the first downstream KG-consumer query
+    ("which entities matter"). Pure DataFrame joins/aggs with the
+    edge list repartitioned by src once and reused every iteration;
+    per-iteration state rounded 10dp in both engines, output 6dp.
+    Value-oracled end-to-end: SQL_KG_PAGERANK unrolls the same three
+    iterations on top of the shared canonicalization body."""
+    from llmaix_spark.operators.graph import pagerank
+
+    return pagerank(q_kg_pipeline_edges(spark, sf_dir))
 
 
 SQL_KG_PIPELINE_NODES = (
@@ -3334,9 +3456,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "dsir_importance": q_dsir_importance,
     "dedup_lines": q_dedup_lines,
+    "dup_ngram_spans": q_dup_ngram_spans,
     "multimodal_features": q_multimodal_features,
     # rows-only
     "anonymizer_conversations": q_anonymizer,
+    "kg_pagerank": q_kg_pagerank,
     "kg_pipeline_edges": q_kg_pipeline_edges,
     "kg_canonical_triples": q_kg_canonical_triples,
     "kg_pipeline_nodes": q_kg_pipeline_nodes,
@@ -3416,9 +3540,11 @@ ORACLES: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "dsir_importance": SQL_DSIR_IMPORTANCE,
     "dedup_lines": SQL_DEDUP_LINES,
+    "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
+    "kg_pagerank": SQL_KG_PAGERANK,
     "kg_pipeline_edges": SQL_KG_PIPELINE_EDGES,
     "kg_pipeline_nodes": SQL_KG_PIPELINE_NODES,
     "extraction_stub": SQL_EXTRACTION_STUB,

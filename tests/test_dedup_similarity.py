@@ -541,3 +541,80 @@ def test_nearest_probes_paths_agree_with_dead_centroid(spark):
     # the dead centroid (id 0, zero vector → NULL cosine) never probes
     assert all(0 not in probes for probes in lit.values())
     assert lit[1] == [1, 2] and lit[3] == [2, 1]
+
+
+def test_dup_ngram_spans_known_overlap(spark):
+    """Doc 1 and 2 share an exact 4-word passage (= two trigram
+    positions each); doc 3 is unique; doc 4 is too short for any
+    trigram. Within-doc repetition alone never counts as duplicated."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique1 tail1"),
+            (2, "head2 alpha beta gamma delta unique2"),
+            (3, "solo words only here nothing shared"),
+            (4, "too short"),
+            (5, "rep rep rep rep rep rep"),  # within-doc repeats only
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_ngrams"], r["dup_ngrams"], r["dup_frac"])
+        for r in dd.dup_ngram_spans(docs, n=3).collect()
+    }
+    # 6 tokens -> 4 trigram positions; the shared run
+    # "alpha beta gamma delta" = trigrams (alpha,beta,gamma) and
+    # (beta,gamma,delta), present in both docs 1 and 2
+    assert out[1] == (4, 2, 0.5)
+    assert out[2] == (4, 2, 0.5)
+    assert out[3] == (4, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)
+    assert out[5] == (4, 0, 0.0)
+
+
+def test_pagerank_hand_computed(spark):
+    """a->b, a->c, b->c with c dangling: twin the operator's exact
+    update (10dp state rounding, uniform dangling redistribution) in
+    pure Python and require equality at the 6dp output surface."""
+    from llmaix_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "b")],  # dup edge
+        "subj_id string, obj_id string",
+    )
+    got = {
+        r["entity_id"]: r["pagerank"]
+        for r in pagerank(edges, iterations=3).collect()
+    }
+
+    nodes = ["a", "b", "c"]
+    out = {"a": ["b", "c"], "b": ["c"], "c": []}
+    rank = {v: 1.0 / 3 for v in nodes}
+    for _ in range(3):
+        contrib = {v: 0.0 for v in nodes}
+        for u, vs in out.items():
+            for v in vs:
+                contrib[v] += rank[u] / len(vs)
+        dm = sum(rank[u] for u in nodes if not out[u])
+        rank = {
+            v: round(0.15 / 3 + 0.85 * (contrib[v] + dm / 3), 10)
+            for v in nodes
+        }
+    want = {v: round(r, 6) for v, r in rank.items()}
+    assert got == want
+    # ranks form a distribution (mass conserved up to rounding)
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+
+
+def test_pagerank_empty_and_uniform_cycle(spark):
+    from llmaix_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "subj_id string, obj_id string")
+    assert pagerank(empty).count() == 0
+
+    # pure cycle: stationary from the start — every iteration keeps 1/3
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")],
+        "subj_id string, obj_id string",
+    )
+    got = {r["entity_id"]: r["pagerank"] for r in pagerank(cyc).collect()}
+    assert got == {"a": 0.333333, "b": 0.333333, "c": 0.333333}
