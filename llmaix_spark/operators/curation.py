@@ -618,3 +618,112 @@ def decontaminate(
         F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
         (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def domain_mixture(
+    docs: DataFrame,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based domain re-mixing (T=2, i.e. exponent 0.5 —
+    the multilingual-pretraining recipe): target share of domain d is
+    sqrt(s_d)/Σ_e sqrt(s_e) where s_d is its natural share, so
+    over-represented domains are downsampled toward the flattened
+    distribution and the rarest domain keeps rate 1 (downsample-only,
+    no duplication). Unlike stratified_sample the per-domain rates are
+    COMPUTED from corpus statistics, then applied through the same
+    deterministic hash gate (stable under corpus growth, shared
+    cross-engine md5 hash).
+
+    sqrt (not pow(x, 0.5)) on both engines — sqrt is IEEE
+    correctly-rounded, pow is not guaranteed to be. The keep decision
+    thresholds on round(rate·buckets) so an order-of-summation ulp in
+    Σ sqrt(s_e) cannot flip a row's fate off-grid.
+
+    Scale: one map-side-combinable count per domain; all rate algebra
+    stays on the domain-cardinality DF (crossJoin of one-row broadcast
+    aggregates); the corpus itself sees one broadcast join + filter —
+    no wide shuffle of the big table.
+    """
+    counts = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_d")
+    )
+    tot = counts.agg(F.sum("n_d").alias("n_tot"))
+    w = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "w_raw", F.sqrt(F.col("n_d") / F.col("n_tot"))
+    )
+    ws = w.agg(F.sum("w_raw").alias("w_sum"))
+    r = w.crossJoin(F.broadcast(ws)).withColumn(
+        "ratio",
+        (F.col("w_raw") / F.col("w_sum")) / (F.col("n_d") / F.col("n_tot")),
+    )
+    m = r.agg(F.max("ratio").alias("mr"))
+    rates = r.crossJoin(F.broadcast(m)).select(
+        "domain",
+        F.round(F.col("ratio") / F.col("mr") * buckets, 0)
+        .cast("bigint")
+        .alias("thresh"),
+        F.round(F.col("ratio") / F.col("mr"), 6).alias("keep_rate"),
+    )
+    gate = F.pmod(
+        stable_hash60_expr(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+        ),
+        F.lit(buckets),
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(domain_col).alias("domain"),
+            gate.alias("_b"),
+        )
+        .join(F.broadcast(rates), "domain")
+        .where(F.col("_b") < F.col("thresh"))
+        .select("doc_id", "domain", "keep_rate")
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The BPE vocabulary-induction inner loop (Sennrich et al. 2016):
+    corpus-weighted adjacent character-pair frequencies — the argmax
+    pair is the next merge a tokenizer trainer would take. Returns the
+    ``top_k`` pairs as (pair, pair_count), deterministically ordered
+    by (count DESC, pair ASC) so the cut line never depends on engine
+    sort stability.
+
+    Scale: the heavy corpus pass is ONE map-side-combinable word-count
+    groupBy; pair expansion then runs over the (tiny) distinct-word
+    table, weighted by freq — at 100 TB the distinct vocabulary is
+    millions of rows, not trillions, so the quadratic-ish char
+    expansion never touches the raw corpus. Single-char words are
+    guarded BEFORE sequence() (Spark's sequence(1, 0) DESCENDS —
+    repo landmine #3)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    wf = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs_arr = F.when(
+        F.length("word") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.col("word").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        wf.select("freq", F.explode(pairs_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(top_k)
+    )

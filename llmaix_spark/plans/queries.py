@@ -1470,6 +1470,66 @@ WHERE {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':sample'")} % 10000
              ELSE 10000 END"""
 
 
+def q_domain_mixture(spark, sf_dir):
+    """Temperature-T=2 domain re-mixing over the language column (en
+    is ~3.4× over-represented at sf0.01): rates computed from corpus
+    statistics, applied through the deterministic hash gate. The
+    rarest domain keeps rate 1; en downsamples to sqrt(s_fr/s_en)."""
+    from llmaix_spark.operators.curation import domain_mixture
+
+    return domain_mixture(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOMAIN_MIXTURE = f"""
+WITH c AS (
+  SELECT lang AS domain, CAST(count(*) AS DOUBLE) AS n_d
+  FROM documents GROUP BY 1),
+t AS (SELECT sum(n_d) AS n_tot FROM c),
+w AS (SELECT domain, n_d,
+             sqrt(n_d / (SELECT n_tot FROM t)) AS w_raw FROM c),
+ws AS (SELECT sum(w_raw) AS w_sum FROM w),
+r AS (SELECT domain, n_d,
+             (w_raw / (SELECT w_sum FROM ws))
+             / (n_d / (SELECT n_tot FROM t)) AS ratio FROM w),
+m AS (SELECT max(ratio) AS mr FROM r),
+rates AS (
+  SELECT domain,
+         CAST(round(ratio / (SELECT mr FROM m) * 1000000) AS BIGINT)
+           AS thresh,
+         round(ratio / (SELECT mr FROM m), 6) AS keep_rate
+  FROM r)
+SELECT d.doc_id, rates.domain, rates.keep_rate
+FROM documents d JOIN rates ON d.lang = rates.domain
+WHERE {_HASH60_SQL.format(v="CAST(d.doc_id AS VARCHAR) || ':mix'")}
+      % 1000000 < rates.thresh"""
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """Top-20 corpus-weighted adjacent character pairs — the BPE
+    trainer's next-merge statistic. The heavy pass is one word-count
+    groupBy; pair expansion runs over the distinct vocabulary only."""
+    from llmaix_spark.operators.curation import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
+SQL_BPE_PAIR_COUNTS = r"""
+WITH wds AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> length(x) > 0)) AS word
+  FROM documents),
+wf AS (SELECT word, count(*) AS freq FROM wds GROUP BY 1),
+pos AS (
+  SELECT word, freq, unnest(range(1, length(word))) AS i
+  FROM wf WHERE length(word) >= 2),
+agg AS (
+  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair,
+         CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM pos GROUP BY 1)
+SELECT pair, pair_count FROM agg
+ORDER BY pair_count DESC, pair LIMIT 20"""
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation composition (repetition gates → LM-quality
     percentile band → hash split) — oracles the chain the way
@@ -3457,6 +3517,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_importance": q_dsir_importance,
     "dedup_lines": q_dedup_lines,
     "dup_ngram_spans": q_dup_ngram_spans,
+    "domain_mixture": q_domain_mixture,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "multimodal_features": q_multimodal_features,
     # rows-only
     "anonymizer_conversations": q_anonymizer,
@@ -3541,6 +3603,8 @@ ORACLES: dict[str, str] = {
     "dsir_importance": SQL_DSIR_IMPORTANCE,
     "dedup_lines": SQL_DEDUP_LINES,
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
+    "domain_mixture": SQL_DOMAIN_MIXTURE,
+    "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,

@@ -303,3 +303,38 @@ def test_stratified_sample_semantics(docs):
     }
     full_ids = {r["doc_id"] for r in got}
     assert half == {i for i in full_ids if i % 2 == 0}
+
+
+def test_domain_mixture_rates_and_gate(spark):
+    """Two domains at 4:1 — the rare one keeps rate 1.0, the common
+    one downsamples to sqrt(s_rare/s_common) = sqrt(1/4) = 0.5; the
+    hash gate keeps roughly that fraction and is deterministic."""
+    import math
+
+    from llmaix_spark.operators.curation import domain_mixture
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = domain_mixture(docs).collect()
+    rates = {r["domain"]: r["keep_rate"] for r in out}
+    assert rates["small"] == 1.0
+    assert rates["big"] == round(math.sqrt(100 / 400), 6) == 0.5
+    kept = {d: sum(1 for r in out if r["domain"] == d) for d in rates}
+    assert kept["small"] == 100          # rate-1 domain keeps everything
+    assert 160 <= kept["big"] <= 240     # ~200 expected at rate 0.5
+    # deterministic: same input -> identical surviving id set
+    again = {r["doc_id"] for r in domain_mixture(docs).collect()}
+    assert again == {r["doc_id"] for r in out}
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """freq-weighted: 'ab'×3 + 'abc'×1 contribute ab=4, bc=1; the
+    single-char word contributes nothing (and must not trip Spark's
+    descending sequence(1, 0))."""
+    from llmaix_spark.operators.curation import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "b ab")], "doc_id bigint, text string"
+    )
+    got = [(r["pair"], r["pair_count"]) for r in bpe_pair_counts(docs).collect()]
+    assert got == [("ab", 4), ("bc", 1)]
