@@ -1,0 +1,94 @@
+"""One-pass table profiling (the data-quality step a curation
+pipeline runs before trusting a new drop of 100 TB): per column —
+null count, exact distinct count, min/max (numeric and string kept in
+typed fields).
+
+Plan shape: ONE aggregate over the table produces a single wide row
+(all per-column statistics as separate aggregate expressions — the
+multiple count(DISTINCT) compile to one Expand + partial aggregation,
+so the input is still scanned exactly once), then a driver-free
+``stack`` unpivots the row into one row per column. At 100 TB the
+exact-distinct Expand multiplies shuffle rows by the number of
+profiled columns; for a quick look, swap ``exact_distinct=False`` to
+approx_count_distinct (single pass, no Expand, ~2% HLL error — not
+oracle-comparable, which is why the oracled query keeps exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Profile ``columns`` (default: all) of ``df``. Returns one row
+    per column: (column_name, n_rows, n_nulls, n_distinct, min_num,
+    max_num, min_str, max_str) — numeric columns fill the *_num pair
+    (as DOUBLE), everything else the *_str pair; the unused pair is
+    typed NULL."""
+    fields = [
+        (f.name, isinstance(f.dataType, NumericType))
+        for f in df.schema.fields
+        if columns is None or f.name in columns
+    ]
+    if not fields:
+        raise ValueError("profile_columns: no columns selected")
+
+    distinct_agg = F.countDistinct if exact_distinct else (
+        lambda c: F.approx_count_distinct(c)
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__rows")]
+    for name, is_num in fields:
+        c = F.col(name)
+        aggs.append(
+            F.sum(F.when(c.isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{name}__nulls")
+        )
+        aggs.append(
+            distinct_agg(c).cast("bigint").alias(f"{name}__distinct")
+        )
+        if is_num:
+            aggs.append(F.min(c).cast("double").alias(f"{name}__minn"))
+            aggs.append(F.max(c).cast("double").alias(f"{name}__maxn"))
+        else:
+            aggs.append(
+                F.min(c).cast("string").alias(f"{name}__mins")
+            )
+            aggs.append(
+                F.max(c).cast("string").alias(f"{name}__maxs")
+            )
+    wide = df.agg(*aggs)
+
+    parts = []
+    for name, is_num in fields:
+        minn = f"`{name}__minn`" if is_num else "CAST(NULL AS DOUBLE)"
+        maxn = f"`{name}__maxn`" if is_num else "CAST(NULL AS DOUBLE)"
+        mins = "CAST(NULL AS STRING)" if is_num else f"`{name}__mins`"
+        maxs = "CAST(NULL AS STRING)" if is_num else f"`{name}__maxs`"
+        parts.append(
+            f"'{name}', `{name}__nulls`, `{name}__distinct`, "
+            f"{minn}, {maxn}, {mins}, {maxs}"
+        )
+    stack = (
+        f"stack({len(fields)}, {', '.join(parts)}) AS "
+        "(column_name, n_nulls, n_distinct, min_num, max_num, "
+        "min_str, max_str)"
+    )
+    return wide.select(
+        F.expr(stack), F.col("__rows").alias("n_rows")
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )

@@ -1530,6 +1530,42 @@ SELECT pair, pair_count FROM agg
 ORDER BY pair_count DESC, pair LIMIT 20"""
 
 
+def q_profile_columns(spark, sf_dir):
+    """One-pass table profile of ``documents``: per column — nulls,
+    exact distinct, typed min/max. ONE aggregate over the table (the
+    countDistincts compile to a single Expand + partial agg, so the
+    parquet is scanned exactly once), then a driver-free stack()
+    unpivot of the one wide row."""
+    from llmaix_spark.operators.profile import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "documents"))
+
+
+SQL_PROFILE_COLUMNS = """
+WITH d AS (SELECT * FROM documents)
+SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+       count(*) - count(doc_id) AS n_nulls,
+       count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS DOUBLE) AS min_num,
+       CAST(max(doc_id) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM d
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars),
+       count(DISTINCT n_chars), CAST(min(n_chars) AS DOUBLE),
+       CAST(max(n_chars) AS DOUBLE), NULL, NULL FROM d
+UNION ALL
+SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+       NULL, NULL, min(text), max(text) FROM d
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+       NULL, NULL, min(lang), max(lang) FROM d
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source),
+       count(DISTINCT source), NULL, NULL, min(source), max(source)
+FROM d"""
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation composition (repetition gates → LM-quality
     percentile band → hash split) — oracles the chain the way
@@ -3519,6 +3555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_ngram_spans": q_dup_ngram_spans,
     "domain_mixture": q_domain_mixture,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "profile_columns": q_profile_columns,
     "multimodal_features": q_multimodal_features,
     # rows-only
     "anonymizer_conversations": q_anonymizer,
@@ -3605,6 +3642,7 @@ ORACLES: dict[str, str] = {
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     "domain_mixture": SQL_DOMAIN_MIXTURE,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
+    "profile_columns": SQL_PROFILE_COLUMNS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,

@@ -1,0 +1,51 @@
+"""profile_columns: one-pass per-column statistics."""
+
+import pytest
+
+from llmaix_spark.operators.profile import profile_columns
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha", 2.5),
+            (2, None, 0.5),
+            (3, "beta", None),
+            (3, "alpha", 7.0),
+        ],
+        "id bigint, name string, score double",
+    )
+
+
+def test_profile_exact_values(tbl):
+    rows = {r["column_name"]: r for r in profile_columns(tbl).collect()}
+    assert set(rows) == {"id", "name", "score"}
+    assert all(r["n_rows"] == 4 for r in rows.values())
+
+    rid = rows["id"]
+    assert (rid["n_nulls"], rid["n_distinct"]) == (0, 3)
+    assert (rid["min_num"], rid["max_num"]) == (1.0, 3.0)
+    assert rid["min_str"] is None and rid["max_str"] is None
+
+    rname = rows["name"]
+    assert (rname["n_nulls"], rname["n_distinct"]) == (1, 2)
+    assert (rname["min_str"], rname["max_str"]) == ("alpha", "beta")
+    assert rname["min_num"] is None and rname["max_num"] is None
+
+    rscore = rows["score"]
+    assert (rscore["n_nulls"], rscore["n_distinct"]) == (1, 3)
+    assert (rscore["min_num"], rscore["max_num"]) == (0.5, 7.0)
+
+
+def test_profile_column_subset_and_approx(tbl):
+    out = profile_columns(tbl, columns=["name"], exact_distinct=False)
+    rows = out.collect()
+    assert [r["column_name"] for r in rows] == ["name"]
+    # HLL at cardinality 2 is exact
+    assert rows[0]["n_distinct"] == 2
+
+
+def test_profile_empty_selection_raises(tbl):
+    with pytest.raises(ValueError):
+        profile_columns(tbl, columns=["nope"])
