@@ -344,6 +344,101 @@ SELECT user_id,
 FROM x GROUP BY user_id"""
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: every click gets the nearest at-or-before view of
+    the same user (merge-join formulation — one union + one window
+    pass per user timeline, never a pairwise theta join). The view
+    side is pre-deduped per (user, ts) by max event_id so ties are
+    well-defined; the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
+    independent implementation of the same semantics."""
+    from llmaix_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").cast("bigint").alias("view_event_id"))
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").cast("bigint"), "user_id", "ts"
+    )
+    out = asof_join(clicks, views, on="ts", by=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+        "view_event_id",
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("view_us"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("ts_r").cast("timestamp"))).alias("lag_us"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH v AS (
+  SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+c AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, user_id, ts
+  FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+       v.view_event_id, epoch_us(v.ts) AS view_us,
+       epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts"""
+
+
+def q_events_range_join(spark, sf_dir):
+    """Range join: every error event opens a half-open 5-minute
+    incident window; count the same user's non-error events (and
+    their value total, in exact cents) inside it. Bucketized
+    equi-join — an interval hits ≤ 2 width-300s buckets, a point
+    exactly one, so each qualifying pair meets once and the plan is a
+    plain hash join, not a BroadcastNestedLoop theta join."""
+    from llmaix_spark.operators.asof import range_join
+
+    e = _t(spark, sf_dir, "events")
+    errs = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").cast("bigint").alias("err_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("win_start"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(300_000_000)).alias("win_end"),
+    )
+    pts = e.where(F.col("event_type") != "error").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    hits = range_join(
+        pts, errs, "p_us", "win_start", "win_end", by=["user_id"]
+    )
+    agg = hits.groupBy("err_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in_window"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    return errs.select("err_id", "user_id").join(agg, "err_id", "left").select(
+        "err_id",
+        "user_id",
+        F.coalesce("n_in_window", F.lit(0)).cast("bigint").alias("n_in_window"),
+        F.coalesce("sum_cents", F.lit(0)).cast("bigint").alias("sum_cents"),
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH err AS (
+  SELECT CAST(event_id AS BIGINT) AS err_id, user_id,
+         epoch_us(ts) AS s FROM events WHERE event_type = 'error'),
+pts AS (
+  SELECT user_id, epoch_us(ts) AS p,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type <> 'error')
+SELECT err.err_id, err.user_id,
+       CAST(count(pts.p) AS BIGINT) AS n_in_window,
+       CAST(coalesce(sum(pts.cents), 0) AS BIGINT) AS sum_cents
+FROM err LEFT JOIN pts
+  ON err.user_id = pts.user_id
+ AND pts.p >= err.s AND pts.p < err.s + 300000000
+GROUP BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # reference scalar kernels (P1/P5/P11/F1/F10, M3/M5, JN4)
 
@@ -3497,6 +3592,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_prev_next": q_window_prev_next,
     "events_json_k": q_events_json_k,
     "events_sessionize": q_events_sessionize,
+    "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
     "empty_predicate": q_empty_predicate,
     "id_gen": q_id_gen,
     "base_id_roundtrip": q_base_id_roundtrip,
@@ -3584,6 +3681,8 @@ ORACLES: dict[str, str] = {
     "window_prev_next": SQL_WINDOW_PREV_NEXT,
     "events_json_k": SQL_EVENTS_JSON,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_asof": SQL_EVENTS_ASOF,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "empty_predicate": SQL_EMPTY_PREDICATE,
     "id_gen": SQL_ID_GEN,
     "base_id_roundtrip": SQL_BASE_ID,
