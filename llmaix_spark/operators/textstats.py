@@ -9,7 +9,7 @@ winnowing-lite). Each is reproducible in ANSI SQL for the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from llmaix_spark.operators.linking import stable_hash60_expr
@@ -296,4 +296,60 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.round(mean_word_len(c), 6).alias("mean_word_len"),
         lang_id_expr(c).alias("lang_pred"),
         quality_score_expr(c).alias("quality"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classic TF-IDF keyword extraction: per document, the ``top_k``
+    terms by tf·ln(N/df), tie-broken lexicographically. Score is
+    ROUNDED to 6dp before ranking so rank boundaries are identical
+    across engines (repo oracle rule: threshold on the rounded value).
+
+    Plan: tf = one map-side-combinable groupBy(doc, word) over the
+    exploded corpus; df = groupBy(word) over the ALREADY-AGGREGATED tf
+    table (rows are unique per (doc, word), so count(*) == document
+    frequency — no second corpus pass); N rides a 1-row broadcast
+    cross join. The idf join keys on word — a Zipf-skewed key, but the
+    probe side is the tf table (≤ one row per doc·word) and AQE's
+    skew-join split handles a stopword's partition at scale; the final
+    per-doc top-k window partitions on doc_id (doc-bounded state).
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    n = docs.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "rank", "term", "tf", "score")
     )

@@ -1625,6 +1625,35 @@ SELECT pair, pair_count FROM agg
 ORDER BY pair_count DESC, pair LIMIT 20"""
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords (tf·ln(N/df), 6dp-rounded before
+    ranking, ties broken lexicographically)."""
+    return ts.tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> length(x) > 0)) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln((SELECT n_docs FROM n) / dfq.df), 6) AS score
+  FROM tf JOIN dfq USING (term)),
+r AS (
+  SELECT doc_id, term, tf, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS BIGINT)
+           AS rank
+  FROM scored)
+SELECT doc_id, rank, term, tf, score FROM r WHERE rank <= 3"""
+
+
 def q_profile_columns(spark, sf_dir):
     """One-pass table profile of ``documents``: per column — nulls,
     exact distinct, typed min/max. ONE aggregate over the table (the
@@ -3653,6 +3682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mixture": q_domain_mixture,
     "bpe_pair_counts": q_bpe_pair_counts,
     "profile_columns": q_profile_columns,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "multimodal_features": q_multimodal_features,
     # rows-only
     "anonymizer_conversations": q_anonymizer,
@@ -3742,6 +3772,7 @@ ORACLES: dict[str, str] = {
     "domain_mixture": SQL_DOMAIN_MIXTURE,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "profile_columns": SQL_PROFILE_COLUMNS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
