@@ -92,3 +92,46 @@ def profile_columns(
         "min_str",
         "max_str",
     )
+
+
+def profile_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group distribution profile of a numeric column: count, an
+    explicit sum/count mean (engine-internal avg() accumulation
+    differs across engines; an exact integer sum followed by one
+    double division does not), and interpolated quantiles at
+    ``probs`` — percentile_cont semantics, (n−1)·q rank interpolation,
+    rounded to 6dp.
+
+    ``exact=True`` uses Spark's sort-based exact percentile: per-group
+    state holds the group's value multiset, which is the
+    oracle-comparable path but memory-bound at 100 TB. The scale path
+    is ``exact=False`` → approx_percentile (bounded-error sketch,
+    mergeable map-side, constant memory) — same schema, ±accuracy
+    tolerance, not value-oracled."""
+    by = list(by or [])
+    v = F.col(value_col)
+    plist = list(probs)
+    qfn = F.percentile if exact else (
+        lambda c, p: F.approx_percentile(c, p, F.lit(10_000))
+    )
+    aggs = [
+        F.count(v).cast("bigint").alias("n"),
+        F.round(
+            F.sum(v).cast("double") / F.count(v).cast("double"), 6
+        ).alias("mean"),
+        qfn(v, F.lit(plist)).alias("__qs"),
+    ]
+    out = df.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+    qcols = [
+        F.round(F.col("__qs").getItem(i).cast("double"), 6).alias(
+            f"q{int(round(p * 100)):02d}"
+        )
+        for i, p in enumerate(plist)
+    ]
+    return out.select(*by, "n", "mean", *qcols)

@@ -1625,6 +1625,27 @@ SELECT pair, pair_count FROM agg
 ORDER BY pair_count DESC, pair LIMIT 20"""
 
 
+def q_profile_quantiles(spark, sf_dir):
+    """Per-language distribution profile of n_chars: count, explicit
+    sum/count mean, exact interpolated quantiles (percentile_cont
+    semantics both engines, 6dp)."""
+    from llmaix_spark.operators.profile import profile_quantiles
+
+    return profile_quantiles(
+        _t(spark, sf_dir, "documents"), "n_chars", by=["lang"]
+    )
+
+
+SQL_PROFILE_QUANTILES = """
+SELECT lang, CAST(count(n_chars) AS BIGINT) AS n,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6) AS mean,
+       round(quantile_cont(n_chars, 0.25), 6) AS q25,
+       round(quantile_cont(n_chars, 0.5), 6) AS q50,
+       round(quantile_cont(n_chars, 0.75), 6) AS q75,
+       round(quantile_cont(n_chars, 0.95), 6) AS q95
+FROM documents GROUP BY lang"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-doc top-3 TF-IDF keywords (tf·ln(N/df), 6dp-rounded before
     ranking, ties broken lexicographically)."""
@@ -3683,6 +3704,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "profile_columns": q_profile_columns,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "profile_quantiles": q_profile_quantiles,
     "multimodal_features": q_multimodal_features,
     # rows-only
     "anonymizer_conversations": q_anonymizer,
@@ -3773,6 +3795,7 @@ ORACLES: dict[str, str] = {
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "profile_columns": SQL_PROFILE_COLUMNS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "profile_quantiles": SQL_PROFILE_QUANTILES,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,

@@ -49,3 +49,29 @@ def test_profile_column_subset_and_approx(tbl):
 def test_profile_empty_selection_raises(tbl):
     with pytest.raises(ValueError):
         profile_columns(tbl, columns=["nope"])
+
+
+def test_profile_quantiles_exact_and_approx(spark):
+    from llmaix_spark.operators.profile import profile_quantiles
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(10)] + [("h", 5), ("h", 7)],
+        "grp string, x bigint",
+    )
+    rows = {
+        r["grp"]: r
+        for r in profile_quantiles(df, "x", by=["grp"]).collect()
+    }
+    g = rows["g"]
+    # 0..9: (n-1)*q interpolation
+    assert (g["n"], g["mean"]) == (10, 4.5)
+    assert (g["q25"], g["q50"], g["q75"], g["q95"]) == (2.25, 4.5, 6.75, 8.55)
+    h = rows["h"]
+    assert (h["n"], h["q50"]) == (2, 6.0)
+
+    approx = {
+        r["grp"]: r
+        for r in profile_quantiles(df, "x", by=["grp"], exact=False).collect()
+    }
+    # sketch is exact at this cardinality but lands on real values
+    assert approx["g"]["q50"] in (4.0, 5.0)
