@@ -2919,6 +2919,39 @@ def q_kg_pipeline_nodes(spark, sf_dir):
     )
 
 
+def q_kg_triangles(spark, sf_dir):
+    """Per-node triangle counts over the undirected surface-pair
+    graph of the extracted triples (degree-oriented compact-forward
+    enumeration; the oracle brute-forces the 3-way join — two
+    independent algorithms must agree)."""
+    from llmaix_spark.operators.graph import triangle_counts
+
+    return triangle_counts(
+        q_kg_triples(spark, sf_dir), src="subj", dst="obj"
+    )
+
+
+SQL_KG_TRIANGLES = f"""
+WITH t AS ({SQL_KG_TRIPLES}),
+e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+      FROM t WHERE subj <> obj),
+nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri),
+c AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM corners GROUP BY 1)
+SELECT nodes.node,
+       CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM nodes LEFT JOIN c USING (node)"""
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (3 iters, d=0.85) over the pipeline's
     materialized edge graph — the first downstream KG-consumer query
@@ -3709,6 +3742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only
     "anonymizer_conversations": q_anonymizer,
     "kg_pagerank": q_kg_pagerank,
+    "kg_triangles": q_kg_triangles,
     "kg_pipeline_edges": q_kg_pipeline_edges,
     "kg_canonical_triples": q_kg_canonical_triples,
     "kg_pipeline_nodes": q_kg_pipeline_nodes,
@@ -3800,6 +3834,7 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
     "kg_pagerank": SQL_KG_PAGERANK,
+    "kg_triangles": SQL_KG_TRIANGLES,
     "kg_pipeline_edges": SQL_KG_PIPELINE_EDGES,
     "kg_pipeline_nodes": SQL_KG_PIPELINE_NODES,
     "extraction_stub": SQL_EXTRACTION_STUB,
