@@ -727,3 +727,42 @@ def bpe_pair_counts(
         .orderBy(F.col("pair_count").desc(), F.col("pair"))
         .limit(top_k)
     )
+
+
+def sample_k_per_group(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "topk",
+) -> DataFrame:
+    """Exact-size deterministic sample: the ``k`` rows of each group
+    whose salted content hash ranks smallest — the eval-set carving
+    primitive (stratified_sample/domain_mixture are RATE-based and
+    only approximate the requested size; this is exact, and still
+    stable under reruns because rank position depends only on each
+    row's own hash). Ties are impossible (the hash includes the
+    unique id), so the cut line is well-defined.
+
+    Scale: one shuffle on the group key; per-group window state is
+    O(1) (a running count). For few groups × huge rows-per-group the
+    single-reducer-per-group window is the bottleneck — at that shape
+    switch to a two-phase top-k (per-partition k-smallest, then
+    merge), which this hash-rank formulation supports unchanged.
+    """
+    from pyspark.sql import Window
+
+    h = stable_hash60_expr(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("_h").asc())
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).alias("grp"),
+            h.alias("_h"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "grp", "rk")
+    )

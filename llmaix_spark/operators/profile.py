@@ -135,3 +135,40 @@ def profile_quantiles(
         for i, p in enumerate(plist)
     ]
     return out.select(*by, "n", "mean", *qcols)
+
+
+def profile_histogram(
+    df: DataFrame,
+    value_col: str,
+    bin_width: int = 100,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: value v lands in
+    bin floor(v / width), clamped into [0, n_bins-1] so outliers pile
+    into the edge bins instead of growing the output. Returns one row
+    per OCCUPIED bin: (bin, lo, n, v_min, v_max) — lo is the bin's
+    nominal lower bound (edge bins can hold values outside
+    [lo, lo+width) by construction). One map-side-combinable
+    aggregation; output is at most n_bins rows regardless of input
+    size."""
+    v = F.col(value_col)
+    b = F.greatest(
+        F.lit(0),
+        F.least(F.floor(v / F.lit(int(bin_width))), F.lit(int(n_bins) - 1)),
+    ).cast("bigint")
+    return (
+        df.where(v.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(v).cast("bigint").alias("v_min"),
+            F.max(v).cast("bigint").alias("v_max"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * int(bin_width)).cast("bigint").alias("lo"),
+            "n",
+            "v_min",
+            "v_max",
+        )
+    )

@@ -1646,6 +1646,49 @@ SELECT lang, CAST(count(n_chars) AS BIGINT) AS n,
 FROM documents GROUP BY lang"""
 
 
+def q_profile_histogram(spark, sf_dir):
+    """Fixed-width histogram of n_chars (width 100, 20 bins, outliers
+    clamped into the edge bins)."""
+    from llmaix_spark.operators.profile import profile_histogram
+
+    return profile_histogram(_t(spark, sf_dir, "documents"), "n_chars")
+
+
+SQL_PROFILE_HISTOGRAM = """
+WITH b AS (
+  SELECT greatest(0, least(CAST(floor(n_chars / 100) AS BIGINT), 19))
+           AS bin,
+         n_chars
+  FROM documents WHERE n_chars IS NOT NULL)
+SELECT bin, CAST(bin * 100 AS BIGINT) AS lo,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(n_chars) AS BIGINT) AS v_min,
+       CAST(max(n_chars) AS BIGINT) AS v_max
+FROM b GROUP BY bin"""
+
+
+def q_sample_k_per_group(spark, sf_dir):
+    """Exact-k eval-carving sample: the 40 docs per language whose
+    salted hash ranks smallest — size-exact (unlike the rate-based
+    stratified_sample) and rerun-stable."""
+    from llmaix_spark.operators.curation import sample_k_per_group
+
+    return sample_k_per_group(_t(spark, sf_dir, "documents"), k=40)
+
+
+SQL_SAMPLE_K_PER_GROUP = f"""
+WITH h AS (
+  SELECT doc_id, lang AS grp,
+         {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':topk'")} AS hh
+  FROM documents),
+r AS (
+  SELECT doc_id, grp,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY hh) AS BIGINT)
+           AS rk
+  FROM h)
+SELECT doc_id, grp, rk FROM r WHERE rk <= 40"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-doc top-3 TF-IDF keywords (tf·ln(N/df), 6dp-rounded before
     ranking, ties broken lexicographically)."""
@@ -3738,6 +3781,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_columns": q_profile_columns,
     "tfidf_top_terms": q_tfidf_top_terms,
     "profile_quantiles": q_profile_quantiles,
+    "profile_histogram": q_profile_histogram,
+    "sample_k_per_group": q_sample_k_per_group,
     "multimodal_features": q_multimodal_features,
     # rows-only
     "anonymizer_conversations": q_anonymizer,
@@ -3830,6 +3875,8 @@ ORACLES: dict[str, str] = {
     "profile_columns": SQL_PROFILE_COLUMNS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "profile_quantiles": SQL_PROFILE_QUANTILES,
+    "profile_histogram": SQL_PROFILE_HISTOGRAM,
+    "sample_k_per_group": SQL_SAMPLE_K_PER_GROUP,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,

@@ -338,3 +338,27 @@ def test_bpe_pair_counts_hand_computed(spark):
     )
     got = [(r["pair"], r["pair_count"]) for r in bpe_pair_counts(docs).collect()]
     assert got == [("ab", 4), ("bc", 1)]
+
+
+def test_sample_k_per_group_exact_and_stable(spark):
+    from llmaix_spark.operators.curation import sample_k_per_group
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = sample_k_per_group(docs, k=10).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert {g: len(v) for g, v in by_grp.items()} == {"a": 10, "b": 10}
+    assert {r["rk"] for r in by_grp["a"]} == set(range(1, 11))
+    # rerun-stable AND invariant to adding rows in another group
+    more = spark.createDataFrame(
+        rows + [(i, "c") for i in range(200, 260)],
+        "doc_id bigint, lang string",
+    )
+    again = {
+        r["doc_id"]
+        for r in sample_k_per_group(more, k=10).collect()
+        if r["grp"] == "a"
+    }
+    assert again == {r["doc_id"] for r in by_grp["a"]}

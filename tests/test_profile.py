@@ -75,3 +75,16 @@ def test_profile_quantiles_exact_and_approx(spark):
     }
     # sketch is exact at this cardinality but lands on real values
     assert approx["g"]["q50"] in (4.0, 5.0)
+
+
+def test_profile_histogram_clamps_edges(spark):
+    from llmaix_spark.operators.profile import profile_histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5, 0, 99, 100, 150, 5000, None]], "x bigint"
+    )
+    rows = {r["bin"]: r for r in profile_histogram(df, "x", 100, 3).collect()}
+    assert rows[0]["n"] == 3 and rows[0]["v_min"] == -5   # -5 clamped in
+    assert rows[1]["n"] == 2 and rows[1]["lo"] == 100
+    assert rows[2]["n"] == 1 and rows[2]["v_max"] == 5000  # clamp to last
+    assert set(rows) == {0, 1, 2}
