@@ -898,3 +898,50 @@ def ivf_topk(
         )
     )
     return _topk_per_query(scored, k)
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4× memory / I/O
+    reduction that keeps a 100 TB ANN index resident: each vector
+    stores scale = max|x|/127 plus codes round(x/scale), so the
+    largest-magnitude component maps to ±127 exactly and
+    reconstruction error per component is ≤ scale/2. All-zero vectors
+    get scale 0 and all-zero codes (no 0/0 NaN). Returns
+    (vec_id, qvec array<bigint>, scale) — a narrow one-pass
+    projection, no shuffle, no UDF.
+
+    Both the cast vector and the derived scale are BOUND as lambda
+    variables (functions/arrays.py rationale, landmine #2): a
+    computed scalar referenced inside transform() is otherwise
+    re-inlined per element, turning the O(dim) code pass into
+    O(dim²) amax re-aggregations."""
+    from llmaix_spark.functions.arrays import bind_array
+
+    def build(v):
+        amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+
+        def with_scale(sa):
+            s = F.element_at(sa, 1)  # bound: O(1) per access
+            zeros = F.transform(v, lambda x: F.lit(0).cast("bigint"))
+            codes = F.transform(
+                v, lambda x: F.round(x / s, 0).cast("bigint")
+            )
+            return F.struct(
+                F.when(s == 0, zeros).otherwise(codes).alias("qvec"),
+                s.alias("scale"),
+            )
+
+        return bind_array(F.array(amax / F.lit(127.0)), with_scale)
+
+    res = bind_array(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")), build
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        res.getField("qvec").alias("qvec"),
+        res.getField("scale").alias("scale"),
+    )

@@ -1718,6 +1718,42 @@ r AS (
 SELECT doc_id, rank, term, tf, score FROM r WHERE rank <= 3"""
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 quantization of every embedding, exploded to
+    (vec_id, pos, q, scale) long form so the integer codes compare
+    exactly across engines."""
+    from llmaix_spark.operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.posexplode("qvec").alias("pos", "q"),
+        F.round("scale", 9).alias("scale"),
+    ).select(
+        "vec_id", F.col("pos").cast("bigint").alias("pos"), "q", "scale"
+    )
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e),
+u AS (
+  SELECT vec_id, scale,
+         generate_subscripts(v, 1) AS pos1, unnest(v) AS x
+  FROM s)
+SELECT vec_id, CAST(pos1 - 1 AS BIGINT) AS pos,
+       CAST(CASE WHEN scale = 0 THEN 0
+                 ELSE round(x / scale, 0) END AS BIGINT) AS q,
+       round(scale, 9) AS scale
+FROM u"""
+
+
 def q_profile_columns(spark, sf_dir):
     """One-pass table profile of ``documents``: per column — nulls,
     exact distinct, typed min/max. ONE aggregate over the table (the
@@ -3783,6 +3819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_quantiles": q_profile_quantiles,
     "profile_histogram": q_profile_histogram,
     "sample_k_per_group": q_sample_k_per_group,
+    "quantize_embeddings": q_quantize_embeddings,
     "multimodal_features": q_multimodal_features,
     # rows-only
     "anonymizer_conversations": q_anonymizer,
@@ -3877,6 +3914,7 @@ ORACLES: dict[str, str] = {
     "profile_quantiles": SQL_PROFILE_QUANTILES,
     "profile_histogram": SQL_PROFILE_HISTOGRAM,
     "sample_k_per_group": SQL_SAMPLE_K_PER_GROUP,
+    "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,

@@ -618,3 +618,45 @@ def test_pagerank_empty_and_uniform_cycle(spark):
     )
     got = {r["entity_id"]: r["pagerank"] for r in pagerank(cyc).collect()}
     assert got == {"a": 0.333333, "b": 0.333333, "c": 0.333333}
+
+
+def test_quantize_embeddings_properties(spark, sf_dir):
+    """Largest component maps to ±127 exactly; reconstruction error
+    ≤ scale/2 per component; all-zero vector quantizes to zeros with
+    scale 0; quantized cosine top-10 agrees ≥90% with exact top-10."""
+    import numpy as np
+
+    from llmaix_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    zero = spark.createDataFrame(
+        [(10**9, [0.0] * len(emb.first()["embedding"]), 0)],
+        emb.schema,
+    )
+    rows = quantize_embeddings(emb.unionByName(zero)).collect()
+    raw = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.unionByName(zero).collect()}
+    X, Q = [], []
+    for r in rows:
+        q = np.array(r["qvec"], dtype=np.int64)
+        x = raw[r["vec_id"]]
+        if r["vec_id"] == 10**9:
+            assert r["scale"] == 0.0 and not q.any()
+            continue
+        assert np.abs(q).max() == 127
+        assert np.abs(x - q * r["scale"]).max() <= r["scale"] / 2 + 1e-12
+        X.append(x)
+        Q.append(q * r["scale"])
+    X, Q = np.array(X), np.array(Q)
+
+    def topk(M, k=10):
+        S = M @ M.T / (
+            np.linalg.norm(M, axis=1)[:, None]
+            * np.linalg.norm(M, axis=1)[None, :]
+        )
+        np.fill_diagonal(S, -np.inf)
+        return np.argsort(-S, axis=1)[:, :k]
+    hits = sum(
+        len(set(a) & set(b)) for a, b in zip(topk(X), topk(Q))
+    )
+    assert hits / (len(X) * 10) >= 0.9
