@@ -196,3 +196,38 @@ def triangle_counts(
         "node",
         F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
     )
+
+
+def two_hop_counts(
+    edges: DataFrame,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+) -> DataFrame:
+    """Per-node count of distinct nodes within ≤ 2 undirected hops
+    (self excluded) — the KG "local neighborhood size" statistic that
+    separates hub entities from leaf mentions. One wedge self-join on
+    the directed adjacency (same O(Σ deg²) bound as triangle
+    counting, and the same skew caveat: a celebrity hub's wedge set
+    is deg² — cap or sample hot nodes upstream if the degree
+    distribution calls for it), then a distinct + count per node."""
+    e0 = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).where(
+        F.col(src).isNotNull()
+        & F.col(dst).isNotNull()
+        & (F.col(src) != F.col(dst))
+    )
+    adj = (
+        e0.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionAll(e0.select(F.col("y").alias("a"), F.col("x").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: 1-hop, 2 wedge sides
+    )
+    two = (
+        adj.select(F.col("a").alias("a"), F.col("b").alias("m"))
+        .join(adj.select(F.col("a").alias("m"), F.col("b").alias("c")), "m")
+        .select("a", F.col("c").alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    reach = adj.unionAll(two).distinct()
+    return reach.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_within_2hops")
+    )

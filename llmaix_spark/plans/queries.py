@@ -344,6 +344,84 @@ SELECT user_id,
 FROM x GROUP BY user_id"""
 
 
+def q_events_rolling(spark, sf_dir):
+    """Per-user rolling statistics over the event timeline: 4-row
+    trailing mean of value (exact cents arithmetic: sum of bigint
+    cents divided once) and the 600-second trailing event count via a
+    RANGE window on epoch seconds — both single-pass window
+    aggregates partitioned on user_id."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    wrows = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    wrange = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("cents").over(wrows).cast("double")
+            / F.count(F.lit(1)).over(wrows)
+            / 100.0,
+            6,
+        ).alias("trail4_mean"),
+        F.count(F.lit(1)).over(wrange).cast("bigint").alias("n_10min"),
+    )
+
+
+SQL_EVENTS_ROLLING = """
+WITH e AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+         epoch_us(ts) AS us,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events)
+SELECT event_id, user_id,
+       round(CAST(sum(cents) OVER wrows AS DOUBLE)
+             / count(*) OVER wrows / 100.0, 6) AS trail4_mean,
+       CAST(count(*) OVER wrange AS BIGINT) AS n_10min
+FROM e
+WINDOW wrows AS (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+       wrange AS (PARTITION BY user_id ORDER BY us
+                  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)"""
+
+
+def q_integrity_orphans(spark, sf_dir):
+    """Referential-integrity audit: orders whose o_custkey has no
+    customer row (left anti join — at scale a broadcast of the
+    key-projected dimension or an AQE shuffle join, never a full
+    dimension materialization driver-side). The fixture has no
+    natural orphans, so every 7th customer is deterministically
+    knocked out on BOTH sides to give the audit something to find."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 != 0)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+    )
+
+
+SQL_INTEGRITY_ORPHANS = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orphans
+FROM orders
+WHERE o_custkey NOT IN
+      (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0)
+GROUP BY 1"""
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join: every click gets the nearest at-or-before view of
     the same user (merge-join formulation — one union + one window
@@ -3031,6 +3109,79 @@ SELECT nodes.node,
 FROM nodes LEFT JOIN c USING (node)"""
 
 
+def q_kg_two_hop(spark, sf_dir):
+    """Distinct-neighborhood size within ≤2 undirected hops per
+    surface node — hub-vs-leaf separation on the triple graph."""
+    from llmaix_spark.operators.graph import two_hop_counts
+
+    return two_hop_counts(
+        q_kg_triples(spark, sf_dir), src="subj", dst="obj"
+    )
+
+
+SQL_KG_TWO_HOP = f"""
+WITH t AS ({SQL_KG_TRIPLES}),
+e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+      FROM t WHERE subj <> obj),
+adj AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e),
+two AS (
+  SELECT l.a AS a, r.b AS b
+  FROM adj l JOIN adj r ON l.b = r.a WHERE l.a <> r.b),
+reach AS (SELECT a, b FROM adj UNION SELECT a, b FROM two)
+SELECT a AS node, CAST(count(*) AS BIGINT) AS n_within_2hops
+FROM reach GROUP BY 1"""
+
+
+def q_chi2_crosstab(spark, sf_dir):
+    """lang × source contingency table with chi-square decomposition:
+    observed, expected = row·col/N, and the per-cell contribution
+    (obs−exp)²/exp. The corpus pass is ONE map-side-combinable cell
+    count; margins derive from the (tiny) cell table and join back
+    broadcast — the classic two-level aggregation, no second scan."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    rows_m = cells.groupBy("lang").agg(F.sum("n_obs").alias("r_tot"))
+    cols_m = cells.groupBy("source").agg(F.sum("n_obs").alias("c_tot"))
+    n = cells.agg(F.sum("n_obs").alias("n_tot"))
+    exp = (
+        F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n_tot")
+    )
+    return (
+        cells.join(F.broadcast(rows_m), "lang")
+        .join(F.broadcast(cols_m), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "n_obs",
+            F.round(exp, 6).alias("expected"),
+            F.round(
+                (F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp, 6
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+SQL_CHI2_CROSSTAB = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_obs
+  FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, sum(n_obs) AS r_tot FROM cells GROUP BY 1),
+c AS (SELECT source, sum(n_obs) AS c_tot FROM cells GROUP BY 1),
+n AS (SELECT sum(n_obs) AS n_tot FROM cells)
+SELECT cells.lang, cells.source, cells.n_obs,
+       round(CAST(r_tot AS DOUBLE) * c_tot / n_tot, 6) AS expected,
+       round((cells.n_obs - CAST(r_tot AS DOUBLE) * c_tot / n_tot)
+             * (cells.n_obs - CAST(r_tot AS DOUBLE) * c_tot / n_tot)
+             / (CAST(r_tot AS DOUBLE) * c_tot / n_tot), 6)
+         AS chi2_contrib
+FROM cells
+JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n"""
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (3 iters, d=0.85) over the pipeline's
     materialized edge graph — the first downstream KG-consumer query
@@ -3755,6 +3906,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_k": q_events_json_k,
     "events_sessionize": q_events_sessionize,
     "events_asof": q_events_asof,
+    "events_rolling": q_events_rolling,
+    "integrity_orphans": q_integrity_orphans,
     "events_range_join": q_events_range_join,
     "empty_predicate": q_empty_predicate,
     "id_gen": q_id_gen,
@@ -3825,6 +3978,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anonymizer_conversations": q_anonymizer,
     "kg_pagerank": q_kg_pagerank,
     "kg_triangles": q_kg_triangles,
+    "kg_two_hop": q_kg_two_hop,
+    "chi2_crosstab": q_chi2_crosstab,
     "kg_pipeline_edges": q_kg_pipeline_edges,
     "kg_canonical_triples": q_kg_canonical_triples,
     "kg_pipeline_nodes": q_kg_pipeline_nodes,
@@ -3850,6 +4005,8 @@ ORACLES: dict[str, str] = {
     "events_json_k": SQL_EVENTS_JSON,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_rolling": SQL_EVENTS_ROLLING,
+    "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "empty_predicate": SQL_EMPTY_PREDICATE,
     "id_gen": SQL_ID_GEN,
@@ -3920,6 +4077,8 @@ ORACLES: dict[str, str] = {
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
     "kg_pagerank": SQL_KG_PAGERANK,
     "kg_triangles": SQL_KG_TRIANGLES,
+    "kg_two_hop": SQL_KG_TWO_HOP,
+    "chi2_crosstab": SQL_CHI2_CROSSTAB,
     "kg_pipeline_edges": SQL_KG_PIPELINE_EDGES,
     "kg_pipeline_nodes": SQL_KG_PIPELINE_NODES,
     "extraction_stub": SQL_EXTRACTION_STUB,

@@ -31,3 +31,19 @@ def test_triangle_counts_triangle_free(spark):
     )
     got = triangle_counts(edges).collect()
     assert len(got) == 5 and all(r["n_triangles"] == 0 for r in got)
+
+
+def test_two_hop_counts_path_graph(spark):
+    """Path 1-2-3-4-5: node 3 reaches all 4 others within 2 hops,
+    the ends reach 2."""
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "4"), ("4", "5")],
+        "subj_id string, obj_id string",
+    )
+    got = dict(
+        (r["node"], r["n_within_2hops"])
+        for r in __import__(
+            "llmaix_spark.operators.graph", fromlist=["two_hop_counts"]
+        ).two_hop_counts(edges).collect()
+    )
+    assert got == {"1": 2, "2": 3, "3": 4, "4": 3, "5": 2}
