@@ -1,6 +1,6 @@
 """Graph analytics: triangle counting."""
 
-from llmaix_spark.operators.graph import triangle_counts
+from llmaix_spark.operators.graph import triangle_counts, two_hop_counts
 
 
 def test_triangle_counts_hand_computed(spark):
@@ -40,10 +40,8 @@ def test_two_hop_counts_path_graph(spark):
         [("1", "2"), ("2", "3"), ("3", "4"), ("4", "5")],
         "subj_id string, obj_id string",
     )
-    got = dict(
-        (r["node"], r["n_within_2hops"])
-        for r in __import__(
-            "llmaix_spark.operators.graph", fromlist=["two_hop_counts"]
-        ).two_hop_counts(edges).collect()
-    )
+    got = {
+        r["node"]: r["n_within_2hops"]
+        for r in two_hop_counts(edges).collect()
+    }
     assert got == {"1": 2, "2": 3, "3": 4, "4": 3, "5": 2}
