@@ -199,6 +199,109 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard self-join (PPJoin-family).
+
+    Same output contract as ngram_jaccard_pairs — every pair with
+    J ≥ threshold, no false negatives — but candidates come only from a
+    join on each record's *prefix* tokens instead of all tokens.
+
+    Prefix-filtering principle (Chaudhuri et al. 2006 / Xiao et al.
+    PPJoin): order every record's shingle set by one GLOBAL total order
+    (ascending document frequency, ties by shingle — rarest first) and
+    keep the first ``|x| - ceil(t*|x|) + 1`` shingles. For any pair with
+    J ≥ t the overlap is ≥ ceil(t/(1+t)·(|x|+|y|)) ≥ ceil(t·max(|x|,|y|)),
+    which exceeds both records' skipped-suffix sizes, so the two prefixes
+    must share a shingle. Joining on prefix shingles therefore finds
+    every qualifying pair; exact verification then removes false
+    positives — the result is bit-identical to the all-pairs join.
+
+    Scale notes (100 TB): the candidate join keys on the RAREST shingles
+    of each record (ascending-df order), so bucket sizes are the inverse
+    of the frequency skew — stopword shingles never become join keys
+    unless a record consists of nothing else. Prefix size is ~(1-t)·|x|,
+    so exchange volume is a (1-t) fraction of the full shingle table,
+    and the per-record window partitions by doc_id (bounded by document
+    length, never corpus-wide). The length filter (t·|x| ≤ |y| ≤ |x|/t)
+    prunes candidates before the verify join.
+    """
+    sh = (
+        word_shingles(docs, n, id_col, text_col)
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager=False)  # 3 consumers: freq, verify a/b
+    )
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # global canonical order: (df asc, shingle asc) is total, so every
+    # record ranks its shingles identically
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    wn = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(freq, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(w).alias("pos"),
+            F.count(F.lit(1)).over(wn).alias("n_sh"),
+        )
+    )
+    # round before ceil: float dust on t*n must not shorten the prefix
+    # (ceil(7.0000000000000009) = 8 would skip a required token)
+    alpha = F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 9))
+    prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - alpha + 1)
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    t = F.lit(threshold)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter — implied by J >= t, prunes before verify
+            & (F.col("b.n_sh") >= t * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= t * F.col("b.n_sh")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = (
+        common.join(
+            cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def doc_minhash_signatures(
     docs: DataFrame,
     n: int = 3,

@@ -231,3 +231,82 @@ def two_hop_counts(
     return reach.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_within_2hops")
     )
+
+
+def cooccurrence_pmi(
+    mentions: DataFrame,
+    group_col: str = "conv_id",
+    item_col: str = "surface",
+    min_df: int = 5,
+    min_pair: int = 2,
+    out_dp: int = 4,
+) -> DataFrame:
+    """Pointwise mutual information over item co-occurrence in groups.
+
+    The KG-linking signal "which entity pairs appear together more than
+    chance": PMI(a,b) = log10( P(a,b) / (P(a)·P(b)) ) with probabilities
+    over groups (documents/conversations). Input is any (group, item)
+    table; rows are deduplicated so presence is boolean per group.
+
+    Cross-engine contract: each log10 is rounded to 6dp BEFORE the
+    add/subtract (the dsir_importance trick — double log10 of the same
+    integer is then bit-identical in Spark and DuckDB), and the sum is
+    rounded to ``out_dp``.
+
+    Scale notes (100 TB): one distinct on (group, item); items below
+    ``min_df`` group-support are dropped BEFORE pairing (PMI is
+    meaningless for rare items and the filter bounds the pair fan-out);
+    the per-group pair join is quadratic in items-per-group — bounded
+    here by the mention gate upstream, cap per-group items for corpora
+    that don't bound it. Pair counts are map-side combinable; the two
+    marginal tables are vocabulary-sized and join on item keys; the
+    group total is a 1-row aggregate broadcast via crossJoin.
+    """
+    m = (
+        mentions.select(
+            F.col(group_col).alias("g"), F.col(item_col).alias("item")
+        )
+        .where(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: df-filter join, pairs
+    )
+    dfc = (
+        m.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    mf = m.join(dfc, "item").select("g", "item", "df")
+    n_groups = m.select("g").distinct().agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    a = mf.alias("a")
+    b = mf.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"),
+            F.col("b.item").alias("item_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair)
+    )
+
+    def l6(c):
+        return F.round(F.log10(c.cast("double")), 6)
+
+    return pairs.crossJoin(F.broadcast(n_groups)).select(
+        "item_a",
+        "item_b",
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        F.round(
+            l6(F.col("n_ab")) + l6(F.col("n_groups"))
+            - l6(F.col("df_a")) - l6(F.col("df_b")),
+            out_dp,
+        ).alias("pmi"),
+    )

@@ -970,6 +970,22 @@ FROM common JOIN cnt na ON da = na.doc_id JOIN cnt nb ON db = nb.doc_id
 WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5"""
 
 
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered exact Jaccard self-join (PPJoin-family): the
+    candidate join touches only each record's rarest
+    ``|x| - ceil(t*|x|) + 1`` shingles in the global (df, shingle)
+    order, then exact-verifies. The prefix-filtering principle makes
+    the output BIT-IDENTICAL to the all-pairs join, so the oracle is
+    deliberately the brute-force SQL twin (SQL_DEDUP_NGRAM) — two
+    independent algorithms must agree — while the Spark plan never
+    builds the quadratic join."""
+    return dd.jaccard_prefix_pairs(_t(spark, sf_dir, "documents"), 0.5)
+
+
+# identical-by-theorem to the brute-force result (see q docstring)
+SQL_DEDUP_JACCARD_PREFIX = SQL_DEDUP_NGRAM
+
+
 def q_dedup_minhash(spark, sf_dir):
     return dd.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), 0.5)
 
@@ -3133,6 +3149,46 @@ SELECT a AS node, CAST(count(*) AS BIGINT) AS n_within_2hops
 FROM reach GROUP BY 1"""
 
 
+def q_kg_cooccurrence(spark, sf_dir):
+    """PMI over token co-occurrence in documents — the KG-linking
+    "appears together more than chance" signal. Items are tokens of
+    length ≥ 4 (a 24-item universe at sf0.01, dense enough that the
+    marginals and pair counts are all non-trivial); df ≥ 5 and
+    pair-count ≥ 2 gates mirror the operator defaults. Each log10
+    rounds at 6dp BEFORE combining (bit-identical doubles across
+    engines — the dsir_importance contract), output 4dp."""
+    from llmaix_spark.operators.graph import cooccurrence_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.explode(F.split("text", " ")).alias("surface"),
+    ).filter(F.length("surface") >= 4)
+    return cooccurrence_pmi(m, "conv_id", "surface", min_df=5, min_pair=2)
+
+
+SQL_KG_COOCCURRENCE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+tok AS (SELECT doc_id, unnest(w) t FROM d),
+m AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) g, t AS item
+      FROM tok WHERE length(t) >= 4),
+dfc AS (SELECT item, count(*) AS df FROM m GROUP BY 1
+        HAVING count(*) >= 5),
+mf AS (SELECT g, m.item, df FROM m JOIN dfc USING (item)),
+n AS (SELECT count(DISTINCT g) AS n_groups FROM m),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         a.df AS df_a, b.df AS df_b, count(*) AS n_ab
+  FROM mf a JOIN mf b ON a.g = b.g AND a.item < b.item
+  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(round(log10(CAST(n_ab AS DOUBLE)), 6)
+             + round(log10(CAST(n_groups AS DOUBLE)), 6)
+             - round(log10(CAST(df_a AS DOUBLE)), 6)
+             - round(log10(CAST(df_b AS DOUBLE)), 6), 4) AS pmi
+FROM pairs CROSS JOIN n"""
+
+
 def q_chi2_crosstab(spark, sf_dir):
     """lang × source contingency table with chi-square decomposition:
     observed, expected = row·col/N, and the per-cell contribution
@@ -3922,6 +3978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "masking": q_masking,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -3979,6 +4036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pagerank": q_kg_pagerank,
     "kg_triangles": q_kg_triangles,
     "kg_two_hop": q_kg_two_hop,
+    "kg_cooccurrence": q_kg_cooccurrence,
     "chi2_crosstab": q_chi2_crosstab,
     "kg_pipeline_edges": q_kg_pipeline_edges,
     "kg_canonical_triples": q_kg_canonical_triples,
@@ -4021,6 +4079,7 @@ ORACLES: dict[str, str] = {
     "masking": SQL_MASKING,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    "dedup_jaccard_prefix": SQL_DEDUP_JACCARD_PREFIX,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
@@ -4078,6 +4137,7 @@ ORACLES: dict[str, str] = {
     "kg_pagerank": SQL_KG_PAGERANK,
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_two_hop": SQL_KG_TWO_HOP,
+    "kg_cooccurrence": SQL_KG_COOCCURRENCE,
     "chi2_crosstab": SQL_CHI2_CROSSTAB,
     "kg_pipeline_edges": SQL_KG_PIPELINE_EDGES,
     "kg_pipeline_nodes": SQL_KG_PIPELINE_NODES,

@@ -660,3 +660,43 @@ def test_quantize_embeddings_properties(spark, sf_dir):
         len(set(a) & set(b)) for a, b in zip(topk(X), topk(Q))
     )
     assert hits / (len(X) * 10) >= 0.9
+
+
+def test_jaccard_prefix_identical_to_all_pairs(docs):
+    """Prefix-filtering must be EXACT: same pairs AND same jaccard
+    values as the brute-force join, at the default threshold and at a
+    non-dyadic one (exercises the round-before-ceil float guard)."""
+    for t in (0.5, 0.7):
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dd.ngram_jaccard_pairs(docs, t).collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dd.jaccard_prefix_pairs(docs, t).collect()
+        }
+        assert pref == exact
+    assert len(pref) > 0 or len(exact) == 0
+
+
+def test_jaccard_prefix_candidate_reduction(docs):
+    """The point of the operator: the prefix table the candidate join
+    consumes is materially smaller than the full shingle table."""
+    sh = dd.word_shingles(docs, 3)
+    n_full = sh.count()
+    # rebuild the operator's prefix table shape inline
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    wn = Window.partitionBy("doc_id")
+    ranked = sh.join(freq, "shingle").select(
+        "doc_id",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n_sh"),
+    )
+    alpha = F.ceil(F.round(F.lit(0.5) * F.col("n_sh"), 9))
+    n_prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - alpha + 1
+    ).count()
+    assert 0 < n_prefix <= 0.6 * n_full

@@ -45,3 +45,51 @@ def test_two_hop_counts_path_graph(spark):
         for r in two_hop_counts(edges).collect()
     }
     assert got == {"1": 2, "2": 3, "3": 4, "4": 3, "5": 2}
+
+
+def test_cooccurrence_pmi_hand_computed(spark):
+    """4 groups; a appears in g1-g3, b in g1-g2, c only in g4.
+    With min_df=2, min_pair=1: only (a,b) survives with n_ab=2;
+    pmi = log10(2) + log10(4) - log10(3) - log10(2) = log10(4/3)."""
+    import math
+
+    from llmaix_spark.operators.graph import cooccurrence_pmi
+
+    m = spark.createDataFrame(
+        [
+            ("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"),
+            ("g3", "a"), ("g4", "c"), ("g1", "a"),  # dup row collapses
+        ],
+        "conv_id string, surface string",
+    )
+    rows = cooccurrence_pmi(
+        m, "conv_id", "surface", min_df=2, min_pair=1
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    want = round(
+        round(math.log10(2), 6) + round(math.log10(4), 6)
+        - round(math.log10(3), 6) - round(math.log10(2), 6),
+        4,
+    )
+    assert (r["item_a"], r["item_b"], r["n_ab"]) == ("a", "b", 2)
+    assert r["pmi"] == want
+
+
+def test_cooccurrence_pmi_min_gates(spark):
+    """min_df drops rare items BEFORE pairing; min_pair drops weak
+    pairs after counting."""
+    from llmaix_spark.operators.graph import cooccurrence_pmi
+
+    m = spark.createDataFrame(
+        [("g1", "x"), ("g1", "y"), ("g2", "x"), ("g2", "y"),
+         ("g3", "x"), ("g3", "z")],
+        "conv_id string, surface string",
+    )
+    # z has df=1 → gone at min_df=2; (x,y) n_ab=2 survives min_pair=2
+    got = cooccurrence_pmi(
+        m, "conv_id", "surface", min_df=2, min_pair=2
+    ).collect()
+    assert [(r["item_a"], r["item_b"], r["n_ab"]) for r in got] == [
+        ("x", "y", 2)
+    ]
