@@ -310,3 +310,76 @@ def cooccurrence_pmi(
             out_dp,
         ).alias("pmi"),
     )
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+    out_dp: int = 6,
+) -> DataFrame:
+    """Link prediction by common neighbors over the undirected graph.
+
+    For every NON-adjacent node pair sharing at least one neighbor,
+    returns the common-neighbor count and the neighborhood Jaccard
+    coefficient cn / (deg_a + deg_b - cn) — the classic "who should be
+    linked next" score a KG-completion consumer ranks by.
+
+    Scale notes (100 TB): one wedge self-join on the directed adjacency
+    (O(Σ deg²) like triangle counting — same celebrity-hub caveat: cap
+    or sample hot nodes upstream when the degree distribution demands
+    it); the direct-edge exclusion is a left-anti on the normalized
+    a<b edge set; degrees join back on node keys. Pair counts are
+    map-side combinable.
+    """
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: adjacency, anti-join
+    )
+    adj = (
+        e0.select("a", "b")
+        .unionAll(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=False)  # consumers: 2 wedge sides, degrees
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    wedge = (
+        adj.select(F.col("b").alias("m"), F.col("a").alias("x"))
+        .join(adj.select(F.col("a").alias("m"), F.col("b").alias("y")), "m")
+        .where(F.col("x") < F.col("y"))
+        .groupBy(
+            F.col("x").alias("node_a"), F.col("y").alias("node_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nonadj = wedge.join(
+        e0.select(F.col("a").alias("node_a"), F.col("b").alias("node_b")),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("db"))
+    return (
+        nonadj.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                out_dp,
+            ).alias("score"),
+        )
+    )

@@ -234,6 +234,49 @@ FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus"""
 
 
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP aggregation — per-(flag, status), per-flag subtotal and
+    grand total in ONE pass (Catalyst expands the grouping sets into a
+    single Expand + hash-aggregate, map-side combinable; never three
+    scans). Money sums go through bigint cents so every rollup level
+    is integer-exact cross-engine (the events_rolling cents contract —
+    super-aggregate double sums would drift in the last ulp); the
+    grouping level is exposed as the engine-agnostic
+    grouping(a)*2+grouping(b) bitmask."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("bigint")
+            .alias("grp_id"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(cents).alias("price_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "grp_id",
+            F.col("sum_qty").cast("bigint").alias("sum_qty"),
+            F.round(F.col("price_cents") / 100.0, 2).alias("sum_base_price"),
+            "n_rows",
+        )
+    )
+
+
+SQL_AGG_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grp_id,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS sum_base_price,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
 def q_join_top_orders(spark, sf_dir):
     # no broadcast hint: a forced broadcast of the segment slice is fine
     # at sf0.1 but overrides AQE's size check — at 100x the slice is GBs
@@ -396,6 +439,40 @@ WINDOW wrows AS (PARTITION BY user_id ORDER BY us, event_id
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
        wrange AS (PARTITION BY user_id ORDER BY us
                   RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)"""
+
+
+def q_events_funnel(spark, sf_dir):
+    """Conversion funnel view → click → purchase with a 1-day
+    conversion window: deepest stage per user with min-anchored
+    strictly-after semantics, counted per stage (90/35/25 users at
+    sf0.01 — every stage populated). Each step is one filtered scan +
+    a user_id equi-join + a map-side min — the chain reuses one hash
+    partitioning, no windows, no driver counts."""
+    from llmaix_spark.operators.events import funnel_stages
+
+    return funnel_stages(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        max_gap_us=86_400_000_000,
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH e AS (SELECT user_id u, epoch_us(ts) us, event_type et FROM events),
+s1 AS (SELECT u, min(us) t FROM e WHERE et = 'view' GROUP BY 1),
+s2 AS (SELECT e.u, min(us) t FROM e JOIN s1 ON e.u = s1.u AND e.us > s1.t
+       AND e.us <= s1.t + 86400000000
+       WHERE et = 'click' GROUP BY 1),
+s3 AS (SELECT e.u, min(us) t FROM e JOIN s2 ON e.u = s2.u AND e.us > s2.t
+       AND e.us <= s2.t + 86400000000
+       WHERE et = 'purchase' GROUP BY 1),
+stage AS (
+  SELECT u, CASE WHEN u IN (SELECT u FROM s3) THEN 3
+                 WHEN u IN (SELECT u FROM s2) THEN 2
+                 WHEN u IN (SELECT u FROM s1) THEN 1 ELSE 0 END st
+  FROM (SELECT DISTINCT u FROM e))
+SELECT CAST(st AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_users
+FROM stage GROUP BY 1"""
 
 
 def q_integrity_orphans(spark, sf_dir):
@@ -3149,6 +3226,39 @@ SELECT a AS node, CAST(count(*) AS BIGINT) AS n_within_2hops
 FROM reach GROUP BY 1"""
 
 
+def q_kg_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction on the triple graph: every
+    non-adjacent surface pair with a shared neighbor, scored by
+    neighborhood Jaccard — the KG-completion ranking. Oracle
+    brute-forces the wedge + exclusion independently."""
+    from llmaix_spark.operators.graph import common_neighbor_scores
+
+    return common_neighbor_scores(
+        q_kg_triples(spark, sf_dir), src="subj", dst="obj"
+    )
+
+
+SQL_KG_LINK_PREDICTION = f"""
+WITH t AS ({SQL_KG_TRIPLES}),
+e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+      FROM t WHERE subj <> obj),
+adj AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT a AS node, count(*) AS deg FROM adj GROUP BY 1),
+wedge AS (
+  SELECT l.a AS node_a, r.b AS node_b, count(*) AS n_common
+  FROM adj l JOIN adj r ON l.b = r.a AND l.a < r.b
+  GROUP BY 1, 2),
+nonadj AS (
+  SELECT w.* FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM e
+                    WHERE e.a = w.node_a AND e.b = w.node_b))
+SELECT node_a, node_b, CAST(n_common AS BIGINT) AS n_common,
+       round(n_common * 1.0 / (da.deg + db.deg - n_common), 6) AS score
+FROM nonadj
+JOIN deg da ON da.node = node_a
+JOIN deg db ON db.node = node_b"""
+
+
 def q_kg_cooccurrence(spark, sf_dir):
     """PMI over token co-occurrence in documents — the KG-linking
     "appears together more than chance" signal. Items are tokens of
@@ -3956,6 +4066,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples": q_kg_triples,
     "kg_entity_counts": q_kg_entity_counts,
     "agg_pricing_summary": q_agg_pricing_summary,
+    "agg_rollup": q_agg_rollup,
     "join_top_orders": q_join_top_orders,
     "window_customer_top3": q_window_customer_top3,
     "window_prev_next": q_window_prev_next,
@@ -3963,6 +4074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_asof": q_events_asof,
     "events_rolling": q_events_rolling,
+    "events_funnel": q_events_funnel,
     "integrity_orphans": q_integrity_orphans,
     "events_range_join": q_events_range_join,
     "empty_predicate": q_empty_predicate,
@@ -4037,6 +4149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triangles": q_kg_triangles,
     "kg_two_hop": q_kg_two_hop,
     "kg_cooccurrence": q_kg_cooccurrence,
+    "kg_link_prediction": q_kg_link_prediction,
     "chi2_crosstab": q_chi2_crosstab,
     "kg_pipeline_edges": q_kg_pipeline_edges,
     "kg_canonical_triples": q_kg_canonical_triples,
@@ -4057,6 +4170,7 @@ ORACLES: dict[str, str] = {
     "kg_triples": SQL_KG_TRIPLES,
     "kg_entity_counts": SQL_KG_ENTITY_COUNTS,
     "agg_pricing_summary": SQL_AGG_PRICING,
+    "agg_rollup": SQL_AGG_ROLLUP,
     "join_top_orders": SQL_JOIN_TOP_ORDERS,
     "window_customer_top3": SQL_WINDOW_TOP3,
     "window_prev_next": SQL_WINDOW_PREV_NEXT,
@@ -4064,6 +4178,7 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof": SQL_EVENTS_ASOF,
     "events_rolling": SQL_EVENTS_ROLLING,
+    "events_funnel": SQL_EVENTS_FUNNEL,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "empty_predicate": SQL_EMPTY_PREDICATE,
@@ -4138,6 +4253,7 @@ ORACLES: dict[str, str] = {
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_two_hop": SQL_KG_TWO_HOP,
     "kg_cooccurrence": SQL_KG_COOCCURRENCE,
+    "kg_link_prediction": SQL_KG_LINK_PREDICTION,
     "chi2_crosstab": SQL_CHI2_CROSSTAB,
     "kg_pipeline_edges": SQL_KG_PIPELINE_EDGES,
     "kg_pipeline_nodes": SQL_KG_PIPELINE_NODES,

@@ -93,3 +93,37 @@ def test_cooccurrence_pmi_min_gates(spark):
     assert [(r["item_a"], r["item_b"], r["n_ab"]) for r in got] == [
         ("x", "y", 2)
     ]
+
+
+def test_common_neighbor_scores_hand_computed(spark):
+    """Path 1-2-3 plus edge 2-4: non-adjacent pairs through hub 2 are
+    (1,3), (1,4), (3,4), each with 1 common neighbor; jaccard =
+    1/(deg_a + deg_b - 1). Pair (1,3) must survive even though 1 and
+    3 are ALSO connected through nothing else; adjacent pairs are
+    excluded."""
+    from llmaix_spark.operators.graph import common_neighbor_scores
+
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("2", "4")],
+        "subj_id string, obj_id string",
+    )
+    got = {
+        (r["node_a"], r["node_b"]): (r["n_common"], r["score"])
+        for r in common_neighbor_scores(edges).collect()
+    }
+    assert got == {
+        ("1", "3"): (1, 1.0),
+        ("1", "4"): (1, 1.0),
+        ("3", "4"): (1, 1.0),
+    }
+
+
+def test_common_neighbor_scores_excludes_adjacent(spark):
+    """Triangle 1-2-3: every pair is adjacent → empty result."""
+    from llmaix_spark.operators.graph import common_neighbor_scores
+
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("1", "3")],
+        "subj_id string, obj_id string",
+    )
+    assert common_neighbor_scores(edges).count() == 0
