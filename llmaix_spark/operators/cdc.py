@@ -1,0 +1,71 @@
+"""Change-data-capture apply: merge an upsert/delete feed into a snapshot.
+
+The batch twin of Delta/Iceberg MERGE and of streaming CDC apply-changes:
+given a base snapshot and a change feed (key, seq, op, payload...), emit
+the post-merge snapshot — last change per key wins, ``delete`` removes
+the row, ``upsert`` replaces the WHOLE payload (CDC row-image semantics,
+not per-column coalesce), unseen keys insert, untouched base rows pass
+through.
+
+Scale notes (100 TB):
+- One row_number window per key over the change feed (the feed is
+  orders of magnitude smaller than the snapshot; partitioned by key so
+  no global sort), then ONE full-outer equi-join on the key — the same
+  shape Delta's MERGE plans. With a bucketed base table the join is
+  shuffle-free on the snapshot side.
+- No driver-side state; the op never materializes keys outside the
+  join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Merge ``changes`` into ``base``; returns the new snapshot.
+
+    ``changes`` must carry ``key_cols``, ``seq_col`` (monotone per key;
+    ties broken by op then payload — supply unique seqs for
+    deterministic results), ``op_col`` in {'upsert', 'delete'}, and the
+    same payload columns as ``base``.
+    """
+    keys = list(key_cols)
+    payload = [c for c in base.columns if c not in keys]
+    missing = [c for c in payload if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes feed lacks payload columns {missing}")
+
+    # last change per key; the extra orderBy terms make ties total
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(seq_col), F.desc(op_col), *[F.desc(c) for c in payload]
+    )
+    latest = (
+        changes.select(*keys, seq_col, op_col, *payload)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", seq_col)
+    )
+    b = base.alias("b")
+    c = latest.alias("c")
+    # name-list join: Spark emits ONE coalesced key column per key
+    merged = b.join(c, keys, "full_outer")
+    has_change = F.col(f"c.{op_col}").isNotNull()
+    out_cols = [F.col(k) for k in keys] + [
+        F.when(has_change, F.col(f"c.{p}"))
+        .otherwise(F.col(f"b.{p}"))
+        .alias(p)
+        for p in payload
+    ]
+    return merged.filter(
+        ~has_change | (F.col(f"c.{op_col}") != F.lit("delete"))
+    ).select(*out_cols)

@@ -84,3 +84,68 @@ def funnel_stages(
     return staged.groupBy(F.col("stage").cast("bigint").alias("stage")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+def burst_buckets(
+    events: DataFrame,
+    bucket_s: int = 3600,
+    z_threshold: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    out_dp: int = 4,
+) -> DataFrame:
+    """Per-type burst detection: time buckets whose event count sits
+    more than ``z_threshold`` population standard deviations ABOVE the
+    type's mean bucket count.
+
+    Cross-engine exactness: the z² comparison is done in INTEGER
+    arithmetic — with k buckets, count sum S and square-sum Q per type,
+      z² > T²  ⟺  (n·k − S)² > T² · (Q·k − S²)
+    so the burst gate never touches a float (no stddev ulp drift can
+    flip a boundary bucket). The displayed z is then derived from the
+    same integers by one bigint→double division and an IEEE sqrt —
+    both correctly rounded, hence bit-identical across engines.
+
+    Scale notes (100 TB): two map-side-combinable aggregations
+    (bucket counts, then per-type moment sums); the per-type moment
+    table is tiny and joins back broadcast. The decimal(38,0) squares
+    hold to ~10¹⁹ bucket-count sums — beyond that, bucket coarser.
+    Only non-empty buckets participate (a type's silent hours don't
+    enter the mean — the operator measures burstiness of active
+    periods; densify upstream if zeros should count).
+    """
+    e = events.select(
+        F.col(type_col).alias("et"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+    ).select(
+        "et",
+        # integral `div` — no float quotient near bucket boundaries
+        F.expr(f"us div {bucket_s * 1_000_000}").alias("bucket"),
+    )
+    counts = e.groupBy("et", "bucket").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    moments = counts.groupBy("et").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum("n").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("decimal(38,0)").alias("q"),
+    )
+    j = counts.join(F.broadcast(moments), "et")
+    dev = F.col("n") * F.col("k") - F.col("s")  # k·(n − mean), scaled
+    var_k2 = F.col("q") * F.col("k") - F.col("s") * F.col("s")  # k²·var
+    t2 = F.lit(z_threshold * z_threshold)
+    return (
+        j.filter((dev > 0) & (dev * dev > t2 * var_k2))
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(
+                F.sqrt(
+                    (dev * dev).cast("double") / var_k2.cast("double")
+                ),
+                out_dp,
+            ).alias("z"),
+        )
+    )

@@ -329,6 +329,54 @@ SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
   FROM orders) WHERE rn <= 3"""
 
 
+def q_window_deciles(spark, sf_dir):
+    """Customer spend deciles WITHIN market segment: spend is the
+    bigint-cents sum of the customer's orders (integer-exact), the
+    decile is ntile(10) over the total order (spend, custkey) so ties
+    are deterministic cross-engine. Partitioned by segment — the
+    window never sees the whole corpus in one task (a GLOBAL ntile
+    would; partition or pre-bucket for global quantiles at scale —
+    profile_quantiles is that path)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    j = spend.join(
+        c.select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        "o_custkey",
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_custkey")
+    return j.select(
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        "c_mktsegment",
+        F.round(F.col("cents") / 100.0, 2).alias("spend"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
+
+
+SQL_WINDOW_DECILES = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1)
+SELECT CAST(o_custkey AS BIGINT) AS custkey, c_mktsegment,
+       round(cents / 100.0, 2) AS spend,
+       CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+                            ORDER BY cents, o_custkey) AS BIGINT)
+         AS decile
+FROM spend JOIN customer ON c_custkey = o_custkey"""
+
+
 def q_window_prev_next(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -475,6 +523,33 @@ SELECT CAST(st AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_users
 FROM stage GROUP BY 1"""
 
 
+def q_events_bursts(spark, sf_dir):
+    """Per-type hourly burst buckets at z > 2 — the anomaly surface of
+    the event stream. The burst gate is pure integer arithmetic
+    ((n·k−S)² > 4·(Q·k−S²), decimal(38,0) vs HUGEINT) so no stddev
+    float drift can flip a boundary bucket; the reported z comes from
+    one bigint→double division + IEEE sqrt, identical both engines."""
+    from llmaix_spark.operators.events import burst_buckets
+
+    return burst_buckets(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_BURSTS = """
+WITH e AS (SELECT event_type et, epoch_us(ts) // 3600000000 AS bucket
+           FROM events),
+counts AS (SELECT et, bucket, CAST(count(*) AS HUGEINT) n
+           FROM e GROUP BY 1, 2),
+m AS (SELECT et, CAST(count(*) AS HUGEINT) k, sum(n) s, sum(n * n) q
+      FROM counts GROUP BY 1)
+SELECT et AS event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n AS BIGINT) AS n_events,
+       round(sqrt(CAST((n * k - s) * (n * k - s) AS DOUBLE)
+                  / CAST(q * k - s * s AS DOUBLE)), 4) AS z
+FROM counts JOIN m USING (et)
+WHERE n * k - s > 0
+  AND (n * k - s) * (n * k - s) > 4 * (q * k - s * s)"""
+
+
 def q_integrity_orphans(spark, sf_dir):
     """Referential-integrity audit: orders whose o_custkey has no
     customer row (left anti join — at scale a broadcast of the
@@ -497,6 +572,86 @@ FROM orders
 WHERE o_custkey NOT IN
       (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0)
 GROUP BY 1"""
+
+
+def q_cdc_apply(spark, sf_dir):
+    """CDC merge: apply a deterministic upsert/delete feed to the
+    customer snapshot (last seq wins, delete removes, unseen keys
+    insert, full-row upsert semantics — the batch twin of Delta
+    MERGE / apply-changes). The feed is synthesized from the customer
+    table identically in both engines: %10==0 deletes, %10==1 upserts
+    (seq 1), %20==1 a SECOND upsert (seq 2 — exercises last-wins),
+    %50==3 inserts under new keys."""
+    from llmaix_spark.operators.cdc import apply_changes
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").cast("bigint").alias("custkey"),
+        "c_name",
+        F.col("c_acctbal").alias("bal"),
+    )
+    k = F.col("c_custkey").cast("bigint")
+    dels = c.where(k % 10 == 0).select(
+        k.alias("custkey"),
+        F.lit(1).alias("seq"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("bal"),
+    )
+    up1 = c.where(k % 10 == 1).select(
+        k.alias("custkey"),
+        F.lit(1).alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.col("c_name"), F.lit("#u1")).alias("c_name"),
+        (F.col("c_acctbal") + 100).alias("bal"),
+    )
+    up2 = c.where(k % 20 == 1).select(
+        k.alias("custkey"),
+        F.lit(2).alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.col("c_name"), F.lit("#u2")).alias("c_name"),
+        (F.col("c_acctbal") + 200).alias("bal"),
+    )
+    ins = c.where(k % 50 == 3).select(
+        (k + 1_000_000).alias("custkey"),
+        F.lit(1).alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.lit("new_"), k.cast("string")).alias("c_name"),
+        F.lit(1.5).alias("bal"),
+    )
+    changes = dels.unionAll(up1).unionAll(up2).unionAll(ins)
+    out = apply_changes(base, changes, ["custkey"])
+    return out.select(
+        "custkey", "c_name", F.round("bal", 2).alias("acctbal")
+    )
+
+
+SQL_CDC_APPLY = """
+WITH base AS (SELECT CAST(c_custkey AS BIGINT) k, c_name, c_acctbal bal
+              FROM customer),
+changes AS (
+  SELECT k AS custkey, 1 AS seq, 'delete' AS op,
+         CAST(NULL AS VARCHAR) AS c_name, CAST(NULL AS DOUBLE) AS bal
+  FROM base WHERE k % 10 = 0
+  UNION ALL
+  SELECT k, 1, 'upsert', c_name || '#u1', bal + 100
+  FROM base WHERE k % 10 = 1
+  UNION ALL
+  SELECT k, 2, 'upsert', c_name || '#u2', bal + 200
+  FROM base WHERE k % 20 = 1
+  UNION ALL
+  SELECT k + 1000000, 1, 'upsert', 'new_' || CAST(k AS VARCHAR), 1.5
+  FROM base WHERE k % 50 = 3),
+latest AS (
+  SELECT custkey, op, c_name, bal FROM (
+    SELECT *, row_number() OVER (PARTITION BY custkey
+                                 ORDER BY seq DESC) rn
+    FROM changes) WHERE rn = 1)
+SELECT k AS custkey, c_name, round(bal, 2) AS acctbal
+FROM base WHERE k NOT IN (SELECT custkey FROM latest)
+UNION ALL
+SELECT custkey, c_name, round(bal, 2) AS acctbal
+FROM latest WHERE op <> 'delete'"""
 
 
 def q_events_asof(spark, sf_dir):
@@ -4070,11 +4225,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_top_orders": q_join_top_orders,
     "window_customer_top3": q_window_customer_top3,
     "window_prev_next": q_window_prev_next,
+    "window_deciles": q_window_deciles,
     "events_json_k": q_events_json_k,
     "events_sessionize": q_events_sessionize,
     "events_asof": q_events_asof,
+    "cdc_apply": q_cdc_apply,
     "events_rolling": q_events_rolling,
     "events_funnel": q_events_funnel,
+    "events_bursts": q_events_bursts,
     "integrity_orphans": q_integrity_orphans,
     "events_range_join": q_events_range_join,
     "empty_predicate": q_empty_predicate,
@@ -4174,11 +4332,14 @@ ORACLES: dict[str, str] = {
     "join_top_orders": SQL_JOIN_TOP_ORDERS,
     "window_customer_top3": SQL_WINDOW_TOP3,
     "window_prev_next": SQL_WINDOW_PREV_NEXT,
+    "window_deciles": SQL_WINDOW_DECILES,
     "events_json_k": SQL_EVENTS_JSON,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof": SQL_EVENTS_ASOF,
+    "cdc_apply": SQL_CDC_APPLY,
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_bursts": SQL_EVENTS_BURSTS,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "empty_predicate": SQL_EMPTY_PREDICATE,
