@@ -255,7 +255,11 @@ def jaccard_prefix_pairs(
     # round before ceil: float dust on t*n must not shorten the prefix
     # (ceil(7.0000000000000009) = 8 would skip a required token)
     alpha = F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 9))
-    prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - alpha + 1)
+    # both sides of the candidate self-join consume the prefix table —
+    # materialize it once or the freq join + two Windows run twice
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - alpha + 1
+    ).localCheckpoint(eager=False)
     a = prefix.alias("a")
     b = prefix.alias("b")
     t = F.lit(threshold)
