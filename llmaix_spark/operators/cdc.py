@@ -69,3 +69,59 @@ def apply_changes(
     return merged.filter(
         ~has_change | (F.col(f"c.{op_col}") != F.lit("delete"))
     ).select(*out_cols)
+
+
+def scd2_history(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 historization of a CDC feed.
+
+    Emits one row per key VERSION: the payload plus ``valid_from``
+    (the seq that opened it), ``valid_to`` (the seq of the next change
+    — NULL while open) and ``is_current``. Base-snapshot rows enter as
+    version seq 0; an upsert closes the previous version and opens a
+    new one; a delete closes the previous version without opening
+    another (a key whose last change is a delete has NO current row).
+
+    Plan shape: union(base-as-seq-0, feed) → ONE lead() window per key
+    ordered by seq → drop the delete markers. No joins at all — the
+    history is derived entirely from the per-key ordering, so the op
+    scales as one exchange on the key hash.
+    """
+    keys = list(key_cols)
+    payload = [c for c in base.columns if c not in keys]
+    missing = [c for c in payload if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes feed lacks payload columns {missing}")
+    versions = base.select(
+        *keys,
+        F.lit(0).cast("bigint").alias("_seq"),
+        F.lit("upsert").alias("_op"),
+        *payload,
+    ).unionByName(
+        changes.select(
+            *keys,
+            F.col(seq_col).cast("bigint").alias("_seq"),
+            F.col(op_col).alias("_op"),
+            *payload,
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy("_seq")
+    out = versions.select(
+        *keys,
+        *payload,
+        F.col("_seq").alias("valid_from"),
+        F.lead("_seq").over(w).alias("valid_to"),
+        F.col("_op").alias("_op"),
+    )
+    return out.filter(F.col("_op") != "delete").select(
+        *keys,
+        *payload,
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

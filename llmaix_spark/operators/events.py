@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -148,4 +148,139 @@ def burst_buckets(
                 out_dp,
             ).alias("z"),
         )
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    out_dp: int = 6,
+) -> DataFrame:
+    """First-order Markov transition counts and probabilities between
+    consecutive event types on each user's timeline.
+
+    One lead() window per user (ordered by (ts, event_id) — total, so
+    deterministic under timestamp ties), one map-side-combinable pair
+    count, and the per-source normalizer derived FROM the pair table
+    (tiny) and joined back broadcast. p is a single bigint/bigint
+    division (correctly rounded double, identical cross-engine).
+    """
+    w = Window.partitionBy("u").orderBy("us", "eid")
+    pairs = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            F.col(id_col).alias("eid"),
+            F.col(type_col).alias("src"),
+        )
+        .select("u", "src", F.lead("src").over(w).alias("dst"))
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("src").agg(F.sum("n").alias("tot"))
+    return pairs.join(F.broadcast(totals), "src").select(
+        "src",
+        "dst",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("tot"), out_dp).alias("p"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    period_s: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    out_dp: int = 6,
+) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity period;
+    for each later period offset, the fraction of the cohort active.
+
+    Two map-side-combinable aggregations (per-user first period from
+    the distinct (user, period) activity table; then per
+    (cohort, offset) distinct-user counts) plus a broadcast join of
+    the (tiny) cohort-size table. Offset 0 is the cohort itself
+    (rate 1.0 by construction). All counts are integers; the rate is
+    one bigint division.
+    """
+    active = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        )
+        .select("u", F.expr(f"us div {period_s * 1_000_000}").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: cohorts, activity join
+    )
+    cohorts = active.groupBy("u").agg(F.min("p").alias("p0"))
+    sizes = cohorts.groupBy("p0").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    joined = active.join(cohorts, "u").groupBy(
+        "p0", (F.col("p") - F.col("p0")).alias("offset")
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    return joined.join(F.broadcast(sizes), "p0").select(
+        F.col("p0").cast("bigint").alias("cohort_period"),
+        F.col("offset").cast("bigint").alias("offset"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_cohort").cast("bigint").alias("n_cohort"),
+        F.round(F.col("n_active") / F.col("n_cohort"), out_dp).alias(
+            "retention"
+        ),
+    )
+
+
+def ohlc_buckets(
+    events: DataFrame,
+    bucket_s: int = 86400,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    out_dp: int = 2,
+) -> DataFrame:
+    """Open/high/low/close downsampling of the event value series per
+    (type, time bucket) — the timeseries rollup a monitoring consumer
+    reads instead of raw events.
+
+    One map-side-combinable aggregate: open/close are min/max over a
+    (us, event_id, value) struct — the struct's lexicographic order
+    makes first/last deterministic under timestamp ties (event_id is
+    the tiebreak) with NO window and no second pass; high/low/volume
+    are plain min/max/count. Value sums ride bigint cents.
+    """
+    e = events.select(
+        F.col(type_col).alias("et"),
+        F.col(value_col).alias("v"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).alias("eid"),
+    ).select(
+        "et",
+        "v",
+        "us",
+        "eid",
+        F.expr(f"us div {bucket_s * 1_000_000}").alias("bucket"),
+    )
+    first = F.min(F.struct("us", "eid", "v"))
+    last = F.max(F.struct("us", "eid", "v"))
+    return e.groupBy("et", "bucket").agg(
+        first["v"].alias("open_raw"),
+        last["v"].alias("close_raw"),
+        F.max("v").alias("high_raw"),
+        F.min("v").alias("low_raw"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("v") * 100, 0).cast("bigint")).alias("cents"),
+    ).select(
+        F.col("et").alias("event_type"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.round("open_raw", out_dp).alias("open"),
+        F.round("high_raw", out_dp).alias("high"),
+        F.round("low_raw", out_dp).alias("low"),
+        F.round("close_raw", out_dp).alias("close"),
+        "n_events",
+        F.round(F.col("cents") / 100.0, 2).alias("total_value"),
     )

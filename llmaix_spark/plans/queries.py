@@ -550,6 +550,77 @@ WHERE n * k - s > 0
   AND (n * k - s) * (n * k - s) > 4 * (q * k - s * s)"""
 
 
+def q_events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix between event types per
+    user timeline — one lead() window on (ts, event_id), map-side
+    pair counts, per-source totals broadcast back."""
+    from llmaix_spark.operators.events import transition_matrix
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH e AS (SELECT user_id u, epoch_us(ts) us, event_id eid,
+                  event_type src FROM events),
+seq AS (SELECT u, src,
+               lead(src) OVER (PARTITION BY u ORDER BY us, eid) dst
+        FROM e),
+pairs AS (SELECT src, dst, count(*) n FROM seq
+          WHERE dst IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT src, sum(n) t FROM pairs GROUP BY 1)
+SELECT pairs.src, dst, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / t, 6) AS p
+FROM pairs JOIN tot USING (src)"""
+
+
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-activity week,
+    per-offset active fraction — two map-side aggregations over the
+    distinct (user, week) table plus a broadcast of cohort sizes."""
+    from llmaix_spark.operators.events import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_RETENTION = """
+WITH a AS (SELECT DISTINCT user_id u,
+                  epoch_us(ts) // 604800000000 AS p FROM events),
+c AS (SELECT u, min(p) p0 FROM a GROUP BY 1),
+sz AS (SELECT p0, count(*) n_cohort FROM c GROUP BY 1),
+act AS (SELECT c.p0, a.p - c.p0 AS offs, count(*) n_active
+        FROM a JOIN c USING (u) GROUP BY 1, 2)
+SELECT CAST(act.p0 AS BIGINT) AS cohort_period,
+       CAST(offs AS BIGINT) AS "offset",
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_cohort AS BIGINT) AS n_cohort,
+       round(n_active * 1.0 / n_cohort, 6) AS retention
+FROM act JOIN sz USING (p0)"""
+
+
+def q_events_ohlc(spark, sf_dir):
+    """Daily OHLC downsampling per event type: open/close via min/max
+    over a (us, event_id, value) struct (deterministic under ts ties,
+    no window), high/low/volume plain aggregates, totals in bigint
+    cents — ONE map-side-combinable pass."""
+    from llmaix_spark.operators.events import ohlc_buckets
+
+    return ohlc_buckets(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_OHLC = """
+WITH e AS (SELECT event_type et, value v, epoch_us(ts) us, event_id eid,
+                  epoch_us(ts) // 86400000000 AS bucket FROM events)
+SELECT et AS event_type, CAST(bucket AS BIGINT) AS bucket,
+       round((min({'us': us, 'eid': eid, 'v': v})).v, 2) AS open,
+       round(max(v), 2) AS high,
+       round(min(v), 2) AS low,
+       round((max({'us': us, 'eid': eid, 'v': v})).v, 2) AS close,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(CAST(round(v * 100, 0) AS BIGINT)) / 100.0, 2)
+         AS total_value
+FROM e GROUP BY 1, 2"""
+
+
 def q_integrity_orphans(spark, sf_dir):
     """Referential-integrity audit: orders whose o_custkey has no
     customer row (left anti join — at scale a broadcast of the
@@ -574,16 +645,11 @@ WHERE o_custkey NOT IN
 GROUP BY 1"""
 
 
-def q_cdc_apply(spark, sf_dir):
-    """CDC merge: apply a deterministic upsert/delete feed to the
-    customer snapshot (last seq wins, delete removes, unseen keys
-    insert, full-row upsert semantics — the batch twin of Delta
-    MERGE / apply-changes). The feed is synthesized from the customer
-    table identically in both engines: %10==0 deletes, %10==1 upserts
-    (seq 1), %20==1 a SECOND upsert (seq 2 — exercises last-wins),
-    %50==3 inserts under new keys."""
-    from llmaix_spark.operators.cdc import apply_changes
-
+def _cdc_fixture(spark, sf_dir):
+    """Deterministic (base, changes) pair synthesized from customer —
+    shared by cdc_apply and scd2_history: %10==0 deletes, %10==1
+    upserts (seq 1), %20==1 a SECOND upsert (seq 2 — exercises
+    last-wins), %50==3 inserts under new keys."""
     c = _t(spark, sf_dir, "customer")
     base = c.select(
         F.col("c_custkey").cast("bigint").alias("custkey"),
@@ -620,14 +686,44 @@ def q_cdc_apply(spark, sf_dir):
         F.lit(1.5).alias("bal"),
     )
     changes = dels.unionAll(up1).unionAll(up2).unionAll(ins)
+    return base, changes
+
+
+def q_cdc_apply(spark, sf_dir):
+    """CDC merge: apply a deterministic upsert/delete feed to the
+    customer snapshot (last seq wins, delete removes, unseen keys
+    insert, full-row upsert semantics — the batch twin of Delta
+    MERGE / apply-changes)."""
+    from llmaix_spark.operators.cdc import apply_changes
+
+    base, changes = _cdc_fixture(spark, sf_dir)
     out = apply_changes(base, changes, ["custkey"])
     return out.select(
         "custkey", "c_name", F.round("bal", 2).alias("acctbal")
     )
 
 
-SQL_CDC_APPLY = """
-WITH base AS (SELECT CAST(c_custkey AS BIGINT) k, c_name, c_acctbal bal
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 historization of the same CDC feed: one row per key
+    version with (valid_from, valid_to, is_current) derived from a
+    single per-key lead() window — no joins; deletes close intervals
+    without opening new ones."""
+    from llmaix_spark.operators.cdc import scd2_history
+
+    base, changes = _cdc_fixture(spark, sf_dir)
+    out = scd2_history(base, changes, ["custkey"])
+    return out.select(
+        "custkey",
+        "c_name",
+        F.round("bal", 2).alias("acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+_CDC_CHANGES_SQL = """
+base AS (SELECT CAST(c_custkey AS BIGINT) k, c_name, c_acctbal bal
               FROM customer),
 changes AS (
   SELECT k AS custkey, 1 AS seq, 'delete' AS op,
@@ -641,7 +737,10 @@ changes AS (
   FROM base WHERE k % 20 = 1
   UNION ALL
   SELECT k + 1000000, 1, 'upsert', 'new_' || CAST(k AS VARCHAR), 1.5
-  FROM base WHERE k % 50 = 3),
+  FROM base WHERE k % 50 = 3)"""
+
+SQL_CDC_APPLY = f"""
+WITH {_CDC_CHANGES_SQL},
 latest AS (
   SELECT custkey, op, c_name, bal FROM (
     SELECT *, row_number() OVER (PARTITION BY custkey
@@ -652,6 +751,22 @@ FROM base WHERE k NOT IN (SELECT custkey FROM latest)
 UNION ALL
 SELECT custkey, c_name, round(bal, 2) AS acctbal
 FROM latest WHERE op <> 'delete'"""
+
+SQL_SCD2_HISTORY = f"""
+WITH {_CDC_CHANGES_SQL},
+versions AS (
+  SELECT k AS custkey, CAST(0 AS BIGINT) AS seq, 'upsert' AS op,
+         c_name, bal FROM base
+  UNION ALL
+  SELECT custkey, CAST(seq AS BIGINT), op, c_name, bal FROM changes),
+hist AS (
+  SELECT custkey, c_name, bal, seq AS valid_from,
+         lead(seq) OVER (PARTITION BY custkey ORDER BY seq) AS valid_to,
+         op
+  FROM versions)
+SELECT custkey, c_name, round(bal, 2) AS acctbal,
+       valid_from, valid_to, valid_to IS NULL AS is_current
+FROM hist WHERE op <> 'delete'"""
 
 
 def q_events_asof(spark, sf_dir):
@@ -4230,9 +4345,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_asof": q_events_asof,
     "cdc_apply": q_cdc_apply,
+    "scd2_history": q_scd2_history,
     "events_rolling": q_events_rolling,
     "events_funnel": q_events_funnel,
     "events_bursts": q_events_bursts,
+    "events_transitions": q_events_transitions,
+    "events_retention": q_events_retention,
+    "events_ohlc": q_events_ohlc,
     "integrity_orphans": q_integrity_orphans,
     "events_range_join": q_events_range_join,
     "empty_predicate": q_empty_predicate,
@@ -4337,9 +4456,13 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof": SQL_EVENTS_ASOF,
     "cdc_apply": SQL_CDC_APPLY,
+    "scd2_history": SQL_SCD2_HISTORY,
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_bursts": SQL_EVENTS_BURSTS,
+    "events_transitions": SQL_EVENTS_TRANSITIONS,
+    "events_retention": SQL_EVENTS_RETENTION,
+    "events_ohlc": SQL_EVENTS_OHLC,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "empty_predicate": SQL_EMPTY_PREDICATE,

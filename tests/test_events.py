@@ -103,3 +103,78 @@ def test_burst_buckets_uniform_no_burst(spark):
         "user_id string, ts timestamp, event_type string",
     )
     assert burst_buckets(e).count() == 0
+
+
+def test_transition_matrix_hand_computed(spark):
+    """u1: A→B→A; u2: A→B. Pairs: (A,B)x2, (B,A)x1. P(B|A)=1.0,
+    P(A|B)=0.5... careful: from B there are 2 departures? u1 B→A only
+    → P(A|B)=1.0; totals per src: A:2, B:1."""
+    from llmaix_spark.operators.events import transition_matrix
+
+    e = spark.createDataFrame(
+        [
+            ("u1", 1, datetime(2024, 1, 1, 9, 0), "A"),
+            ("u1", 2, datetime(2024, 1, 1, 9, 1), "B"),
+            ("u1", 3, datetime(2024, 1, 1, 9, 2), "A"),
+            ("u2", 4, datetime(2024, 1, 1, 9, 0), "A"),
+            ("u2", 5, datetime(2024, 1, 1, 9, 1), "B"),
+        ],
+        "user_id string, event_id bigint, ts timestamp, event_type string",
+    )
+    got = {
+        (r["src"], r["dst"]): (r["n"], r["p"])
+        for r in transition_matrix(e).collect()
+    }
+    assert got == {("A", "B"): (2, 1.0), ("B", "A"): (1, 1.0)}
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Two users first active week 0; one returns week 1; a third
+    starts week 1. Cohort 0: offset 0 rate 1.0, offset 1 rate 0.5;
+    cohort 1: offset 0 rate 1.0."""
+    from datetime import timedelta
+
+    from llmaix_spark.operators.events import cohort_retention
+
+    t0 = datetime(1970, 1, 1)  # epoch-aligned weeks
+    e = spark.createDataFrame(
+        [
+            ("u1", t0), ("u2", t0),
+            ("u1", t0 + timedelta(days=8)),
+            ("u3", t0 + timedelta(days=9)),
+        ],
+        "user_id string, ts timestamp",
+    )
+    got = {
+        (r["cohort_period"], r["offset"]): (
+            r["n_active"], r["n_cohort"], r["retention"]
+        )
+        for r in cohort_retention(e).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2, 1.0),
+        (0, 1): (1, 2, 0.5),
+        (1, 0): (1, 1, 1.0),
+    }
+
+
+def test_ohlc_hand_computed(spark):
+    """One day, one type: open is the value at the earliest (ts, id),
+    close at the latest — a same-timestamp tie resolves by event_id."""
+    from llmaix_spark.operators.events import ohlc_buckets
+
+    t = datetime(2024, 1, 1, 12, 0)
+    e = spark.createDataFrame(
+        [
+            ("A", 2, t, 5.0),   # same ts as id 1 — id orders the tie
+            ("A", 1, t, 3.0),   # open
+            ("A", 3, datetime(2024, 1, 1, 13, 0), 9.0),
+            ("A", 4, datetime(2024, 1, 1, 14, 0), 1.0),  # close, low
+        ],
+        "event_type string, event_id bigint, ts timestamp, value double",
+    )
+    r = ohlc_buckets(e).collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"]) == (
+        3.0, 9.0, 1.0, 1.0
+    )
+    assert r["n_events"] == 4 and r["total_value"] == 18.0
