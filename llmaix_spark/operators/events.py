@@ -284,3 +284,34 @@ def ohlc_buckets(
         "n_events",
         F.round(F.col("cents") / 100.0, 2).alias("total_value"),
     )
+
+
+def running_totals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    out_dp: int = 2,
+) -> DataFrame:
+    """Per-user running total of event value plus the step delta —
+    one window pass on (ts, event_id) per user; the cumulative sum
+    rides bigint cents so every prefix is integer-exact cross-engine
+    (a double running sum would drift order-dependently)."""
+    w = Window.partitionBy("u").orderBy("us", "eid")
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).alias("eid"),
+        F.round(F.col(value_col) * 100, 0).cast("bigint").alias("cents"),
+    )
+    run = F.sum("cents").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev = F.lag("cents").over(w)
+    return e.select(
+        F.col("eid").cast("bigint").alias("event_id"),
+        F.col("u").alias("user_id"),
+        F.round(run / 100.0, out_dp).alias("running_total"),
+        F.round((F.col("cents") - prev) / 100.0, out_dp).alias("delta"),
+    )

@@ -16,7 +16,7 @@ oracle-comparable, which is why the oracled query keeps exact).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -171,4 +171,65 @@ def profile_histogram(
             "v_min",
             "v_max",
         )
+    )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    max_col: str,
+    min_col: str,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """2-D Pareto frontier: rows not strictly dominated under
+    (maximize ``max_col``, minimize ``min_col``). Row r' dominates r
+    iff (x' > x AND y' <= y) OR (x' >= x AND y' < y) — duplicates of
+    a frontier point all survive (neither strictly dominates).
+
+    Two-phase plan (the frontier identity: the global frontier is a
+    subset of the union of per-partition frontiers): phase 1 computes
+    each partition's local frontier with a RANGE-framed window
+    partitioned by spark_partition_id — min(y) over [x+1, ∞) catches
+    strict-x dominators, min(y) over [x, ∞) catches equal-x ones —
+    so the corpus is filtered to a few survivors per partition
+    WITHOUT any global sort; phase 2 re-runs the same window
+    un-partitioned over only the survivors. The physical partitioning
+    feeding phase 1 is arbitrary and may vary run to run — harmless:
+    every local frontier is a superset of the global one, and phase 2
+    makes the final answer exact and deterministic.
+
+    ``max_col`` must be integral (the range frame steps by 1).
+    """
+    id_cols = id_cols or [
+        c for c in df.columns if c not in (max_col, min_col)
+    ]
+    base = df.select(
+        *id_cols,
+        F.col(max_col).alias("_x"),
+        F.col(min_col).alias("_y"),
+    )
+
+    def survivors(d: DataFrame, local: bool) -> DataFrame:
+        part = [F.spark_partition_id()] if local else []
+        w_strict = (
+            Window.partitionBy(*part)
+            .orderBy("_x")
+            .rangeBetween(1, Window.unboundedFollowing)
+        )
+        w_geq = (
+            Window.partitionBy(*part)
+            .orderBy("_x")
+            .rangeBetween(0, Window.unboundedFollowing)
+        )
+        dominated = (F.min("_y").over(w_strict) <= F.col("_y")) | (
+            F.min("_y").over(w_geq) < F.col("_y")
+        )
+        return d.withColumn("_dom", dominated).filter(
+            ~F.coalesce(F.col("_dom"), F.lit(False))
+        ).drop("_dom")
+
+    local_front = survivors(base, local=True)
+    return survivors(local_front, local=False).select(
+        *id_cols,
+        F.col("_x").alias(max_col),
+        F.col("_y").alias(min_col),
     )

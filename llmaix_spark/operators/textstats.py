@@ -299,6 +299,88 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def tfidf_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The shared TF-IDF scored table (doc_id, term, tf, score):
+    score = round(tf · ln(N/df), 6). tf is one map-side-combinable
+    groupBy over the exploded corpus; df aggregates the
+    already-unique tf table (no second corpus pass); N rides a 1-row
+    broadcast crossJoin. Consumers: tfidf_top_terms, search_rank."""
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    n = docs.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    return (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+
+
+def search_rank(
+    docs: DataFrame,
+    terms: list[str],
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword AND-search with TF-IDF ranking: documents containing
+    EVERY query term, ranked by the summed per-term score, top-k with
+    a (score desc, doc_id) total order.
+
+    Plan shape: the scored table filters to the query terms FIRST
+    (an isin over a literal list — pushed into the tf aggregation's
+    probe side), the AND-semantics fall out of count(*) == len(terms)
+    on the per-doc aggregate, and the global top-k is orderBy+limit —
+    Catalyst plans TakeOrderedAndProject (per-partition heaps + a
+    driver merge of k rows), NEVER a global sort. The rank column is
+    attached by a window over the ALREADY-LIMITED k rows.
+    """
+    if not terms:
+        raise ValueError("search_rank needs at least one term")
+    uniq = sorted(set(terms))
+    scored = tfidf_scores(docs, id_col, text_col)
+    hits = (
+        scored.where(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("score"), 6).alias("score"),
+        )
+        .where(F.col("n_terms") == len(uniq))
+        .select("doc_id", "score")
+    )
+    top = hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # single-partition window is fine HERE: it sees only the k
+    # already-limited rows, never the corpus
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "doc_id",
+        "score",
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     top_k: int = 3,
@@ -319,32 +401,7 @@ def tfidf_top_terms(
     skew-join split handles a stopword's partition at scale; the final
     per-doc top-k window partitions on doc_id (doc-bounded state).
     """
-    tf = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(_tokens(F.col(text_col))).alias("term"),
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    df_tbl = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
-    n = docs.select(
-        F.count(F.lit(1)).cast("double").alias("n_docs")
-    )
-    scored = (
-        tf.join(df_tbl, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
-            ).alias("score"),
-        )
-    )
+    scored = tfidf_scores(docs, id_col, text_col)
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term").asc()
     )

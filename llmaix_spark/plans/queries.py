@@ -621,6 +621,28 @@ SELECT et AS event_type, CAST(bucket AS BIGINT) AS bucket,
 FROM e GROUP BY 1, 2"""
 
 
+def q_events_cumulative(spark, sf_dir):
+    """Per-user running value total + step delta — one window pass;
+    the cumulative sum rides bigint cents so every prefix is
+    integer-exact (a double running sum drifts order-dependently)."""
+    from llmaix_spark.operators.events import running_totals
+
+    return running_totals(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_CUMULATIVE = """
+WITH e AS (SELECT user_id u, epoch_us(ts) us,
+                  CAST(event_id AS BIGINT) eid,
+                  CAST(round(value * 100, 0) AS BIGINT) cents
+           FROM events)
+SELECT eid AS event_id, u AS user_id,
+       round(sum(cents) OVER w / 100.0, 2) AS running_total,
+       round((cents - lag(cents) OVER w) / 100.0, 2) AS delta
+FROM e
+WINDOW w AS (PARTITION BY u ORDER BY us, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
 def q_integrity_orphans(spark, sf_dir):
     """Referential-integrity audit: orders whose o_custkey has no
     customer row (left anti join — at scale a broadcast of the
@@ -2157,6 +2179,83 @@ r AS (
            AS rank
   FROM scored)
 SELECT doc_id, rank, term, tf, score FROM r WHERE rank <= 3"""
+
+
+def q_search_rank(spark, sf_dir):
+    """Keyword AND-search ('spark' AND 'merge') ranked by summed
+    TF-IDF, top-20 — the IR consumer of the shared tfidf_scores
+    table. Global top-k is orderBy+limit (TakeOrderedAndProject,
+    never a global sort); the rank window sees only the k rows."""
+    from llmaix_spark.operators.textstats import search_rank
+
+    return search_rank(
+        _t(spark, sf_dir, "documents"), ["spark", "merge"], top_k=20
+    )
+
+
+SQL_SEARCH_RANK = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> length(x) > 0)) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((SELECT n_docs FROM n) / dfq.df), 6) AS score
+  FROM tf JOIN dfq USING (term)
+  WHERE tf.term IN ('merge', 'spark')),
+hits AS (
+  SELECT doc_id, round(sum(score), 6) AS score
+  FROM scored GROUP BY 1 HAVING count(*) = 2),
+top AS (SELECT doc_id, score FROM hits
+        ORDER BY score DESC, doc_id LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, score
+FROM top"""
+
+
+def q_pareto_orders(spark, sf_dir):
+    """Pareto frontier of orders under (maximize price, minimize
+    orderdate): the early-high-value order set. Two-phase frontier
+    (per-partition local frontier → exact global pass on the few
+    survivors — no global sort of the corpus); price compares in
+    bigint cents. The oracle brute-forces dominance with NOT EXISTS —
+    an independent algorithm."""
+    from llmaix_spark.operators.profile import pareto_frontier
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("orderkey"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+    )
+    out = pareto_frontier(o, "cents", "orderdate", id_cols=["orderkey"])
+    return out.select(
+        "orderkey",
+        F.round(F.col("cents") / 100.0, 2).alias("price"),
+        F.col("orderdate").cast("string").alias("orderdate"),
+    )
+
+
+SQL_PARETO_ORDERS = """
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) cents,
+         CAST(o_orderdate AS DATE) d
+  FROM orders)
+SELECT orderkey, round(cents / 100.0, 2) AS price,
+       CAST(d AS VARCHAR) AS orderdate
+FROM o r
+WHERE NOT EXISTS (
+  SELECT 1 FROM o s
+  WHERE (s.cents > r.cents AND s.d <= r.d)
+     OR (s.cents >= r.cents AND s.d < r.d))"""
 
 
 def q_quantize_embeddings(spark, sf_dir):
@@ -4337,6 +4436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_counts": q_kg_entity_counts,
     "agg_pricing_summary": q_agg_pricing_summary,
     "agg_rollup": q_agg_rollup,
+    "pareto_orders": q_pareto_orders,
     "join_top_orders": q_join_top_orders,
     "window_customer_top3": q_window_customer_top3,
     "window_prev_next": q_window_prev_next,
@@ -4352,6 +4452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_transitions": q_events_transitions,
     "events_retention": q_events_retention,
     "events_ohlc": q_events_ohlc,
+    "events_cumulative": q_events_cumulative,
     "integrity_orphans": q_integrity_orphans,
     "events_range_join": q_events_range_join,
     "empty_predicate": q_empty_predicate,
@@ -4415,6 +4516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "profile_columns": q_profile_columns,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "search_rank": q_search_rank,
     "profile_quantiles": q_profile_quantiles,
     "profile_histogram": q_profile_histogram,
     "sample_k_per_group": q_sample_k_per_group,
@@ -4448,6 +4550,7 @@ ORACLES: dict[str, str] = {
     "kg_entity_counts": SQL_KG_ENTITY_COUNTS,
     "agg_pricing_summary": SQL_AGG_PRICING,
     "agg_rollup": SQL_AGG_ROLLUP,
+    "pareto_orders": SQL_PARETO_ORDERS,
     "join_top_orders": SQL_JOIN_TOP_ORDERS,
     "window_customer_top3": SQL_WINDOW_TOP3,
     "window_prev_next": SQL_WINDOW_PREV_NEXT,
@@ -4463,6 +4566,7 @@ ORACLES: dict[str, str] = {
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_retention": SQL_EVENTS_RETENTION,
     "events_ohlc": SQL_EVENTS_OHLC,
+    "events_cumulative": SQL_EVENTS_CUMULATIVE,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "empty_predicate": SQL_EMPTY_PREDICATE,
@@ -4526,6 +4630,7 @@ ORACLES: dict[str, str] = {
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "profile_columns": SQL_PROFILE_COLUMNS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "search_rank": SQL_SEARCH_RANK,
     "profile_quantiles": SQL_PROFILE_QUANTILES,
     "profile_histogram": SQL_PROFILE_HISTOGRAM,
     "sample_k_per_group": SQL_SAMPLE_K_PER_GROUP,
