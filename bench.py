@@ -108,6 +108,12 @@ BENCH_QUERIES = [
     # the headline: honest numbers with causes beat hidden ones.
     "kg_pagerank",
     "dedup_jaccard_prefix",
+    # sketch/analytics wave (57 -> 62)
+    "distinct_kmv",
+    "priority_sample",
+    "skew_histogram",
+    "events_trend",
+    "kg_shortest_paths",
 ]
 
 

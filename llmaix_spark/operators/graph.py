@@ -383,3 +383,72 @@ def common_neighbor_scores(
             ).alias("score"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source_node: str | None = None,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Single-source BFS hop distances over the undirected graph,
+    bounded at ``max_hops``. Returns (node, dist) for every node
+    reachable within the bound; ``source_node`` defaults to the
+    lexicographically smallest node (deterministic without caller
+    input). Self-loops and edge direction are normalized away.
+
+    Plan shape (the classic frontier-expansion BFS as DataFrame ops —
+    Pregel without GraphX): the symmetrized edge table is repartitioned
+    on the join side and persisted ONCE; each hop is one join
+    (frontier ⨝ edges) + distinct + one anti-join against the visited
+    set. Per-hop state is localCheckpointed eagerly — the repo's
+    landmine #1: without it hop h's lineage contains h nested joins
+    and Spark re-executes the whole prefix every iteration — and the
+    loop exits early on an empty frontier (one tiny count per hop;
+    driver-side, but O(max_hops) scalar actions, not per-row). The
+    frontier and visited tables carry ONE row per node — executor
+    memory is O(|V| / partitions) regardless of path multiplicity
+    (the oracle's recursive CTE enumerates (node, dist) pairs; the
+    Spark side never materializes paths at all).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .where(F.col("a") != F.col("b"))
+    )
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .repartition("a")
+        .persist()
+    )
+    if source_node is None:
+        row = sym.agg(F.min("a").alias("m")).collect()[0]
+        source_node = row["m"]
+        if source_node is None:
+            sym.unpersist()
+            spark = edges.sparkSession
+            return spark.createDataFrame([], "node string, dist bigint")
+
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(source_node, 0)], "node string, dist bigint"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            reached.join(visited, "node", "left_anti")
+            .select("node", F.lit(hop).cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.rdd.isEmpty():
+            break
+        visited = visited.union(frontier).localCheckpoint(eager=True)
+    sym.unpersist()
+    return visited

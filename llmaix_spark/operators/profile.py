@@ -233,3 +233,143 @@ def pareto_frontier(
         F.col("_x").alias(max_col),
         F.col("_y").alias(min_col),
     )
+
+
+def group_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression (slope, intercept, r²) with
+    EXACT integer sufficient statistics.
+
+    ``x_col`` and ``y_col`` must be BIGINT (the caller scales —
+    epoch seconds, integer cents). Returns (``*group_cols``, n, slope,
+    intercept, r2) rounded to ``out_dp``.
+
+    Why not Spark's built-in ``regr_slope``: it accumulates DOUBLE
+    sums, whose value depends on partition merge order — fine within
+    one engine, but never bit-stable across engines or even across
+    repartitions. Here every sufficient statistic (Σx, Σy, Σxy, Σx²,
+    Σy²) is summed in DECIMAL(38,0) — exact integers, order-invariant,
+    still ONE map-side-combinable aggregate (partial sums merge
+    exactly) — and the closed forms touch floating point only at the
+    very end: each of n·Σxy−ΣxΣy, n·Σx²−(Σx)², n·Σy²−(Σy)² is an
+    exact decimal (no cancellation — cancellation is a rounding
+    phenomenon and nothing rounds until the final division), converted
+    once to double (correctly rounded) and combined with single IEEE
+    ops, identical in any IEEE-754 engine. Magnitude headroom: with
+    |x| ≤ 2e9 (epoch seconds) and |y| ≤ 1e9 (cents), n·Σx² at 1e8
+    rows/group is ~4e34 < 10^38; larger groups should pre-shift x by
+    a constant epoch.
+    """
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+            F.sum(d(x_col)).alias("_sx"),
+            F.sum(d(y_col)).alias("_sy"),
+            F.sum(d(x_col) * d(y_col)).alias("_sxy"),
+            F.sum(d(x_col) * d(x_col)).alias("_sxx"),
+            F.sum(d(y_col) * d(y_col)).alias("_syy"),
+        )
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    den_x = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    den_y = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+        "double"
+    )
+    slope_raw = num / den_x
+    slope = F.round(slope_raw, out_dp)
+    # the RAW slope feeds the intercept: at |x| ~ 2e9 a 5e-7 slope
+    # perturbation (one 6dp rounding step) moves the intercept by
+    # ~1000 — and the raw quotient is already cross-engine-identical
+    # (one IEEE division on identical doubles), so nothing is gained
+    # by rounding early
+    intercept = F.round(
+        (
+            F.col("_sy").cast("double")
+            - slope_raw * F.col("_sx").cast("double")
+        )
+        / F.col("_n").cast("double"),
+        out_dp,
+    )
+    r2 = F.round((num * num) / (den_x * den_y), out_dp)
+    zero_var = F.col("_den_x_raw") == 0
+    return (
+        agg.withColumn("_den_x_raw", den_x)
+        .withColumn("_den_y_raw", den_y)
+        .select(
+            *group_cols,
+            F.col("_n").cast("bigint").alias("n"),
+            F.when(zero_var, F.lit(None).cast("double"))
+            .otherwise(slope)
+            .alias("slope"),
+            F.when(zero_var, F.lit(None).cast("double"))
+            .otherwise(intercept)
+            .alias("intercept"),
+            F.when(zero_var | (F.col("_den_y_raw") == 0),
+                   F.lit(None).cast("double"))
+            .otherwise(r2)
+            .alias("r2"),
+        )
+    )
+
+
+def skew_histogram(
+    df: DataFrame,
+    key_col: str,
+    share_dp: int = 6,
+) -> DataFrame:
+    """Key-frequency skew profile: how concentrated is a prospective
+    shuffle key? Returns one row per power-of-two frequency bucket —
+    (bucket, freq_lo, n_keys, n_rows, row_share) where bucket =
+    floor(log₂ frequency) — the diagnostic to run BEFORE keying a
+    100 TB join/groupBy on a column (a fat top bucket means salting
+    or AQE skew-split territory; the repo's own Zipf landmines —
+    unigram_logprob's two-path join, the LSH/kNN caps — all began as
+    exactly this histogram's tail).
+
+    Plan shape: groupBy(key).count (map-side combinable — the ONLY
+    corpus-width shuffle, and partial aggregation absorbs the very
+    skew being measured), then a bucket-level re-aggregate over ≤
+    |distinct keys| rows. floor(log₂ f) is length(bin(f)) − 1 — pure
+    integer/string ops, no transcendental, identical in both engines.
+    NULL keys are counted as their own frequency class like any other
+    (a NULL-heavy join key is the most common real-world skew).
+    """
+    freq = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_f")
+    )
+    total = freq.agg(F.sum("_f").alias("_total"))
+    bucket = (F.length(F.bin(F.col("_f"))) - 1).cast("bigint")
+    return (
+        freq.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("_f").cast("bigint").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            # py shiftleft() only takes a literal count; the SQL form
+            # shifts by a column. bucket ≤ 62 by construction (f is a
+            # positive BIGINT count), so the checked shift cannot trip
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))")
+            .cast("bigint")
+            .alias("freq_lo"),
+            "n_keys",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double")
+                / F.col("_total").cast("double"),
+                share_dp,
+            ).alias("row_share"),
+        )
+    )

@@ -1,0 +1,182 @@
+"""Mergeable summary sketches with bit-exact cross-engine contracts.
+
+A 100 TB curation pipeline cannot afford exact distinct counts or
+uniform scans for every "how big / what sample" question; the standard
+answers are streaming sketches (DataSketches, BlinkDB lineage). Spark's
+built-ins (approx_count_distinct = HyperLogLog++) are engine-specific —
+their estimates can never be value-oracled against another engine. The
+sketches here are chosen so that every arithmetic step is either exact
+integer math or a single correctly-rounded IEEE-754 operation on
+identical inputs, which makes the SAME algorithm produce bit-identical
+results in Spark and DuckDB (the repo's oracle bar) while keeping the
+real sketch properties (bounded state, mergeability, known error):
+
+- ``kmv_distinct`` — K-Minimum-Values distinct-count sketch
+  (Bar-Yossef et al. 2002; the Theta-sketch family's simplest member):
+  per group keep the k smallest 60-bit hashes; estimate
+  (k-1) · 2^60 / h_(k). The k-th minimum is an exact integer, the
+  estimate is ONE double division. Relative error ~ 1/sqrt(k-2).
+- ``priority_sample`` — Priority Sampling (Duffield, Lund, Thorup
+  2007): weight-proportional without-replacement sampling with
+  unbiased subset-sum estimators, priority q = w / u with
+  u = (h+1)/2^60 hash-uniform. q is two IEEE ops (multiply, divide) —
+  no ln/pow, so no libm divergence between JVM and DuckDB (the
+  Efraimidis–Spirakis exponential-key formulation needs ln(u) and a
+  1-ulp libm disagreement near a rounding boundary could flip the
+  sample; priorities compare exactly instead).
+
+Reference parity note: the reference app (KatherLab/LLMAIx) samples
+and counts only in-memory (pandas value_counts / df.sample in the
+webapp routes); these operators are the scale-out replacements for
+those ad-hoc steps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from llmaix_spark.operators.linking import stable_hash60_expr
+
+_HASH_SPACE = float(2**60)  # exact in double (6-bit mantissa payload)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    est_dp: int = 4,
+    err_dp: int = 6,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate next to the exact count.
+
+    Returns (``*group_cols``, n_exact, kmv_estimate, rel_err). NULL
+    values are ignored (md5(NULL) is NULL — the repo-wide rule that a
+    NULL never silently hashes). With fewer than ``k`` distinct values
+    the sketch degenerates to the exact count (estimate == n_exact).
+
+    Plan shape: ONE distinct over (group, hash) — map-side combinable,
+    the only corpus-width shuffle — then two group-local aggregates
+    over the distinct table joined back together (both sides are
+    ≤ |groups| rows; Catalyst broadcasts). The k-smallest selection is
+    a rank window that Spark 3.5+ rewrites to WindowGroupLimit, i.e.
+    each map task keeps only its local k minima BEFORE the exchange —
+    at 100 TB the sketch shuffle carries k rows per group per task,
+    not the distinct table. The estimate divides the exact integer
+    (k-1)·2^60 (a 6-significant-bit double, exact) by the exact
+    integer k-th minimum hash: one correctly-rounded IEEE division,
+    bit-identical in any IEEE-754 engine.
+    """
+    if k < 3:
+        raise ValueError("kmv_distinct needs k >= 3 (error ~ 1/sqrt(k-2))")
+    d = (
+        df.select(
+            *group_cols,
+            stable_hash60_expr(F.col(value_col).cast("string")).alias("_h"),
+        )
+        .where(F.col("_h").isNotNull())
+        .distinct()
+    )
+    exact = d.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    sk = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n_sk"),
+            F.max("_h").alias("_hk"),
+        )
+    )
+    est = F.when(
+        F.col("_n_sk") < k, F.col("_n_sk").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * 2**60)) / F.col("_hk").cast("double")
+    )
+    return (
+        exact.join(sk, group_cols)
+        .withColumn("kmv_estimate", F.round(est, est_dp))
+        .select(
+            *group_cols,
+            "n_exact",
+            "kmv_estimate",
+            F.round(
+                F.abs(F.col("kmv_estimate") - F.col("n_exact"))
+                / F.col("n_exact"),
+                err_dp,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_cents_col: str,
+    id_cols: list[str],
+    k: int = 64,
+    out_dp: int = 2,
+) -> DataFrame:
+    """Priority sample of ``k`` rows, weight-proportional without
+    replacement, with the Duffield–Lund–Thorup unbiased per-row
+    subset-sum estimate.
+
+    ``weight_cents_col`` must be a positive BIGINT (the repo's
+    integer-cents convention — exact weights in, exact weights out).
+    Priority q = w · 2^60 / (h+1) where h is the shared 60-bit hash of
+    the id tuple; the k largest priorities are the sample, the (k+1)-th
+    priority is the threshold τ, and ŵ = max(w, τ) satisfies
+    E[Σ_sample ŵ] = Σ_population w (DLT 2007, Thm 1).
+
+    Returns (rank, ``*id_cols``, weight, weight_est) with weight and
+    weight_est in dollars rounded to ``out_dp``.
+
+    Plan shape: the priority is a narrow projection; the k+1 survivors
+    come from orderBy+limit — Catalyst plans TakeOrderedAndProject
+    (per-partition size-(k+1) heaps, driver merge of k+1 rows per
+    partition), never a global sort. τ rides a 1-row broadcast
+    crossJoin. Determinism: q is exactly two IEEE operations on exact
+    integers (w·2^60 may exceed 2^53 and round — but identically in
+    every IEEE engine; ditto the division), and the ordering
+    tie-breaks on the id tuple, so the sample is a pure function of
+    the data in ANY engine — no RNG, rerun-stable, resume-safe.
+    """
+    h = stable_hash60_expr(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols])
+    )
+    scored = df.select(
+        *id_cols,
+        F.col(weight_cents_col).alias("_w"),
+        (
+            F.col(weight_cents_col).cast("double") * F.lit(_HASH_SPACE)
+            / (h + F.lit(1)).cast("double")
+        ).alias("_q"),
+    )
+    order = [F.desc("_q")] + [F.asc(c) for c in id_cols]
+    top = scored.orderBy(*order).limit(k + 1)
+    # τ = the (k+1)-th priority; with n ≤ k the whole population is
+    # sampled and DLT defines τ = 0 (the estimate is the exact weight)
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) > k, F.min("_q"))
+        .otherwise(F.lit(0.0))
+        .alias("_tau")
+    )
+    w_rank = Window.orderBy(*order)
+    # single-partition window is fine HERE: it sees k+1 rows, not the corpus
+    return (
+        top.crossJoin(F.broadcast(tau))
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "rank",
+            *id_cols,
+            F.round(F.col("_w") / 100.0, out_dp).alias("weight"),
+            F.round(
+                F.greatest(F.col("_w").cast("double"), F.col("_tau"))
+                / 100.0,
+                out_dp,
+            ).alias("weight_est"),
+        )
+    )

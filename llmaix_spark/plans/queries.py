@@ -4424,6 +4424,182 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_distinct_kmv(spark, sf_dir):
+    """KMV distinct-count sketch (k=64 minimum hashes) per order
+    priority next to the exact count — the oracle proves the sketch
+    estimate bit-for-bit, not just approximately (every step is exact
+    integer math plus one IEEE division; see operators/sketches.py)."""
+    from llmaix_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_custkey", k=64
+    )
+
+
+# (k-1)·2^60 as the shortest round-trip double literal — both engines
+# parse it to the identical IEEE value (63·2^60 has 6 significant bits)
+_KMV_NUM = repr(float(63 * 2**60))
+
+SQL_DISTINCT_KMV = f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM orders WHERE o_custkey IS NOT NULL),
+ex AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_exact
+       FROM d GROUP BY 1),
+r AS (SELECT o_orderpriority, h,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY h)
+               AS rn
+      FROM d),
+sk AS (SELECT o_orderpriority, count(*) AS n_sk, max(h) AS hk
+       FROM r WHERE rn <= 64 GROUP BY 1),
+j AS (SELECT ex.o_orderpriority, n_exact,
+             round(CASE WHEN n_sk < 64 THEN CAST(n_sk AS DOUBLE)
+                        ELSE {_KMV_NUM} / CAST(hk AS DOUBLE) END,
+                   4) AS kmv_estimate
+      FROM ex JOIN sk USING (o_orderpriority))
+SELECT o_orderpriority, n_exact, kmv_estimate,
+       round(abs(kmv_estimate - n_exact) / n_exact, 6) AS rel_err
+FROM j"""
+
+
+def q_priority_sample(spark, sf_dir):
+    """Weight-proportional 64-row sample of orders by total price
+    (Duffield-Lund-Thorup priority sampling) with the unbiased
+    subset-sum weight estimate — deterministic (hash-uniform u, no
+    RNG), so the exact sample is oracle-checkable."""
+    from llmaix_spark.operators.sketches import priority_sample
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("orderkey"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return priority_sample(o, "cents", ["orderkey"], k=64)
+
+
+_HASH_SPACE_LIT = repr(float(2**60))
+
+SQL_PRIORITY_SAMPLE = f"""
+WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+s AS (SELECT orderkey, cents,
+             CAST(cents AS DOUBLE) * {_HASH_SPACE_LIT}
+               / CAST((('0x' || substr(md5(CAST(orderkey AS VARCHAR)),
+                                       1, 15))::BIGINT + 1) AS DOUBLE)
+               AS q
+      FROM o),
+top AS (SELECT * FROM s ORDER BY q DESC, orderkey LIMIT 65),
+tau AS (SELECT CASE WHEN count(*) > 64 THEN min(q) ELSE 0.0 END AS tau
+        FROM top),
+r AS (SELECT orderkey, cents,
+             CAST(row_number() OVER (ORDER BY q DESC, orderkey) AS BIGINT)
+               AS rank
+      FROM top)
+SELECT rank, orderkey, round(cents / 100.0, 2) AS weight,
+       round(greatest(CAST(cents AS DOUBLE), (SELECT tau FROM tau))
+               / 100.0, 2) AS weight_est
+FROM r WHERE rank <= 64"""
+
+
+def q_events_trend(spark, sf_dir):
+    """Per-event-type OLS trend of value over time (slope, intercept,
+    r²) from DECIMAL(38,0)-exact sufficient statistics — order-
+    invariant cross-engine regression, unlike the double-summing
+    regr_slope built-ins (see operators/profile.py::group_ols)."""
+    from llmaix_spark.operators.profile import group_ols
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("xs"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return group_ols(e, ["event_type"], "xs", "cents")
+
+
+SQL_EVENTS_TREND = """
+WITH e AS (SELECT event_type, epoch_us(ts) // 1000000 AS xs,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+a AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(xs AS HUGEINT)) AS sx,
+             sum(CAST(cents AS HUGEINT)) AS sy,
+             sum(CAST(xs AS HUGEINT) * cents) AS sxy,
+             sum(CAST(xs AS HUGEINT) * xs) AS sxx,
+             sum(CAST(cents AS HUGEINT) * cents) AS syy
+      FROM e GROUP BY 1),
+f AS (SELECT event_type,
+             CAST(n AS BIGINT) AS n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+             CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+             CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+             CAST(n AS DOUBLE) AS dn
+      FROM a),
+g AS (SELECT *, num / denx AS slope_raw FROM f)
+SELECT event_type, n,
+       CASE WHEN denx = 0 THEN NULL ELSE round(slope_raw, 6) END AS slope,
+       CASE WHEN denx = 0 THEN NULL
+            ELSE round((dy - slope_raw * dx) / dn, 6) END AS intercept,
+       CASE WHEN denx = 0 OR deny = 0 THEN NULL
+            ELSE round(num * num / (denx * deny), 6) END AS r2
+FROM g"""
+
+
+def q_kg_shortest_paths(spark, sf_dir):
+    """BFS hop distances (≤4) from the lexicographically smallest
+    entity over the undirected triple graph — iterative frontier
+    expansion as DataFrame joins; the oracle is DuckDB's recursive
+    CTE, a genuinely independent fixpoint algorithm."""
+    from llmaix_spark.operators.graph import bfs_distances
+
+    return bfs_distances(
+        q_kg_triples(spark, sf_dir), src="subj", dst="obj", max_hops=4
+    )
+
+
+SQL_KG_SHORTEST_PATHS = f"""
+WITH RECURSIVE tt AS ({SQL_KG_TRIPLES}),
+e0 AS (SELECT DISTINCT subj AS a, obj AS b FROM tt
+       WHERE subj IS NOT NULL AND obj IS NOT NULL AND subj <> obj),
+e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+bfs AS (
+  SELECT (SELECT min(a) FROM e) AS node, 0 AS dist
+  UNION
+  SELECT e.b AS node, bfs.dist + 1 AS dist
+  FROM bfs JOIN e ON e.a = bfs.node
+  WHERE bfs.dist < 4)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist
+FROM bfs GROUP BY 1"""
+
+
+def q_skew_histogram(spark, sf_dir):
+    """Power-of-two key-frequency histogram of lineitem.l_partkey —
+    the pre-shuffle skew diagnostic (fat top bucket ⇒ salt or rely on
+    AQE skew-split before keying a 100 TB join on the column)."""
+    from llmaix_spark.operators.profile import skew_histogram
+
+    return skew_histogram(_t(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+SQL_SKEW_HISTOGRAM = """
+WITH f AS (SELECT l_partkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+t AS (SELECT sum(f) AS total FROM f),
+b AS (SELECT length(bin(f)) - 1 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(f) AS BIGINT) AS n_rows
+      FROM f GROUP BY 1)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       (1::BIGINT << bucket) AS freq_lo,
+       n_keys, n_rows,
+       round(CAST(n_rows AS DOUBLE)
+               / CAST((SELECT total FROM t) AS DOUBLE), 6) AS row_share
+FROM b"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4453,6 +4629,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": q_events_retention,
     "events_ohlc": q_events_ohlc,
     "events_cumulative": q_events_cumulative,
+    "events_trend": q_events_trend,
     "integrity_orphans": q_integrity_orphans,
     "events_range_join": q_events_range_join,
     "empty_predicate": q_empty_predicate,
@@ -4519,6 +4696,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_rank": q_search_rank,
     "profile_quantiles": q_profile_quantiles,
     "profile_histogram": q_profile_histogram,
+    "skew_histogram": q_skew_histogram,
+    "distinct_kmv": q_distinct_kmv,
+    "priority_sample": q_priority_sample,
     "sample_k_per_group": q_sample_k_per_group,
     "quantize_embeddings": q_quantize_embeddings,
     "multimodal_features": q_multimodal_features,
@@ -4528,6 +4708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triangles": q_kg_triangles,
     "kg_two_hop": q_kg_two_hop,
     "kg_cooccurrence": q_kg_cooccurrence,
+    "kg_shortest_paths": q_kg_shortest_paths,
     "kg_link_prediction": q_kg_link_prediction,
     "chi2_crosstab": q_chi2_crosstab,
     "kg_pipeline_edges": q_kg_pipeline_edges,
@@ -4567,6 +4748,7 @@ ORACLES: dict[str, str] = {
     "events_retention": SQL_EVENTS_RETENTION,
     "events_ohlc": SQL_EVENTS_OHLC,
     "events_cumulative": SQL_EVENTS_CUMULATIVE,
+    "events_trend": SQL_EVENTS_TREND,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "empty_predicate": SQL_EMPTY_PREDICATE,
@@ -4633,6 +4815,9 @@ ORACLES: dict[str, str] = {
     "search_rank": SQL_SEARCH_RANK,
     "profile_quantiles": SQL_PROFILE_QUANTILES,
     "profile_histogram": SQL_PROFILE_HISTOGRAM,
+    "skew_histogram": SQL_SKEW_HISTOGRAM,
+    "distinct_kmv": SQL_DISTINCT_KMV,
+    "priority_sample": SQL_PRIORITY_SAMPLE,
     "sample_k_per_group": SQL_SAMPLE_K_PER_GROUP,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
@@ -4642,6 +4827,7 @@ ORACLES: dict[str, str] = {
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_two_hop": SQL_KG_TWO_HOP,
     "kg_cooccurrence": SQL_KG_COOCCURRENCE,
+    "kg_shortest_paths": SQL_KG_SHORTEST_PATHS,
     "kg_link_prediction": SQL_KG_LINK_PREDICTION,
     "chi2_crosstab": SQL_CHI2_CROSSTAB,
     "kg_pipeline_edges": SQL_KG_PIPELINE_EDGES,

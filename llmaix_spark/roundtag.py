@@ -27,7 +27,9 @@ import re
 def infer_round_tag(repo: str) -> str:
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
-        return env
+        # normalize "5" -> "05" so artifact names match the driver's
+        # zero-padded convention regardless of how the round was typed
+        return f"{int(env):02d}" if env.isdigit() else env
 
     def tags(pattern: str) -> list[int]:
         return [

@@ -1,0 +1,231 @@
+"""KMV distinct sketch, priority sampling, exact-OLS, BFS, skew
+histogram — the round-5 analytics wave. Each test pins the operator
+against an independent hand/numpy computation (the oracle-parity run
+separately pins the DuckDB twin)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from llmaix_spark.operators.graph import bfs_distances
+from llmaix_spark.operators.profile import group_ols, skew_histogram
+from llmaix_spark.operators.sketches import kmv_distinct, priority_sample
+
+
+def _hash60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def test_kmv_small_group_is_exact(spark):
+    """Fewer than k distinct values → estimate == exact count."""
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(10)] * 3, "grp string, v string"
+    )
+    row = kmv_distinct(df, ["grp"], "v", k=64).collect()[0]
+    assert row["n_exact"] == 10
+    assert row["kmv_estimate"] == 10.0
+    assert row["rel_err"] == 0.0
+
+
+def test_kmv_matches_python_twin(spark):
+    """k < n_distinct: the estimate equals the literal KMV formula on
+    the same 60-bit hashes, and lands within the ~1/sqrt(k-2) band."""
+    k, n = 16, 2000
+    vals = [f"item-{i}" for i in range(n)]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v string")
+    row = kmv_distinct(df, ["grp"], "v", k=k).collect()[0]
+    hk = sorted(_hash60(v) for v in vals)[k - 1]
+    want = round(float((k - 1) * 2**60) / float(hk), 4)
+    assert row["n_exact"] == n
+    assert row["kmv_estimate"] == want
+    assert abs(row["kmv_estimate"] - n) / n < 4 / math.sqrt(k - 2)
+
+
+def test_kmv_null_values_ignored(spark):
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("g", "b")], "grp string, v string"
+    )
+    row = kmv_distinct(df, ["grp"], "v", k=8).collect()[0]
+    assert row["n_exact"] == 2
+
+
+# ---------------------------------------------------- priority sample
+
+
+def test_priority_sample_matches_python_twin(spark):
+    """The sampled id set, order, and DLT estimates equal the literal
+    single-threaded computation on the same hashes."""
+    k, n = 8, 200
+    rows = [(i, (i * 37) % 995 + 5) for i in range(n)]  # cents weights
+    df = spark.createDataFrame(rows, "id bigint, cents bigint")
+    got = priority_sample(df, "cents", ["id"], k=k).collect()
+
+    qs = [
+        (w * float(2**60) / float(_hash60(str(i)) + 1), i, w)
+        for i, w in rows
+    ]
+    qs.sort(key=lambda t: (-t[0], t[1]))
+    tau = qs[k][0]
+    want = [
+        (r + 1, i, round(w / 100.0, 2), round(max(float(w), tau) / 100.0, 2))
+        for r, (q, i, w) in enumerate(qs[:k])
+    ]
+    assert [
+        (r["rank"], r["id"], r["weight"], r["weight_est"]) for r in got
+    ] == want
+
+
+def test_priority_sample_subset_sum_unbiased_shape(spark):
+    """n <= k degenerates to the whole population with est == weight
+    (τ = 0), preserving the exact subset sum."""
+    rows = [(i, 100 * (i + 1)) for i in range(5)]
+    df = spark.createDataFrame(rows, "id bigint, cents bigint")
+    got = priority_sample(df, "cents", ["id"], k=8).collect()
+    assert len(got) == 5
+    assert all(r["weight_est"] == r["weight"] for r in got)
+    assert sum(r["weight_est"] for r in got) == pytest.approx(
+        sum(c for _, c in rows) / 100.0
+    )
+
+
+# --------------------------------------------------------------- OLS
+
+
+def test_group_ols_matches_exact_twin(spark):
+    """Pins the operator to the literal closed form evaluated with
+    Python's unbounded integers (exact sufficient statistics) + the
+    same final IEEE steps — plus a loose numpy cross-check. numpy
+    polyfit itself is NOT the reference at |x| ~ 1.7e9: its normal
+    equations lose ~6 digits to conditioning that the exact-integer
+    path never sees (centering via a numpy sanity bound only)."""
+    xs = [1_700_000_000 + 86_400 * d for d in range(50)]
+    ys = [100_000 + 37 * d + ((d * 7919) % 23 - 11) * 10 for d in range(50)]
+    df = spark.createDataFrame(
+        [("a", x, y) for x, y in zip(xs, ys)], "g string, x bigint, y bigint"
+    )
+    row = group_ols(df, ["g"], "x", "y").collect()[0]
+
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    num, denx, deny = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    slope_raw = float(num) / float(denx)
+    want_slope = round(slope_raw, 6)
+    want_intercept = round((float(sy) - slope_raw * float(sx)) / float(n), 6)
+    want_r2 = round(float(num) * float(num) / (float(denx) * float(deny)), 6)
+    assert row["n"] == n
+    assert row["slope"] == want_slope
+    assert row["intercept"] == want_intercept
+    assert row["r2"] == want_r2
+
+    # numpy sanity band on the centered problem (well-conditioned)
+    xc = np.array(xs, float) - np.mean(xs)
+    s_np, i_np = np.polyfit(xc, np.array(ys, float), 1)
+    # the operator output is 6dp-rounded: compare at grid resolution
+    assert row["slope"] == pytest.approx(s_np, abs=5.1e-7)
+    assert row["intercept"] == pytest.approx(
+        i_np - s_np * np.mean(xs), rel=1e-5
+    )
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert row["r2"] == pytest.approx(r * r, abs=1e-4)
+
+
+def test_group_ols_zero_variance_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", 5, 1), ("a", 5, 2), ("b", 1, 1), ("b", 2, 3)],
+        "g string, x bigint, y bigint",
+    )
+    rows = {r["g"]: r for r in group_ols(df, ["g"], "x", "y").collect()}
+    assert rows["a"]["slope"] is None and rows["a"]["r2"] is None
+    assert rows["b"]["slope"] == 2.0
+
+
+def test_group_ols_partition_invariant(spark):
+    """Exact decimal sums: identical output at 1 and 7 partitions
+    (the double-summing built-ins cannot promise this)."""
+    rows = [("g", 1_600_000_000 + i * 13, (i * 991) % 10_000) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    a = group_ols(df.coalesce(1), ["g"], "x", "y").collect()[0]
+    b = group_ols(df.repartition(7), ["g"], "x", "y").collect()[0]
+    assert (a["slope"], a["intercept"], a["r2"]) == (
+        b["slope"], b["intercept"], b["r2"]
+    )
+
+
+# --------------------------------------------------------------- BFS
+
+
+def test_bfs_hand_graph(spark):
+    """a-b-c-d chain + e-f island + self-loop + reverse duplicate:
+    distances from min node 'a'; the island is unreachable."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"),
+            ("d", "d"), ("e", "f"),
+        ],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, max_hops=4).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_max_hops_bound(spark):
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(9)], "src string, dst string"
+    )
+    got = bfs_distances(chain, max_hops=3).collect()
+    assert {r["node"] for r in got} == {"n0", "n1", "n2", "n3"}
+    assert max(r["dist"] for r in got) == 3
+
+
+def test_bfs_explicit_source(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, source_node="c", max_hops=4).collect()
+    }
+    assert got == {"c": 0, "b": 1, "a": 2}
+
+
+# ----------------------------------------------------- skew histogram
+
+
+def test_skew_histogram_hand_case(spark):
+    """Frequencies 1,1,2,3,8 → buckets 0 (two keys), 1 (two keys:
+    f=2,3), 3 (one key)."""
+    rows = (
+        [("k1",), ("k2",)]
+        + [("k3",)] * 2
+        + [("k4",)] * 3
+        + [("k5",)] * 8
+    )
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r["bucket"]: (r["freq_lo"], r["n_keys"], r["n_rows"], r["row_share"])
+        for r in skew_histogram(df, "k").collect()
+    }
+    assert got == {
+        0: (1, 2, 2, round(2 / 15, 6)),
+        1: (2, 2, 5, round(5 / 15, 6)),
+        3: (8, 1, 8, round(8 / 15, 6)),
+    }
+
+
+def test_skew_histogram_counts_nulls(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), (None,), (None,)], "k string"
+    )
+    got = {r["bucket"]: r["n_keys"] for r in skew_histogram(df, "k").collect()}
+    assert got == {0: 1, 1: 1}  # f=1 for 'a', f=3 for NULL
