@@ -48,13 +48,21 @@ def kmv_distinct(
     k: int = 64,
     est_dp: int = 4,
     err_dp: int = 6,
+    include_exact: bool = True,
 ) -> DataFrame:
-    """Per-group KMV distinct-count estimate next to the exact count.
+    """Per-group KMV distinct-count estimate, optionally next to the
+    exact count.
 
-    Returns (``*group_cols``, n_exact, kmv_estimate, rel_err). NULL
-    values are ignored (md5(NULL) is NULL — the repo-wide rule that a
-    NULL never silently hashes). With fewer than ``k`` distinct values
-    the sketch degenerates to the exact count (estimate == n_exact).
+    Returns (``*group_cols``, n_exact, kmv_estimate, rel_err), or just
+    (``*group_cols``, kmv_estimate) with ``include_exact=False`` —
+    the production mode at scale: the whole point of the sketch is NOT
+    paying for the exact count, so the error-reporting mode exists for
+    validation (and the value oracle). With both computed, the shared
+    distinct table is localCheckpointed (2 consumers — repo cache
+    policy) instead of being re-executed per branch. NULL values are
+    ignored (md5(NULL) is NULL — the repo-wide rule that a NULL never
+    silently hashes). With fewer than ``k`` distinct values the sketch
+    degenerates to the exact count (estimate == n_exact).
 
     Plan shape: ONE distinct over (group, hash) — map-side combinable,
     the only corpus-width shuffle — then two group-local aggregates
@@ -78,9 +86,8 @@ def kmv_distinct(
         .where(F.col("_h").isNotNull())
         .distinct()
     )
-    exact = d.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_exact")
-    )
+    if include_exact:
+        d = d.localCheckpoint(eager=False)  # consumers: exact, sketch
     w = Window.partitionBy(*group_cols).orderBy("_h")
     sk = (
         d.withColumn("_rn", F.row_number().over(w))
@@ -95,6 +102,13 @@ def kmv_distinct(
         F.col("_n_sk") < k, F.col("_n_sk").cast("double")
     ).otherwise(
         F.lit(float((k - 1) * 2**60)) / F.col("_hk").cast("double")
+    )
+    if not include_exact:
+        return sk.select(
+            *group_cols, F.round(est, est_dp).alias("kmv_estimate")
+        )
+    exact = d.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
     )
     return (
         exact.join(sk, group_cols)

@@ -229,3 +229,42 @@ def test_skew_histogram_counts_nulls(spark):
     )
     got = {r["bucket"]: r["n_keys"] for r in skew_histogram(df, "k").collect()}
     assert got == {0: 1, 1: 1}  # f=1 for 'a', f=3 for NULL
+
+
+# ------------------------------------------------------- plan shapes
+
+
+def _phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kmv_plan_map_side_group_limit(spark):
+    """The k-minima selection must run as WindowGroupLimit with a
+    Partial (pre-shuffle) pass — each map task ships at most k rows
+    per group, the property the 100 TB story rests on."""
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(100)], "grp string, v string"
+    )
+    plan = _phys(kmv_distinct(df, ["grp"], "v", k=8, include_exact=False))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_kmv_sketch_only_mode(spark):
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(10)], "grp string, v string"
+    )
+    out = kmv_distinct(df, ["grp"], "v", k=64, include_exact=False)
+    assert out.columns == ["grp", "kmv_estimate"]
+    assert out.collect()[0]["kmv_estimate"] == 10.0
+
+
+def test_priority_sample_plan_no_global_sort(spark):
+    """Top-k must plan as TakeOrderedAndProject (per-partition heaps),
+    never a rangepartitioned global sort of the corpus."""
+    df = spark.createDataFrame(
+        [(i, 100 + i) for i in range(500)], "id bigint, cents bigint"
+    )
+    plan = _phys(priority_sample(df, "cents", ["id"], k=8))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
