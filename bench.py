@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "skew_histogram",
     "events_trend",
     "kg_shortest_paths",
+    "zorder_key",
 ]
 
 

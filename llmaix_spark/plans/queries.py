@@ -4600,6 +4600,51 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
 FROM b"""
 
 
+def q_zorder_key(spark, sf_dir):
+    """62-bit Morton key of (custkey, orderdate-day) per order — the
+    data-clustering key OPTIMIZE-ZORDER-style layout sorts by before
+    writing, so parquet min/max stats prune on BOTH columns (see
+    functions/zorder.py; pure bigint mask/shift/or, no UDF)."""
+    from llmaix_spark.functions.zorder import zorder2_expr
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    return o.select(
+        F.col("o_orderkey").cast("bigint").alias("orderkey"),
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        day.alias("day"),
+        zorder2_expr(F.col("o_custkey"), day).alias("zkey"),
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    from llmaix_spark.functions.zorder import _MASK31, _SPREAD_STEPS
+
+    steps = ""
+    for i, (sh, mask) in enumerate(_SPREAD_STEPS, 1):
+        steps += f""",
+z{i} AS (SELECT orderkey, custkey, day,
+                (ax | (ax << {sh})) & {mask} AS ax,
+                (ay | (ay << {sh})) & {mask} AS ay
+         FROM z{i - 1})"""
+    return f"""
+WITH z0 AS (SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+                   CAST(o_custkey AS BIGINT) AS custkey,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) AS day,
+                   CAST(o_custkey AS BIGINT) & {_MASK31} AS ax,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) & {_MASK31} AS ay
+            FROM orders){steps}
+SELECT orderkey, custkey, day, ax | (ay << 1) AS zkey
+FROM z{len(_SPREAD_STEPS)}"""
+
+
+SQL_ZORDER_KEY = _zorder_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4697,6 +4742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_quantiles": q_profile_quantiles,
     "profile_histogram": q_profile_histogram,
     "skew_histogram": q_skew_histogram,
+    "zorder_key": q_zorder_key,
     "distinct_kmv": q_distinct_kmv,
     "priority_sample": q_priority_sample,
     "sample_k_per_group": q_sample_k_per_group,
@@ -4816,6 +4862,7 @@ ORACLES: dict[str, str] = {
     "profile_quantiles": SQL_PROFILE_QUANTILES,
     "profile_histogram": SQL_PROFILE_HISTOGRAM,
     "skew_histogram": SQL_SKEW_HISTOGRAM,
+    "zorder_key": SQL_ZORDER_KEY,
     "distinct_kmv": SQL_DISTINCT_KMV,
     "priority_sample": SQL_PRIORITY_SAMPLE,
     "sample_k_per_group": SQL_SAMPLE_K_PER_GROUP,
