@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "events_trend",
     "kg_shortest_paths",
     "zorder_key",
+    "events_twap",
+    "integrity_gaps",
+    "kg_components",
 ]
 
 

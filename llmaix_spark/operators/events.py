@@ -315,3 +315,55 @@ def running_totals(
         F.round(run / 100.0, out_dp).alias("running_total"),
         F.round((F.col("cents") - prev) / 100.0, out_dp).alias("delta"),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    out_dp: int = 6,
+) -> DataFrame:
+    """Per-user time-weighted average value (TWAP): each observation
+    holds until the next one, so the mean weights each value by its
+    holding duration — the IoT/financial downsample a plain avg() gets
+    wrong whenever sampling is irregular.
+
+    One lead() window per user on (ts, id) gives the holding interval
+    dt in exact microseconds; dt·cents products stay in BIGINT
+    (|dt| ≤ years ~ 3e13 µs × cents ≤ 1e5 < 2^63) and their per-user
+    sums ride DECIMAL(38,0) — exact, order-invariant, cross-engine
+    (DuckDB sums BIGINT into HUGEINT). The final division is the only
+    floating-point step. Users with a single event (no interval) drop
+    out — there is nothing to weight.
+    """
+    w = Window.partitionBy("u").orderBy("us", "eid")
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).alias("eid"),
+        F.round(F.col(value_col) * 100, 0).cast("bigint").alias("cents"),
+    )
+    stepped = e.select(
+        "u",
+        "cents",
+        (F.lead("us").over(w) - F.col("us")).alias("dt"),
+    ).where(F.col("dt").isNotNull())
+    agg = stepped.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum((F.col("dt") * F.col("cents")).cast("decimal(38,0)")).alias(
+            "_wsum"
+        ),
+        F.sum(F.col("dt").cast("decimal(38,0)")).alias("_tsum"),
+    )
+    return agg.where(F.col("_tsum") > 0).select(
+        F.col("u").alias("user_id"),
+        "n_intervals",
+        F.round(
+            F.col("_wsum").cast("double")
+            / F.col("_tsum").cast("double")
+            / 100.0,
+            out_dp,
+        ).alias("twap"),
+    )

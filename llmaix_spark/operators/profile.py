@@ -373,3 +373,59 @@ def skew_histogram(
             ).alias("row_share"),
         )
     )
+
+
+def sequence_gaps(
+    df: DataFrame,
+    key_col: str,
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """Missing ranges in an integer key sequence (the referential
+    audit for surrogate-key tables: retention holes, failed loads,
+    compaction bugs). Returns (gap_start, gap_end, gap_len) for every
+    maximal missing run strictly inside [min(key), max(key)].
+
+    A naive lead() over the whole sequence is an unpartitioned window
+    — one task sorts the corpus. Two-level plan instead: keys bucket
+    by ``key div bucket_size``; intra-bucket gaps come from a lead()
+    window PARTITIONED by bucket (parallel, bounded state), and
+    cross-bucket gaps from a second lead() over the per-bucket
+    (min, max) summary — a table ``bucket_size×`` smaller than the
+    key set, where a single-partition window is fine (and empty
+    buckets between two summaries are swallowed by the same boundary
+    gap row). Duplicates are collapsed by the distinct; NULL keys are
+    ignored.
+    """
+    k = (
+        df.select(F.col(key_col).cast("bigint").alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .distinct()
+        .withColumn("_b", F.col("_k") - (F.col("_k") % bucket_size))
+    )
+    w_in = Window.partitionBy("_b").orderBy("_k")
+    intra = (
+        k.withColumn("_next", F.lead("_k").over(w_in))
+        .where(F.col("_next") > F.col("_k") + 1)
+        .select(
+            (F.col("_k") + 1).alias("gap_start"),
+            (F.col("_next") - 1).alias("gap_end"),
+        )
+    )
+    summary = k.groupBy("_b").agg(
+        F.min("_k").alias("_lo"), F.max("_k").alias("_hi")
+    )
+    w_b = Window.orderBy("_b")
+    # single-partition window is fine HERE: one row per bucket
+    cross = (
+        summary.withColumn("_next_lo", F.lead("_lo").over(w_b))
+        .where(F.col("_next_lo") > F.col("_hi") + 1)
+        .select(
+            (F.col("_hi") + 1).alias("gap_start"),
+            (F.col("_next_lo") - 1).alias("gap_end"),
+        )
+    )
+    return intra.unionByName(cross).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len"),
+    )

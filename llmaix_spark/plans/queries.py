@@ -4645,6 +4645,94 @@ FROM z{len(_SPREAD_STEPS)}"""
 SQL_ZORDER_KEY = _zorder_oracle_sql()
 
 
+def q_events_twap(spark, sf_dir):
+    """Per-user time-weighted average event value — holding-duration
+    weights in exact integer micros·cents (DECIMAL(38,0) sums; one
+    final double division). The irregular-sampling mean a plain avg()
+    gets wrong."""
+    from llmaix_spark.operators.events import time_weighted_avg
+
+    return time_weighted_avg(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_TWAP = """
+WITH e AS (SELECT user_id u, epoch_us(ts) us,
+                  CAST(event_id AS BIGINT) eid,
+                  CAST(round(value * 100, 0) AS BIGINT) cents
+           FROM events),
+s AS (SELECT u, cents,
+             lead(us) OVER (PARTITION BY u ORDER BY us, eid) - us AS dt
+      FROM e),
+a AS (SELECT u, CAST(count(*) AS BIGINT) AS n_intervals,
+             sum(CAST(dt AS HUGEINT) * cents) AS wsum,
+             sum(CAST(dt AS HUGEINT)) AS tsum
+      FROM s WHERE dt IS NOT NULL GROUP BY 1)
+SELECT u AS user_id, n_intervals,
+       round(CAST(wsum AS DOUBLE) / CAST(tsum AS DOUBLE) / 100.0, 6)
+         AS twap
+FROM a WHERE tsum > 0"""
+
+
+def q_integrity_gaps(spark, sf_dir):
+    """Missing runs in the F-status orderkey sequence (the surrogate-
+    key audit; the filter makes the synthetic dense sequence sparse).
+    Two-level bucketed plan — no unpartitioned window over the
+    corpus; oracle is the naive global lead()."""
+    from llmaix_spark.operators.profile import sequence_gaps
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return sequence_gaps(o, "o_orderkey", bucket_size=1024)
+
+
+SQL_INTEGRITY_GAPS = """
+WITH k AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k
+           FROM orders WHERE o_orderstatus = 'F'),
+g AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k)
+SELECT k + 1 AS gap_start, nk - 1 AS gap_end,
+       nk - k - 1 AS gap_len
+FROM g WHERE nk > k + 1"""
+
+
+def q_kg_components(spark, sf_dir):
+    """Connected components of the triple surface graph (node →
+    min-reachable-surface component) — the size-adaptive CC the
+    canonicalization pipeline uses (driver union-find under 200k
+    edges, distributed min-label propagation above), value-oracled
+    against DuckDB's recursive-CTE min-label fixpoint."""
+    from llmaix_spark.operators.canonicalize import connected_components
+
+    t = q_kg_triples(spark, sf_dir)
+    edges = (
+        t.where(
+            F.col("subj").isNotNull()
+            & F.col("obj").isNotNull()
+            & (F.col("subj") != F.col("obj"))
+        )
+        .select(
+            F.col("subj").alias("norm_a"), F.col("obj").alias("norm_b")
+        )
+        .distinct()
+    )
+    return connected_components(edges).select(
+        F.col("norm").alias("node"), "component"
+    )
+
+
+SQL_KG_COMPONENTS = f"""
+WITH RECURSIVE tt AS ({SQL_KG_TRIPLES}),
+e0 AS (SELECT DISTINCT subj AS a, obj AS b FROM tt
+       WHERE subj IS NOT NULL AND obj IS NOT NULL AND subj <> obj),
+e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+r AS (
+  SELECT a AS node, a AS lbl FROM (SELECT a FROM e) n
+  UNION
+  SELECT e.b AS node, r.lbl AS lbl
+  FROM r JOIN e ON e.a = r.node
+  WHERE r.lbl < e.b)
+SELECT node, min(lbl) AS component
+FROM r GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4675,7 +4763,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ohlc": q_events_ohlc,
     "events_cumulative": q_events_cumulative,
     "events_trend": q_events_trend,
+    "events_twap": q_events_twap,
     "integrity_orphans": q_integrity_orphans,
+    "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
     "empty_predicate": q_empty_predicate,
     "id_gen": q_id_gen,
@@ -4755,6 +4845,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_two_hop": q_kg_two_hop,
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_shortest_paths": q_kg_shortest_paths,
+    "kg_components": q_kg_components,
     "kg_link_prediction": q_kg_link_prediction,
     "chi2_crosstab": q_chi2_crosstab,
     "kg_pipeline_edges": q_kg_pipeline_edges,
@@ -4795,7 +4886,9 @@ ORACLES: dict[str, str] = {
     "events_ohlc": SQL_EVENTS_OHLC,
     "events_cumulative": SQL_EVENTS_CUMULATIVE,
     "events_trend": SQL_EVENTS_TREND,
+    "events_twap": SQL_EVENTS_TWAP,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
+    "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "empty_predicate": SQL_EMPTY_PREDICATE,
     "id_gen": SQL_ID_GEN,
@@ -4875,6 +4968,7 @@ ORACLES: dict[str, str] = {
     "kg_two_hop": SQL_KG_TWO_HOP,
     "kg_cooccurrence": SQL_KG_COOCCURRENCE,
     "kg_shortest_paths": SQL_KG_SHORTEST_PATHS,
+    "kg_components": SQL_KG_COMPONENTS,
     "kg_link_prediction": SQL_KG_LINK_PREDICTION,
     "chi2_crosstab": SQL_CHI2_CROSSTAB,
     "kg_pipeline_edges": SQL_KG_PIPELINE_EDGES,

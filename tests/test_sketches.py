@@ -268,3 +268,52 @@ def test_priority_sample_plan_no_global_sort(spark):
     plan = _phys(priority_sample(df, "cents", ["id"], k=8))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+# ------------------------------------------------ TWAP and gap audit
+
+
+def test_time_weighted_avg_hand_case(spark):
+    """Value 100 held 3 s then 200 held 1 s → TWAP 125; the final
+    observation carries no interval. Plain avg would say 140."""
+    from datetime import datetime
+
+    from llmaix_spark.operators.events import time_weighted_avg
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0.replace(second=0), 1, 100.0),
+        (1, t0.replace(second=3), 2, 200.0),
+        (1, t0.replace(second=4), 3, 999.0),
+        (2, t0, 4, 50.0),  # single event: no interval, drops out
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, value double"
+    )
+    got = {r["user_id"]: r for r in time_weighted_avg(df).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_intervals"] == 2
+    assert got[1]["twap"] == 125.0
+
+
+def test_sequence_gaps_cross_bucket(spark):
+    """Keys 1,2,9,10 with bucket_size=4: the 3-8 gap spans the bucket
+    boundary (and the empty bucket [4,8)) — it must come out as ONE
+    row from the summary-level pass; 12,15 adds an intra-bucket gap."""
+    from llmaix_spark.operators.profile import sequence_gaps
+
+    df = spark.createDataFrame(
+        [(k,) for k in (1, 2, 9, 10, 12, 15, 15)], "k bigint"
+    )
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["gap_len"])
+        for r in sequence_gaps(df, "k", bucket_size=4).collect()
+    )
+    assert got == [(3, 8, 6), (11, 11, 1), (13, 14, 2)]
+
+
+def test_sequence_gaps_dense_is_empty(spark):
+    from llmaix_spark.operators.profile import sequence_gaps
+
+    df = spark.createDataFrame([(k,) for k in range(100)], "k bigint")
+    assert sequence_gaps(df, "k", bucket_size=16).count() == 0
