@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "events_twap",
     "integrity_gaps",
     "kg_components",
+    "snapshot_diff",
+    "weighted_median",
+    "search_phrase",
 ]
 
 

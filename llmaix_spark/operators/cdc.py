@@ -125,3 +125,50 @@ def scd2_history(
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Change-data-feed generation — the inverse of ``apply_changes``:
+    given two snapshots of a keyed table, emit per key what happened
+    (insert / delete / update, optionally unchanged) with both sides'
+    values as ``<col>_old`` / ``<col>_new``. Comparison is null-safe
+    (NULL → NULL is unchanged, NULL → value is an update) — the
+    semantics Delta's CDF and every audit diff needs.
+
+    Plan: ONE full outer join hash-partitioned on the key columns —
+    both snapshots shuffle once on the same key, no window, no
+    collect; the change classification is a pure projection.
+    At rest both snapshots of a 100 TB table would be bucketed on the
+    key, making the join exchange-free.
+    """
+    compare_cols = compare_cols or [
+        c for c in old.columns if c not in keys
+    ]
+    o = old.select(
+        *keys, *[F.col(c).alias(f"{c}_old") for c in compare_cols]
+    ).withColumn("_in_old", F.lit(True))
+    n = new.select(
+        *keys, *[F.col(c).alias(f"{c}_new") for c in compare_cols]
+    ).withColumn("_in_new", F.lit(True))
+    j = o.join(n, keys, "full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.withColumn("change", change).drop("_in_old", "_in_new")
+    if not include_unchanged:
+        out = out.where(F.col("change") != "unchanged")
+    pairs = [x for c in compare_cols for x in (f"{c}_old", f"{c}_new")]
+    return out.select(*keys, "change", *pairs)

@@ -429,3 +429,68 @@ def sequence_gaps(
         "gap_end",
         (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    out_dp: int = 2,
+) -> DataFrame:
+    """Per-group lower weighted median: the smallest value v whose
+    cumulative weight reaches half the group total (2·cumw(v) ≥ W) —
+    the robust center a 100 TB metrics job wants when each row stands
+    for many units (quantity-weighted price, token-weighted score).
+    Integer values (cents) and integer weights make the threshold
+    test exact — no interpolation, no float accumulation anywhere.
+
+    Plan: pre-aggregate (group, value) → summed weight FIRST (map-
+    side combinable; collapses duplicate values, so the window below
+    sees distinct values only), then one cumulative-sum window per
+    group ordered by value, then a min() re-aggregate of the
+    qualifying rows. State per window partition is the group's
+    DISTINCT value set — bounded by value cardinality, not row count.
+    Returns (``*group_cols``, n_rows, total_w, median) with median =
+    value/100 dollars at ``out_dp``.
+    """
+    v = (
+        df.groupBy(*group_cols, F.col(value_col).alias("_v"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(weight_col).cast("bigint").alias("_w"),
+        )
+    )
+    wspec = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    cum = v.select(
+        *group_cols,
+        "_v",
+        "_n",
+        F.sum("_w").over(wspec).alias("_cum"),
+        F.sum("_w").over(wtot).alias("_tot"),
+    )
+    return (
+        cum.where(F.lit(2) * F.col("_cum") >= F.col("_tot"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("_v").alias("_med"),
+            F.first("_tot").alias("total_w"),
+        )
+        .join(
+            df.groupBy(*group_cols).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows")
+            ),
+            group_cols,
+        )
+        .select(
+            *group_cols,
+            "n_rows",
+            F.col("total_w").cast("bigint").alias("total_w"),
+            F.round(F.col("_med") / 100.0, out_dp).alias("median"),
+        )
+    )

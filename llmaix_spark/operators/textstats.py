@@ -410,3 +410,45 @@ def tfidf_top_terms(
         .where(F.col("rank") <= top_k)
         .select("doc_id", "rank", "term", "tf", "score")
     )
+
+
+def search_phrase(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over the positional token index: documents
+    containing the terms of ``phrase`` CONSECUTIVELY, with occurrence
+    counts — the positional-index query an AND-of-terms search
+    (search_rank) cannot answer.
+
+    Plan: posexplode builds (doc, pos, term) once; each phrase slot
+    filters the index to ITS term BEFORE joining (the filters are
+    pushed below the join, so the join inputs are per-term posting
+    lists, a tiny fraction of the index), and slot i joins on
+    (doc, pos₀+i) — narrow equi-joins on (doc, pos), the classic
+    inverted-index adjacency merge. Occurrences can overlap
+    ("a a a" contains "a a" twice); counting is one map-side-
+    combinable groupBy on doc.
+    """
+    if len(phrase) < 2:
+        raise ValueError("search_phrase needs at least two terms")
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "term"),
+    ).where(F.length("term") > 0)
+    cur = (
+        tok.where(F.col("term") == phrase[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for i, term in enumerate(phrase[1:], 1):
+        nxt = tok.where(F.col("term") == term).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        cur = cur.join(nxt, ["doc_id", "p0"])
+    return cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )

@@ -4733,6 +4733,120 @@ SELECT node, min(lbl) AS component
 FROM r GROUP BY 1"""
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Change-data-feed generation: diff the CDC base snapshot
+    against its post-merge state and recover what the feed did —
+    insert / delete / update per key with both row images (the
+    inverse of cdc_apply; one full-outer join on the key)."""
+    from llmaix_spark.operators.cdc import apply_changes, snapshot_diff
+
+    base, changes = _cdc_fixture(spark, sf_dir)
+    rounded = lambda d: d.select(  # noqa: E731
+        "custkey", "c_name", F.round("bal", 2).alias("acctbal")
+    )
+    return snapshot_diff(
+        rounded(base),
+        rounded(apply_changes(base, changes, ["custkey"])),
+        ["custkey"],
+    )
+
+
+SQL_SNAPSHOT_DIFF = f"""
+WITH {_CDC_CHANGES_SQL},
+latest AS (
+  SELECT custkey, op, c_name, bal FROM (
+    SELECT *, row_number() OVER (PARTITION BY custkey
+                                 ORDER BY seq DESC) rn
+    FROM changes) WHERE rn = 1),
+new_snap AS (
+  SELECT k AS custkey, c_name, round(bal, 2) AS acctbal
+  FROM base WHERE k NOT IN (SELECT custkey FROM latest)
+  UNION ALL
+  SELECT custkey, c_name, round(bal, 2) AS acctbal
+  FROM latest WHERE op <> 'delete'),
+old_snap AS (SELECT k AS custkey, c_name, round(bal, 2) AS acctbal
+             FROM base),
+d AS (
+  SELECT coalesce(o.custkey, n.custkey) AS custkey,
+         CASE WHEN o.custkey IS NULL THEN 'insert'
+              WHEN n.custkey IS NULL THEN 'delete'
+              WHEN (o.c_name IS DISTINCT FROM n.c_name)
+                OR (o.acctbal IS DISTINCT FROM n.acctbal) THEN 'update'
+              ELSE 'unchanged' END AS change,
+         o.c_name AS c_name_old, n.c_name AS c_name_new,
+         o.acctbal AS acctbal_old, n.acctbal AS acctbal_new
+  FROM old_snap o FULL JOIN new_snap n ON o.custkey = n.custkey)
+SELECT custkey, change, c_name_old, c_name_new,
+       acctbal_old, acctbal_new
+FROM d WHERE change <> 'unchanged'"""
+
+
+def q_weighted_median(spark, sf_dir):
+    """Quantity-weighted median extended price per return flag —
+    exact integer threshold test (2·cumw ≥ W) over the distinct-value
+    cumulative window; no interpolation, no float accumulation."""
+    from llmaix_spark.operators.profile import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("qty"),
+    )
+    return weighted_median(li, ["l_returnflag"], "cents", "qty")
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH li AS (SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) cents,
+                   CAST(round(l_quantity, 0) AS BIGINT) qty
+            FROM lineitem),
+v AS (SELECT l_returnflag, cents, sum(qty) AS w
+      FROM li GROUP BY 1, 2),
+c AS (SELECT l_returnflag, cents,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM v),
+m AS (SELECT l_returnflag, min(cents) AS med,
+             CAST(min(tot) AS BIGINT) AS total_w
+      FROM c WHERE 2 * cum >= tot GROUP BY 1),
+n AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows
+      FROM li GROUP BY 1)
+SELECT m.l_returnflag, n.n_rows, m.total_w,
+       round(med / 100.0, 2) AS median
+FROM m JOIN n USING (l_returnflag)"""
+
+
+def q_search_phrase(spark, sf_dir):
+    """Exact phrase search ('value table' consecutively) over the
+    positional token index with per-doc occurrence counts — the
+    adjacency join AND-of-terms search cannot express."""
+    from llmaix_spark.operators.textstats import search_phrase
+
+    return search_phrase(
+        _t(spark, sf_dir, "documents"), ["value", "table"]
+    )
+
+
+SQL_SEARCH_PHRASE = r"""
+WITH d AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)),
+                                                 '\s+'),
+                              x -> length(x) > 0) AS l
+           FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos,
+               unnest(l) AS term
+        FROM d)
+SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+FROM tok t1
+JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+WHERE t1.term = 'value' AND t2.term = 'table'
+GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4754,6 +4868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_asof": q_events_asof,
     "cdc_apply": q_cdc_apply,
+    "snapshot_diff": q_snapshot_diff,
     "scd2_history": q_scd2_history,
     "events_rolling": q_events_rolling,
     "events_funnel": q_events_funnel,
@@ -4829,7 +4944,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_columns": q_profile_columns,
     "tfidf_top_terms": q_tfidf_top_terms,
     "search_rank": q_search_rank,
+    "search_phrase": q_search_phrase,
     "profile_quantiles": q_profile_quantiles,
+    "weighted_median": q_weighted_median,
     "profile_histogram": q_profile_histogram,
     "skew_histogram": q_skew_histogram,
     "zorder_key": q_zorder_key,
@@ -4877,6 +4994,7 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof": SQL_EVENTS_ASOF,
     "cdc_apply": SQL_CDC_APPLY,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "scd2_history": SQL_SCD2_HISTORY,
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_funnel": SQL_EVENTS_FUNNEL,
@@ -4952,7 +5070,9 @@ ORACLES: dict[str, str] = {
     "profile_columns": SQL_PROFILE_COLUMNS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "search_rank": SQL_SEARCH_RANK,
+    "search_phrase": SQL_SEARCH_PHRASE,
     "profile_quantiles": SQL_PROFILE_QUANTILES,
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
     "profile_histogram": SQL_PROFILE_HISTOGRAM,
     "skew_histogram": SQL_SKEW_HISTOGRAM,
     "zorder_key": SQL_ZORDER_KEY,

@@ -317,3 +317,73 @@ def test_sequence_gaps_dense_is_empty(spark):
 
     df = spark.createDataFrame([(k,) for k in range(100)], "k bigint")
     assert sequence_gaps(df, "k", bucket_size=16).count() == 0
+
+
+# ------------------------- snapshot diff, weighted median, phrase
+
+
+def test_snapshot_diff_classifies(spark):
+    from llmaix_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k bigint, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (4, "D", 40.0), (5, "e", 50.0)],
+        "k bigint, name string, bal double",
+    )
+    got = {
+        r["k"]: r["change"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    # 1 unchanged (filtered); 2 NULL→20.0 update (null-safe compare);
+    # 3 delete; 4 name update; 5 insert
+    assert got == {2: "update", 3: "delete", 4: "update", 5: "insert"}
+    rows = {
+        r["k"]: r
+        for r in snapshot_diff(
+            old, new, ["k"], include_unchanged=True
+        ).collect()
+    }
+    assert rows[1]["change"] == "unchanged"
+    assert rows[3]["name_new"] is None and rows[3]["name_old"] == "c"
+
+
+def test_weighted_median_hand_case(spark):
+    from llmaix_spark.operators.profile import weighted_median
+
+    # values (cents): 100 w1, 200 w2, 300 w1 → W=4, threshold 2 → 200
+    # group h: heavy first value dominates
+    df = spark.createDataFrame(
+        [("g", 100, 1), ("g", 200, 2), ("g", 300, 1),
+         ("h", 100, 10), ("h", 900, 1), ("h", 900, 2)],
+        "grp string, cents bigint, qty bigint",
+    )
+    got = {
+        r["grp"]: (r["n_rows"], r["total_w"], r["median"])
+        for r in weighted_median(df, ["grp"], "cents", "qty").collect()
+    }
+    assert got == {"g": (3, 4, 2.0), "h": (3, 13, 1.0)}
+
+
+def test_search_phrase_overlaps_and_order(spark):
+    from llmaix_spark.operators.textstats import search_phrase
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),       # "a a" overlaps twice
+            (2, "a b a b a"),     # "a b" twice, "b a" twice
+            (3, "b b"),           # no "a b"
+        ],
+        "doc_id bigint, text string",
+    )
+    aa = {r["doc_id"]: r["n_occ"]
+          for r in search_phrase(docs, ["a", "a"]).collect()}
+    assert aa == {1: 2}
+    ab = {r["doc_id"]: r["n_occ"]
+          for r in search_phrase(docs, ["a", "b"]).collect()}
+    assert ab == {1: 1, 2: 2}
+    aba = {r["doc_id"]: r["n_occ"]
+           for r in search_phrase(docs, ["a", "b", "a"]).collect()}
+    assert aba == {2: 2}
