@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "weighted_median",
     "search_phrase",
+    "outliers_mad",
 ]
 
 

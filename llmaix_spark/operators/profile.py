@@ -494,3 +494,61 @@ def weighted_median(
             F.round(F.col("_med") / 100.0, out_dp).alias("median"),
         )
     )
+
+
+def outliers_mad(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.0,
+    out_dp: int = 4,
+) -> DataFrame:
+    """Per-group robust outlier profile via median absolute deviation:
+    a value is an outlier when |v − median| > k · 1.4826 · MAD (the
+    Hampel filter; 1.4826 scales MAD to σ under normality). Mean/
+    stddev rules break on the very outliers they hunt — median/MAD
+    have a 50% breakdown point, which is what a data-quality gate over
+    an untrusted 100 TB drop needs.
+
+    Three passes by construction (median → MAD needs the median →
+    counting needs the MAD), each a map-side-combinable aggregate plus
+    a BROADCAST join of a one-row-per-group stats table back onto the
+    corpus — never a corpus shuffle. The exact percentile is the
+    oracle-comparable path; at true scale swap approx_percentile into
+    the same shape (single-digit-% error, constant memory). Integer
+    cents in, exact interpolated medians out ((n−1)·q percentile_cont
+    semantics — the repo's profile_quantiles contract); the threshold
+    compare runs on identically-derived doubles in both engines.
+
+    Returns (``*group_cols``, n_rows, median, mad, n_outliers) with
+    median/MAD in dollars at ``out_dp``.
+    """
+    v = F.col(value_col)
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(0.5)).alias("_med"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    j = df.join(F.broadcast(med), group_cols)
+    dev = F.abs(v - F.col("_med"))
+    mad_tbl = j.groupBy(*group_cols).agg(
+        F.percentile(dev, F.lit(0.5)).alias("_mad")
+    )
+    j2 = j.join(F.broadcast(mad_tbl), group_cols)
+    flagged = j2.groupBy(*group_cols).agg(
+        F.sum(
+            F.when(dev > F.lit(k * 1.4826) * F.col("_mad"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers")
+    )
+    return (
+        med.join(mad_tbl, group_cols)
+        .join(flagged, group_cols)
+        .select(
+            *group_cols,
+            "n_rows",
+            F.round(F.col("_med") / 100.0, out_dp).alias("median"),
+            F.round(F.col("_mad") / 100.0, out_dp).alias("mad"),
+            "n_outliers",
+        )
+    )

@@ -423,23 +423,29 @@ def search_phrase(
     counts — the positional-index query an AND-of-terms search
     (search_rank) cannot answer.
 
-    Plan: posexplode builds (doc, pos, term) once; each phrase slot
-    filters the index to ITS term BEFORE joining (the filters are
-    pushed below the join, so the join inputs are per-term posting
-    lists, a tiny fraction of the index), and slot i joins on
-    (doc, pos₀+i) — narrow equi-joins on (doc, pos), the classic
-    inverted-index adjacency merge. Occurrences can overlap
+    Plan: ONE corpus scan builds the positional index already filtered
+    to the phrase's term set (the isin prunes inside the explode
+    stage), and that small posting-list table is localCheckpointed —
+    every phrase slot then reads the materialized postings instead of
+    re-scanning the corpus (without it Catalyst re-derives the explode
+    per join branch: N corpus scans for an N-term phrase). Slot i
+    joins on (doc, pos₀+i) — narrow equi-joins on (doc, pos), the
+    classic inverted-index adjacency merge. Occurrences can overlap
     ("a a a" contains "a a" twice); counting is one map-side-
     combinable groupBy on doc.
     """
     if len(phrase) < 2:
         raise ValueError("search_phrase needs at least two terms")
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        ).alias("pos", "term"),
-    ).where(F.length("term") > 0)
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("pos", "term"),
+        )
+        .where(F.col("term").isin(sorted(set(phrase))))
+        .localCheckpoint(eager=False)  # consumers: one per phrase slot
+    )
     cur = (
         tok.where(F.col("term") == phrase[0])
         .select("doc_id", F.col("pos").alias("p0"))

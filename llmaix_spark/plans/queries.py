@@ -4847,6 +4847,44 @@ WHERE t1.term = 'value' AND t2.term = 'table'
 GROUP BY 1"""
 
 
+def q_outliers_mad(spark, sf_dir):
+    """Hampel-filter outlier profile of extended price per return
+    flag: |v − median| > 3·1.4826·MAD — the robust gate (50%
+    breakdown) an untrusted data drop needs where mean/stddev rules
+    break on the outliers themselves."""
+    from llmaix_spark.operators.profile import outliers_mad
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return outliers_mad(li, ["l_returnflag"], "cents", k=3.0)
+
+
+SQL_OUTLIERS_MAD = """
+WITH li AS (SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) cents
+            FROM lineitem),
+m AS (SELECT l_returnflag, quantile_cont(cents, 0.5) AS med,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM li GROUP BY 1),
+d AS (SELECT li.l_returnflag, abs(li.cents - m.med) AS dev, m.med
+      FROM li JOIN m USING (l_returnflag)),
+md AS (SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad
+       FROM d GROUP BY 1),
+f AS (SELECT d.l_returnflag,
+             CAST(sum(CASE WHEN d.dev > 4.4478 * md.mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM d JOIN md USING (l_returnflag) GROUP BY 1)
+SELECT m.l_returnflag, m.n_rows,
+       round(m.med / 100.0, 4) AS median,
+       round(md.mad / 100.0, 4) AS mad,
+       f.n_outliers
+FROM m JOIN md USING (l_returnflag) JOIN f USING (l_returnflag)"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4947,6 +4985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_phrase": q_search_phrase,
     "profile_quantiles": q_profile_quantiles,
     "weighted_median": q_weighted_median,
+    "outliers_mad": q_outliers_mad,
     "profile_histogram": q_profile_histogram,
     "skew_histogram": q_skew_histogram,
     "zorder_key": q_zorder_key,
@@ -5073,6 +5112,7 @@ ORACLES: dict[str, str] = {
     "search_phrase": SQL_SEARCH_PHRASE,
     "profile_quantiles": SQL_PROFILE_QUANTILES,
     "weighted_median": SQL_WEIGHTED_MEDIAN,
+    "outliers_mad": SQL_OUTLIERS_MAD,
     "profile_histogram": SQL_PROFILE_HISTOGRAM,
     "skew_histogram": SQL_SKEW_HISTOGRAM,
     "zorder_key": SQL_ZORDER_KEY,

@@ -387,3 +387,20 @@ def test_search_phrase_overlaps_and_order(spark):
     aba = {r["doc_id"]: r["n_occ"]
            for r in search_phrase(docs, ["a", "b", "a"]).collect()}
     assert aba == {2: 2}
+
+
+def test_outliers_mad_hand_case(spark):
+    """Values 100×9 + one 10000: median 100, MAD 0... degenerate MAD
+    flags the spike; a spread case pins the threshold arithmetic."""
+    from llmaix_spark.operators.profile import outliers_mad
+
+    spread = [90, 95, 100, 100, 105, 110, 500]
+    df = spark.createDataFrame(
+        [("g", v) for v in spread], "grp string, cents bigint"
+    )
+    row = outliers_mad(df, ["grp"], "cents", k=3.0).collect()[0]
+    # median 100, devs {10,5,0,0,5,10,400} → MAD 5; threshold 22.239
+    assert row["n_rows"] == 7
+    assert row["median"] == 1.0
+    assert row["mad"] == 0.05
+    assert row["n_outliers"] == 1  # only 500
