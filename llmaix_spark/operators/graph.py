@@ -447,7 +447,7 @@ def bfs_distances(
             .select("node", F.lit(hop).cast("bigint").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        if frontier.rdd.isEmpty():
+        if frontier.isEmpty():
             break
         visited = visited.union(frontier).localCheckpoint(eager=True)
     sym.unpersist()
