@@ -317,6 +317,64 @@ def running_totals(
     )
 
 
+def ewma_exact(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    depth: int = 16,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Per-event exponentially-weighted moving average with alpha=1/2
+    over the last `depth` observations of the same user — the smoothing
+    a monitoring/trend consumer applies, made integer-exact.
+
+    A textbook streaming EWMA (s = alpha*x + (1-alpha)*s_prev) is a
+    chain of double multiplies whose rounding depends on history length,
+    so no two engines agree at the last ulp. Truncating the window at
+    `depth` rows and using the dyadic weight 2^j (newest heaviest) makes
+    the numerator a pure BIGINT Horner fold over the frame —
+    acc*2+cents — and the denominator (2^m - 1)*100 an exact small
+    integer, so the ONLY floating-point step is one correctly-rounded
+    IEEE division that is bit-identical cross-engine.
+
+    One window pass per user on (ts, id): collect_list over a
+    rows-frame is frame-ordered, reverse() flips it newest-first, and
+    aggregate() folds JVM-side — no shuffle beyond the user_id
+    partitioning, no UDF. Numerator bound: |cents| <= ~2^17 with
+    depth=16 keeps the fold under 2^33, far inside both BIGINT and
+    exact-double range.
+    """
+    w = (
+        Window.partitionBy("u")
+        .orderBy("us", "eid")
+        .rowsBetween(-(depth - 1), 0)
+    )
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).alias("eid"),
+        F.round(F.col(value_col) * 100, 0).cast("bigint").alias("cents"),
+    )
+    arr = F.collect_list("cents").over(w)
+    witharr = e.select("u", "eid", arr.alias("arr"))
+    num = F.expr(
+        "aggregate(reverse(arr), CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x)"
+    )
+    den = (
+        F.expr("shiftleft(CAST(1 AS BIGINT), size(arr))") - F.lit(1)
+    ) * F.lit(100)
+    return witharr.select(
+        F.col("eid").cast("bigint").alias("event_id"),
+        F.col("u").alias("user_id"),
+        F.size("arr").cast("bigint").alias("window_n"),
+        F.round(num.cast("double") / den.cast("double"), out_dp).alias(
+            "ewma"
+        ),
+    )
+
+
 def time_weighted_avg(
     events: DataFrame,
     user_col: str = "user_id",

@@ -552,3 +552,29 @@ def outliers_mad(
             "n_outliers",
         )
     )
+
+
+def fd_check(
+    df: DataFrame,
+    lhs: str,
+    rhs: str,
+) -> DataFrame:
+    """Functional-dependency audit: report every ``lhs`` value that
+    maps to more than one distinct ``rhs`` — the violations of the
+    dependency lhs -> rhs a curation pipeline asserts before keying on
+    a column (e.g. "every product name has exactly one brand").
+
+    One hash aggregate on lhs with a count(DISTINCT rhs) — Catalyst
+    compiles the distinct into a two-phase partial aggregation, so the
+    table is scanned once and the shuffle carries only (lhs, rhs)
+    pairs, pre-deduped map-side. Returns (lhs_value, n_distinct_rhs,
+    n_rows), violations only; an empty result certifies the FD holds.
+    """
+    return (
+        df.groupBy(F.col(lhs).cast("string").alias("lhs_value"))
+        .agg(
+            F.countDistinct(rhs).cast("bigint").alias("n_distinct_rhs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .where(F.col("n_distinct_rhs") > 1)
+    )

@@ -4885,6 +4885,168 @@ SELECT m.l_returnflag, m.n_rows,
 FROM m JOIN md USING (l_returnflag) JOIN f USING (l_returnflag)"""
 
 
+def q_events_ewma(spark, sf_dir):
+    """Exact dyadic EWMA (alpha=1/2, depth-16 window) of event value
+    per user — the streaming smoother made integer-exact: BIGINT
+    Horner numerator, (2^m−1)·100 denominator, one IEEE division.
+    The oracle is an independent formulation (bounded self-join with
+    explicit 2^(rn−lo) weights) of the same closed form."""
+    from llmaix_spark.operators.events import ewma_exact
+
+    return ewma_exact(_t(spark, sf_dir, "events"), depth=16)
+
+
+SQL_EVENTS_EWMA = """
+WITH e AS (
+  SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+w AS (
+  SELECT a.user_id, a.event_id, a.rn,
+         greatest(a.rn - 15, 1) AS lo, b.rn AS brn, b.cents
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn)
+SELECT event_id, user_id,
+       CAST(count(*) AS BIGINT) AS window_n,
+       round(CAST(sum(cents * ((CAST(1 AS BIGINT) << (brn - lo)))) AS DOUBLE)
+             / CAST(((CAST(1 AS BIGINT) << count(*)) - 1) * 100 AS DOUBLE),
+             6) AS ewma
+FROM w GROUP BY event_id, user_id, rn"""
+
+
+def q_fd_violations(spark, sf_dir):
+    """Functional-dependency audit over part: every p_name carrying
+    more than one brand and every p_type carrying more than one size —
+    the violations of the two FDs a curation pipeline would assert
+    before keying on the column. Two hash aggregates (count DISTINCT
+    compiles to one Expand each), unioned with the FD tag."""
+    from llmaix_spark.operators.profile import fd_check
+
+    p = _t(spark, sf_dir, "part")
+    a = fd_check(p, "p_name", "p_brand").select(
+        F.lit("p_name->p_brand").alias("fd"), "*"
+    )
+    b = fd_check(p, "p_type", "p_size").select(
+        F.lit("p_type->p_size").alias("fd"), "*"
+    )
+    return a.unionByName(b)
+
+
+SQL_FD_VIOLATIONS = """
+SELECT 'p_name->p_brand' AS fd, CAST(p_name AS VARCHAR) AS lhs_value,
+       CAST(count(DISTINCT p_brand) AS BIGINT) AS n_distinct_rhs,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM part GROUP BY 2 HAVING count(DISTINCT p_brand) > 1
+UNION ALL
+SELECT 'p_type->p_size', CAST(p_type AS VARCHAR),
+       CAST(count(DISTINCT p_size) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM part GROUP BY 2 HAVING count(DISTINCT p_size) > 1"""
+
+
+_EVENT_TYPE_BITS = [
+    ("click", 1),
+    ("error", 2),
+    ("purchase", 4),
+    ("signup", 8),
+    ("view", 16),
+]
+
+
+def q_bitmap_segments(spark, sf_dir):
+    """Behavioural segmentation by bitwise aggregate: OR together one
+    power-of-two bit per event type a user has ever emitted, then count
+    users per exact bitmap — the roaring-bitmap-style segment cube
+    (2^5 possible segments) computed as two map-side-combinable hash
+    aggregates, no distinct explosion. The grain is user-day (a whole
+    user's history saturates every bit at any SF); the decoded label is
+    rebuilt from the mask on BOTH sides so it certifies the bit
+    arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    bit = F.lit(0)
+    for name, b in _EVENT_TYPE_BITS:
+        bit = F.when(F.col("event_type") == name, F.lit(b)).otherwise(bit)
+    masks = (
+        e.select(
+            "user_id",
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            bit.alias("bit"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.bit_or("bit").cast("bigint").alias("mask"))
+    )
+    label = F.concat_ws(
+        "+",
+        *[
+            F.when(F.col("mask").bitwiseAND(b) > 0, F.lit(name))
+            for name, b in _EVENT_TYPE_BITS
+        ],
+    )
+    return masks.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_days")
+    ).select("mask", label.alias("types"), "n_user_days")
+
+
+SQL_BITMAP_SEGMENTS = """
+WITH m AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(bit_or(CASE event_type WHEN 'click' THEN 1
+                     WHEN 'error' THEN 2 WHEN 'purchase' THEN 4
+                     WHEN 'signup' THEN 8 WHEN 'view' THEN 16
+                     ELSE 0 END) AS BIGINT) AS mask
+  FROM events GROUP BY 1, 2)
+SELECT mask,
+       concat_ws('+',
+         CASE WHEN mask & 1 > 0 THEN 'click' END,
+         CASE WHEN mask & 2 > 0 THEN 'error' END,
+         CASE WHEN mask & 4 > 0 THEN 'purchase' END,
+         CASE WHEN mask & 8 > 0 THEN 'signup' END,
+         CASE WHEN mask & 16 > 0 THEN 'view' END) AS types,
+       CAST(count(*) AS BIGINT) AS n_user_days
+FROM m GROUP BY 1"""
+
+
+def q_unpivot_metrics(spark, sf_dir):
+    """Wide-to-long reshape: one-pass per-orderstatus metric row
+    (count, exact-cents total, max price, distinct customers) melted
+    into (status, metric, value) with the built-in unpivot — the
+    export shape a metrics store ingests. All measures ride integers
+    until a final exact-or-rounded cast into the shared DOUBLE value
+    column."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    wide = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum(cents.cast("decimal(38,0)")).cast("double") / 100.0, 2)
+        .alias("total_price"),
+        (F.max(cents).cast("double") / 100.0).alias("max_price"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ["status"],
+        ["n_orders", "total_price", "max_price", "n_customers"],
+        "metric",
+        "value",
+    )
+
+
+SQL_UNPIVOT_METRICS = """
+WITH wide AS (
+  SELECT o_orderstatus AS status,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS DOUBLE) / 100.0, 2) AS total_price,
+         CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS DOUBLE) / 100.0 AS max_price,
+         CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+  FROM orders GROUP BY 1)
+SELECT status, metric, value
+FROM (UNPIVOT wide ON n_orders, total_price, max_price, n_customers
+      INTO NAME metric VALUE value)"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4917,6 +5079,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cumulative": q_events_cumulative,
     "events_trend": q_events_trend,
     "events_twap": q_events_twap,
+    "events_ewma": q_events_ewma,
+    "fd_violations": q_fd_violations,
+    "bitmap_segments": q_bitmap_segments,
+    "unpivot_metrics": q_unpivot_metrics,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -5044,6 +5210,10 @@ ORACLES: dict[str, str] = {
     "events_cumulative": SQL_EVENTS_CUMULATIVE,
     "events_trend": SQL_EVENTS_TREND,
     "events_twap": SQL_EVENTS_TWAP,
+    "events_ewma": SQL_EVENTS_EWMA,
+    "fd_violations": SQL_FD_VIOLATIONS,
+    "bitmap_segments": SQL_BITMAP_SEGMENTS,
+    "unpivot_metrics": SQL_UNPIVOT_METRICS,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,

@@ -178,3 +178,46 @@ def test_ohlc_hand_computed(spark):
         3.0, 9.0, 1.0, 1.0
     )
     assert r["n_events"] == 4 and r["total_value"] == 18.0
+
+
+def test_ewma_exact_hand_computed(spark):
+    """depth=2, alpha=1/2: first row ewma = x1; after, (2*x_t + x_{t-1})/3.
+    Values chosen so every quotient is exact at 6dp."""
+    from llmaix_spark.operators.events import ewma_exact
+
+    e = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 9, 0), "u1", 3.0),
+            (2, datetime(2024, 1, 1, 9, 1), "u1", 6.0),
+            (3, datetime(2024, 1, 1, 9, 2), "u1", 9.0),
+            (4, datetime(2024, 1, 1, 9, 0), "u2", 5.0),
+        ],
+        "event_id long, ts timestamp, user_id string, value double",
+    )
+    got = {
+        r["event_id"]: (r["window_n"], r["ewma"])
+        for r in ewma_exact(e, depth=2).collect()
+    }
+    assert got[1] == (1, 3.0)          # 300/100
+    assert got[2] == (2, 5.0)          # (2*600+300)/300
+    assert got[3] == (2, 8.0)          # (2*900+600)/300
+    assert got[4] == (1, 5.0)
+
+
+def test_ewma_window_truncates_at_depth(spark):
+    """With depth=2 only the last two observations matter — row 3 of a
+    3-row timeline ignores row 1 entirely."""
+    from llmaix_spark.operators.events import ewma_exact
+
+    e = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 9, 0), "u1", 1000.0),
+            (2, datetime(2024, 1, 1, 9, 1), "u1", 6.0),
+            (3, datetime(2024, 1, 1, 9, 2), "u1", 9.0),
+        ],
+        "event_id long, ts timestamp, user_id string, value double",
+    )
+    row = {
+        r["event_id"]: r["ewma"] for r in ewma_exact(e, depth=2).collect()
+    }
+    assert row[3] == 8.0  # (2*900 + 600) / 300 — the 1000.0 is gone

@@ -88,3 +88,26 @@ def test_profile_histogram_clamps_edges(spark):
     assert rows[1]["n"] == 2 and rows[1]["lo"] == 100
     assert rows[2]["n"] == 1 and rows[2]["v_max"] == 5000  # clamp to last
     assert set(rows) == {0, 1, 2}
+
+
+def test_fd_check_reports_only_violations(spark):
+    from llmaix_spark.operators.profile import fd_check
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("c", "z")],
+        "k string, v string",
+    )
+    got = {
+        r["lhs_value"]: (r["n_distinct_rhs"], r["n_rows"])
+        for r in fd_check(df, "k", "v").collect()
+    }
+    assert got == {"b": (2, 2)}
+
+
+def test_fd_check_holds_empty(spark):
+    from llmaix_spark.operators.profile import fd_check
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("a", 1)], "k string, v int"
+    )
+    assert fd_check(df, "k", "v").count() == 0
