@@ -194,3 +194,89 @@ def priority_sample(
             ).alias("weight_est"),
         )
     )
+
+
+def kmv_merge(
+    df: DataFrame,
+    part_col: str,
+    value_col: str,
+    k: int = 64,
+    est_dp: int = 4,
+    merged_label: str = "ALL",
+) -> DataFrame:
+    """Per-partition KMV sketches plus their MERGE — the property that
+    makes the sketch usable at 100 TB: each executor (here: each value
+    of ``part_col``) summarizes its shard into k hashes, and the global
+    distinct estimate is computed from the union of those sketch
+    contents alone (<= parts·k rows), never from the base table.
+
+    Merge validity (Bar-Yossef et al.): the merged k-th minimum is <=
+    every part's k-th minimum, so all hashes below it survive in some
+    part's sketch — taking the k smallest distinct hashes across the
+    sketches yields exactly the sketch of the union.
+
+    Returns one row per part plus a ``merged_label`` row:
+    (part, n_exact, kmv_estimate). n_exact counts distinct hashes (==
+    distinct values modulo 60-bit collisions, identically cross-engine)
+    and exists to validate the estimate; production would drop it.
+
+    Plan shape: ONE distinct over (part, hash) localCheckpointed (3
+    consumers: per-part sketch, per-part exact, global exact), a
+    WindowGroupLimit rank per part, and a global sort-limit over
+    <= parts·k sketch rows — the merge never reshuffles the base.
+    """
+    if k < 3:
+        raise ValueError("kmv_merge needs k >= 3")
+    d = (
+        df.select(
+            F.col(part_col).cast("string").alias("part"),
+            stable_hash60_expr(F.col(value_col).cast("string")).alias("_h"),
+        )
+        .where(F.col("_h").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("part").orderBy("_h")
+    kept = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .localCheckpoint(eager=False)  # consumers: per-part agg, merge
+    )
+    num = F.lit(float((k - 1) * 2**60))
+
+    def _est(n_sk, hk):
+        return F.when(n_sk < k, n_sk.cast("double")).otherwise(
+            num / hk.cast("double")
+        )
+
+    per_part_sk = kept.groupBy("part").agg(
+        F.count(F.lit(1)).alias("_n_sk"), F.max("_h").alias("_hk")
+    )
+    per_part_ex = d.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    parts = per_part_ex.join(per_part_sk, "part").select(
+        "part",
+        "n_exact",
+        F.round(_est(F.col("_n_sk"), F.col("_hk")), est_dp).alias(
+            "kmv_estimate"
+        ),
+    )
+    merged_sk = (
+        kept.select("_h")
+        .distinct()
+        .orderBy("_h")
+        .limit(k)
+        .agg(F.count(F.lit(1)).alias("_n_sk"), F.max("_h").alias("_hk"))
+    )
+    merged_ex = d.select("_h").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    merged = merged_ex.crossJoin(merged_sk).select(
+        F.lit(merged_label).alias("part"),
+        "n_exact",
+        F.round(_est(F.col("_n_sk"), F.col("_hk")), est_dp).alias(
+            "kmv_estimate"
+        ),
+    )
+    return parts.unionByName(merged)

@@ -5047,6 +5047,150 @@ FROM (UNPIVOT wide ON n_orders, total_price, max_price, n_customers
       INTO NAME metric VALUE value)"""
 
 
+def q_kmv_union(spark, sf_dir):
+    """KMV sketch MERGE — per-shard (orderkey parity) distinct-custkey
+    sketches whose union estimate is computed from the sketch contents
+    alone, never rescanning the base: the mergeability that lets a
+    1000-executor job combine per-partition sketches at the driver.
+    The oracle replays the identical merge in SQL, so the merged
+    estimate is proven bit-for-bit, not approximately."""
+    from llmaix_spark.operators.sketches import kmv_merge
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).cast("string").alias("shard"),
+        "o_custkey",
+    )
+    return kmv_merge(o, "shard", "o_custkey", k=64)
+
+
+SQL_KMV_UNION = f"""
+WITH d AS (
+  SELECT DISTINCT CAST(o_orderkey % 2 AS VARCHAR) AS part,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM orders WHERE o_custkey IS NOT NULL),
+r AS (SELECT part, h,
+             row_number() OVER (PARTITION BY part ORDER BY h) AS rn
+      FROM d),
+kept AS (SELECT part, h FROM r WHERE rn <= 64),
+ppex AS (SELECT part, CAST(count(*) AS BIGINT) AS n_exact
+         FROM d GROUP BY 1),
+ppsk AS (SELECT part, count(*) AS n_sk, max(h) AS hk
+         FROM kept GROUP BY 1),
+mex AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_exact FROM d),
+msk AS (SELECT count(*) AS n_sk, max(h) AS hk
+        FROM (SELECT DISTINCT h FROM kept ORDER BY h LIMIT 64))
+SELECT part, n_exact,
+       round(CASE WHEN n_sk < 64 THEN CAST(n_sk AS DOUBLE)
+                  ELSE {_KMV_NUM} / CAST(hk AS DOUBLE) END, 4)
+         AS kmv_estimate
+FROM ppex JOIN ppsk USING (part)
+UNION ALL
+SELECT 'ALL', mex.n_exact,
+       round(CASE WHEN msk.n_sk < 64 THEN CAST(msk.n_sk AS DOUBLE)
+                  ELSE {_KMV_NUM} / CAST(msk.hk AS DOUBLE) END, 4)
+FROM mex, msk"""
+
+
+def q_kg_degree_hist(spark, sf_dir):
+    """Degree distribution of the undirected triple surface graph —
+    the power-law profile a KG pipeline checks before choosing join
+    strategies (hot entities = skewed keys). Two map-side-combinable
+    aggregates over the symmetric distinct edge set; output is
+    (degree, n_nodes), a handful of rows at any scale."""
+    t = q_kg_triples(spark, sf_dir)
+    e0 = (
+        t.where(
+            F.col("subj").isNotNull()
+            & F.col("obj").isNotNull()
+            & (F.col("subj") != F.col("obj"))
+        )
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .distinct()
+    )
+    sym = e0.union(e0.select(F.col("b"), F.col("a"))).distinct()
+    deg = sym.groupBy("a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+SQL_KG_DEGREE_HIST = f"""
+WITH tt AS ({SQL_KG_TRIPLES}),
+e0 AS (SELECT DISTINCT subj AS a, obj AS b FROM tt
+       WHERE subj IS NOT NULL AND obj IS NOT NULL AND subj <> obj),
+e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+deg AS (SELECT a, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY 1)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1"""
+
+
+def q_scd2_pit_join(spark, sf_dir):
+    """Point-in-time dimension lookup: each order probes the customer
+    SCD2 history at as-of seq (orderkey % 4) and gets the version
+    valid then — NULL after a delete or before any version. Composed
+    as scd2_history -> asof_join on the version-open seq (merge
+    formulation, one window pass — never an interval theta join), then
+    a valid_to gate; the oracle is the direct interval LEFT JOIN, an
+    independent formulation of interval membership."""
+    from llmaix_spark.operators.asof import asof_join
+    from llmaix_spark.operators.cdc import scd2_history
+
+    base, changes = _cdc_fixture(spark, sf_dir)
+    hist = scd2_history(base, changes, ["custkey"]).select(
+        "custkey",
+        F.col("valid_from").alias("asof"),
+        "c_name",
+        "bal",
+        "valid_to",
+    )
+    probes = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("orderkey"),
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        (F.col("o_orderkey") % 4).cast("bigint").alias("asof"),
+    )
+    j = asof_join(probes, hist, on="asof", by=["custkey"])
+    open_ = F.col("asof_r").isNotNull() & (
+        F.col("valid_to").isNull() | (F.col("asof") < F.col("valid_to"))
+    )
+    return j.select(
+        "orderkey",
+        "custkey",
+        "asof",
+        F.when(open_, F.col("c_name")).alias("c_name"),
+        F.when(open_, F.round("bal", 2)).alias("acctbal"),
+        F.when(open_, F.col("asof_r")).cast("bigint").alias("version_from"),
+    )
+
+
+SQL_SCD2_PIT_JOIN = f"""
+WITH {_CDC_CHANGES_SQL},
+versions AS (
+  SELECT k AS custkey, CAST(0 AS BIGINT) AS seq, 'upsert' AS op,
+         c_name, bal FROM base
+  UNION ALL
+  SELECT custkey, CAST(seq AS BIGINT), op, c_name, bal FROM changes),
+hist AS (
+  SELECT custkey, c_name, bal, seq AS valid_from,
+         lead(seq) OVER (PARTITION BY custkey ORDER BY seq) AS valid_to,
+         op
+  FROM versions),
+h AS (SELECT custkey, c_name, bal, valid_from, valid_to
+      FROM hist WHERE op <> 'delete'),
+p AS (SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+             CAST(o_custkey AS BIGINT) AS custkey,
+             CAST(o_orderkey % 4 AS BIGINT) AS asof
+      FROM orders)
+SELECT p.orderkey, p.custkey, p.asof, h.c_name,
+       round(h.bal, 2) AS acctbal,
+       CAST(h.valid_from AS BIGINT) AS version_from
+FROM p LEFT JOIN h
+  ON p.custkey = h.custkey AND h.valid_from <= p.asof
+ AND (h.valid_to IS NULL OR p.asof < h.valid_to)"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5083,6 +5227,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fd_violations": q_fd_violations,
     "bitmap_segments": q_bitmap_segments,
     "unpivot_metrics": q_unpivot_metrics,
+    "kmv_union": q_kmv_union,
+    "kg_degree_hist": q_kg_degree_hist,
+    "scd2_pit_join": q_scd2_pit_join,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -5214,6 +5361,9 @@ ORACLES: dict[str, str] = {
     "fd_violations": SQL_FD_VIOLATIONS,
     "bitmap_segments": SQL_BITMAP_SEGMENTS,
     "unpivot_metrics": SQL_UNPIVOT_METRICS,
+    "kmv_union": SQL_KMV_UNION,
+    "kg_degree_hist": SQL_KG_DEGREE_HIST,
+    "scd2_pit_join": SQL_SCD2_PIT_JOIN,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,

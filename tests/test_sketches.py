@@ -404,3 +404,44 @@ def test_outliers_mad_hand_case(spark):
     assert row["median"] == 1.0
     assert row["mad"] == 0.05
     assert row["n_outliers"] == 1  # only 500
+
+
+# ---------------------------------------------------- kmv merge
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """The merged estimate computed from the two part-sketches equals
+    the KMV formula applied to the FULL union's hashes — the merge
+    property, checked against the literal python twin."""
+    from llmaix_spark.operators.sketches import kmv_merge
+
+    k = 16
+    a = [f"item-{i}" for i in range(800)]          # part 0
+    b = [f"item-{i}" for i in range(400, 1200)]    # part 1, 50% overlap
+    df = spark.createDataFrame(
+        [("0", v) for v in a] + [("1", v) for v in b], "p string, v string"
+    )
+    rows = {r["part"]: r for r in kmv_merge(df, "p", "v", k=k).collect()}
+    union_hashes = sorted({_hash60(v) for v in set(a) | set(b)})
+    want = round(float((k - 1) * 2**60) / float(union_hashes[k - 1]), 4)
+    assert rows["ALL"]["n_exact"] == 1200
+    assert rows["ALL"]["kmv_estimate"] == want
+    for part, vals in (("0", a), ("1", b)):
+        hk = sorted(_hash60(v) for v in set(vals))[k - 1]
+        assert rows[part]["kmv_estimate"] == round(
+            float((k - 1) * 2**60) / float(hk), 4
+        )
+
+
+def test_kmv_merge_small_parts_exact(spark):
+    from llmaix_spark.operators.sketches import kmv_merge
+
+    df = spark.createDataFrame(
+        [("0", "x"), ("0", "y"), ("1", "y"), ("1", "z")],
+        "p string, v string",
+    )
+    rows = {r["part"]: r for r in kmv_merge(df, "p", "v", k=8).collect()}
+    assert rows["0"]["kmv_estimate"] == 2.0
+    assert rows["1"]["kmv_estimate"] == 2.0
+    assert rows["ALL"]["n_exact"] == 3
+    assert rows["ALL"]["kmv_estimate"] == 3.0
