@@ -425,3 +425,59 @@ def time_weighted_avg(
             out_dp,
         ).alias("twap"),
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU plus trailing-``window_days`` distinct active users per day
+    — the WAU/MAU engagement metric. Distinct counts are not additive,
+    so the naive plan is a GLOBAL range window over days (one
+    partition = one task at any scale). Instead each distinct
+    (day, user) row is exploded into the ``window_days`` report days
+    it contributes to — a map-side ×W fanout that keeps the whole job
+    as two hash aggregates partitioned by day, fully parallel.
+
+    Returns (day DATE, dau, active_w) for every day present in the
+    input; a report day counts contributions only from observed days
+    (no zero-fill for silent days).
+    """
+    if window_days < 1:
+        raise ValueError("rolling_active_users needs window_days >= 1")
+    du = (
+        events.select(
+            F.datediff(
+                F.to_date(F.col(ts_col).cast("timestamp")),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("dayn"),
+            F.col(user_col).alias("u"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: dau, contrib, days
+    )
+    dau = du.groupBy("dayn").agg(
+        F.countDistinct("u").cast("bigint").alias("dau")
+    )
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("dayn"), F.col("dayn") + F.lit(window_days - 1)
+            )
+        ).alias("dayn"),
+        "u",
+    )
+    act = contrib.groupBy("dayn").agg(
+        F.countDistinct("u").cast("bigint").alias("active_w")
+    )
+    return (
+        dau.join(act, "dayn")  # inner: act covers every observed day
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("dayn"))
+            .alias("day"),
+            "dau",
+            "active_w",
+        )
+    )

@@ -5191,6 +5191,81 @@ FROM p LEFT JOIN h
  AND (h.valid_to IS NULL OR p.asof < h.valid_to)"""
 
 
+def q_active_users_7d(spark, sf_dir):
+    """DAU + trailing-7-day distinct actives per day. Distinct counts
+    don't add, and the naive trailing-window plan is a GLOBAL range
+    window (one task); the operator explodes each (day, user) into the
+    7 report days it feeds, keeping everything hash-partitioned by
+    day. The oracle is the independent interval self-join
+    formulation."""
+    from llmaix_spark.operators.events import rolling_active_users
+
+    return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
+SQL_ACTIVE_USERS_7D = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+act AS (SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT)
+               AS active_w
+        FROM (SELECT DISTINCT day FROM du) d
+        JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1)
+SELECT day, dau, active_w FROM dau JOIN act USING (day)"""
+
+
+def q_session_paths(spark, sf_dir):
+    """Top-20 three-step behavioural paths: sessionize each user
+    timeline (30-min inactivity gap), slide a trigram window over the
+    in-session event-type sequence, count paths corpus-wide. Two
+    windows on the same (user, session) partitioning — Catalyst reuses
+    one sort — then a map-side-combinable count and a
+    TakeOrderedAndProject top-k on the unique (n DESC, path) key."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.withColumn("sid", F.sum(new_s).over(w))
+    w2 = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w2).alias("b"),
+        F.lead("event_type", 2).over(w2).alias("c"),
+    ).where(F.col("c").isNotNull())
+    counts = tri.groupBy(
+        F.concat_ws(">", "a", "b", "c").alias("path")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return counts.orderBy(F.col("n").desc(), "path").limit(20)
+
+
+SQL_SESSION_PATHS = """
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(CASE WHEN prev IS NULL
+                  OR date_diff('second', prev, ts) > 1800
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM x),
+tri AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER w AS b,
+         lead(event_type, 2) OVER w AS c
+  FROM s
+  WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id)),
+c AS (SELECT a || '>' || b || '>' || c AS path,
+             CAST(count(*) AS BIGINT) AS n
+      FROM tri WHERE c IS NOT NULL GROUP BY 1)
+SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5230,6 +5305,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_union": q_kmv_union,
     "kg_degree_hist": q_kg_degree_hist,
     "scd2_pit_join": q_scd2_pit_join,
+    "active_users_7d": q_active_users_7d,
+    "session_paths": q_session_paths,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -5364,6 +5441,8 @@ ORACLES: dict[str, str] = {
     "kmv_union": SQL_KMV_UNION,
     "kg_degree_hist": SQL_KG_DEGREE_HIST,
     "scd2_pit_join": SQL_SCD2_PIT_JOIN,
+    "active_users_7d": SQL_ACTIVE_USERS_7D,
+    "session_paths": SQL_SESSION_PATHS,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,

@@ -221,3 +221,30 @@ def test_ewma_window_truncates_at_depth(spark):
         r["event_id"]: r["ewma"] for r in ewma_exact(e, depth=2).collect()
     }
     assert row[3] == 8.0  # (2*900 + 600) / 300 — the 1000.0 is gone
+
+
+def test_rolling_active_users_hand_computed(spark):
+    """u1 active day0+day2, u2 day0 only, u3 day8: the 7-day window of
+    day 2 sees u1+u2, day 8 sees only u3 (day 2 is 6 days back at day
+    8 — inclusive boundary)."""
+    from datetime import datetime as dt
+
+    from llmaix_spark.operators.events import rolling_active_users
+
+    e = spark.createDataFrame(
+        [
+            ("u1", dt(2024, 1, 1, 9)), ("u1", dt(2024, 1, 3, 9)),
+            ("u2", dt(2024, 1, 1, 10)),
+            ("u3", dt(2024, 1, 9, 9)),
+        ],
+        "user_id string, ts timestamp",
+    )
+    got = {
+        str(r["day"]): (r["dau"], r["active_w"])
+        for r in rolling_active_users(e, window_days=7).collect()
+    }
+    assert got == {
+        "2024-01-01": (2, 2),
+        "2024-01-03": (1, 2),   # u1 + u2 (both within 7 days)
+        "2024-01-09": (1, 2),   # u3 + u1-from-day3 (6 days back)
+    }
