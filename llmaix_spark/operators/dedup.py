@@ -764,3 +764,76 @@ def dup_ngram_spans(
             .alias("dup_frac"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003
+    — the MOSS selection rule): hash every k-gram of the token stream,
+    then from each window of ``window`` consecutive k-gram hashes keep
+    the minimum (rightmost on ties). Guarantees: any shared run of
+    window+k-1 tokens yields at least one shared fingerprint, and the
+    selected density is ~2/(window+1) — the position-robust near-dup
+    index that plain positional fingerprints (fingerprint op) lose on
+    any insertion.
+
+    Plan shape: one posexplode, then THREE window passes over the same
+    (doc, pos) sort — lead() chains to build k-grams, min_by over a
+    rows-frame for the winner, one distinct. min_by's key is
+    struct(h, -pos): lexicographic struct comparison = min hash then
+    rightmost, no second pass to resolve the argmin. Everything is
+    per-document — the only exchange is the hash partition on doc_id,
+    and at 100 TB each task winnows its documents independently.
+
+    Returns distinct (doc_id, pos, fp): 1-based k-gram start position
+    and the 60-bit shared-contract fingerprint hash.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("winnow_fingerprints needs k >= 1, window >= 1")
+    from pyspark.sql import Window as W
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    w_ord = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("term")] + [
+        F.lead("term", i).over(w_ord) for i in range(1, k)
+    ]
+    grams = tok.select(
+        "doc_id",
+        "pos",
+        *([F.lead("term", k - 1).over(w_ord).alias("_last")] if k > 1 else []),
+        F.concat_ws(" ", *parts).alias("gram"),
+    )
+    if k > 1:
+        grams = grams.where(F.col("_last").isNotNull())
+    g = grams.select(
+        "doc_id", "pos", stable_hash60_expr(F.col("gram")).alias("h")
+    )
+    w_frame = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(window - 1), 0)
+    )
+    winner = F.expr("min_by(struct(pos, h), struct(h, -pos))")
+    sel = (
+        g.select(
+            "doc_id",
+            F.col("pos").alias("end_pos"),
+            winner.over(w_frame).alias("_w"),
+        )
+        .where(F.col("end_pos") >= window)  # full windows only
+        .select(
+            "doc_id",
+            F.col("_w.pos").cast("bigint").alias("pos"),
+            F.col("_w.h").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel

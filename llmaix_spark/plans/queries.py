@@ -5266,6 +5266,128 @@ c AS (SELECT a || '>' || b || '>' || c AS path,
 SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20"""
 
 
+def q_fingerprint_winnow(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint selection over documents: 3-gram
+    hashes, window-4 rightmost-minimum rule — the position-robust
+    near-dup index. The oracle is the independent anchor-self-join
+    formulation of the same rule (row_number over (h ASC, pos DESC)
+    per window), so the selection logic is value-proven, not just the
+    hashes."""
+    from llmaix_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=3, window=4
+    )
+
+
+SQL_FINGERPRINT_WINNOW = r"""
+WITH d AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)),
+                                                 '\s+'),
+                              x -> length(x) > 0) AS l
+           FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos,
+               unnest(l) AS term
+        FROM d),
+g AS (SELECT t1.doc_id, t1.pos,
+             ('0x' || substr(md5(t1.term || ' ' || t2.term || ' '
+                                 || t3.term), 1, 15))::BIGINT AS h
+      FROM tok t1
+      JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+      JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+j AS (SELECT a.doc_id, a.pos AS e, g.pos, g.h,
+             row_number() OVER (PARTITION BY a.doc_id, a.pos
+                                ORDER BY g.h ASC, g.pos DESC) AS rn
+      FROM g a JOIN g ON g.doc_id = a.doc_id
+                     AND g.pos BETWEEN a.pos - 3 AND a.pos
+      WHERE a.pos >= 4)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
+FROM j WHERE rn = 1"""
+
+
+def q_copurchase_cosine(spark, sf_dir):
+    """Item-item recommendation scores: parts co-occurring in order
+    baskets, cosine = n_ab / sqrt(n_a·n_b) from exact integer counts
+    (one IEEE sqrt + one division — bit-identical cross-engine), top-5
+    recommendations per part ranked on the raw cosine with a
+    deterministic (cos DESC, rec ASC) tie-break. The basket self-join
+    is bounded per order; the item-frequency table joins back
+    broadcast."""
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: pair join ×2, counts
+    )
+    n_item = b.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(c, "o")
+        .where(F.col("a.p") < F.col("c.p"))
+        .groupBy(F.col("a.p").alias("pa"), F.col("c.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "n_ab"
+        )
+    )
+    j = (
+        sym.join(
+            F.broadcast(n_item.select(F.col("p").alias("pa"),
+                                      F.col("n").alias("na"))), "pa"
+        )
+        .join(
+            F.broadcast(n_item.select(F.col("p").alias("pb"),
+                                      F.col("n").alias("nb"))), "pb"
+        )
+    )
+    cos = F.col("n_ab").cast("double") / F.sqrt(
+        (F.col("na") * F.col("nb")).cast("double")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pa").orderBy(F.desc("_cos"), F.asc("pb"))
+    return (
+        j.withColumn("_cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            F.col("pa").cast("bigint").alias("part"),
+            F.col("pb").cast("bigint").alias("rec"),
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+SQL_COPURCHASE_COSINE = """
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem),
+ni AS (SELECT p, count(*) AS n FROM b GROUP BY 1),
+pc AS (SELECT a.p AS pa, c.p AS pb, count(*) AS n_ab
+       FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+sym AS (SELECT pa, pb, n_ab FROM pc
+        UNION ALL SELECT pb, pa, n_ab FROM pc),
+sc AS (SELECT s.pa, s.pb, s.n_ab,
+              CAST(s.n_ab AS DOUBLE)
+                / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS c,
+              row_number() OVER (PARTITION BY s.pa
+                                 ORDER BY CAST(s.n_ab AS DOUBLE)
+                                   / sqrt(CAST(na.n * nb.n AS DOUBLE))
+                                   DESC, s.pb ASC) AS rank
+       FROM sym s JOIN ni na ON na.p = s.pa JOIN ni nb ON nb.p = s.pb)
+SELECT CAST(pa AS BIGINT) AS part, CAST(pb AS BIGINT) AS rec,
+       CAST(n_ab AS BIGINT) AS n_ab, round(c, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM sc WHERE rank <= 5"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5307,6 +5429,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_pit_join": q_scd2_pit_join,
     "active_users_7d": q_active_users_7d,
     "session_paths": q_session_paths,
+    "fingerprint_winnow": q_fingerprint_winnow,
+    "copurchase_cosine": q_copurchase_cosine,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -5443,6 +5567,8 @@ ORACLES: dict[str, str] = {
     "scd2_pit_join": SQL_SCD2_PIT_JOIN,
     "active_users_7d": SQL_ACTIVE_USERS_7D,
     "session_paths": SQL_SESSION_PATHS,
+    "fingerprint_winnow": SQL_FINGERPRINT_WINNOW,
+    "copurchase_cosine": SQL_COPURCHASE_COSINE,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,

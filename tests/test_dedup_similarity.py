@@ -700,3 +700,39 @@ def test_jaccard_prefix_candidate_reduction(docs):
         F.col("pos") <= F.col("n_sh") - alpha + 1
     ).count()
     assert 0 < n_prefix <= 0.6 * n_full
+
+
+# ---------------------------------------------------- winnowing
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """The winnowing guarantee: two documents sharing a run of
+    window+k-1 = 6 tokens share at least one fingerprint hash."""
+    from llmaix_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            ("d1", f"xx yy {shared} zz"),
+            ("d2", f"aa {shared} bb cc dd"),
+        ],
+        "doc_id string, text string",
+    )
+    fp = winnow_fingerprints(docs, k=3, window=4).collect()
+    s1 = {r["fp"] for r in fp if r["doc_id"] == "d1"}
+    s2 = {r["fp"] for r in fp if r["doc_id"] == "d2"}
+    assert s1 & s2
+
+
+def test_winnow_rightmost_tie_and_full_windows(spark):
+    """All-identical tokens: every gram hashes alike, the rightmost
+    rule selects each window's END position, and only full windows
+    (end >= window) contribute."""
+    from llmaix_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [("d", " ".join(["tok"] * 8))], "doc_id string, text string"
+    )
+    rows = winnow_fingerprints(docs, k=3, window=4).collect()
+    assert sorted(r["pos"] for r in rows) == [4, 5, 6]
+    assert len({r["fp"] for r in rows}) == 1
