@@ -5388,6 +5388,164 @@ SELECT CAST(pa AS BIGINT) AS part, CAST(pb AS BIGINT) AS rec,
 FROM sc WHERE rank <= 5"""
 
 
+def q_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: per-user consecutive-active-day streaks —
+    island id = day − row_number() over the distinct active days (two
+    consecutive days share it), then one aggregate per island and one
+    per user. Longest-streak ties resolve to the earliest start via
+    min(struct(−len, start)). All integer/date arithmetic."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    du = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.to_date(F.col("ts").cast("timestamp")),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("dayn"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("dayn")
+    isl = du.select(
+        "user_id",
+        "dayn",
+        (F.col("dayn") - F.row_number().over(w)).alias("isl"),
+    )
+    streaks = isl.groupBy("user_id", "isl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("dayn").alias("start"),
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest"),
+        F.min(F.struct(F.negate(F.col("len")), F.col("start")))
+        .getField("start")
+        .alias("_bs"),
+    )
+    return best.select(
+        "user_id",
+        "active_days",
+        "n_streaks",
+        "longest",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("_bs"))
+        .alias("longest_start"),
+    )
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH du AS (SELECT DISTINCT user_id,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                     AS dayn
+            FROM events),
+isl AS (SELECT user_id, dayn,
+               dayn - row_number() OVER (PARTITION BY user_id
+                                         ORDER BY dayn) AS isl
+        FROM du),
+s AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len,
+             min(dayn) AS start
+      FROM isl GROUP BY 1, 2)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest,
+       DATE '1970-01-01'
+         + CAST((min({'nl': -len, 's': start})).s AS INTEGER)
+         AS longest_start
+FROM s GROUP BY 1"""
+
+
+def q_drift_psi(spark, sf_dir):
+    """Distribution-drift audit: base-10 population stability index of
+    the event value distribution, first half (even event_id) vs second
+    half, per event type over 10 equal-width buckets. Bucketing is
+    pure integer math ((cents·10) div (max+1) — no float boundary),
+    counts densify over the full type×bucket×half cube so silent
+    buckets enter with Laplace-1 mass, and each log10 rounds at 6dp
+    BEFORE combining (the dsir_importance recipe); the 10-term sum
+    rounds at 4dp."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"),
+        (F.col("event_id") % 2).cast("bigint").alias("half"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    e = e.localCheckpoint(eager=False)  # consumers: max, counts, cube
+    mx = e.agg(F.max("cents").alias("mx"))
+    eb = e.crossJoin(F.broadcast(mx)).select(
+        "et",
+        "half",
+        ((F.col("cents") * 10) / (F.col("mx") + 1))
+        .cast("bigint")
+        .alias("b"),
+    )
+    counts = eb.groupBy("et", "half", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cube = (
+        e.select("et").distinct()
+        .crossJoin(spark.range(10).select(F.col("id").alias("b")))
+        .crossJoin(spark.range(2).select(F.col("id").alias("half")))
+    )
+    dense = cube.join(counts, ["et", "half", "b"], "left").select(
+        "et", "half", "b", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    tot = dense.groupBy("et", "half").agg(F.sum("n").alias("tot"))
+    pq = dense.join(tot, ["et", "half"]).select(
+        "et",
+        "b",
+        "half",
+        (
+            (F.col("n") + 1).cast("double")
+            / (F.col("tot") + 10).cast("double")
+        ).alias("p"),
+    )
+    wide = pq.groupBy("et", "b").agg(
+        F.max(F.when(F.col("half") == 0, F.col("p"))).alias("p0"),
+        F.max(F.when(F.col("half") == 1, F.col("p"))).alias("p1"),
+    )
+    term = (F.col("p0") - F.col("p1")) * (
+        F.round(F.log10("p0"), 6) - F.round(F.log10("p1"), 6)
+    )
+    return (
+        wide.groupBy(F.col("et").alias("event_type"))
+        .agg(F.round(F.sum(term), 4).alias("psi10"))
+    )
+
+
+SQL_DRIFT_PSI = """
+WITH e AS (SELECT event_type AS et,
+                  CAST(event_id % 2 AS BIGINT) AS half,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+mx AS (SELECT max(cents) AS mx FROM e),
+eb AS (SELECT et, half, (cents * 10) // ((SELECT mx FROM mx) + 1) AS b
+       FROM e),
+counts AS (SELECT et, half, b, CAST(count(*) AS BIGINT) AS n
+           FROM eb GROUP BY 1, 2, 3),
+cube AS (SELECT t.et, bb.b, hh.half
+         FROM (SELECT DISTINCT et FROM e) t,
+              (SELECT unnest(range(10)) AS b) bb,
+              (SELECT unnest(range(2)) AS half) hh),
+dense AS (SELECT c.et, c.half, c.b, COALESCE(counts.n, 0) AS n
+          FROM cube c LEFT JOIN counts
+            ON counts.et = c.et AND counts.half = c.half
+           AND counts.b = c.b),
+tot AS (SELECT et, half, sum(n) AS tot FROM dense GROUP BY 1, 2),
+pq AS (SELECT d.et, d.b, d.half,
+              CAST(d.n + 1 AS DOUBLE) / CAST(t.tot + 10 AS DOUBLE) AS p
+       FROM dense d JOIN tot t ON t.et = d.et AND t.half = d.half),
+wide AS (SELECT et, b,
+                max(CASE WHEN half = 0 THEN p END) AS p0,
+                max(CASE WHEN half = 1 THEN p END) AS p1
+         FROM pq GROUP BY 1, 2)
+SELECT et AS event_type,
+       round(sum((p0 - p1) * (round(log10(p0), 6)
+                              - round(log10(p1), 6))), 4) AS psi10
+FROM wide GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5431,6 +5589,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_paths": q_session_paths,
     "fingerprint_winnow": q_fingerprint_winnow,
     "copurchase_cosine": q_copurchase_cosine,
+    "activity_streaks": q_activity_streaks,
+    "drift_psi": q_drift_psi,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -5569,6 +5729,8 @@ ORACLES: dict[str, str] = {
     "session_paths": SQL_SESSION_PATHS,
     "fingerprint_winnow": SQL_FINGERPRINT_WINNOW,
     "copurchase_cosine": SQL_COPURCHASE_COSINE,
+    "activity_streaks": SQL_ACTIVITY_STREAKS,
+    "drift_psi": SQL_DRIFT_PSI,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
