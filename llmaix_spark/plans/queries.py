@@ -5546,6 +5546,107 @@ SELECT et AS event_type,
 FROM wide GROUP BY 1"""
 
 
+def q_ivm_refresh(spark, sf_dir):
+    """Incremental view maintenance: refresh a per-bucket (custkey%50)
+    count/sum aggregate from the CDC feed WITHOUT rescanning the base
+    — resolve the latest change per key, join it to the base row
+    (delta = new−old / −old / +new for update/delete/insert), aggregate
+    the deltas, and merge them into the stored aggregate with one full
+    outer join. The oracle recomputes the aggregate FROM the fully
+    applied table — so the incremental path is proven equal to the
+    full refresh, the defining IVM property."""
+    from pyspark.sql import Window
+
+    base, changes = _cdc_fixture(spark, sf_dir)
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("bigint")  # noqa: E731
+    b = base.select(
+        "custkey", (F.col("custkey") % 50).alias("bucket"), cents("bal").alias("c")
+    ).localCheckpoint(eager=False)  # consumers: stored agg, delta join
+    stored = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n0"), F.sum("c").alias("s0")
+    )
+    w = Window.partitionBy("custkey").orderBy(F.desc("seq"))
+    latest = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("custkey", "op", cents("bal").alias("new_c"))
+    )
+    eff = latest.join(
+        b.select("custkey", F.col("c").alias("old_c")), "custkey", "left"
+    ).select(
+        (F.col("custkey") % 50).alias("bucket"),
+        F.when(F.col("op") == "delete",
+               F.when(F.col("old_c").isNotNull(), -1).otherwise(0))
+        .otherwise(F.when(F.col("old_c").isNotNull(), 0).otherwise(1))
+        .alias("dn"),
+        F.when(F.col("op") == "delete", -F.coalesce("old_c", F.lit(0)))
+        .otherwise(F.col("new_c") - F.coalesce("old_c", F.lit(0)))
+        .alias("dc"),
+    )
+    deltas = eff.groupBy("bucket").agg(
+        F.sum("dn").alias("dn"), F.sum("dc").alias("dc")
+    )
+    merged = stored.join(deltas, "bucket", "full").select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+        (F.coalesce("s0", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    return merged.where(F.col("n") > 0)
+
+
+SQL_IVM_REFRESH = f"""
+WITH {_CDC_CHANGES_SQL},
+latest AS (
+  SELECT custkey, op, c_name, bal FROM (
+    SELECT *, row_number() OVER (PARTITION BY custkey
+                                 ORDER BY seq DESC) rn
+    FROM changes) WHERE rn = 1),
+applied AS (
+  SELECT k AS custkey, bal FROM base
+  WHERE k NOT IN (SELECT custkey FROM latest)
+  UNION ALL
+  SELECT custkey, bal FROM latest WHERE op <> 'delete')
+SELECT CAST(custkey % 50 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(bal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM applied GROUP BY 1"""
+
+
+def q_dow_hour_matrix(spark, sf_dir):
+    """Calendar activity matrix: event counts per (day-of-week, hour).
+    Both coordinates derive from epoch integers ((dayn+4)%7 — Monday=0
+    — and hour = µs÷3600e6 mod 24) instead of each engine's dayofweek
+    builtin, whose numbering conventions disagree; one hash aggregate,
+    168 output rows at any scale."""
+    e = _t(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    dayn = F.floor(F.col("us") / F.lit(86_400_000_000))
+    return (
+        e.select(
+            ((dayn + 4) % 7).cast("bigint").alias("dow"),
+            (F.floor(F.col("us") / F.lit(3_600_000_000)) % 24)
+            .cast("bigint")
+            .alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+
+
+SQL_DOW_HOUR_MATRIX = """
+WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+SELECT CAST(((us // 86400000000) + 4) % 7 AS BIGINT) AS dow,
+       CAST((us // 3600000000) % 24 AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5591,6 +5692,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_cosine": q_copurchase_cosine,
     "activity_streaks": q_activity_streaks,
     "drift_psi": q_drift_psi,
+    "ivm_refresh": q_ivm_refresh,
+    "dow_hour_matrix": q_dow_hour_matrix,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -5731,6 +5834,8 @@ ORACLES: dict[str, str] = {
     "copurchase_cosine": SQL_COPURCHASE_COSINE,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "drift_psi": SQL_DRIFT_PSI,
+    "ivm_refresh": SQL_IVM_REFRESH,
+    "dow_hour_matrix": SQL_DOW_HOUR_MATRIX,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
