@@ -122,6 +122,24 @@ BENCH_QUERIES = [
     "weighted_median",
     "search_phrase",
     "outliers_mad",
+    # final round-5 wave (69 -> 84): temporal/quality/sketch/dedup
+    # additions; every new query rides the headline (set-change note
+    # above still applies — compare per-query medians across rounds)
+    "events_ewma",
+    "fd_violations",
+    "bitmap_segments",
+    "unpivot_metrics",
+    "kmv_union",
+    "kg_degree_hist",
+    "scd2_pit_join",
+    "active_users_7d",
+    "session_paths",
+    "fingerprint_winnow",
+    "copurchase_cosine",
+    "activity_streaks",
+    "drift_psi",
+    "ivm_refresh",
+    "dow_hour_matrix",
 ]
 
 

@@ -5218,10 +5218,13 @@ SELECT day, dau, active_w FROM dau JOIN act USING (day)"""
 def q_session_paths(spark, sf_dir):
     """Top-20 three-step behavioural paths: sessionize each user
     timeline (30-min inactivity gap), slide a trigram window over the
-    in-session event-type sequence, count paths corpus-wide. Two
-    windows on the same (user, session) partitioning — Catalyst reuses
-    one sort — then a map-side-combinable count and a
-    TakeOrderedAndProject top-k on the unique (n DESC, path) key."""
+    in-session event-type sequence, count paths corpus-wide. BOTH
+    window passes (session numbering, trigram leads) partition by
+    user_id with the same ordering — one exchange, one sort (plan-
+    pinned); session boundaries are enforced by lead(sid,2)==sid
+    instead of a second shuffle on (user, session). Then a map-side-
+    combinable count and a TakeOrderedAndProject top-k on the unique
+    (n DESC, path) key."""
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
@@ -5229,12 +5232,13 @@ def q_session_paths(spark, sf_dir):
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = e.withColumn("sid", F.sum(new_s).over(w))
-    w2 = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
     tri = sess.select(
         F.col("event_type").alias("a"),
-        F.lead("event_type", 1).over(w2).alias("b"),
-        F.lead("event_type", 2).over(w2).alias("c"),
-    ).where(F.col("c").isNotNull())
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+        F.col("sid").alias("s0"),
+        F.lead("sid", 2).over(w).alias("s2"),
+    ).where(F.col("c").isNotNull() & (F.col("s2") == F.col("s0")))
     counts = tri.groupBy(
         F.concat_ws(">", "a", "b", "c").alias("path")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
