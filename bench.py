@@ -140,6 +140,20 @@ BENCH_QUERIES = [
     "drift_psi",
     "ivm_refresh",
     "dow_hour_matrix",
+    # round-6 wave (84 -> 95): survival / CUSUM / attribution /
+    # privacy-audit / robust-mean / calibration / class-balance /
+    # sketch-intersection / inverted-index / trigram additions
+    "kaplan_meier",
+    "events_cusum",
+    "rfm_segments",
+    "attribution_last_touch",
+    "k_anonymity",
+    "winsorized_mean",
+    "calibration_bins",
+    "balance_classes",
+    "kmv_intersect",
+    "index_postings",
+    "events_trigrams",
 ]
 
 

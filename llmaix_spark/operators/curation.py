@@ -766,3 +766,45 @@ def sample_k_per_group(
         .where(F.col("rk") <= k)
         .select("doc_id", "grp", "rk")
     )
+
+
+def balance_classes(
+    df: DataFrame,
+    class_col: str,
+    id_col: str,
+    seed_salt: str = "balance",
+) -> DataFrame:
+    """Deterministic class rebalancing: undersample every class to the
+    size of the smallest one, keeping the rows that sort first by the
+    shared 60-bit content hash of (salt || id) — a seeded-but-
+    reproducible uniform draw with no RNG state, so the same rows
+    survive on any cluster, any partitioning, any engine.
+
+    Plan: one tiny class-count aggregate (min over a group-by,
+    broadcast scalar), one rank window PARTITIONED BY class on the
+    (hash, id) order — the per-class sort is the balanced-sampling
+    analogue of sample_k_per_group and never sees the corpus in one
+    task. Emits (id, class, rank) for the kept rows.
+    """
+    h = stable_hash60_expr(
+        F.concat_ws("|", F.lit(seed_salt), F.col(id_col).cast("string"))
+    )
+    counts = df.groupBy(F.col(class_col)).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    min_n = counts.agg(F.min("_n").cast("bigint").alias("min_n"))
+    w = Window.partitionBy(class_col).orderBy("_h", id_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(class_col),
+        h.alias("_h"),
+    ).select(
+        id_col,
+        class_col,
+        F.row_number().over(w).cast("bigint").alias("sample_rank"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(min_n))
+        .where(F.col("sample_rank") <= F.col("min_n"))
+        .select(id_col, class_col, "sample_rank")
+    )

@@ -481,3 +481,170 @@ def rolling_active_users(
             "active_w",
         )
     )
+
+
+def cusum_alarms(
+    events: DataFrame,
+    alarm_threshold: int = 50_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user one-sided CUSUM changepoint monitor: S_0 = 0,
+    S_i = max(0, S_{i-1} + x_i - k) over the user's events in (ts, id)
+    order, where x_i is the exact bigint-cents value and the drift
+    allowance k is the global floor-mean cents (one scalar aggregate,
+    broadcast). Emits per user the peak statistic, the number of alarm
+    points (S_i > alarm_threshold), and the final state — the batch
+    twin of the streaming quality monitor that flags upward shifts in
+    spend/latency.
+
+    The recursion S_i = f(S_{i-1}) is not a prefix sum, so no window
+    can express it; it IS a sequential left fold, which `aggregate()`
+    runs JVM-side over the frame-ordered per-user array. All arithmetic
+    is BIGINT (exact at any SF: |S| <= n_events * max_cents), so the
+    result is bit-identical to the DuckDB recursive-CTE oracle.
+
+    Scale notes: one hash aggregate (collect_list per user) — the
+    per-user array is bounded by a user's event count, the same
+    cardinality any sessionization holds in one task; no global sort,
+    no driver loop, no UDF.
+    """
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).alias("eid"),
+        F.round(F.col(value_col) * 100, 0).cast("bigint").alias("cents"),
+    )
+    k = e.agg(
+        F.expr("sum(cents) div count(*)").cast("bigint").alias("drift_k")
+    )
+    seqs = e.groupBy("u").agg(
+        F.array_sort(
+            F.collect_list(F.struct("us", "eid", "cents"))
+        ).alias("seq")
+    )
+    step = "greatest(CAST(0 AS BIGINT), acc.s + x.cents - drift_k)"
+    folded = F.expr(
+        "aggregate(seq, "
+        "named_struct('s', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT), "
+        "'al', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> named_struct('s', {step}, "
+        f"'mx', greatest(acc.mx, {step}), "
+        f"'al', acc.al + IF({step} > CAST({int(alarm_threshold)} AS BIGINT), "
+        "CAST(1 AS BIGINT), CAST(0 AS BIGINT))))"
+    )
+    return (
+        seqs.crossJoin(F.broadcast(k))
+        .select(
+            F.col("u").alias("user_id"),
+            F.size("seq").cast("bigint").alias("n_events"),
+            "drift_k",
+            folded.alias("_st"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "drift_k",
+            F.col("_st.mx").alias("max_s"),
+            F.col("_st.al").alias("n_alarms"),
+            F.col("_st.s").alias("final_s"),
+        )
+    )
+
+
+def attribute_last_touch(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion event is
+    credited to the user's most recent PRIOR non-conversion event
+    within `window_days` ('direct' when none); emits conversions and
+    exact bigint-cents revenue per channel.
+
+    One window pass per user on the unique (ts, id) order: last()
+    IGNORE NULLS over rows [unbounded, -1] carries the latest touch
+    struct forward, the lookback gate compares exact microsecond
+    epochs, and the channel aggregate is map-side combinable. No
+    self-join, no UDF; the user_id hash partitioning is the only
+    shuffle before the final small aggregate.
+    """
+    w = (
+        Window.partitionBy("u")
+        .orderBy("us", "eid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("ty"),
+        F.round(F.col(value_col) * 100, 0).cast("bigint").alias("cents"),
+    )
+    touch = F.last(
+        F.when(
+            F.col("ty") != conversion_type,
+            F.struct(F.col("us").alias("tus"), F.col("ty").alias("tty")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    lookback_us = window_days * 86_400_000_000
+    tagged = e.select("u", "us", "ty", "cents", touch.alias("tch"))
+    channel = F.when(
+        F.col("tch").isNull()
+        | (F.col("us") - F.col("tch.tus") > F.lit(lookback_us)),
+        F.lit("direct"),
+    ).otherwise(F.col("tch.tty"))
+    return (
+        tagged.where(F.col("ty") == conversion_type)
+        .select(channel.alias("channel"), "cents")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            F.sum("cents").cast("bigint").alias("attributed_cents"),
+        )
+    )
+
+
+def event_trigrams(
+    events: DataFrame,
+    n_top: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Top event-type trigrams (the sequential-pattern-mining step a
+    behavior model starts from): consecutive (t1, t2, t3) triples per
+    user on the unique (ts, id) order, counted corpus-wide, top
+    ``n_top`` with the full (count DESC, t1, t2, t3) tie-break so the
+    cut is deterministic.
+
+    One window pass per user (two lead() on the same sort — a single
+    Sort + Window in the plan), a map-side-combinable count, then
+    TakeOrderedAndProject for the top-k (never a global sort)."""
+    w = Window.partitionBy("u").orderBy("us", "eid")
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("t1"),
+    )
+    tri = e.select(
+        "t1",
+        F.lead("t1", 1).over(w).alias("t2"),
+        F.lead("t1", 2).over(w).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(n_top)
+    )

@@ -470,3 +470,51 @@ def join_file_manifest(
     return records.join(m, id_col, "left").withColumn(
         "file_found", F.col(path_col).isNotNull()
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str,
+    positive_col: str,
+    n_bins: int = 10,
+    score_scale: float = 500.0,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic scorer: bucket the
+    normalized score into ``n_bins`` equal-width bins and report, per
+    bin, the mean predicted probability vs the observed positive rate
+    — the calibration table an evaluation pipeline reads before
+    trusting model confidences (ECE is its weighted column gap).
+
+    Determinism: the bin index is integer arithmetic on exact bigint
+    cents (score*100), so no float boundary can flip a row; both means
+    are exact integer sums followed by ONE IEEE division each, rounded
+    once. One map-side-combinable hash aggregate; output rows =
+    n_bins at any SF.
+    """
+    cents = F.round(F.col(score_col) * 100, 0).cast("bigint")
+    cents_per_bin = int(round(score_scale * 100)) // n_bins
+    bin_id = F.least(
+        F.lit(n_bins - 1),
+        F.floor(cents / F.lit(cents_per_bin)).cast("int"),
+    ).cast("bigint")
+    pos = F.col(positive_col).cast("bigint")
+    scale_cents = F.lit(float(score_scale) * 100.0)
+    return (
+        scored.select(bin_id.alias("bin_id"), cents.alias("_c"), pos.alias("_y"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum("_c").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / scale_cents,
+                out_dp,
+            ).alias("mean_pred"),
+            F.round(
+                F.sum("_y").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                out_dp,
+            ).alias("frac_positive"),
+        )
+    )

@@ -578,3 +578,171 @@ def fd_check(
         )
         .where(F.col("n_distinct_rhs") > 1)
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer: DataFrame,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles)
+    WITHIN market segment: each customer gets three ntile scores —
+    recency tile 1 = most recent buyer — and the output is the cell
+    cube (segment, r-f-m cell, customer count, mean spend).
+
+    Determinism: recency is exact integer days from the corpus's last
+    order date (microsecond epoch, integer division); monetary rides
+    exact BIGINT cents (order-invariant sums); every ntile orders by
+    (metric, custkey) so ties break identically cross-engine; the cell
+    mean is the integer floor-mean in cents — no float anywhere, after
+    a first cut of this op hit the classic cross-engine half-cent
+    round boundary (2140149.635 rounds .64 on Spark's BigDecimal
+    HALF_UP, .63 on DuckDB's scaled-double round).
+
+    Scale notes: ntile windows are PARTITIONED by market segment (the
+    window_deciles rule — a global ntile would single-task the corpus;
+    for global quantile scores pre-bucket by approx cutpoints instead,
+    profile_quantiles is that path). Two shuffles total: the custkey
+    aggregate and the segment window; the final cell cube is
+    <= segments * n_tiles^3 rows.
+    """
+    from pyspark.sql import Window
+
+    tmax = orders.agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "tmax"
+        )
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            ).alias("last_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            "o_custkey",
+            F.expr("(tmax - last_us) div 86400000000")
+            .cast("bigint")
+            .alias("r_days"),
+            "n_orders",
+            "monetary",
+        )
+    )
+    j = per_cust.join(
+        F.broadcast(
+            customer.select("c_custkey", "c_mktsegment")
+        ),
+        per_cust.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_custkey",
+        "r_days",
+        "n_orders",
+        "monetary",
+    )
+    seg = "segment"
+    wr = Window.partitionBy(seg).orderBy("r_days", "o_custkey")
+    wf = Window.partitionBy(seg).orderBy(
+        F.col("n_orders").desc(), "o_custkey"
+    )
+    wm = Window.partitionBy(seg).orderBy(
+        F.col("monetary").desc(), "o_custkey"
+    )
+    scored = j.select(
+        seg,
+        "monetary",
+        F.ntile(n_tiles).over(wr).alias("r_score"),
+        F.ntile(n_tiles).over(wf).alias("f_score"),
+        F.ntile(n_tiles).over(wm).alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            "segment",
+            F.concat_ws(
+                "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("rfm_cell"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.expr("sum(monetary) div count(*)")
+            .cast("bigint")
+            .alias("avg_monetary_cents"),
+        )
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    lo_p: float = 0.1,
+    hi_p: float = 0.9,
+    out_dp: int = 2,
+) -> DataFrame:
+    """Per-group winsorized mean: values are clipped to the group's
+    [lo_p, hi_p] interpolated percentiles before averaging — the
+    outlier-robust mean a profiling pass reports next to the raw one.
+
+    Determinism contract: the value rides as exact bigint cents and
+    the bounds are NEAREST-RANK order statistics (the value at rank
+    ceil(p*n) in the (cents, row-id) total order) — pure integer
+    selection, no interpolation formula whose last-ulp rounding could
+    differ across engines. The clip is integer, the clipped sum is an
+    exact BIGINT, and each mean is one IEEE division chain mirrored
+    verbatim by the oracle.
+
+    Plan: one rank window per group (partitioned — never a global
+    sort), a group-cardinality bounds aggregate that broadcasts back,
+    then one map-side-combinable sum; output rows = group count.
+    """
+    by = list(by or [])
+    cents = F.round(F.col(value_col) * 100, 0).cast("bigint")
+    grp = [F.lit(0).alias("_g")] if not by else [F.col(c) for c in by]
+    gnames = ["_g"] if not by else by
+    base = df.select(*grp, cents.alias("_cents"))
+    w = Window.partitionBy(*gnames).orderBy("_cents")
+    ranked = base.select(
+        *gnames,
+        "_cents",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(*gnames))
+        .alias("_n"),
+    )
+    lo_rank = F.greatest(F.lit(1), F.ceil(F.lit(lo_p) * F.col("_n")))
+    hi_rank = F.ceil(F.lit(hi_p) * F.col("_n"))
+    bounds = ranked.groupBy(*gnames).agg(
+        F.max(F.when(F.col("_rn") == lo_rank, F.col("_cents"))).alias(
+            "_lo"
+        ),
+        F.max(F.when(F.col("_rn") == hi_rank, F.col("_cents"))).alias(
+            "_hi"
+        ),
+    )
+    joined = base.join(F.broadcast(bounds), gnames)
+    clipped = F.least(F.greatest(F.col("_cents"), F.col("_lo")), F.col("_hi"))
+    return (
+        joined.select(*by, clipped.alias("_w"), F.col("_cents"))
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum("_cents").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 100.0,
+                out_dp,
+            ).alias("raw_mean"),
+            F.round(
+                F.sum("_w").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 100.0,
+                out_dp,
+            ).alias("winsorized_mean"),
+        )
+    )

@@ -280,3 +280,89 @@ def kmv_merge(
         ),
     )
     return parts.unionByName(merged)
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    tag_col: str,
+    value_col: str,
+    tag_a: str,
+    tag_b: str,
+    k: int = 64,
+    est_dp: int = 4,
+    jac_dp: int = 6,
+) -> DataFrame:
+    """Set-intersection estimation from two KMV sketches alone — the
+    sketch-algebra twin of kmv_merge's union: estimate |A|, |B|,
+    |A ∪ B| and Jaccard(A, B) = |U_k ∩ A_k ∩ B_k| / |U_k| where U_k
+    is the k smallest distinct hashes across both sketches (the union
+    sketch, by the kmv_merge validity argument), then
+    |A ∩ B| ≈ J · |A ∪ B|. One output row.
+
+    Everything after the (tag, hash) distinct operates on ≤ 2k sketch
+    rows: the per-tag k-minima come from a WindowGroupLimit rank (map
+    tasks retain k rows before the exchange), the union sketch is a
+    TakeOrderedAndProject over sketch contents, and membership is two
+    joins on 60-bit integers. Determinism: exact integer hashes and
+    counts; each estimate is one IEEE division by the exact k-th
+    minimum ((k-1)·2^60 is a short-mantissa double, exact); J is one
+    integer-ratio division; the intersection estimate multiplies two
+    identically-computed doubles — bit-identical cross-engine.
+    """
+    if k < 3:
+        raise ValueError("kmv_jaccard needs k >= 3")
+    d = (
+        df.select(
+            F.col(tag_col).cast("string").alias("tag"),
+            stable_hash60_expr(F.col(value_col).cast("string")).alias(
+                "_h"
+            ),
+        )
+        .where(F.col("tag").isin([tag_a, tag_b]) & F.col("_h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("tag").orderBy("_h")
+    sk = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("tag", "_h")
+        # consumers: per-tag aggregate, union sketch, 2 membership sides
+        .localCheckpoint(eager=False)
+    )
+    kth_const = F.lit(float((k - 1) * 2**60))
+    est_of = F.when(
+        F.col("_n") < k, F.col("_n").cast("double")
+    ).otherwise(kth_const / F.col("_hk").cast("double"))
+    per_tag = (
+        sk.groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_hk"))
+        .select("tag", est_of.alias("_est"))
+    )
+    ests = per_tag.agg(
+        F.max(F.when(F.col("tag") == tag_a, F.col("_est"))).alias("_ea"),
+        F.max(F.when(F.col("tag") == tag_b, F.col("_est"))).alias("_eb"),
+    )
+    u = sk.select("_h").distinct().orderBy("_h").limit(k)
+    # single-partition from here on: ≤ k rows by construction
+    ua = u.agg(F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_hk"))
+    inter = (
+        u.join(sk.where(F.col("tag") == tag_a).select("_h"), "_h")
+        .join(sk.where(F.col("tag") == tag_b).select("_h"), "_h")
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
+    jac = F.col("_ni").cast("double") / F.col("_n").cast("double")
+    est_union = F.when(
+        F.col("_n") < k, F.col("_n").cast("double")
+    ).otherwise(kth_const / F.col("_hk").cast("double"))
+    return (
+        ua.crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(ests))
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.round(F.col("_ea"), est_dp).alias("est_a"),
+            F.round(F.col("_eb"), est_dp).alias("est_b"),
+            F.round(est_union, est_dp).alias("est_union"),
+            F.round(jac, jac_dp).alias("jaccard_est"),
+            F.round(jac * est_union, est_dp).alias("est_intersection"),
+        )
+    )

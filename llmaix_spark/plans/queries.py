@@ -5651,6 +5651,434 @@ SELECT CAST(((us // 86400000000) + 4) % 7 AS BIGINT) AS dow,
 FROM e GROUP BY 1, 2"""
 
 
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve: hours from first signup to first
+    high-value purchase (2dp value >= 120), right-censored at the
+    corpus's last timestamp. Exact integer at-risk table; each step
+    factor is one IEEE division; the curve is a left fold of factors
+    in duration order (Spark aggregate() seeded 1.0 == DuckDB
+    list_reduce — 1.0*x is exact), rounded once at 6dp. The only
+    unpartitioned window runs over the bounded-cardinality curve
+    (<= observation window in hours), never the corpus."""
+    from llmaix_spark.operators.survival import kaplan_meier
+
+    return kaplan_meier(_t(spark, sf_dir, "events"))
+
+
+SQL_KAPLAN_MEIER = """
+WITH e AS (
+  SELECT user_id u, epoch_us(CAST(ts AS TIMESTAMP)) us, event_type ty,
+         round(value, 2) v2 FROM events),
+mx AS (SELECT max(us) tmax FROM e),
+su AS (SELECT u, min(us) t0 FROM e WHERE ty = 'signup' GROUP BY u),
+dp AS (
+  SELECT e.u, min(e.us) tp
+  FROM e JOIN su ON e.u = su.u AND e.us >= su.t0
+  WHERE e.ty = 'purchase' AND e.v2 >= 120.0 GROUP BY e.u),
+subj AS (
+  SELECT su.u,
+         CAST((coalesce(dp.tp, mx.tmax) - su.t0) // 3600000000 AS BIGINT)
+           AS dur_h,
+         CASE WHEN dp.tp IS NULL THEN 0 ELSE 1 END AS obs
+  FROM su LEFT JOIN dp ON su.u = dp.u CROSS JOIN mx),
+tot AS (SELECT count(*) n FROM subj),
+base AS (
+  SELECT dur_h, sum(obs) d, count(*) - sum(obs) c
+  FROM subj GROUP BY 1),
+w AS (
+  SELECT dur_h, d, c,
+         sum(d + c) OVER (ORDER BY dur_h) - (d + c) AS prior
+  FROM base),
+f AS (
+  SELECT dur_h, d, c, tot.n - prior AS nr,
+         CAST(1 AS DOUBLE)
+           - CAST(d AS DOUBLE) / CAST(tot.n - prior AS DOUBLE) AS factor,
+         row_number() OVER (ORDER BY dur_h) rn
+  FROM w CROSS JOIN tot),
+lst AS (SELECT list(factor ORDER BY dur_h) L FROM f)
+SELECT CAST(dur_h AS BIGINT) AS duration_h, CAST(nr AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_death, CAST(c AS BIGINT) AS n_censored,
+       round(list_reduce(L[1:rn], (a, b) -> a * b), 6) AS survival
+FROM f CROSS JOIN lst"""
+
+
+def q_events_cusum(spark, sf_dir):
+    """Per-user one-sided CUSUM changepoint monitor (drift = global
+    floor-mean cents, alarm at S > 50000): a true sequential
+    recursion S_i = max(0, S_{i-1} + x_i - k) that no window prefix
+    sum expresses — run as a JVM-side aggregate() left fold over the
+    per-user frame-ordered array, all-BIGINT so it is bit-identical
+    to the DuckDB recursive-CTE oracle (recursion depth = max events
+    per user)."""
+    from llmaix_spark.operators.events import cusum_alarms
+
+    return cusum_alarms(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_CUSUM = """
+WITH RECURSIVE
+e AS (
+  SELECT user_id u, CAST(round(value * 100, 0) AS BIGINT) cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+  FROM events),
+kk AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) k FROM e),
+n AS (SELECT u, max(rn) nev FROM e GROUP BY u),
+c AS (
+  SELECT u, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) s,
+         CAST(0 AS BIGINT) mx, CAST(0 AS BIGINT) al
+  FROM n
+  UNION ALL
+  SELECT e.u, e.rn,
+         greatest(CAST(0 AS BIGINT), c.s + e.cents - kk.k),
+         greatest(c.mx, greatest(CAST(0 AS BIGINT), c.s + e.cents - kk.k)),
+         c.al + CASE WHEN greatest(CAST(0 AS BIGINT),
+                                   c.s + e.cents - kk.k) > 50000
+                     THEN 1 ELSE 0 END
+  FROM c JOIN e ON e.u = c.u AND e.rn = c.rn + 1 CROSS JOIN kk)
+SELECT c.u AS user_id, CAST(n.nev AS BIGINT) AS n_events, kk.k AS drift_k,
+       c.mx AS max_s, CAST(c.al AS BIGINT) AS n_alarms, c.s AS final_s
+FROM c JOIN n ON c.u = n.u AND c.rn = n.nev CROSS JOIN kk"""
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM quintile segmentation within market segment: exact
+    integer-day recency from the corpus max order date, BIGINT-cents
+    monetary sums (order-invariant), every ntile tie-broken by
+    custkey, integer floor-mean cents for the cell (a first cut hit
+    the cross-engine half-cent round boundary — no float survives in
+    this query). Windows partition by segment (window_deciles rule:
+    no global ntile)."""
+    from llmaix_spark.operators.profile import rfm_segments
+
+    return rfm_segments(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH mx AS (
+  SELECT max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) tmax FROM orders),
+pc AS (
+  SELECT o_custkey,
+         CAST((mx.tmax - max(epoch_us(CAST(o_orderdate AS TIMESTAMP))))
+              // 86400000000 AS BIGINT) AS r_days,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS monetary
+  FROM orders CROSS JOIN mx GROUP BY o_custkey, mx.tmax),
+j AS (
+  SELECT c.c_mktsegment AS segment, pc.*
+  FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey),
+scored AS (
+  SELECT segment, monetary,
+         ntile(5) OVER (PARTITION BY segment
+                        ORDER BY r_days, o_custkey) AS r_score,
+         ntile(5) OVER (PARTITION BY segment
+                        ORDER BY n_orders DESC, o_custkey) AS f_score,
+         ntile(5) OVER (PARTITION BY segment
+                        ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM j)
+SELECT segment,
+       r_score || '-' || f_score || '-' || m_score AS rfm_cell,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(monetary) // count(*) AS BIGINT) AS avg_monetary_cents
+FROM scored GROUP BY 1, 2"""
+
+
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution: each purchase credits the
+    user's most recent prior non-purchase event within 7 days
+    ('direct' when none) — one IGNORE-NULLS last() window pass on the
+    unique (ts, event_id) order, exact microsecond lookback gate,
+    exact bigint-cents revenue."""
+    from llmaix_spark.operators.events import attribute_last_touch
+
+    return attribute_last_touch(_t(spark, sf_dir, "events"))
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = """
+WITH e AS (
+  SELECT user_id u, epoch_us(CAST(ts AS TIMESTAMP)) us, event_id eid,
+         event_type ty, CAST(round(value * 100, 0) AS BIGINT) cents
+  FROM events),
+t AS (
+  SELECT *,
+         last_value(CASE WHEN ty <> 'purchase'
+                         THEN {'tus': us, 'tty': ty} END IGNORE NULLS)
+           OVER (PARTITION BY u ORDER BY us, eid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) tch
+  FROM e)
+SELECT CASE WHEN tch IS NULL OR us - tch.tus > 604800000000
+            THEN 'direct' ELSE tch.tty END AS channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(cents) AS BIGINT) AS attributed_cents
+FROM t WHERE ty = 'purchase' GROUP BY 1"""
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit (k=5, l=3): quasi-identifiers
+    (nation, $1000 balance bucket), sensitive attribute mktsegment.
+    One hash aggregate (count + countDistinct = one Expand); output
+    bounded by QID-combination cardinality. The balance bucket is
+    floor on an exact cents/1e5 quotient (only exact multiples land
+    on integer boundaries — representable, so no flip)."""
+    from llmaix_spark.operators.privacy import k_anonymity_audit
+
+    c = _t(spark, sf_dir, "customer")
+    bucket = F.floor(
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+        / F.lit(100000.0)
+    ).cast("bigint")
+    return k_anonymity_audit(
+        c.select(
+            F.col("c_nationkey").cast("bigint").alias("nation"),
+            bucket.alias("bal_bucket"),
+            "c_mktsegment",
+        ),
+        ["nation", "bal_bucket"],
+        "c_mktsegment",
+        k=5,
+        l_div=3,
+    )
+
+
+SQL_K_ANONYMITY = """
+WITH q AS (
+  SELECT CAST(c_nationkey AS BIGINT) nation,
+         CAST(floor(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                    / 100000.0) AS BIGINT) bal_bucket,
+         c_mktsegment
+  FROM customer)
+SELECT nation, bal_bucket,
+       CAST(count(*) AS BIGINT) AS group_k,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS group_l,
+       count(*) < 5 AS k_violation,
+       count(DISTINCT c_mktsegment) < 3 AS l_violation
+FROM q GROUP BY 1, 2"""
+
+
+def q_winsorized_mean(spark, sf_dir):
+    """Outlier-robust per-segment account-balance mean, winsorized at
+    the nearest-rank [p10, p90] order statistics — pure integer
+    selection (the r-th smallest cents value is well-defined under
+    ties), integer clip, exact BIGINT sums, one mirrored IEEE
+    division chain per mean. Partitioned rank window, broadcast
+    bounds join."""
+    from llmaix_spark.operators.profile import winsorized_mean
+
+    return winsorized_mean(
+        _t(spark, sf_dir, "customer"),
+        "c_acctbal",
+        by=["c_mktsegment"],
+    )
+
+
+SQL_WINSORIZED_MEAN = """
+WITH base AS (
+  SELECT c_mktsegment, CAST(round(c_acctbal * 100, 0) AS BIGINT) cents
+  FROM customer),
+ranked AS (
+  SELECT c_mktsegment, cents,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents) rn,
+         count(*) OVER (PARTITION BY c_mktsegment) n
+  FROM base),
+bounds AS (
+  SELECT c_mktsegment,
+         max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.1 AS DOUBLE) * n)
+                                             AS BIGINT))
+                  THEN cents END) lo,
+         max(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT)
+                  THEN cents END) hi
+  FROM ranked GROUP BY 1)
+SELECT b.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(b.cents) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100.0, 2) AS raw_mean,
+       round(CAST(sum(least(greatest(b.cents, bo.lo), bo.hi)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100.0, 2) AS winsorized_mean
+FROM base b JOIN bounds bo ON b.c_mktsegment = bo.c_mktsegment
+GROUP BY 1"""
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability diagram of 'value predicts purchase': 10 equal-
+    width score bins (integer arithmetic on exact cents — no float
+    boundary), per bin the mean normalized score vs the observed
+    purchase rate. One hash aggregate, 10 output rows at any SF."""
+    from llmaix_spark.operators.labels import calibration_bins
+
+    e = _t(spark, sf_dir, "events").select(
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+    )
+    return calibration_bins(
+        e, "value", "is_purchase", n_bins=10, score_scale=500.0
+    )
+
+
+SQL_CALIBRATION_BINS = """
+WITH e AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END y
+  FROM events)
+SELECT CAST(least(9, c // 5000) AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 50000.0, 6) AS mean_pred,
+       round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS frac_positive
+FROM e GROUP BY 1"""
+
+
+def q_balance_classes(spark, sf_dir):
+    """Deterministic class rebalancing of documents by language:
+    every language undersampled to the smallest class size, survivors
+    chosen by the shared 60-bit salted content hash (reproducible on
+    any engine/partitioning, no RNG state). Per-class rank window +
+    broadcast scalar min — the balanced-sampling analogue of
+    sample_k_per_group."""
+    from llmaix_spark.operators.curation import balance_classes
+
+    return balance_classes(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id"
+    )
+
+
+SQL_BALANCE_CLASSES = """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5('balance|' || CAST(doc_id AS VARCHAR)),
+                            1, 15))::BIGINT hh
+  FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) rk
+  FROM h),
+m AS (
+  SELECT CAST(min(n) AS BIGINT) mn
+  FROM (SELECT count(*) n FROM documents GROUP BY lang))
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank
+FROM r CROSS JOIN m WHERE rk <= mn"""
+
+
+def q_kmv_intersect(spark, sf_dir):
+    """KMV sketch algebra beyond union: |A|, |B|, |A∪B|, Jaccard and
+    |A∩B| of the distinct click-amount vs purchase-amount sets (exact
+    cents — sets that genuinely differ, unlike the saturated user
+    sets), all from the two k=64 sketches' contents (≤ 2k rows after
+    the distinct). Exact integer hashes; each estimate is one IEEE
+    division by the exact k-th minimum; J is an integer ratio; the
+    intersection estimate multiplies two identically-computed
+    doubles."""
+    from llmaix_spark.operators.sketches import kmv_jaccard
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return kmv_jaccard(
+        e, "event_type", "cents", "click", "purchase", k=64
+    )
+
+
+SQL_KMV_INTERSECT = """
+WITH d AS (
+  SELECT DISTINCT event_type tag,
+         ('0x' || substring(md5(CAST(CAST(round(value * 100, 0) AS BIGINT)
+                                     AS VARCHAR)), 1, 15))::BIGINT h
+  FROM events WHERE event_type IN ('click', 'purchase')),
+sk AS (
+  SELECT tag, h FROM (
+    SELECT tag, h, row_number() OVER (PARTITION BY tag ORDER BY h) rn
+    FROM d) WHERE rn <= 64),
+pt AS (
+  SELECT tag, count(*) n, max(h) hk FROM sk GROUP BY 1),
+est AS (
+  SELECT max(CASE WHEN tag = 'click' THEN
+               CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                    ELSE 7.263405479023136e+19 / CAST(hk AS DOUBLE) END
+             END) ea,
+         max(CASE WHEN tag = 'purchase' THEN
+               CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                    ELSE 7.263405479023136e+19 / CAST(hk AS DOUBLE) END
+             END) eb
+  FROM pt),
+u AS (SELECT DISTINCT h FROM sk ORDER BY h LIMIT 64),
+ua AS (SELECT count(*) n, max(h) hk FROM u),
+iv AS (
+  SELECT count(*) ni
+  FROM u
+  JOIN (SELECT h FROM sk WHERE tag = 'click') a USING (h)
+  JOIN (SELECT h FROM sk WHERE tag = 'purchase') b USING (h))
+SELECT CAST(64 AS BIGINT) AS k,
+       round(est.ea, 4) AS est_a,
+       round(est.eb, 4) AS est_b,
+       round(CASE WHEN ua.n < 64 THEN CAST(ua.n AS DOUBLE)
+                  ELSE 7.263405479023136e+19 / CAST(ua.hk AS DOUBLE) END,
+             4) AS est_union,
+       round(CAST(iv.ni AS DOUBLE) / CAST(ua.n AS DOUBLE), 6)
+         AS jaccard_est,
+       round((CAST(iv.ni AS DOUBLE) / CAST(ua.n AS DOUBLE))
+             * (CASE WHEN ua.n < 64 THEN CAST(ua.n AS DOUBLE)
+                     ELSE 7.263405479023136e+19 / CAST(ua.hk AS DOUBLE)
+                END), 4) AS est_intersection
+FROM ua CROSS JOIN iv CROSS JOIN est"""
+
+
+def q_index_postings(spark, sf_dir):
+    """Inverted-index build: per term its document frequency, total
+    term frequency, the first 16 ascending doc_ids, and the
+    delta-encoded gap list (the payload an index writer
+    varint-compresses; search_rank/search_phrase are the read side).
+    Zipf skew collapses in the map-side-combinable (term, doc)
+    aggregate; the only arrays sorted are per-term and truncated."""
+    from llmaix_spark.operators.indexing import inverted_postings
+
+    return inverted_postings(_t(spark, sf_dir, "documents"))
+
+
+SQL_INDEX_POSTINGS = """
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) doc, unnest(string_split(text, ' ')) term
+  FROM documents),
+td AS (
+  SELECT term, doc, CAST(count(*) AS BIGINT) tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2),
+rolled AS (
+  SELECT term, CAST(count(*) AS BIGINT) df,
+         CAST(sum(tf) AS BIGINT) total_tf,
+         (list(doc ORDER BY doc))[1:16] postings
+  FROM td GROUP BY 1)
+SELECT term, df, total_tf, postings,
+       list_transform(postings,
+                      (x, i) -> x - coalesce(postings[i - 1],
+                                             CAST(0 AS BIGINT))) AS gaps
+FROM rolled"""
+
+
+def q_events_trigrams(spark, sf_dir):
+    """Top-20 consecutive event-type trigrams (sequential pattern
+    mining seed): two lead() on one per-user sort, map-side count,
+    TakeOrderedAndProject with a total (n DESC, t1, t2, t3)
+    tie-break."""
+    from llmaix_spark.operators.events import event_trigrams
+
+    return event_trigrams(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_TRIGRAMS = """
+WITH e AS (
+  SELECT user_id u, event_type t1,
+         lead(event_type, 1) OVER w t2,
+         lead(event_type, 2) OVER w t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id))
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM e WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3 LIMIT 20"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5698,6 +6126,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_psi": q_drift_psi,
     "ivm_refresh": q_ivm_refresh,
     "dow_hour_matrix": q_dow_hour_matrix,
+    "kaplan_meier": q_kaplan_meier,
+    "events_cusum": q_events_cusum,
+    "rfm_segments": q_rfm_segments,
+    "attribution_last_touch": q_attribution_last_touch,
+    "k_anonymity": q_k_anonymity,
+    "winsorized_mean": q_winsorized_mean,
+    "calibration_bins": q_calibration_bins,
+    "balance_classes": q_balance_classes,
+    "kmv_intersect": q_kmv_intersect,
+    "index_postings": q_index_postings,
+    "events_trigrams": q_events_trigrams,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -5840,6 +6279,17 @@ ORACLES: dict[str, str] = {
     "drift_psi": SQL_DRIFT_PSI,
     "ivm_refresh": SQL_IVM_REFRESH,
     "dow_hour_matrix": SQL_DOW_HOUR_MATRIX,
+    "kaplan_meier": SQL_KAPLAN_MEIER,
+    "events_cusum": SQL_EVENTS_CUSUM,
+    "rfm_segments": SQL_RFM_SEGMENTS,
+    "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
+    "k_anonymity": SQL_K_ANONYMITY,
+    "winsorized_mean": SQL_WINSORIZED_MEAN,
+    "calibration_bins": SQL_CALIBRATION_BINS,
+    "balance_classes": SQL_BALANCE_CLASSES,
+    "kmv_intersect": SQL_KMV_INTERSECT,
+    "index_postings": SQL_INDEX_POSTINGS,
+    "events_trigrams": SQL_EVENTS_TRIGRAMS,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,

@@ -1,0 +1,249 @@
+"""Plan-shape pins, partition invariance, and a hand-rolled twin for
+the round-6 wave (survival / CUSUM / attribution / privacy / index /
+sketch-intersection queries).
+
+Same doctrine as test_wave5_plans: every 100 TB claim in an operator
+docstring gets a physical-plan assertion, and every fold/ordering-
+sensitive-looking result is replayed at two shuffle widths (the total
+orders must leave partitioning nothing to break).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# plan pins
+
+
+def test_cusum_plan_has_no_window(spark):
+    """The CUSUM recursion folds JVM-side over a per-user collected
+    array — no window operator, no rangepartitioning anywhere."""
+    from llmaix_spark.plans.queries import q_events_cusum
+
+    plan = _phys(q_events_cusum(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_attribution_plan_single_user_exchange(spark):
+    """One hashpartitioning(u) exchange feeds the touch window; the
+    channel rollup is map-side combinable (partial HashAggregate)."""
+    from llmaix_spark.plans.queries import q_attribution_last_touch
+
+    plan = _phys(q_attribution_last_touch(spark, SF_DIR))
+    assert plan.count("hashpartitioning(u") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_trigrams_plan_topk_not_global_sort(spark):
+    """Two leads ride ONE per-user sort; the top-20 cut is
+    TakeOrderedAndProject, never a global sort."""
+    from llmaix_spark.plans.queries import q_events_trigrams
+
+    plan = _phys(q_events_trigrams(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_postings_plan_no_window_no_global_sort(spark):
+    """The index build is two hash aggregates — per-term arrays sort
+    JVM-side (array_sort), so the plan carries no window operator and
+    no range partitioning."""
+    from llmaix_spark.plans.queries import q_index_postings
+
+    plan = _phys(q_index_postings(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_winsorize_plan_broadcasts_bounds(spark):
+    """The group-cardinality bounds table must come back as a
+    broadcast join; the rank window is partitioned (no global sort of
+    the base)."""
+    from llmaix_spark.plans.queries import q_winsorized_mean
+
+    plan = _phys(q_winsorized_mean(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_kmv_jaccard_plan_maps_keep_k(spark):
+    """The union sketch must cut with TakeOrderedAndProject in the
+    final plan. The per-tag k-minima WindowGroupLimit sits ABOVE the
+    sketch's localCheckpoint (lineage-truncated to a Scan ExistingRDD
+    in the final plan — same reason test_sketches pins it on the
+    un-checkpointed kmv_distinct path), so pin it here on the
+    pre-checkpoint sketch expression the operator builds."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from llmaix_spark.operators.linking import stable_hash60_expr
+    from llmaix_spark.plans.queries import q_kmv_intersect
+
+    plan = _phys(q_kmv_intersect(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    d = (
+        e.select(
+            F.col("event_type").alias("tag"),
+            stable_hash60_expr(F.col("user_id").cast("string")).alias(
+                "_h"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("tag").orderBy("_h")
+    sk = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 64)
+        .select("tag", "_h")
+    )
+    assert "WindowGroupLimit" in _phys(sk)
+
+
+def test_balance_classes_plan_partitioned_rank(spark):
+    """Per-class rank rides hashpartitioning(lang); the min class
+    size is a broadcast scalar (BroadcastNestedLoopJoin of a 1-row
+    side), with no range partitioning."""
+    from llmaix_spark.plans.queries import q_balance_classes
+
+    plan = _phys(q_balance_classes(spark, SF_DIR))
+    assert "hashpartitioning(lang" in plan
+    assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# partition invariance (fold orders and rank cuts are total)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "events_cusum",
+        "kaplan_meier",
+        "index_postings",
+        "balance_classes",
+        "kmv_intersect",
+        "attribution_last_touch",
+    ],
+)
+def test_wave6_partition_invariance(spark, qname):
+    from llmaix_spark.plans import queries as Q
+
+    fn = Q.QUERIES[qname]
+    rows = {}
+    for n in ("3", "16"):
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        df = fn(spark, SF_DIR)
+        rows[n] = sorted(
+            tuple(
+                tuple(v) if isinstance(v, list) else v for v in r
+            )
+            for r in df.collect()
+        )
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert rows["3"] == rows["16"]
+
+
+# ---------------------------------------------------------------------------
+# hand-rolled Kaplan-Meier twin (exhaustive on a constructed cohort)
+
+
+def test_kaplan_meier_matches_python_twin(spark):
+    """9 users: signup at t0, some purchase later (>=120 2dp), some
+    never (censored at tmax). The operator's curve must equal a
+    literal per-duration KM product computed by a python loop."""
+    from llmaix_spark.operators.survival import kaplan_meier
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(u, hours, ty, val):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            (eid, base + dt.timedelta(hours=hours), u, ty, float(val), "{}")
+        )
+
+    # durations (hours): u1:5 death, u2:5 death, u3:10 death,
+    # u4 censored (no qualifying purchase), u5:20 death,
+    # u6 purchase below floor -> censored, u7:0 death (same hour),
+    # u8 purchase BEFORE signup only -> censored, u9 censored
+    for u, d in [(1, 5), (2, 5), (3, 10), (5, 20), (7, 0)]:
+        ev(u, 0, "signup", 10)
+        ev(u, d, "purchase", 200)
+    ev(4, 0, "signup", 10)
+    ev(6, 0, "signup", 10)
+    ev(6, 3, "purchase", 50)  # below value floor
+    ev(8, 2, "signup", 10)
+    ev(8, 1, "purchase", 300)  # before signup
+    ev(9, 0, "signup", 10)
+    ev(9, 48, "click", 1)  # sets tmax = 48h
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    got = {
+        r["duration_h"]: (
+            r["n_risk"],
+            r["n_death"],
+            r["n_censored"],
+            r["survival"],
+        )
+        for r in kaplan_meier(df).collect()
+    }
+    # python twin
+    subj = {1: (5, 1), 2: (5, 1), 3: (10, 1), 5: (20, 1), 7: (0, 1),
+            4: (48, 0), 6: (48, 0), 8: (46, 0), 9: (48, 0)}
+    durs = sorted({d for d, _ in subj.values()})
+    n_at_risk = len(subj)
+    s = 1.0
+    expect = {}
+    for d in durs:
+        dd = sum(1 for x, o in subj.values() if x == d and o == 1)
+        cc = sum(1 for x, o in subj.values() if x == d and o == 0)
+        s *= 1.0 - dd / n_at_risk
+        expect[d] = (n_at_risk, dd, cc, round(s, 6))
+        n_at_risk -= dd + cc
+    assert got == expect
+
+
+def test_k_anonymity_flags(spark):
+    """Constructed groups around the k=5 / l=3 boundaries."""
+    from llmaix_spark.operators.privacy import k_anonymity_audit
+
+    rows = (
+        [("a", 1, f"s{i % 4}") for i in range(6)]  # k ok, l ok
+        + [("b", 1, "s0") for _ in range(5)]  # k ok (==5), l violation
+        + [("c", 2, f"s{i}") for i in range(3)]  # k violation, l ok
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 int, sens string")
+    got = {
+        (r["q1"], r["q2"]): (
+            r["group_k"],
+            r["group_l"],
+            r["k_violation"],
+            r["l_violation"],
+        )
+        for r in k_anonymity_audit(
+            df, ["q1", "q2"], "sens", k=5, l_div=3
+        ).collect()
+    }
+    assert got == {
+        ("a", 1): (6, 4, False, False),
+        ("b", 1): (5, 1, False, True),
+        ("c", 2): (3, 3, True, False),
+    }
