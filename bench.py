@@ -154,6 +154,11 @@ BENCH_QUERIES = [
     "kmv_intersect",
     "index_postings",
     "events_trigrams",
+    # round-6 wave D (95 -> 99): recursion / rules / sketch / IR
+    "events_debounce",
+    "assoc_rules",
+    "distinct_hll",
+    "bm25_rank",
 ]
 
 

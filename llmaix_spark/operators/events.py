@@ -648,3 +648,55 @@ def event_trigrams(
         .orderBy(F.desc("n"), "t1", "t2", "t3")
         .limit(n_top)
     )
+
+
+def debounce_events(
+    events: DataFrame,
+    gap_hours: int = 12,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user event throttle with LAST-KEPT semantics: an event is
+    kept iff at least ``gap_hours`` have passed since the previous
+    KEPT event (the first always survives) — the dedup/rate-limit a
+    notification or billing pipeline applies. Unlike sessionize's
+    lag-gap, the reference point is the last *survivor*, which makes
+    this a true sequential recursion (a burst of closely spaced
+    events must all compare against one anchor, not each other).
+
+    Folded JVM-side over the per-user frame-ordered array with a
+    (last_kept_us, kept_ids) accumulator — pure BIGINT comparisons,
+    bit-identical to the DuckDB recursive-CTE oracle. Emits one row
+    per kept event: (user_id, event_id, kept_rank).
+
+    Scale notes: one hash aggregate (collect_list per user — the
+    sessionization cardinality), posexplode back out; no window, no
+    UDF, no driver loop.
+    """
+    gap_us = int(gap_hours) * 3_600_000_000
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).cast("bigint").alias("eid"),
+    )
+    seqs = e.groupBy("u").agg(
+        F.array_sort(F.collect_list(F.struct("us", "eid"))).alias("seq")
+    )
+    kept = F.expr(
+        "aggregate(seq, "
+        # sentinel -2^62 (NOT Long.MIN: x.us - MIN overflows under ANSI)
+        "named_struct('last', CAST(-4611686018427387904 AS BIGINT), "
+        "             'ids', CAST(array() AS ARRAY<BIGINT>)), "
+        f"(acc, x) -> IF(x.us - acc.last >= CAST({gap_us} AS BIGINT), "
+        "  named_struct('last', x.us, "
+        "               'ids', array_append(acc.ids, x.eid)), acc), "
+        "acc -> acc.ids)"
+    )
+    return seqs.select(
+        F.col("u").alias("user_id"), F.posexplode(kept).alias("pos", "event_id")
+    ).select(
+        "user_id",
+        "event_id",
+        (F.col("pos") + 1).cast("bigint").alias("kept_rank"),
+    )

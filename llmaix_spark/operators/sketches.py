@@ -366,3 +366,89 @@ def kmv_jaccard(
             F.round(jac * est_union, est_dp).alias("est_intersection"),
         )
     )
+
+
+# HLL numerator: alpha_256 * m^2 * 2^53 with alpha_256 = 0.7213/(1 +
+# 1.079/256) (Flajolet et al. 2007). Shortest-round-trip literal —
+# parses to the identical double in Spark and DuckDB (verified
+# float(repr(x)) == x at build time).
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_REM_BITS = 60 - _HLL_P  # low bits of the 60-bit hash
+_HLL_NUM = 4.2399330249068963e+20
+assert float(repr(_HLL_NUM)) == (
+    0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(2**53)
+)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    est_dp: int = 4,
+    err_dp: int = 6,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate made exact-arithmetic:
+    the register sum Σ 2^(-M_j), normally a float accumulation whose
+    order differs per engine, is scaled by 2^53 into a pure BIGINT sum
+    (M_j ≤ 53 ⇒ each term 2^(53-M_j) is an exact integer; 256 registers
+    ⇒ Σ < 2^61) — so the ONLY float step is one IEEE division of the
+    constant α·m²·2^53 by the exact register sum. The small-range
+    linear-counting correction is deliberately omitted (it needs ln(),
+    which is not bit-portable): below ~2.5m distincts the raw
+    estimator's bias shows — the oracle reproduces it identically, and
+    kmv_distinct is the sketch to use in that regime.
+
+    Unlike KMV, HLL needs NO distinct() pre-pass (max is duplicate-
+    insensitive): ONE two-level hash aggregate — (group, bucket) max
+    rank map-side, then per-group register sum — plus an exact
+    countDistinct branch for the reported rel_err (production drops
+    it). Registers are 6 bits × 256 per group at any SF: the mergeable
+    always-tiny sketch that ships per-shard at 100 TB.
+    """
+    g = [F.col(c) for c in group_cols]
+    h = stable_hash60_expr(F.col(value_col).cast("string"))
+    base = df.select(*g, h.alias("_h")).where(F.col("_h").isNotNull())
+    rem = F.col("_h").bitwiseAND(F.lit((1 << _HLL_REM_BITS) - 1))
+    rank = F.when(rem == 0, F.lit(_HLL_REM_BITS + 1)).otherwise(
+        F.lit(_HLL_REM_BITS + 1) - F.length(F.bin(rem))
+    )
+    regs = (
+        base.select(
+            *g,
+            F.shiftright(F.col("_h"), _HLL_REM_BITS).alias("_bucket"),
+            rank.alias("_rank"),
+        )
+        .groupBy(*group_cols, "_bucket")
+        .agg(F.max("_rank").alias("_m"))
+    )
+    sums = regs.groupBy(*group_cols).agg(
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"{_HLL_REM_BITS + 1} - _m)"
+                )
+            )
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << (_HLL_REM_BITS + 1))
+        ).alias("_s")
+    )
+    exact = base.groupBy(*group_cols).agg(
+        F.countDistinct("_h").cast("bigint").alias("n_exact")
+    )
+    est = F.lit(_HLL_NUM) / F.col("_s").cast("double")
+    return (
+        exact.join(sums, group_cols)
+        .withColumn("hll_estimate", F.round(est, est_dp))
+        .select(
+            *group_cols,
+            "n_exact",
+            "hll_estimate",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("n_exact"))
+                / F.col("n_exact"),
+                err_dp,
+            ).alias("rel_err"),
+        )
+    )

@@ -458,3 +458,111 @@ def search_phrase(
     return cur.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occ")
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms: list[str],
+    top_k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-ranked keyword AND-search (Robertson/Spärck Jones) — the
+    length-normalized successor of search_rank's TF-IDF: documents
+    containing EVERY query term ranked by
+    Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)), top-k.
+
+    Cross-engine determinism: idf is the Lucene-style always-positive
+    log10(1 + (N-df+0.5)/(df+0.5)) (the raw Robertson idf goes negative
+    past df > N/2 and inverts the tf preference) PRE-ROUNDED at 6dp before entering the product
+    (the drift_psi recipe — transcendentals are the only non-portable
+    IEEE ops); the tf-normalization chain is pure +,*,/ on identical
+    doubles with the oracle mirroring the exact parenthesization; each
+    per-term score is rounded at 6dp and the per-doc total folds the
+    term scores IN TERM ORDER (aggregate over an array_sort'ed
+    collect_list — float addition only commutes pairwise, a plain
+    sum() would be partition-order-dependent at ≥3 terms).
+
+    Plan shape: tf and dl both derive from ONE exploded-corpus
+    aggregate (dl = Σ tf re-aggregated from the tf table, no second
+    scan); df and avgdl are tiny broadcast sides; the final cut is
+    TakeOrderedAndProject on (rounded score DESC, doc_id).
+    """
+    if not terms:
+        raise ValueError("bm25_rank needs at least one term")
+    uniq = sorted(set(terms))
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)  # consumers: dl, df, query hits
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum("dl").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    df_tbl = (
+        tf.where(F.col("term").isin(uniq))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    idf6 = F.round(
+        F.log10(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col("df").cast("double")
+               + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        ),
+        6,
+    )
+    hits = (
+        tf.where(F.col("term").isin(uniq))
+        .join(F.broadcast(df_tbl), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    tfnorm = (
+        F.col("tf").cast("double") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+    )
+    scored = hits.select(
+        "doc_id",
+        "term",
+        F.round(idf6 * tfnorm, 6).alias("tscore"),
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.expr(
+                "round(aggregate(array_sort(collect_list("
+                "struct(term, tscore))), CAST(0.0 AS DOUBLE), "
+                "(a, x) -> a + x.tscore), 6)"
+            ).alias("score"),
+        )
+        .where(F.col("n_terms") == len(uniq))
+        .select("doc_id", "score")
+    )
+    top = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # single-partition window is fine HERE: it sees only the k rows
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "doc_id",
+        "score",
+    )

@@ -6079,6 +6079,253 @@ GROUP BY 1, 2, 3
 ORDER BY n DESC, t1, t2, t3 LIMIT 20"""
 
 
+def q_events_debounce(spark, sf_dir):
+    """Per-user 12 h last-KEPT-event throttle — a true sequential
+    recursion (a burst compares against one surviving anchor, not
+    pairwise lags), folded JVM-side in BIGINT over the per-user
+    frame-ordered array; oracle = DuckDB recursive CTE carrying the
+    last-kept epoch. Sentinel -2^62, not Long.MIN (the first
+    comparison would overflow under ANSI)."""
+    from llmaix_spark.operators.events import debounce_events
+
+    return debounce_events(_t(spark, sf_dir, "events"), gap_hours=12)
+
+
+SQL_EVENTS_DEBOUNCE = """
+WITH RECURSIVE
+e AS (
+  SELECT user_id u, epoch_us(CAST(ts AS TIMESTAMP)) us,
+         CAST(event_id AS BIGINT) eid,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                     event_id) rn
+  FROM events),
+n AS (SELECT u, max(rn) nev FROM e GROUP BY u),
+c AS (
+  SELECT u, CAST(0 AS BIGINT) rn,
+         CAST(-4611686018427387904 AS BIGINT) last_kept,
+         CAST(0 AS BIGINT) kept, CAST(NULL AS BIGINT) eid
+  FROM n
+  UNION ALL
+  SELECT e.u, e.rn,
+         CASE WHEN e.us - c.last_kept >= 43200000000
+              THEN e.us ELSE c.last_kept END,
+         CASE WHEN e.us - c.last_kept >= 43200000000
+              THEN c.kept + 1 ELSE c.kept END,
+         CASE WHEN e.us - c.last_kept >= 43200000000
+              THEN e.eid ELSE CAST(NULL AS BIGINT) END
+  FROM c JOIN e ON e.u = c.u AND e.rn = c.rn + 1)
+SELECT u AS user_id, eid AS event_id, kept AS kept_rank
+FROM c WHERE eid IS NOT NULL"""
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket association rules at brand grain (support ≥ 1%,
+    confidence ≥ 10%, both thresholds on the ROUNDED value):
+    directional (antecedent → consequent) with support, confidence
+    and lift — lift computed as ONE division of exact integer
+    products (n_ab·N)/(n_x·n_y), never a quotient of quotients. The
+    distinct basket-brand table localCheckpoints (4 consumers:
+    basket count, item counts, both sides of the pair self-join);
+    the item-frequency joins broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    bi = (
+        li.join(
+            F.broadcast(pt.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("br"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nb = bi.agg(F.countDistinct("o").cast("bigint").alias("n_baskets"))
+    ni = bi.groupBy("br").agg(F.count(F.lit(1)).cast("bigint").alias("n_i"))
+    a, c = bi.alias("a"), bi.alias("c")
+    pairs = (
+        a.join(c, "o")
+        .where(F.col("a.br") != F.col("c.br"))
+        .groupBy(
+            F.col("a.br").alias("antecedent"),
+            F.col("c.br").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    j = (
+        pairs.join(
+            F.broadcast(ni.select(F.col("br"), F.col("n_i").alias("n_x"))),
+            pairs.antecedent == F.col("br"),
+        )
+        .drop("br")
+        .join(
+            F.broadcast(ni.select(F.col("br"), F.col("n_i").alias("n_y"))),
+            pairs.consequent == F.col("br"),
+        )
+        .drop("br")
+        .crossJoin(F.broadcast(nb))
+    )
+    support = F.round(
+        F.col("n_ab").cast("double") / F.col("n_baskets").cast("double"), 6
+    )
+    confidence = F.round(
+        F.col("n_ab").cast("double") / F.col("n_x").cast("double"), 6
+    )
+    lift = F.round(
+        (F.col("n_ab") * F.col("n_baskets")).cast("double")
+        / (F.col("n_x") * F.col("n_y")).cast("double"),
+        6,
+    )
+    return (
+        j.select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            support.alias("support"),
+            confidence.alias("confidence"),
+            lift.alias("lift"),
+        )
+        .where(
+            (F.col("support") >= 0.01) & (F.col("confidence") >= 0.1)
+        )
+    )
+
+
+SQL_ASSOC_RULES = """
+WITH bi AS (
+  SELECT DISTINCT l.l_orderkey o, p.p_brand br
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) n_baskets FROM bi),
+ni AS (SELECT br, CAST(count(*) AS BIGINT) n_i FROM bi GROUP BY 1),
+pr AS (
+  SELECT a.br antecedent, c.br consequent, CAST(count(*) AS BIGINT) n_ab
+  FROM bi a JOIN bi c ON a.o = c.o AND a.br <> c.br
+  GROUP BY 1, 2),
+j AS (
+  SELECT pr.antecedent, pr.consequent, pr.n_ab,
+         x.n_i n_x, y.n_i n_y, nb.n_baskets
+  FROM pr
+  JOIN ni x ON pr.antecedent = x.br
+  JOIN ni y ON pr.consequent = y.br
+  CROSS JOIN nb)
+SELECT antecedent, consequent, n_ab,
+       round(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6)
+         AS support,
+       round(CAST(n_ab AS DOUBLE) / CAST(n_x AS DOUBLE), 6)
+         AS confidence,
+       round(CAST(n_ab * n_baskets AS DOUBLE)
+             / CAST(n_x * n_y AS DOUBLE), 6) AS lift
+FROM j
+WHERE round(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6) >= 0.01
+  AND round(CAST(n_ab AS DOUBLE) / CAST(n_x AS DOUBLE), 6) >= 0.1"""
+
+
+def q_distinct_hll(spark, sf_dir):
+    """HyperLogLog distinct-amount estimate per event type with the
+    register sum exact: Σ 2^(-M_j) scaled by 2^53 into a pure BIGINT
+    sum (order-invariant — the classic float register accumulation is
+    not), ONE IEEE division by the α·m²·2^53 round-trip literal.
+    No distinct() pre-pass (max is duplicate-insensitive) — compare
+    distinct_kmv. Raw estimator only: the linear-counting small-range
+    correction needs ln() and is documented out."""
+    from llmaix_spark.operators.sketches import hll_distinct
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return hll_distinct(e, ["event_type"], "cents")
+
+
+SQL_DISTINCT_HLL = """
+WITH b AS (
+  SELECT event_type,
+         ('0x' || substring(md5(CAST(CAST(round(value * 100, 0) AS BIGINT)
+                                     AS VARCHAR)), 1, 15))::BIGINT h
+  FROM events),
+r AS (
+  SELECT event_type, h >> 52 AS bucket,
+         CASE WHEN (h & 4503599627370495) = 0 THEN 53
+              ELSE 53 - length(bin(h & 4503599627370495)) END AS rnk
+  FROM b),
+m AS (SELECT event_type, bucket, max(rnk) mr FROM r GROUP BY 1, 2),
+s AS (
+  SELECT event_type,
+         sum(CAST(1 AS BIGINT) << (53 - mr))
+           + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS srs
+  FROM m GROUP BY 1),
+x AS (
+  SELECT event_type, CAST(count(DISTINCT h) AS BIGINT) n_exact
+  FROM b GROUP BY 1),
+est AS (
+  SELECT x.event_type, x.n_exact,
+         round(4.2399330249068963e+20 / CAST(s.srs AS DOUBLE), 4)
+           AS hll_estimate
+  FROM x JOIN s ON x.event_type = s.event_type)
+SELECT event_type, n_exact, hll_estimate,
+       round(abs(hll_estimate - n_exact) / n_exact, 6) AS rel_err
+FROM est"""
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25 keyword AND-search ('join' AND 'sort'), top-20: the
+    length-normalized successor of search_rank's TF-IDF ranking.
+    idf log10 pre-rounded at 6dp
+    (the only transcendental), the length-normalization chain mirrored
+    +,*,/-exact, per-term scores folded IN TERM ORDER (float addition
+    only commutes pairwise), TakeOrderedAndProject cut."""
+    from llmaix_spark.operators.textstats import bm25_rank
+
+    return bm25_rank(
+        _t(spark, sf_dir, "documents"), ["join", "sort"], top_k=20
+    )
+
+
+SQL_BM25_RANK = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> length(x) > 0)) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+st AS (SELECT CAST(count(*) AS BIGINT) n_docs,
+              CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) avgdl
+       FROM dl),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf WHERE term IN ('join', 'sort') GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(round(log10(CAST(1.0 AS DOUBLE)
+                           + (CAST(st.n_docs AS DOUBLE)
+                              - CAST(dfq.df AS DOUBLE) + 0.5)
+                             / (CAST(dfq.df AS DOUBLE) + 0.5)), 6)
+               * ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                  / (CAST(tf.tf AS DOUBLE)
+                     + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE)
+                            * CAST(dl.dl AS DOUBLE) / st.avgdl))),
+               6) AS tscore
+  FROM tf
+  JOIN dfq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN st
+  WHERE tf.term IN ('join', 'sort')),
+hits AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(tscore ORDER BY term)),
+                           (a, x) -> a + x), 6) AS score
+  FROM scored GROUP BY 1 HAVING count(*) = 2),
+top AS (SELECT doc_id, score FROM hits
+        ORDER BY score DESC, doc_id LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, score
+FROM top"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -6137,6 +6384,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_intersect": q_kmv_intersect,
     "index_postings": q_index_postings,
     "events_trigrams": q_events_trigrams,
+    "events_debounce": q_events_debounce,
+    "assoc_rules": q_assoc_rules,
+    "distinct_hll": q_distinct_hll,
+    "bm25_rank": q_bm25_rank,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -6290,6 +6541,10 @@ ORACLES: dict[str, str] = {
     "kmv_intersect": SQL_KMV_INTERSECT,
     "index_postings": SQL_INDEX_POSTINGS,
     "events_trigrams": SQL_EVENTS_TRIGRAMS,
+    "events_debounce": SQL_EVENTS_DEBOUNCE,
+    "assoc_rules": SQL_ASSOC_RULES,
+    "distinct_hll": SQL_DISTINCT_HLL,
+    "bm25_rank": SQL_BM25_RANK,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,

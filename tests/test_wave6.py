@@ -247,3 +247,117 @@ def test_k_anonymity_flags(spark):
         ("b", 1): (5, 1, False, True),
         ("c", 2): (3, 3, True, False),
     }
+
+
+# ---------------------------------------------------------------------------
+# wave D (debounce / association rules / HLL / BM25)
+
+
+def test_debounce_plan_no_window(spark):
+    """The last-kept recursion folds over a per-user collected array:
+    no window operator, no range partitioning."""
+    from llmaix_spark.plans.queries import q_events_debounce
+
+    plan = _phys(q_events_debounce(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_debounce_anchor_semantics(spark):
+    """Burst of events 1 h apart: lag-gap would drop all but the
+    first; last-KEPT semantics must keep one every >= gap."""
+    import datetime as dt
+
+    from llmaix_spark.operators.events import debounce_events
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), 1, "click", 1.0, "{}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    got = sorted(
+        (r["event_id"], r["kept_rank"])
+        for r in debounce_events(df, gap_hours=12).collect()
+    )
+    # kept at hours 0, 12, 24 — anchors advance only on survivors
+    assert got == [(0, 1), (12, 2), (24, 3)]
+
+
+def test_assoc_rules_plan_broadcasts_dims(spark):
+    """Item-frequency and basket-count sides must broadcast; only the
+    basket self-join may shuffle."""
+    from llmaix_spark.plans.queries import q_assoc_rules
+
+    plan = _phys(q_assoc_rules(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "rangepartitioning" not in plan
+
+
+def test_hll_register_sum_is_exact_and_mergeable(spark):
+    """The scaled register sum must equal a python-int recomputation
+    from the raw hashes (no float accumulation anywhere), and dropping
+    duplicates must not change the estimate (max-insensitivity — the
+    property that makes HLL mergeable without a distinct)."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+    from llmaix_spark.operators.sketches import hll_distinct
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), (F.col("id") % 1700).alias("v")
+    )
+    out = hll_distinct(df, ["g"], "v").collect()[0]
+    assert out["n_exact"] == 1700
+    # python twin of the register sum
+    hashes = [
+        r["h"]
+        for r in df.select(
+            stable_hash60_expr(F.col("v").cast("string")).alias("h")
+        )
+        .distinct()
+        .collect()
+    ]
+    regs = {}
+    for h in hashes:
+        b, rem = h >> 52, h & ((1 << 52) - 1)
+        rank = 53 - rem.bit_length() if rem else 53
+        regs[b] = max(regs.get(b, 0), rank)
+    s = sum(1 << (53 - m) for m in regs.values()) + (256 - len(regs)) * (
+        1 << 53
+    )
+    expect = round(4.2399330249068963e+20 / float(s), 4)
+    assert out["hll_estimate"] == expect
+    # duplicate-insensitive: the un-deduplicated input gave the same
+    # estimate as this distinct-hash twin by construction
+    assert abs(out["hll_estimate"] / 1700 - 1) < 0.15
+
+
+def test_bm25_plan_topk_and_checkpointed_tf(spark):
+    """The cut must be TakeOrderedAndProject; tf localCheckpoints (3
+    consumers) so the corpus explode runs once."""
+    from llmaix_spark.plans.queries import q_bm25_rank
+
+    plan = _phys(q_bm25_rank(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Generate explode") <= 1
+
+
+@pytest.mark.parametrize(
+    "qname", ["events_debounce", "assoc_rules", "distinct_hll", "bm25_rank"]
+)
+def test_wave6d_partition_invariance(spark, qname):
+    from llmaix_spark.plans import queries as Q
+
+    fn = Q.QUERIES[qname]
+    rows = {}
+    for n in ("3", "16"):
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        rows[n] = sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in fn(spark, SF_DIR).collect()
+        )
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert rows["3"] == rows["16"]
