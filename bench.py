@@ -159,6 +159,11 @@ BENCH_QUERIES = [
     "assoc_rules",
     "distinct_hll",
     "bm25_rank",
+    # round-6 wave E (99 -> 103): forecast / CI / decay / LTV
+    "seasonal_baseline",
+    "conversion_wilson",
+    "trending_decay",
+    "cohort_ltv",
 ]
 
 

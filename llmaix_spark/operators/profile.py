@@ -746,3 +746,38 @@ def winsorized_mean(
             ).alias("winsorized_mean"),
         )
     )
+
+
+def wilson_bounds(
+    k_col: str,
+    n_col: str,
+    z: float = 1.96,
+    out_dp: int = 6,
+):
+    """Wilson score interval columns (p_hat, low, high) for k successes
+    of n trials — the small-sample-safe confidence interval a metrics
+    dashboard should use instead of the Wald ±z·sqrt(pq/n).
+
+    Bit-portable by construction: the entire formula is +,*,/ and ONE
+    sqrt — all correctly-rounded IEEE-754 operations (sqrt included;
+    only transcendentals diverge across engines) — applied to exact
+    integer-derived doubles with z and z² as round-trip literals, so
+    an oracle mirroring the parenthesization reproduces every bit.
+    Returns a dict of three Columns to splat into a select.
+    """
+    kk = F.col(k_col).cast("double")
+    nn = F.col(n_col).cast("double")
+    p = kk / nn
+    z2 = F.lit(z * z)
+    zl = F.lit(z)
+    denom = F.lit(1.0) + z2 / nn
+    center = p + z2 / (F.lit(2.0) * nn)
+    rad = zl * F.sqrt(
+        p * (F.lit(1.0) - p) / nn
+        + z2 / (F.lit(4.0) * nn * nn)
+    )
+    return {
+        "p_hat": F.round(p, out_dp),
+        "wilson_low": F.round((center - rad) / denom, out_dp),
+        "wilson_high": F.round((center + rad) / denom, out_dp),
+    }

@@ -6326,6 +6326,348 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
 FROM top"""
 
 
+def q_seasonal_baseline(spark, sf_dir):
+    """Seasonal-naive forecast backtest: per (event_type, hour-of-day)
+    the first-3-weeks mean spend is the baseline; the remaining days
+    are the holdout; emit baseline vs actual and the absolute error —
+    the drift check a monitoring pipeline runs before trusting a
+    seasonal profile. ALL integer: epoch-derived day/hour, floor-mean
+    cents both sides, BIGINT error; the train/test split day rides a
+    1-row broadcast. Output ≤ types×24 rows at any SF."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    e = e.select(
+        "event_type",
+        "cents",
+        F.expr("us div 86400000000").alias("dayn"),
+        F.expr("(us div 3600000000) % 24").cast("bigint").alias("hour"),
+    )
+    split = e.agg((F.min("dayn") + F.lit(21)).alias("split_day"))
+    j = e.crossJoin(F.broadcast(split))
+    train = (
+        j.where(F.col("dayn") < F.col("split_day"))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            F.expr("sum(cents) div count(*)")
+            .cast("bigint")
+            .alias("baseline_cents"),
+        )
+    )
+    test = (
+        j.where(F.col("dayn") >= F.col("split_day"))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.expr("sum(cents) div count(*)")
+            .cast("bigint")
+            .alias("actual_cents"),
+        )
+    )
+    return train.join(test, ["event_type", "hour"]).select(
+        "event_type",
+        "hour",
+        "n_train",
+        "n_test",
+        "baseline_cents",
+        "actual_cents",
+        F.abs(F.col("actual_cents") - F.col("baseline_cents"))
+        .cast("bigint")
+        .alias("abs_err_cents"),
+    )
+
+
+SQL_SEASONAL_BASELINE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) cents,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 dayn,
+         CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24
+              AS BIGINT) hr
+  FROM events),
+sp AS (SELECT min(dayn) + 21 split_day FROM e),
+tr AS (
+  SELECT event_type, hr, CAST(count(*) AS BIGINT) n_train,
+         CAST(sum(cents) // count(*) AS BIGINT) baseline_cents
+  FROM e CROSS JOIN sp WHERE dayn < split_day GROUP BY 1, 2),
+te AS (
+  SELECT event_type, hr, CAST(count(*) AS BIGINT) n_test,
+         CAST(sum(cents) // count(*) AS BIGINT) actual_cents
+  FROM e CROSS JOIN sp WHERE dayn >= split_day GROUP BY 1, 2)
+SELECT tr.event_type, tr.hr AS "hour", n_train, n_test,
+       baseline_cents, actual_cents,
+       CAST(abs(actual_cents - baseline_cents) AS BIGINT) AS abs_err_cents
+FROM tr JOIN te ON tr.event_type = te.event_type AND tr.hr = te.hr"""
+
+
+def q_conversion_wilson(spark, sf_dir):
+    """Signup-cohort 7-day conversion rates with Wilson 95% score
+    intervals — the small-sample-safe CI (not Wald). The entire
+    interval formula is +,*,/ and ONE sqrt: all correctly-rounded
+    IEEE ops on exact integer-derived doubles (z, z² as round-trip
+    literals), mirrored parenthesization — bit-identical without any
+    pre-rounding trick. Cohorting and the conversion gate are pure
+    integer epoch arithmetic."""
+    from llmaix_spark.operators.profile import wilson_bounds
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    s0 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s0"))
+    )
+    w0 = s0.agg(
+        F.expr("min(s0 div 86400000000)").alias("day0")
+    )
+    conv = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s0, "user_id")
+        .where(
+            (F.col("us") >= F.col("s0"))
+            & (F.col("us") - F.col("s0") <= F.lit(7 * 86_400_000_000))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1).cast("bigint"))
+    )
+    cohorts = (
+        s0.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(w0))
+        .select(
+            F.expr("((s0 div 86400000000) - day0) div 7")
+            .cast("bigint")
+            .alias("cohort_week"),
+            F.coalesce(F.col("converted"), F.lit(0)).alias("c"),
+        )
+        .groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("c").cast("bigint").alias("n_converted"),
+        )
+    )
+    wb = wilson_bounds("n_converted", "n_users")
+    return cohorts.select(
+        "cohort_week",
+        "n_users",
+        "n_converted",
+        wb["p_hat"].alias("p_hat"),
+        wb["wilson_low"].alias("wilson_low"),
+        wb["wilson_high"].alias("wilson_high"),
+    )
+
+
+SQL_CONVERSION_WILSON = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) us
+  FROM events),
+s0 AS (
+  SELECT user_id, min(us) s0 FROM e
+  WHERE event_type = 'signup' GROUP BY 1),
+w0 AS (SELECT min(s0 // 86400000000) day0 FROM s0),
+conv AS (
+  SELECT DISTINCT e.user_id
+  FROM e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'purchase' AND e.us >= s0.s0
+    AND e.us - s0.s0 <= 604800000000),
+coh AS (
+  SELECT CAST(((s0.s0 // 86400000000) - w0.day0) // 7 AS BIGINT)
+           AS cohort_week,
+         CAST(count(*) AS BIGINT) n_users,
+         CAST(count(conv.user_id) AS BIGINT) n_converted
+  FROM s0 LEFT JOIN conv ON s0.user_id = conv.user_id CROSS JOIN w0
+  GROUP BY 1)
+SELECT cohort_week, n_users, n_converted,
+       round(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+         AS p_hat,
+       round(((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+               + CAST(3.8415999999999997 AS DOUBLE)
+                 / (CAST(2.0 AS DOUBLE) * CAST(n_users AS DOUBLE)))
+              - CAST(1.96 AS DOUBLE)
+                * sqrt((CAST(n_converted AS DOUBLE)
+                        / CAST(n_users AS DOUBLE))
+                       * (CAST(1.0 AS DOUBLE)
+                          - CAST(n_converted AS DOUBLE)
+                            / CAST(n_users AS DOUBLE))
+                       / CAST(n_users AS DOUBLE)
+                       + CAST(3.8415999999999997 AS DOUBLE)
+                         / (CAST(4.0 AS DOUBLE)
+                            * CAST(n_users AS DOUBLE)
+                            * CAST(n_users AS DOUBLE))))
+             / (CAST(1.0 AS DOUBLE)
+                + CAST(3.8415999999999997 AS DOUBLE)
+                  / CAST(n_users AS DOUBLE)), 6) AS wilson_low,
+       round(((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+               + CAST(3.8415999999999997 AS DOUBLE)
+                 / (CAST(2.0 AS DOUBLE) * CAST(n_users AS DOUBLE)))
+              + CAST(1.96 AS DOUBLE)
+                * sqrt((CAST(n_converted AS DOUBLE)
+                        / CAST(n_users AS DOUBLE))
+                       * (CAST(1.0 AS DOUBLE)
+                          - CAST(n_converted AS DOUBLE)
+                            / CAST(n_users AS DOUBLE))
+                       / CAST(n_users AS DOUBLE)
+                       + CAST(3.8415999999999997 AS DOUBLE)
+                         / (CAST(4.0 AS DOUBLE)
+                            * CAST(n_users AS DOUBLE)
+                            * CAST(n_users AS DOUBLE))))
+             / (CAST(1.0 AS DOUBLE)
+                + CAST(3.8415999999999997 AS DOUBLE)
+                  / CAST(n_users AS DOUBLE)), 6) AS wilson_high
+FROM coh"""
+
+
+def q_trending_decay(spark, sf_dir):
+    """Time-decayed brand popularity (half-life 1 day): each shipped
+    lineitem contributes 2^(-age_days), summed EXACTLY as BIGINT
+    2^(40-min(age,40)) — the dyadic-decay trick that turns the classic
+    float decay accumulation into an order-invariant integer sum
+    (same family as events_ewma). Rank over the exact integer score
+    (no float enters the ordering); the display score is one IEEE
+    division by 2^40. The rank window sees |brands| rows."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey"),
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"
+        ).alias("dayn"),
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mx = li.agg(F.max("dayn").alias("maxday"))
+    scored = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "40 - CAST(least(maxday - dayn, 40) AS INT))"
+            ).alias("w"),
+        )
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("w").cast("bigint").alias("s"),
+        )
+    )
+    w = Window.orderBy(F.desc("s"), "brand")
+    # single-partition window is fine HERE: |brands| rows
+    return scored.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "brand",
+        "n_items",
+        F.round(F.col("s").cast("double") / F.lit(float(1 << 40)), 6)
+        .alias("decayed_score"),
+    )
+
+
+SQL_TRENDING_DECAY = """
+WITH li AS (
+  SELECT l_partkey,
+         epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 dayn
+  FROM lineitem),
+mx AS (SELECT max(dayn) maxday FROM li),
+sc AS (
+  SELECT p.p_brand brand, CAST(count(*) AS BIGINT) n_items,
+         CAST(sum(CAST(1 AS BIGINT)
+                  << (40 - CAST(least(mx.maxday - li.dayn, 40) AS INT)))
+              AS BIGINT) s
+  FROM li JOIN part p ON li.l_partkey = p.p_partkey CROSS JOIN mx
+  GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, brand) AS BIGINT) AS rank,
+       brand, n_items,
+       round(CAST(s AS DOUBLE) / 1099511627776.0, 6) AS decayed_score
+FROM sc"""
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value triangle: per (first-event-week cohort,
+    week offset) the purchase revenue, active users, and the running
+    LTV — the money twin of events_retention's count triangle. Pure
+    integer epoch cohorting and exact BIGINT cents; the cumulative
+    window is partitioned per cohort and ordered over the bounded
+    week-offset axis (weeks in the observation window, not data
+    size)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("dayn"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    d0 = e.agg(F.min("dayn").alias("day0"))
+    weeks = e.crossJoin(F.broadcast(d0)).select(
+        "user_id",
+        "event_type",
+        "cents",
+        F.expr("(dayn - day0) div 7").cast("bigint").alias("week"),
+    )
+    first = weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    j = weeks.join(first, "user_id").select(
+        "cohort_week",
+        (F.col("week") - F.col("cohort_week")).alias("offset"),
+        "user_id",
+        F.when(F.col("event_type") == "purchase", F.col("cents"))
+        .otherwise(F.lit(0))
+        .alias("rev"),
+    )
+    cell = j.groupBy("cohort_week", "offset").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_active"),
+        F.sum("rev").cast("bigint").alias("revenue_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort_week",
+        "offset",
+        "n_active",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("bigint").alias("ltv_cents"),
+    )
+
+
+SQL_COHORT_LTV = """
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 dayn,
+         CAST(round(value * 100, 0) AS BIGINT) cents
+  FROM events),
+d0 AS (SELECT min(dayn) day0 FROM e),
+wk AS (
+  SELECT user_id, event_type, cents,
+         CAST((dayn - day0) // 7 AS BIGINT) wnum
+  FROM e CROSS JOIN d0),
+fi AS (SELECT user_id, min(wnum) cohort_week FROM wk GROUP BY 1),
+cell AS (
+  SELECT fi.cohort_week, wk.wnum - fi.cohort_week AS "offset",
+         CAST(count(DISTINCT wk.user_id) AS BIGINT) n_active,
+         CAST(sum(CASE WHEN wk.event_type = 'purchase'
+                       THEN wk.cents ELSE 0 END) AS BIGINT) revenue_cents
+  FROM wk JOIN fi ON wk.user_id = fi.user_id
+  GROUP BY 1, 2)
+SELECT cohort_week, "offset", n_active, revenue_cents,
+       CAST(sum(revenue_cents)
+              OVER (PARTITION BY cohort_week ORDER BY "offset"
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS ltv_cents
+FROM cell"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -6388,6 +6730,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assoc_rules": q_assoc_rules,
     "distinct_hll": q_distinct_hll,
     "bm25_rank": q_bm25_rank,
+    "seasonal_baseline": q_seasonal_baseline,
+    "conversion_wilson": q_conversion_wilson,
+    "trending_decay": q_trending_decay,
+    "cohort_ltv": q_cohort_ltv,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -6545,6 +6891,10 @@ ORACLES: dict[str, str] = {
     "assoc_rules": SQL_ASSOC_RULES,
     "distinct_hll": SQL_DISTINCT_HLL,
     "bm25_rank": SQL_BM25_RANK,
+    "seasonal_baseline": SQL_SEASONAL_BASELINE,
+    "conversion_wilson": SQL_CONVERSION_WILSON,
+    "trending_decay": SQL_TRENDING_DECAY,
+    "cohort_ltv": SQL_COHORT_LTV,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
