@@ -164,6 +164,14 @@ BENCH_QUERIES = [
     "conversion_wilson",
     "trending_decay",
     "cohort_ltv",
+    # round-7 wave A (103 -> 109): intervals / FIFO / Gini / spatial /
+    # negative sampling / Benford
+    "interval_coverage",
+    "fifo_allocation",
+    "revenue_gini",
+    "geo_grid_join",
+    "kg_negative_samples",
+    "benford_digits",
 ]
 
 

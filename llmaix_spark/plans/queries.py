@@ -6669,6 +6669,632 @@ FROM cell"""
 
 
 # ---------------------------------------------------------------------------
+# wave 7: interval algebra, FIFO allocation, concentration, spatial grid
+# join, KG negative sampling, Benford audit
+
+
+def q_interval_coverage(spark, sf_dir):
+    """Per-user merged-interval coverage (the classic overlapping-
+    interval union): each event spawns [us, us + dur) with a
+    deterministic integer duration; overlapping intervals merge into
+    islands via the running-max-of-end sweep, then per user we report
+    island count, total covered time and overall span. All BIGINT.
+
+    Plan shape: ONE Exchange on user_id + ONE Sort serves both windows
+    (prev-running-max and island cumsum share the sort), and both
+    downstream aggregates — groupBy(user, island) then groupBy(user) —
+    are satisfied by the existing HashPartitioning(user), so no further
+    shuffle. Island identity is order-invariant under start ties: a
+    tied row can never open a new island (any prior tied interval's end
+    >= its start), so the merged set is unique."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    e = e.select(
+        "event_id",
+        "user_id",
+        "s",
+        (
+            F.col("s")
+            + (F.abs(F.col("cents")) % 3600 + 1) * F.lit(1_000_000)
+        ).alias("e"),
+    )
+    order = [F.col("s").asc(), F.col("e").asc(), F.col("event_id").asc()]
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(wprev).isNull()
+            | (F.col("s") > F.max("e").over(wprev)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("newi"),
+    ).select(
+        "user_id", "s", "e", F.sum("newi").over(wcum).alias("island")
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        F.min("s").alias("ist"), F.max("e").alias("ien")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("ien") - F.col("ist")).cast("bigint").alias("covered_us"),
+        (F.max("ien") - F.min("ist")).cast("bigint").alias("span_us"),
+    )
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) s,
+         CAST(round(value * 100, 0) AS BIGINT) cents
+  FROM events),
+iv AS (
+  SELECT event_id, user_id, s,
+         s + (abs(cents) % 3600 + 1) * 1000000 e
+  FROM ev),
+fl AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id
+                                ORDER BY s, e, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) IS NULL
+                OR s > max(e) OVER (PARTITION BY user_id
+                                    ORDER BY s, e, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING)
+              THEN 1 ELSE 0 END newi
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+         sum(newi) OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) island
+  FROM fl),
+grp AS (
+  SELECT user_id, island, min(s) ist, max(e) ien
+  FROM isl GROUP BY 1, 2)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) n_intervals,
+       CAST(sum(ien - ist) AS BIGINT) covered_us,
+       CAST(max(ien) - min(ist) AS BIGINT) span_us
+FROM grp GROUP BY 1"""
+
+
+def q_fifo_allocation(spark, sf_dir):
+    """FIFO lot allocation per part: the part's lineitems (ordered by
+    ship date) are purchase lots; a demand of half the total quantity
+    is consumed oldest-first; report lots touched, the boundary lot's
+    ordinal and the exact allocated cost. The cumulative-before sum +
+    clamp is the standard distributed FIFO matcher — no iteration.
+
+    ALL integer: cents via the round(*100) recipe, per-lot allocated
+    cost = (lot_cents * consumed) div qty (floor division on BIGINT is
+    identical across engines for non-negative operands). One Exchange
+    on l_partkey; row_number / cumulative-before / partition-total all
+    ride the same Sort; the final groupBy(l_partkey) reuses the window
+    partitioning so it adds no shuffle."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    order = [
+        F.col("l_shipdate").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    ]
+    word = Window.partitionBy("l_partkey").orderBy(*order)
+    wbefore = word.rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy("l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lots = li.select(
+        "l_partkey",
+        "qty",
+        "cents",
+        F.row_number().over(word).alias("rn"),
+        F.coalesce(F.sum("qty").over(wbefore), F.lit(0)).alias("cumb"),
+        F.expr("sum(qty) OVER (PARTITION BY l_partkey) div 2").alias(
+            "demand"
+        ),
+    ).select(
+        "l_partkey",
+        "qty",
+        "cents",
+        "rn",
+        "demand",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("qty"), F.col("demand") - F.col("cumb")),
+        ).alias("consumed"),
+    )
+    return (
+        lots.where(F.col("demand") > 0)
+        .groupBy("l_partkey")
+        .agg(
+            F.max("demand").cast("bigint").alias("demand_qty"),
+            F.sum(F.when(F.col("consumed") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("lots_used"),
+            F.max(F.when(F.col("consumed") > 0, F.col("rn")))
+            .cast("bigint")
+            .alias("last_lot_rn"),
+            F.sum(
+                F.expr("(cents * consumed) div qty")
+            )
+            .cast("bigint")
+            .alias("alloc_cost_cents"),
+        )
+    )
+
+
+SQL_FIFO_ALLOCATION = """
+WITH li AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+         CAST(l_quantity AS BIGINT) qty,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) cents
+  FROM lineitem),
+lots AS (
+  SELECT l_partkey, qty, cents,
+         row_number() OVER w rn,
+         COALESCE(sum(qty) OVER (PARTITION BY l_partkey
+                                 ORDER BY l_shipdate, l_orderkey,
+                                          l_linenumber
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) cumb,
+         sum(qty) OVER (PARTITION BY l_partkey) // 2 demand
+  FROM li
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+al AS (
+  SELECT l_partkey, qty, cents, rn, demand,
+         greatest(0, least(qty, demand - cumb)) consumed
+  FROM lots)
+SELECT l_partkey,
+       CAST(max(demand) AS BIGINT) demand_qty,
+       CAST(sum(CASE WHEN consumed > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) lots_used,
+       CAST(max(CASE WHEN consumed > 0 THEN rn END)
+            AS BIGINT) last_lot_rn,
+       CAST(sum((cents * consumed) // qty) AS BIGINT) alloc_cost_cents
+FROM al WHERE demand > 0 GROUP BY 1"""
+
+
+def q_revenue_gini(spark, sf_dir):
+    """Revenue concentration per nation: exact Gini coefficient over
+    customer order revenue via the rank formula
+    G = sum((2i - n - 1) * x_i) / (n * sum(x)) on cents sorted
+    ascending. The numerator is summed as DECIMAL(38,0) (⇔ DuckDB
+    HUGEINT — exact and order-invariant), the single division is one
+    IEEE op on correctly-rounded decimal→double casts, rounded 6dp.
+    Tie-safe: a block of equal x contributes x * sum(ranks) whichever
+    order the tied rows take.
+
+    Scale note: rank statistics need a per-nation sort; with few huge
+    groups this is the one operator where a two-level histogram
+    approximation (docs/SCALING.md) replaces the exact sort at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        rev.join(
+            F.broadcast(cust), rev.o_custkey == cust.c_custkey
+        )
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("n_name", "o_custkey", "cents")
+    )
+    wrank = Window.partitionBy("n_name").orderBy(
+        F.col("cents").asc(), F.col("o_custkey").asc()
+    )
+    wn = Window.partitionBy("n_name")
+    ranked = per.select(
+        "n_name",
+        "cents",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    agg = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(
+            (2 * F.col("rn") - F.col("n") - 1).cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("gnum"),
+    )
+    return agg.select(
+        "n_name",
+        "n_custs",
+        "total_cents",
+        F.round(
+            F.col("gnum").cast("double")
+            / (
+                F.col("n_custs").cast("decimal(38,0)")
+                * F.col("total_cents").cast("decimal(38,0)")
+            ).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+SQL_REVENUE_GINI = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) cents
+  FROM orders GROUP BY 1),
+per AS (
+  SELECT n.n_name, r.o_custkey, r.cents
+  FROM rev r
+  JOIN customer c ON r.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+rk AS (
+  SELECT n_name, cents,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY cents, o_custkey) rn,
+         count(*) OVER (PARTITION BY n_name) n
+  FROM per),
+ag AS (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) n_custs,
+         CAST(sum(cents) AS BIGINT) total_cents,
+         sum(CAST(2 * rn - n - 1 AS HUGEINT) * CAST(cents AS HUGEINT))
+           gnum
+  FROM rk GROUP BY 1)
+SELECT n_name, n_custs, total_cents,
+       round(CAST(gnum AS DOUBLE)
+             / CAST(CAST(n_custs AS HUGEINT)
+                    * CAST(total_cents AS HUGEINT) AS DOUBLE), 6) gini
+FROM ag"""
+
+
+def q_geo_grid_join(spark, sf_dir):
+    """Grid-bucketed spatial self-join: customers get deterministic
+    fixed-point coordinates in a 1M×1M space (shared 60-bit hash), the
+    space is cut into 50k×50k cells, and close pairs (squared Euclidean
+    distance ≤ 30k², exact BIGINT) are found by replicating each LEFT
+    point into its 3×3 neighbor cells and joining on the RIGHT point's
+    single home cell — each pair matches at most once (one home cell),
+    so no post-join dedup. This is the canonical scale recipe for a
+    distance self-join: shuffle on the cell key with a bounded 9×
+    replication of one side instead of an O(n²) cross join."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    pts = c.select(
+        F.col("c_custkey").alias("k"),
+        (
+            stable_hash60_expr(
+                F.concat(F.col("c_custkey").cast("string"), F.lit(":gx"))
+            )
+            % 1_000_000
+        ).alias("x"),
+        (
+            stable_hash60_expr(
+                F.concat(F.col("c_custkey").cast("string"), F.lit(":gy"))
+            )
+            % 1_000_000
+        ).alias("y"),
+    ).select(
+        "k",
+        "x",
+        "y",
+        F.expr("x div 50000").alias("cx"),
+        F.expr("y div 50000").alias("cy"),
+    )
+    probes = (
+        pts.select(
+            "k",
+            "x",
+            "y",
+            "cx",
+            "cy",
+            F.explode(
+                F.array(F.lit(-1), F.lit(0), F.lit(1))
+            ).alias("dx"),
+        )
+        .select(
+            "k",
+            "x",
+            "y",
+            "cx",
+            "cy",
+            "dx",
+            F.explode(
+                F.array(F.lit(-1), F.lit(0), F.lit(1))
+            ).alias("dy"),
+        )
+        .select(
+            F.col("k").alias("ak"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            F.col("cx").alias("acx"),
+            F.col("cy").alias("acy"),
+            (F.col("cx") + F.col("dx")).alias("px"),
+            (F.col("cy") + F.col("dy")).alias("py"),
+        )
+    )
+    b = pts.select(
+        F.col("k").alias("bk"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("pcx"),
+        F.col("cy").alias("pcy"),
+    )
+    pairs = probes.join(
+        b,
+        (F.col("px") == F.col("pcx"))
+        & (F.col("py") == F.col("pcy"))
+        & (F.col("ak") < F.col("bk")),
+    ).select(
+        "acx",
+        "acy",
+        (
+            (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+        ).alias("d2"),
+    )
+    return (
+        pairs.where(F.col("d2") <= F.lit(900_000_000))
+        .groupBy(F.col("acx").alias("cell_x"), F.col("acy").alias("cell_y"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("d2").cast("bigint").alias("min_dist2"),
+            F.sum("d2").cast("bigint").alias("sum_dist2"),
+        )
+    )
+
+
+SQL_GEO_GRID_JOIN = f"""
+WITH pts AS (
+  SELECT c_custkey k,
+         {_HASH60_SQL.format(v="CAST(c_custkey AS VARCHAR) || ':gx'")}
+           % 1000000 x,
+         {_HASH60_SQL.format(v="CAST(c_custkey AS VARCHAR) || ':gy'")}
+           % 1000000 y
+  FROM customer),
+cells AS (
+  SELECT k, x, y, x // 50000 cx, y // 50000 cy FROM pts),
+probes AS (
+  SELECT k ak, x ax, y ay, cx acx, cy acy,
+         cx + dx.d px, cy + dy.d py
+  FROM cells,
+       (SELECT unnest([-1, 0, 1]) d) dx,
+       (SELECT unnest([-1, 0, 1]) d) dy),
+pairs AS (
+  SELECT p.acx, p.acy,
+         (p.ax - b.x) * (p.ax - b.x)
+           + (p.ay - b.y) * (p.ay - b.y) d2
+  FROM probes p
+  JOIN cells b ON p.px = b.cx AND p.py = b.cy AND p.ak < b.k)
+SELECT acx AS cell_x, acy AS cell_y,
+       CAST(count(*) AS BIGINT) n_pairs,
+       CAST(min(d2) AS BIGINT) min_dist2,
+       CAST(sum(d2) AS BIGINT) sum_dist2
+FROM pairs WHERE d2 <= 900000000 GROUP BY 1, 2"""
+
+
+def q_kg_negative_samples(spark, sf_dir):
+    """Deterministic negative sampling for KG link-prediction training:
+    positives are the distinct (customer, part) purchase edges; each
+    positive spawns 2 corrupted-tail candidates via the shared 60-bit
+    hash mapped onto the dense 1..max(p_partkey) id range (1-row
+    broadcast for the max), and candidates that collide with ANY true
+    edge of the same head are dropped by a left-anti join — the
+    standard filtered-corruption sampler, with zero RNG state so the
+    sample is reproducible across runs, engines and cluster layouts.
+    Per head: positive degree, kept negatives and their checksum."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    maxp = _t(spark, sf_dir, "part").agg(
+        F.max("p_partkey").alias("maxp")
+    )
+    cand = (
+        pos.select(
+            "c",
+            "p",
+            F.explode(F.array(F.lit("1"), F.lit("2"))).alias("i"),
+        )
+        .crossJoin(F.broadcast(maxp))
+        .select(
+            "c",
+            (
+                1
+                + stable_hash60_expr(
+                    F.concat(
+                        F.col("c").cast("string"),
+                        F.lit(":"),
+                        F.col("p").cast("string"),
+                        F.lit(":"),
+                        F.col("i"),
+                        F.lit(":neg"),
+                    )
+                )
+                % F.col("maxp")
+            ).alias("cand"),
+        )
+    )
+    pos2 = pos.select(F.col("c").alias("c2"), F.col("p").alias("p2"))
+    kept = cand.join(
+        pos2,
+        (cand.c == pos2.c2) & (cand.cand == pos2.p2),
+        "left_anti",
+    )
+    negs = kept.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neg"),
+        F.sum("cand").cast("bigint").alias("neg_checksum"),
+    )
+    deg = pos.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos")
+    )
+    return (
+        deg.join(negs, "c", "left")
+        .select(
+            F.col("c").alias("custkey"),
+            "n_pos",
+            F.coalesce(F.col("n_neg"), F.lit(0))
+            .cast("bigint")
+            .alias("n_neg"),
+            F.coalesce(F.col("neg_checksum"), F.lit(0))
+            .cast("bigint")
+            .alias("neg_checksum"),
+        )
+    )
+
+
+SQL_KG_NEGATIVE_SAMPLES = f"""
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey c, l.l_partkey p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+mx AS (SELECT max(p_partkey) maxp FROM part),
+cand AS (
+  SELECT pos.c,
+         1 + {_HASH60_SQL.format(
+             v="CAST(pos.c AS VARCHAR) || ':' || CAST(pos.p AS VARCHAR)"
+               " || ':' || i.i || ':neg'"
+         )} % mx.maxp cand
+  FROM pos, (SELECT unnest(['1', '2']) i) i, mx),
+kept AS (
+  SELECT cand.c, cand.cand
+  FROM cand ANTI JOIN pos ON cand.c = pos.c AND cand.cand = pos.p),
+negs AS (
+  SELECT c, CAST(count(*) AS BIGINT) n_neg,
+         CAST(sum(cand) AS BIGINT) neg_checksum
+  FROM kept GROUP BY 1),
+deg AS (
+  SELECT c, CAST(count(*) AS BIGINT) n_pos FROM pos GROUP BY 1)
+SELECT deg.c AS custkey, deg.n_pos,
+       CAST(COALESCE(negs.n_neg, 0) AS BIGINT) n_neg,
+       CAST(COALESCE(negs.neg_checksum, 0) AS BIGINT) neg_checksum
+FROM deg LEFT JOIN negs ON deg.c = negs.c"""
+
+
+def _benford_case(col: str) -> str:
+    """CASE mapping digit→log10(1+1/d) with round-trip literals shared
+    verbatim by both engines (repr() of the exact double)."""
+    import math
+
+    arms = " ".join(
+        f"WHEN {d} THEN CAST({math.log10(1.0 + 1.0 / d)!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    return f"CASE {col} {arms} END"
+
+
+def q_benford_digits(spark, sf_dir):
+    """Benford first-digit audit over order totals: observed counts per
+    leading digit vs the Benford expectation log10(1+1/d), with the
+    per-digit chi-square contribution. Counts are exact integers; the
+    9 expected proportions ride round-trip literals; exp_n / obs_p /
+    chi2 are mirrored-parenthesization IEEE chains rounded 6dp. The
+    digit extraction is string-based (first char of the cents integer)
+    — identical across engines, no log/pow. 9 output rows; the total
+    rides a 1-row broadcast."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents")
+    )
+    o = o.where(F.col("cents") > 0).select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    byd = o.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    tot = o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = byd.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.expr(_benford_case("digit")).alias("p"),
+        F.col("n_obs").cast("double").alias("od"),
+        F.col("n").cast("double").alias("nd"),
+    )
+    return j.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("od") / F.col("nd"), 6).alias("obs_p"),
+        F.round("p", 6).alias("exp_p"),
+        F.round(
+            (
+                (F.col("od") - F.col("nd") * F.col("p"))
+                * (F.col("od") - F.col("nd") * F.col("p"))
+            )
+            / (F.col("nd") * F.col("p")),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+SQL_BENFORD_DIGITS = f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) cents FROM orders),
+d AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) digit
+  FROM c WHERE cents > 0),
+byd AS (
+  SELECT digit, CAST(count(*) AS BIGINT) n_obs FROM d GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) n FROM d),
+j AS (
+  SELECT digit, n_obs,
+         {_benford_case("digit")} p,
+         CAST(n_obs AS DOUBLE) od, CAST(n AS DOUBLE) nd
+  FROM byd CROSS JOIN tot)
+SELECT digit, n_obs,
+       round(od / nd, 6) obs_p,
+       round(p, 6) exp_p,
+       round(((od - nd * p) * (od - nd * p)) / (nd * p), 6) chi2_term
+FROM j"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -6734,6 +7360,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conversion_wilson": q_conversion_wilson,
     "trending_decay": q_trending_decay,
     "cohort_ltv": q_cohort_ltv,
+    "interval_coverage": q_interval_coverage,
+    "fifo_allocation": q_fifo_allocation,
+    "revenue_gini": q_revenue_gini,
+    "geo_grid_join": q_geo_grid_join,
+    "kg_negative_samples": q_kg_negative_samples,
+    "benford_digits": q_benford_digits,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -6895,6 +7527,12 @@ ORACLES: dict[str, str] = {
     "conversion_wilson": SQL_CONVERSION_WILSON,
     "trending_decay": SQL_TRENDING_DECAY,
     "cohort_ltv": SQL_COHORT_LTV,
+    "interval_coverage": SQL_INTERVAL_COVERAGE,
+    "fifo_allocation": SQL_FIFO_ALLOCATION,
+    "revenue_gini": SQL_REVENUE_GINI,
+    "geo_grid_join": SQL_GEO_GRID_JOIN,
+    "kg_negative_samples": SQL_KG_NEGATIVE_SAMPLES,
+    "benford_digits": SQL_BENFORD_DIGITS,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
