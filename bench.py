@@ -172,6 +172,14 @@ BENCH_QUERIES = [
     "geo_grid_join",
     "kg_negative_samples",
     "benford_digits",
+    # round-7 wave B (109 -> 115): apportionment / densify / migration /
+    # skyline / quantile-normalize / novelty
+    "apportionment_seats",
+    "gap_fill_daily",
+    "rank_migration",
+    "skyline_parts",
+    "quantile_normalize",
+    "events_novelty",
 ]
 
 

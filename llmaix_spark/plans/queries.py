@@ -7295,6 +7295,484 @@ FROM j"""
 
 
 # ---------------------------------------------------------------------------
+# wave 8: apportionment, densification, rank migration, skyline,
+# quantile normalization, cumulative novelty
+
+
+def q_apportionment_seats(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment: 100 seats split
+    across nations proportionally to customer count — floor quotas
+    first, then one extra seat to the largest remainders (ties broken
+    by name). ALL integer: quota = cnt*S div tot, remainder = the exact
+    modulo, so there is no float quota to diverge. The two global
+    scalars (total, leftover seats) ride 1-row broadcasts; the
+    remainder rank is a window over #nations rows — tiny by
+    construction (one row per group key), never per-fact-row."""
+    from pyspark.sql import Window
+
+    S = 100
+    cust = _t(spark, sf_dir, "customer").select("c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cnt = (
+        cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_custs"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "n_custs")
+    )
+    tot = cnt.agg(F.sum("n_custs").alias("tot"))
+    q = cnt.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n_custs",
+        F.expr(f"(n_custs * {S}) div tot").alias("base_seats"),
+        F.expr(f"(n_custs * {S}) % tot").alias("rem"),
+    )
+    leftover = q.agg((F.lit(S) - F.sum("base_seats")).alias("r"))
+    wrank = Window.orderBy(F.col("rem").desc(), F.col("n_name").asc())
+    return (
+        q.crossJoin(F.broadcast(leftover))
+        .select(
+            "n_name",
+            "n_custs",
+            F.col("base_seats").cast("bigint").alias("base_seats"),
+            F.when(F.row_number().over(wrank) <= F.col("r"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("extra"),
+        )
+        .select(
+            "n_name",
+            "n_custs",
+            "base_seats",
+            "extra",
+            (F.col("base_seats") + F.col("extra"))
+            .cast("bigint")
+            .alias("seats"),
+        )
+    )
+
+
+SQL_APPORTIONMENT_SEATS = """
+WITH cnt AS (
+  SELECT n.n_name, CAST(count(*) AS BIGINT) n_custs
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1),
+tot AS (SELECT sum(n_custs) tot FROM cnt),
+q AS (
+  SELECT n_name, n_custs,
+         (n_custs * 100) // tot base_seats,
+         (n_custs * 100) % tot rem
+  FROM cnt CROSS JOIN tot),
+lv AS (SELECT 100 - sum(base_seats) r FROM q),
+rk AS (
+  SELECT n_name, n_custs, base_seats, rem,
+         row_number() OVER (ORDER BY rem DESC, n_name) rn
+  FROM q)
+SELECT n_name, n_custs,
+       CAST(base_seats AS BIGINT) base_seats,
+       CAST(CASE WHEN rn <= lv.r THEN 1 ELSE 0 END AS BIGINT) extra,
+       CAST(base_seats + CASE WHEN rn <= lv.r THEN 1 ELSE 0 END
+            AS BIGINT) seats
+FROM rk CROSS JOIN lv"""
+
+
+def q_gap_fill_daily(spark, sf_dir):
+    """Time-series densification: build the full day spine
+    (sequence(min_day, max_day) exploded × distinct event types), left
+    join the actual daily rollups, and report per type the calendar
+    length, missing-day count and the LONGEST consecutive missing run
+    (day − row_number islands over the missing spine rows) — the
+    gap-filling operator every downstream forecasting job needs. All
+    BIGINT. The spine bounds ride a 1-row broadcast; spine size is
+    #days × #types regardless of fact-row count, so densification cost
+    is independent of data scale."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("dayn"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "dayn").agg(
+        F.sum("cents").alias("day_cents")
+    )
+    mm = e.agg(
+        F.min("dayn").alias("mind"), F.max("dayn").alias("maxd")
+    )
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("mind"), F.col("maxd"))).alias("dayn"),
+    )
+    full = spine.join(daily, ["event_type", "dayn"], "left").select(
+        "event_type",
+        "dayn",
+        F.coalesce(F.col("day_cents"), F.lit(0)).alias("day_cents"),
+        F.when(F.col("day_cents").isNull(), 1).otherwise(0).alias("miss"),
+    )
+    wrun = Window.partitionBy("event_type").orderBy("dayn")
+    runs = (
+        full.where(F.col("miss") == 1)
+        .select(
+            "event_type",
+            (F.col("dayn") - F.row_number().over(wrun)).alias("island"),
+        )
+        .groupBy("event_type", "island")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("event_type")
+        .agg(F.max("run").cast("bigint").alias("max_missing_run"))
+    )
+    base = full.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("miss").cast("bigint").alias("missing_days"),
+        F.sum("day_cents").cast("bigint").alias("total_cents"),
+    )
+    return base.join(runs, "event_type", "left").select(
+        "event_type",
+        "n_days",
+        "missing_days",
+        F.coalesce(F.col("max_missing_run"), F.lit(0))
+        .cast("bigint")
+        .alias("max_missing_run"),
+        "total_cents",
+    )
+
+
+SQL_GAP_FILL_DAILY = """
+WITH e AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 dayn,
+         CAST(round(value * 100, 0) AS BIGINT) cents
+  FROM events),
+daily AS (
+  SELECT event_type, dayn, sum(cents) day_cents FROM e GROUP BY 1, 2),
+mm AS (SELECT min(dayn) mind, max(dayn) maxd FROM e),
+ty AS (SELECT DISTINCT event_type FROM e),
+spine AS (
+  SELECT ty.event_type, gs.d dayn
+  FROM ty CROSS JOIN mm
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(mm.mind, mm.maxd)) d) gs),
+full_g AS (
+  SELECT s.event_type, s.dayn,
+         COALESCE(d.day_cents, 0) day_cents,
+         CASE WHEN d.day_cents IS NULL THEN 1 ELSE 0 END miss
+  FROM spine s LEFT JOIN daily d
+    ON s.event_type = d.event_type AND s.dayn = d.dayn),
+runs AS (
+  SELECT event_type, max(run) max_missing_run FROM (
+    SELECT event_type, island, count(*) run FROM (
+      SELECT event_type,
+             dayn - row_number() OVER (PARTITION BY event_type
+                                       ORDER BY dayn) island
+      FROM full_g WHERE miss = 1) i
+    GROUP BY 1, 2) r
+  GROUP BY 1),
+base AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) n_days,
+         CAST(sum(miss) AS BIGINT) missing_days,
+         CAST(sum(day_cents) AS BIGINT) total_cents
+  FROM full_g GROUP BY 1)
+SELECT b.event_type, b.n_days, b.missing_days,
+       CAST(COALESCE(r.max_missing_run, 0) AS BIGINT) max_missing_run,
+       b.total_cents
+FROM base b LEFT JOIN runs r ON b.event_type = r.event_type"""
+
+
+def q_rank_migration(spark, sf_dir):
+    """Decile rank-migration matrix: customers are decile-ranked by
+    order revenue in the first and second half of the calendar
+    (midpoint from a 1-row broadcast), and the matrix counts customers
+    per (decile_h1, decile_h2) — the churn/upsell mobility table.
+    ntile(10) over the total (cents, custkey) order is identical in
+    both engines (first n%10 buckets take the extra row). ≤100 output
+    rows.
+
+    Scale note: ntile needs a global sort per half; at 100 TB the
+    decile BOUNDARIES would come from an equi-depth histogram broadcast
+    instead (docs/SCALING.md) — the matrix itself is unchanged."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("dayn"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    mm = o.agg(
+        (
+            F.min("dayn")
+            + F.expr("(max(dayn) - min(dayn)) div 2")
+        ).alias("mid")
+    )
+    halves = o.crossJoin(F.broadcast(mm)).select(
+        "o_custkey",
+        "cents",
+        F.when(F.col("dayn") <= F.col("mid"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("half"),
+    )
+    rev = halves.groupBy("half", "o_custkey").agg(
+        F.sum("cents").alias("cents")
+    )
+    wd = Window.partitionBy("half").orderBy(
+        F.col("cents").asc(), F.col("o_custkey").asc()
+    )
+    dec = rev.select(
+        "half", "o_custkey", F.ntile(10).over(wd).alias("decile")
+    )
+    h1 = dec.where(F.col("half") == 1).select(
+        "o_custkey", F.col("decile").alias("decile_h1")
+    )
+    h2 = dec.where(F.col("half") == 2).select(
+        "o_custkey", F.col("decile").alias("decile_h2")
+    )
+    return (
+        h1.join(h2, "o_custkey")
+        .groupBy("decile_h1", "decile_h2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .select(
+            F.col("decile_h1").cast("bigint").alias("decile_h1"),
+            F.col("decile_h2").cast("bigint").alias("decile_h2"),
+            "n_customers",
+        )
+    )
+
+
+SQL_RANK_MIGRATION = """
+WITH o AS (
+  SELECT o_custkey,
+         epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 dayn,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) cents
+  FROM orders),
+mm AS (SELECT min(dayn) + (max(dayn) - min(dayn)) // 2 mid FROM o),
+hv AS (
+  SELECT o_custkey, cents,
+         CASE WHEN dayn <= mid THEN 1 ELSE 2 END half
+  FROM o CROSS JOIN mm),
+rev AS (
+  SELECT half, o_custkey, sum(cents) cents FROM hv GROUP BY 1, 2),
+dec AS (
+  SELECT half, o_custkey,
+         ntile(10) OVER (PARTITION BY half
+                         ORDER BY cents, o_custkey) decile
+  FROM rev)
+SELECT CAST(h1.decile AS BIGINT) decile_h1,
+       CAST(h2.decile AS BIGINT) decile_h2,
+       CAST(count(*) AS BIGINT) n_customers
+FROM dec h1 JOIN dec h2
+  ON h1.o_custkey = h2.o_custkey AND h1.half = 1 AND h2.half = 2
+GROUP BY 1, 2"""
+
+
+def q_skyline_parts(spark, sf_dir):
+    """2-D Pareto frontier (skyline) of parts on (price ↓ better,
+    size ↑ better) under strict-strict dominance: a part is dominated
+    iff some part is BOTH strictly cheaper AND strictly larger. Scale
+    shape: never a global window — parts are bucketed into price slabs;
+    the intra-slab strictly-cheaper running max uses a RANGE frame
+    (identical semantics both engines), the cross-slab prefix max runs
+    over the tiny slab-summary table only. All integer comparisons."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    p = p.withColumn("slab", F.expr("price_cents div 10000"))
+    win = (
+        Window.partitionBy("slab")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    intra = p.select(
+        "p_partkey",
+        "price_cents",
+        "size",
+        "slab",
+        F.coalesce(F.max("size").over(win), F.lit(-1)).alias("m_in"),
+    )
+    slabs = p.groupBy("slab").agg(F.max("size").alias("smax"))
+    wprev = Window.orderBy("slab").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = slabs.select(
+        "slab",
+        F.coalesce(F.max("smax").over(wprev), F.lit(-1)).alias("m_prev"),
+    )
+    return (
+        intra.join(F.broadcast(prev), "slab")
+        .where(
+            (F.col("m_in") <= F.col("size"))
+            & (F.col("m_prev") <= F.col("size"))
+        )
+        .select(
+            "p_partkey",
+            "price_cents",
+            F.col("size").alias("p_size"),
+        )
+    )
+
+
+SQL_SKYLINE_PARTS = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT) price_cents,
+         CAST(p_size AS BIGINT) sz
+  FROM part)
+SELECT a.p_partkey, a.price_cents, a.sz AS p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents < a.price_cents AND b.sz > a.sz)"""
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization of account balances across market
+    segments: each balance is replaced by the GLOBAL distribution's
+    value at the proportional rank (target = ceil(rank·N/n_g), pure
+    integer), making every segment's distribution identical — the
+    microarray-style feature-normalization preprocessing step. Exact
+    integer ranks and cents; per-segment checksums out.
+
+    Scale note: the reference ranking is a global sort; at 100 TB the
+    mapping table would be an equi-depth quantile sketch broadcast
+    (docs/SCALING.md); the per-segment rank stays a partitioned
+    window."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+    wg = Window.orderBy(F.col("cents").asc(), F.col("c_custkey").asc())
+    glob = c.select(
+        F.row_number().over(wg).alias("gr"),
+        F.col("cents").alias("norm_cents"),
+    )
+    n_tot = c.agg(F.count(F.lit(1)).alias("n"))
+    ws = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cents").asc(), F.col("c_custkey").asc()
+    )
+    wsn = Window.partitionBy("c_mktsegment")
+    ranked = c.select(
+        "c_mktsegment",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(wsn).alias("ng"),
+    ).crossJoin(F.broadcast(n_tot)).select(
+        "c_mktsegment",
+        F.expr("(rn * n + ng - 1) div ng").alias("target"),
+    )
+    return (
+        ranked.join(glob, ranked.target == glob.gr)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("norm_cents").cast("bigint").alias("sum_norm_cents"),
+            F.min("norm_cents").cast("bigint").alias("min_norm_cents"),
+            F.max("norm_cents").cast("bigint").alias("max_norm_cents"),
+        )
+    )
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) cents
+  FROM customer),
+gall AS (
+  SELECT row_number() OVER (ORDER BY cents, c_custkey) gr,
+         cents norm_cents
+  FROM c),
+nt AS (SELECT count(*) n FROM c),
+rk AS (
+  SELECT c_mktsegment,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cents, c_custkey) rn,
+         count(*) OVER (PARTITION BY c_mktsegment) ng
+  FROM c),
+tg AS (
+  SELECT c_mktsegment, (rn * n + ng - 1) // ng target
+  FROM rk CROSS JOIN nt)
+SELECT t.c_mktsegment,
+       CAST(count(*) AS BIGINT) n_rows,
+       CAST(sum(g.norm_cents) AS BIGINT) sum_norm_cents,
+       CAST(min(g.norm_cents) AS BIGINT) min_norm_cents,
+       CAST(max(g.norm_cents) AS BIGINT) max_norm_cents
+FROM tg t JOIN gall g ON t.target = g.gr
+GROUP BY 1"""
+
+
+def q_events_novelty(spark, sf_dir):
+    """Cumulative-novelty profile per user: when did the user's
+    repertoire stop growing? Per (user, event_type) take the first-seen
+    day, then per user report the distinct-type count and the day the
+    repertoire reached half its final size (the half-th smallest
+    first-seen day, ties broken by type name). Two exchanges by
+    construction — (user,type) first-seen rollup, then the per-user
+    rank — both map-side combinable / single-pass."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("dayn"),
+    )
+    fs = e.groupBy("user_id", "event_type").agg(
+        F.min("dayn").alias("first_day")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("first_day").asc(), F.col("event_type").asc()
+    )
+    wn = Window.partitionBy("user_id")
+    ranked = fs.select(
+        "user_id",
+        "first_day",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nt"),
+    )
+    return ranked.where(
+        F.col("rn") == F.expr("(nt + 1) div 2")
+    ).select(
+        "user_id",
+        F.col("nt").cast("bigint").alias("distinct_types"),
+        F.col("rn").cast("bigint").alias("half_rank"),
+        F.col("first_day").cast("bigint").alias("half_day"),
+    )
+
+
+SQL_EVENTS_NOVELTY = """
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 dayn
+  FROM events),
+fs AS (
+  SELECT user_id, event_type, min(dayn) first_day
+  FROM e GROUP BY 1, 2),
+rk AS (
+  SELECT user_id, first_day,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY first_day, event_type) rn,
+         count(*) OVER (PARTITION BY user_id) nt
+  FROM fs)
+SELECT user_id,
+       CAST(nt AS BIGINT) distinct_types,
+       CAST(rn AS BIGINT) half_rank,
+       CAST(first_day AS BIGINT) half_day
+FROM rk WHERE rn = (nt + 1) // 2"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -7366,6 +7844,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_grid_join": q_geo_grid_join,
     "kg_negative_samples": q_kg_negative_samples,
     "benford_digits": q_benford_digits,
+    "apportionment_seats": q_apportionment_seats,
+    "gap_fill_daily": q_gap_fill_daily,
+    "rank_migration": q_rank_migration,
+    "skyline_parts": q_skyline_parts,
+    "quantile_normalize": q_quantile_normalize,
+    "events_novelty": q_events_novelty,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -7533,6 +8017,12 @@ ORACLES: dict[str, str] = {
     "geo_grid_join": SQL_GEO_GRID_JOIN,
     "kg_negative_samples": SQL_KG_NEGATIVE_SAMPLES,
     "benford_digits": SQL_BENFORD_DIGITS,
+    "apportionment_seats": SQL_APPORTIONMENT_SEATS,
+    "gap_fill_daily": SQL_GAP_FILL_DAILY,
+    "rank_migration": SQL_RANK_MIGRATION,
+    "skyline_parts": SQL_SKYLINE_PARTS,
+    "quantile_normalize": SQL_QUANTILE_NORMALIZE,
+    "events_novelty": SQL_EVENTS_NOVELTY,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
