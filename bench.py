@@ -180,6 +180,16 @@ BENCH_QUERIES = [
     "skyline_parts",
     "quantile_normalize",
     "events_novelty",
+    # round-7 wave C (115 -> 120): kappa / encoding / clusters /
+    # readability / latency. blocking_metrics is deliberately NOT here:
+    # its truth side embeds the exact all-pairs jaccard join (same
+    # output-bound reason dedup_ngram_jaccard / fuzzy_part_pairs are
+    # excluded); the LSH path it evaluates IS benched via dedup_minhash.
+    "annotator_kappa",
+    "encoding_planner",
+    "spatial_clusters",
+    "quality_readability",
+    "conversion_latency",
 ]
 
 

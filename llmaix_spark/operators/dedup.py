@@ -439,6 +439,56 @@ def minhash_dedup_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded-LSH candidate generation ONLY — the blocking stage of
+    minhash_dedup_pairs without the exact-jaccard verification, exposed
+    so blocking quality (reduction ratio / pair completeness) can be
+    measured against the exhaustive pair set. Same signature scheme and
+    banding as minhash_dedup_pairs (b=8, r=2 over the 16 shared hash
+    fns); returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    k = len(_MINHASH_AB)
+    rows = k // bands
+    sigs = doc_minhash_signatures(docs, n, id_col, text_col)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"h{b * rows + r}").cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def dedup_groups(
     docs: DataFrame,
     threshold: float = 0.5,

@@ -7773,6 +7773,498 @@ FROM rk WHERE rn = (nt + 1) // 2"""
 
 
 # ---------------------------------------------------------------------------
+# wave 9: blocking quality, annotator agreement, encoding planner,
+# spatial density clusters, readability, conversion latency
+
+
+def q_blocking_metrics(spark, sf_dir):
+    """Blocking-quality evaluation of the MinHash-LSH dedup blocker:
+    reduction ratio (how many of the n·(n-1)/2 possible pairs the
+    blocker avoids scoring) and pair completeness (what fraction of
+    the TRUE ≥0.5-jaccard pairs survive blocking + verification) —
+    the two standard entity-resolution blocking metrics. Truth is the
+    exhaustive shingle-share jaccard join (complete: disjoint-shingle
+    pairs have J=0); candidates/found reuse the production b=8/r=2
+    LSH. One output row; the four counters are 1-row aggregates
+    combined by broadcast cross joins."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = dd.ngram_jaccard_pairs(docs, 0.5)
+    found = dd.minhash_dedup_pairs(docs, 0.5)
+    cand = dd.lsh_candidate_pairs(docs)
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tp = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("truth_pairs")
+    )
+    cp = cand.agg(F.count(F.lit(1)).cast("bigint").alias("cand_pairs"))
+    fp = found.agg(
+        F.count(F.lit(1)).cast("bigint").alias("found_pairs")
+    )
+    one = (
+        nd.crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(cp))
+        .crossJoin(F.broadcast(fp))
+        .withColumn(
+            "total_pairs",
+            F.expr("(n_docs * (n_docs - 1)) div 2").cast("bigint"),
+        )
+    )
+    return one.select(
+        "n_docs",
+        "total_pairs",
+        "truth_pairs",
+        "cand_pairs",
+        "found_pairs",
+        F.round(
+            F.lit(1.0)
+            - F.col("cand_pairs").cast("double")
+            / F.col("total_pairs").cast("double"),
+            6,
+        ).alias("reduction_ratio"),
+        F.when(F.col("truth_pairs") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                F.col("found_pairs").cast("double")
+                / F.col("truth_pairs").cast("double"),
+                6,
+            )
+        )
+        .alias("pair_completeness"),
+    )
+
+
+SQL_BLOCKING_METRICS = f"""
+WITH {_minhash_pairs_ctes()},
+tcommon AS (
+  SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+truth AS (
+  SELECT da, db
+  FROM tcommon JOIN cnt na ON da = na.doc_id
+               JOIN cnt nb ON db = nb.doc_id
+  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5),
+nd AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
+tc AS (SELECT CAST(count(*) AS BIGINT) truth_pairs FROM truth),
+cc AS (SELECT CAST(count(*) AS BIGINT) cand_pairs FROM cand),
+fc AS (SELECT CAST(count(*) AS BIGINT) found_pairs FROM mh_pairs),
+j AS (
+  SELECT n_docs, truth_pairs, cand_pairs, found_pairs,
+         CAST((n_docs * (n_docs - 1)) // 2 AS BIGINT) total_pairs
+  FROM nd, tc, cc, fc)
+SELECT n_docs, total_pairs, truth_pairs, cand_pairs, found_pairs,
+       round(1.0 - CAST(cand_pairs AS DOUBLE)
+                   / CAST(total_pairs AS DOUBLE), 6) reduction_ratio,
+       CASE WHEN truth_pairs = 0 THEN 1.0
+            ELSE round(CAST(found_pairs AS DOUBLE)
+                       / CAST(truth_pairs AS DOUBLE), 6)
+       END pair_completeness
+FROM j"""
+
+
+def q_annotator_kappa(spark, sf_dir):
+    """Cohen's kappa between the stored language label and the n-gram
+    language-ID heuristic — chance-corrected inter-annotator agreement,
+    the metric an annotation-QA pipeline gates on. Observed agreement
+    and the marginal-product sum are EXACT integers (the class-marginal
+    table is a full outer join on class, group-count sized); po, pe and
+    kappa are mirrored IEEE chains on the raw (unrounded) quotients —
+    the rounded-intermediate landmine from group_ols applies here too.
+    One output row."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("gt"),
+        ts.lang_id_expr(F.col("text")).alias("pred"),
+    )
+    base = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("gt") == F.col("pred"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    gtc = d.groupBy("gt").agg(F.count(F.lit(1)).alias("n_gt"))
+    prc = d.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pred"))
+    marg = (
+        gtc.join(prc, gtc.gt == prc.pred, "full")
+        .select(
+            (
+                F.coalesce(F.col("n_gt"), F.lit(0))
+                * F.coalesce(F.col("n_pred"), F.lit(0))
+            ).alias("prod")
+        )
+        .agg(F.sum("prod").cast("bigint").alias("marg_sum"))
+    )
+    j = base.crossJoin(F.broadcast(marg)).select(
+        "n_docs",
+        "n_agree",
+        "marg_sum",
+        F.col("n_agree").cast("double").alias("ad"),
+        F.col("n_docs").cast("double").alias("nd"),
+        F.col("marg_sum").cast("double").alias("sd"),
+    )
+    po = F.col("ad") / F.col("nd")
+    pe = F.col("sd") / (F.col("nd") * F.col("nd"))
+    return j.select(
+        "n_docs",
+        "n_agree",
+        "marg_sum",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+SQL_ANNOTATOR_KAPPA = f"""
+WITH d AS (
+  SELECT lang gt, {_lang_id_sql()} pred FROM documents),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) n_docs,
+         CAST(sum(CASE WHEN gt = pred THEN 1 ELSE 0 END)
+              AS BIGINT) n_agree
+  FROM d),
+gtc AS (SELECT gt, count(*) n_gt FROM d GROUP BY 1),
+prc AS (SELECT pred, count(*) n_pred FROM d GROUP BY 1),
+marg AS (
+  SELECT CAST(sum(COALESCE(n_gt, 0) * COALESCE(n_pred, 0))
+              AS BIGINT) marg_sum
+  FROM gtc FULL JOIN prc ON gtc.gt = prc.pred),
+j AS (
+  SELECT n_docs, n_agree, marg_sum,
+         CAST(n_agree AS DOUBLE) ad,
+         CAST(n_docs AS DOUBLE) nd,
+         CAST(marg_sum AS DOUBLE) sd
+  FROM base CROSS JOIN marg)
+SELECT n_docs, n_agree, marg_sum,
+       round(ad / nd, 6) po,
+       round(sd / (nd * nd), 6) pe,
+       round(((ad / nd) - (sd / (nd * nd)))
+             / (1.0 - (sd / (nd * nd))), 6) kappa
+FROM j"""
+
+
+def q_encoding_planner(spark, sf_dir):
+    """Column-encoding advisor (the lakehouse write-path planner): per
+    column, estimate plain-encoding bytes (sum of value lengths) vs
+    dictionary-encoding bytes (distinct-value lengths + n·index_width,
+    width = 1/2/4 by dictionary size) and pick the cheaper encoding.
+    ALL integer; one stacked scan (UNION of per-column projections)
+    then a two-level aggregate — value-grain first (so distinct sums
+    are map-side combinable), column-grain second."""
+    e = _t(spark, sf_dir, "events")
+    parts = [
+        e.select(
+            F.lit(c).alias("column_name"),
+            F.coalesce(F.col(c).cast("string"), F.lit("")).alias("v"),
+        )
+        for c in ("event_type", "props", "user_id")
+    ]
+    stacked = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    per_val = stacked.groupBy("column_name", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per_val.groupBy("column_name").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.length("v") * F.col("c")).cast("bigint").alias("plain_bytes"),
+        F.sum(F.length("v")).cast("bigint").alias("dict_data_bytes"),
+    )
+    idx_w = (
+        F.when(F.col("n_distinct") <= 256, 1)
+        .when(F.col("n_distinct") <= 65536, 2)
+        .otherwise(4)
+    )
+    return agg.select(
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        "plain_bytes",
+        (F.col("dict_data_bytes") + F.col("n_rows") * idx_w)
+        .cast("bigint")
+        .alias("dict_bytes"),
+        F.when(
+            F.col("dict_data_bytes") + F.col("n_rows") * idx_w
+            < F.col("plain_bytes"),
+            F.lit("dict"),
+        )
+        .otherwise(F.lit("plain"))
+        .alias("encoding"),
+    )
+
+
+SQL_ENCODING_PLANNER = """
+WITH stacked AS (
+  SELECT 'event_type' column_name,
+         COALESCE(CAST(event_type AS VARCHAR), '') v FROM events
+  UNION ALL
+  SELECT 'props', COALESCE(CAST(props AS VARCHAR), '') FROM events
+  UNION ALL
+  SELECT 'user_id', COALESCE(CAST(user_id AS VARCHAR), '') FROM events),
+per_val AS (
+  SELECT column_name, v, count(*) c FROM stacked GROUP BY 1, 2),
+ag AS (
+  SELECT column_name,
+         CAST(sum(c) AS BIGINT) n_rows,
+         CAST(count(*) AS BIGINT) n_distinct,
+         CAST(sum(length(v) * c) AS BIGINT) plain_bytes,
+         CAST(sum(length(v)) AS BIGINT) dict_data_bytes
+  FROM per_val GROUP BY 1),
+w AS (
+  SELECT *,
+         CASE WHEN n_distinct <= 256 THEN 1
+              WHEN n_distinct <= 65536 THEN 2 ELSE 4 END idx_w
+  FROM ag)
+SELECT column_name, n_rows, n_distinct, plain_bytes,
+       CAST(dict_data_bytes + n_rows * idx_w AS BIGINT) dict_bytes,
+       CASE WHEN dict_data_bytes + n_rows * idx_w < plain_bytes
+            THEN 'dict' ELSE 'plain' END AS "encoding"
+FROM w"""
+
+
+def q_spatial_clusters(spark, sf_dir):
+    """Grid-density clustering (DBSCAN-lite): customers' deterministic
+    fixed-point coordinates are bucketed into 50k-cells; cells with ≥6
+    points are dense; clusters are connected components of the dense
+    cells under 8-adjacency. Reuses the size-adaptive CC operator (the
+    canonicalization machinery) on cell-id nodes; isolated dense cells
+    keep themselves as cluster. Oracle: DuckDB recursive-CTE min-label
+    fixpoint seeded from ALL dense cells. Cluster id = lexicographic
+    min cell id."""
+    from llmaix_spark.operators.canonicalize import connected_components
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    pts = c.select(
+        (
+            stable_hash60_expr(
+                F.concat(F.col("c_custkey").cast("string"), F.lit(":gx"))
+            )
+            % 1_000_000
+        ).alias("x"),
+        (
+            stable_hash60_expr(
+                F.concat(F.col("c_custkey").cast("string"), F.lit(":gy"))
+            )
+            % 1_000_000
+        ).alias("y"),
+    )
+    cells = (
+        pts.select(
+            F.expr("x div 50000").alias("cx"),
+            F.expr("y div 50000").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .where(F.col("np") >= 6)
+        .withColumn(
+            "node",
+            F.concat(
+                F.col("cx").cast("string"),
+                F.lit(":"),
+                F.col("cy").cast("string"),
+            ),
+        )
+    )
+    a = cells.select(
+        F.col("node").alias("na"), F.col("cx").alias("ax"),
+        F.col("cy").alias("ay"),
+    )
+    b = cells.select(
+        F.col("node").alias("nb"), F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+    )
+    edges = a.join(
+        b,
+        (F.abs(F.col("ax") - F.col("bx")) <= 1)
+        & (F.abs(F.col("ay") - F.col("by")) <= 1)
+        & (F.col("na") < F.col("nb")),
+    ).select(F.col("na").alias("norm_a"), F.col("nb").alias("norm_b"))
+    cc = connected_components(edges)
+    assigned = cells.join(
+        cc, cells.node == cc.norm, "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("node")).alias("cluster_id"),
+        "np",
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("np").cast("bigint").alias("n_points"),
+    )
+
+
+SQL_SPATIAL_CLUSTERS = f"""
+WITH RECURSIVE pts AS (
+  SELECT {_HASH60_SQL.format(v="CAST(c_custkey AS VARCHAR) || ':gx'")}
+           % 1000000 x,
+         {_HASH60_SQL.format(v="CAST(c_custkey AS VARCHAR) || ':gy'")}
+           % 1000000 y
+  FROM customer),
+cells AS (
+  SELECT cx, cy,
+         CAST(cx AS VARCHAR) || ':' || CAST(cy AS VARCHAR) node,
+         count(*) np
+  FROM (SELECT x // 50000 cx, y // 50000 cy FROM pts) g
+  GROUP BY 1, 2, 3 HAVING count(*) >= 6),
+e0 AS (
+  SELECT a.node na, b.node nb
+  FROM cells a JOIN cells b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND a.node < b.node),
+e AS (SELECT na a, nb b FROM e0 UNION SELECT nb, na FROM e0),
+r AS (
+  SELECT node, node lbl FROM cells
+  UNION
+  SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.node WHERE r.lbl < e.b),
+comp AS (SELECT node, min(lbl) component FROM r GROUP BY 1)
+SELECT comp.component cluster_id,
+       CAST(count(*) AS BIGINT) n_cells,
+       CAST(sum(cells.np) AS BIGINT) n_points
+FROM comp JOIN cells ON comp.node = cells.node
+GROUP BY 1"""
+
+
+def q_quality_readability(spark, sf_dir):
+    """Flesch-style readability per document with a vowel-count
+    syllable proxy — all three counters are pure character arithmetic
+    (translate + length, no regex engine in the hot path, so no
+    Java-vs-RE2 divergence) and the score is a mirrored IEEE chain on
+    round-trip literals, rounded 6dp."""
+    t = F.col("text")
+    lower = F.lower(t)
+    words = F.size(F.split(F.trim(t), " "))
+    sentences = F.greatest(
+        F.lit(1),
+        F.length(t) - F.length(F.translate(t, ".!?", "")),
+    )
+    vowels = F.length(lower) - F.length(F.translate(lower, "aeiou", ""))
+    wd = words.cast("double")
+    sd = sentences.cast("double")
+    vd = vowels.cast("double")
+    flesch = (
+        F.lit(206.835)
+        - (F.lit(1.015) * (wd / sd))
+        - (F.lit(84.6) * (vd / wd))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        vowels.cast("bigint").alias("n_vowels"),
+        F.round(flesch, 6).alias("flesch"),
+    )
+
+
+SQL_QUALITY_READABILITY = """
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(trim(text), ' ')) w,
+         greatest(1, length(text)
+                     - length(translate(text, '.!?', ''))) s,
+         length(lower(text))
+           - length(translate(lower(text), 'aeiou', '')) v
+  FROM documents)
+SELECT doc_id,
+       CAST(w AS BIGINT) n_words,
+       CAST(s AS BIGINT) n_sentences,
+       CAST(v AS BIGINT) n_vowels,
+       round(CAST(206.835 AS DOUBLE)
+             - (CAST(1.015 AS DOUBLE)
+                * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)))
+             - (CAST(84.6 AS DOUBLE)
+                * (CAST(v AS DOUBLE) / CAST(w AS DOUBLE))), 6) flesch
+FROM d"""
+
+
+def q_conversion_latency(spark, sf_dir):
+    """Signup→first-purchase latency distribution per signup cohort:
+    exact nearest-rank p50/p90 of the microsecond latency (integer
+    order statistics — no interpolation formula to diverge). The rank
+    cut is k50 = (n+1) div 2, k90 = ceil(0.9·n) = (9n+9) div 10; both
+    picked with one conditional aggregate over the ranked window."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    s0 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s0"))
+    )
+    w0 = s0.agg(F.expr("min(s0 div 86400000000)").alias("day0"))
+    p0 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s0, "user_id")
+        .where(F.col("us") >= F.col("s0"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p0"), F.min("s0").alias("s0"))
+    )
+    conv = p0.crossJoin(F.broadcast(w0)).select(
+        "user_id",
+        F.expr("((s0 div 86400000000) - day0) div 7")
+        .cast("bigint")
+        .alias("cohort_week"),
+        (F.col("p0") - F.col("s0")).alias("lat"),
+    )
+    wrank = Window.partitionBy("cohort_week").orderBy(
+        F.col("lat").asc(), F.col("user_id").asc()
+    )
+    wn = Window.partitionBy("cohort_week")
+    ranked = conv.select(
+        "cohort_week",
+        "lat",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("cohort_week").agg(
+        F.max("n").cast("bigint").alias("n_conv"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("lat"))
+        )
+        .cast("bigint")
+        .alias("p50_latency_us"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("lat")
+            )
+        )
+        .cast("bigint")
+        .alias("p90_latency_us"),
+    )
+
+
+SQL_CONVERSION_LATENCY = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) us
+  FROM events),
+s0 AS (
+  SELECT user_id, min(us) s0 FROM e
+  WHERE event_type = 'signup' GROUP BY 1),
+w0 AS (SELECT min(s0 // 86400000000) day0 FROM s0),
+p0 AS (
+  SELECT e.user_id, min(e.us) p0, min(s0.s0) s0
+  FROM e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'purchase' AND e.us >= s0.s0
+  GROUP BY 1),
+conv AS (
+  SELECT user_id,
+         CAST(((s0 // 86400000000) - day0) // 7 AS BIGINT) cohort_week,
+         p0 - s0 lat
+  FROM p0 CROSS JOIN w0),
+rk AS (
+  SELECT cohort_week, lat,
+         row_number() OVER (PARTITION BY cohort_week
+                            ORDER BY lat, user_id) rn,
+         count(*) OVER (PARTITION BY cohort_week) n
+  FROM conv)
+SELECT cohort_week,
+       CAST(max(n) AS BIGINT) n_conv,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lat END)
+            AS BIGINT) p50_latency_us,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN lat END)
+            AS BIGINT) p90_latency_us
+FROM rk GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -7850,6 +8342,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_parts": q_skyline_parts,
     "quantile_normalize": q_quantile_normalize,
     "events_novelty": q_events_novelty,
+    "blocking_metrics": q_blocking_metrics,
+    "annotator_kappa": q_annotator_kappa,
+    "encoding_planner": q_encoding_planner,
+    "spatial_clusters": q_spatial_clusters,
+    "quality_readability": q_quality_readability,
+    "conversion_latency": q_conversion_latency,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -8023,6 +8521,12 @@ ORACLES: dict[str, str] = {
     "skyline_parts": SQL_SKYLINE_PARTS,
     "quantile_normalize": SQL_QUANTILE_NORMALIZE,
     "events_novelty": SQL_EVENTS_NOVELTY,
+    "blocking_metrics": SQL_BLOCKING_METRICS,
+    "annotator_kappa": SQL_ANNOTATOR_KAPPA,
+    "encoding_planner": SQL_ENCODING_PLANNER,
+    "spatial_clusters": SQL_SPATIAL_CLUSTERS,
+    "quality_readability": SQL_QUALITY_READABILITY,
+    "conversion_latency": SQL_CONVERSION_LATENCY,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
