@@ -190,6 +190,14 @@ BENCH_QUERIES = [
     "spatial_clusters",
     "quality_readability",
     "conversion_latency",
+    # round-7 wave D (120 -> 126): attribution / graph / robust-trend /
+    # SLA / heavy hitters / boxplot
+    "attribution_linear",
+    "kg_clustering_coeff",
+    "theil_sen_trend",
+    "events_apdex",
+    "heavy_hitters",
+    "boxplot_stats",
 ]
 
 

@@ -8265,6 +8265,524 @@ FROM rk GROUP BY 1"""
 
 
 # ---------------------------------------------------------------------------
+# wave 10: linear attribution, clustering coefficient, Theil–Sen,
+# Apdex, two-phase heavy hitters, box-plot stats
+
+
+def q_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution with EXACT integer credit: each
+    purchase distributes 720720 credit units (lcm(1..16)) equally over
+    its prior-7-day non-purchase touches — base = U div n per touch,
+    the remainder U % n goes to the EARLIEST touch (documented
+    tie-rule), so credit is exact for ANY touch count and
+    order-invariant. Touchless purchases credit 'direct'. The float
+    'conversions' figure is ONE division of exact integers at the very
+    end. Contrast with attribution_last_touch (single-touch winner)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("ty"),
+        F.col("event_id").alias("eid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    U = 720720
+    p = e.where(F.col("ty") == "purchase").select(
+        "u", F.col("us").alias("pus"), F.col("eid").alias("pid")
+    )
+    t = e.where(F.col("ty") != "purchase").select(
+        "u", F.col("us").alias("tus"), F.col("ty").alias("channel"),
+        F.col("eid").alias("teid"),
+    )
+    pairs = p.join(t, "u").where(
+        (F.col("tus") < F.col("pus"))
+        & (F.col("pus") - F.col("tus") <= F.lit(7 * 86_400_000_000))
+    )
+    per_conv = pairs.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("tus", "teid", "channel")).alias("first_t"),
+    )
+    base = (
+        pairs.join(per_conv, "pid")
+        .groupBy(F.col("channel"))
+        .agg(
+            F.sum(F.expr(f"{U} div n")).alias("base_units"),
+        )
+    )
+    rem = per_conv.select(
+        F.col("first_t.channel").alias("channel"),
+        F.expr(f"{U} % n").alias("r"),
+    ).groupBy("channel").agg(F.sum("r").alias("rem_units"))
+    direct = (
+        p.join(pairs.select("pid").distinct(), "pid", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_direct"))
+        .select(
+            F.lit("direct").alias("channel"),
+            (F.col("n_direct") * U).alias("base_units"),
+        )
+    )
+    allb = base.unionByName(direct).join(rem, "channel", "full")
+    return allb.select(
+        "channel",
+        (
+            F.coalesce(F.col("base_units"), F.lit(0))
+            + F.coalesce(F.col("rem_units"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("credit_units"),
+    ).select(
+        "channel",
+        "credit_units",
+        F.round(
+            F.col("credit_units").cast("double") / F.lit(float(U)), 6
+        ).alias("conversions"),
+    )
+
+
+SQL_ATTRIBUTION_LINEAR = """
+WITH e AS (
+  SELECT user_id u, event_type ty, event_id eid,
+         epoch_us(CAST(ts AS TIMESTAMP)) us
+  FROM events),
+p AS (SELECT u, us pus, eid pid FROM e WHERE ty = 'purchase'),
+t AS (SELECT u, us tus, ty channel, eid teid FROM e
+      WHERE ty <> 'purchase'),
+pairs AS (
+  SELECT p.pid, t.channel, t.tus, t.teid
+  FROM p JOIN t ON p.u = t.u
+  WHERE t.tus < p.pus AND p.pus - t.tus <= 604800000000),
+per_conv AS (
+  SELECT pid, count(*) n,
+         arg_min(channel,
+                 CAST(tus AS HUGEINT) * 10000000000 + teid)
+           first_channel
+  FROM pairs GROUP BY 1),
+base AS (
+  SELECT pairs.channel, sum(720720 // per_conv.n) base_units
+  FROM pairs JOIN per_conv ON pairs.pid = per_conv.pid
+  GROUP BY 1),
+rem AS (
+  SELECT first_channel channel, sum(720720 % n) rem_units
+  FROM per_conv GROUP BY 1),
+direct AS (
+  SELECT 'direct' channel, count(*) * 720720 base_units
+  FROM p ANTI JOIN pairs ON p.pid = pairs.pid),
+allb AS (
+  SELECT channel, base_units FROM base
+  UNION ALL SELECT channel, base_units FROM direct),
+j AS (
+  SELECT COALESCE(allb.channel, rem.channel) channel,
+         COALESCE(base_units, 0) + COALESCE(rem_units, 0) units
+  FROM allb FULL JOIN rem ON allb.channel = rem.channel)
+SELECT channel,
+       CAST(units AS BIGINT) credit_units,
+       round(CAST(units AS DOUBLE) / CAST(720720.0 AS DOUBLE), 6)
+         AS conversions
+FROM j"""
+
+
+def q_kg_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per node of the triple surface
+    graph: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 —
+    triangles from the degree-oriented compact-forward enumerator,
+    degrees from the distinct undirected edge set, ONE division of
+    exact integers per node (rounded 6dp)."""
+    from llmaix_spark.operators.graph import triangle_counts
+
+    tri = triangle_counts(
+        q_kg_triples(spark, sf_dir), src="subj", dst="obj"
+    )
+    t = q_kg_triples(spark, sf_dir)
+    e = (
+        t.where(
+            F.col("subj").isNotNull()
+            & F.col("obj").isNotNull()
+            & (F.col("subj") != F.col("obj"))
+        )
+        .select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return (
+        deg.join(tri, "node")
+        .where(F.col("degree") >= 2)
+        .select(
+            "node",
+            "degree",
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.round(
+                (F.lit(2) * F.col("n_triangles")).cast("double")
+                / (
+                    F.col("degree") * (F.col("degree") - 1)
+                ).cast("double"),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+SQL_KG_CLUSTERING_COEFF = f"""
+WITH t AS ({SQL_KG_TRIPLES}),
+e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+      FROM t WHERE subj IS NOT NULL AND obj IS NOT NULL
+        AND subj <> obj),
+nodes AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) degree
+        FROM nodes GROUP BY 1),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri),
+c AS (SELECT node, CAST(count(*) AS BIGINT) n_triangles
+      FROM corners GROUP BY 1)
+SELECT deg.node, deg.degree,
+       CAST(COALESCE(c.n_triangles, 0) AS BIGINT) n_triangles,
+       round(CAST(2 * COALESCE(c.n_triangles, 0) AS DOUBLE)
+             / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6)
+         AS clustering_coeff
+FROM deg LEFT JOIN c ON deg.node = c.node
+WHERE deg.degree >= 2"""
+
+
+def q_theil_sen_trend(spark, sf_dir):
+    """Theil–Sen robust trend per event type: the MEDIAN pairwise
+    slope of the daily spend series. Slopes order by their IEEE
+    quotient (identical doubles both engines — division of exact
+    integers) with (dy, dx) integer tie-breaks; the median is the
+    nearest-rank-lower element, reported as its exact (dy, dx) pair
+    plus the rounded quotient. Pair generation is a per-type self-join
+    on the TINY daily rollup (days², not rows²)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("dayn"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "dayn").agg(
+        F.sum("cents").alias("c")
+    )
+    a = daily.select(
+        "event_type",
+        F.col("dayn").alias("d1"),
+        F.col("c").alias("c1"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("ty2"),
+        F.col("dayn").alias("d2"),
+        F.col("c").alias("c2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("ty2"))
+        & (F.col("d1") < F.col("d2")),
+    ).select(
+        "event_type",
+        (F.col("c2") - F.col("c1")).alias("dy"),
+        (F.col("d2") - F.col("d1")).alias("dx"),
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / (F.col("d2") - F.col("d1")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("slope").asc(), F.col("dy").asc(), F.col("dx").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "dy",
+        "dx",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.where(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("dy").cast("bigint").alias("med_dy"),
+        F.col("dx").cast("bigint").alias("med_dx"),
+        F.round("slope", 6).alias("slope_cents_per_day"),
+    )
+
+
+SQL_THEIL_SEN_TREND = """
+WITH e AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 dayn,
+         CAST(round(value * 100, 0) AS BIGINT) cents
+  FROM events),
+daily AS (
+  SELECT event_type, dayn, sum(cents) c FROM e GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type,
+         b.c - a.c dy, b.dayn - a.dayn dx,
+         CAST(b.c - a.c AS DOUBLE) / CAST(b.dayn - a.dayn AS DOUBLE)
+           slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.dayn < b.dayn),
+rk AS (
+  SELECT event_type, dy, dx, slope,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope, dy, dx) rn,
+         count(*) OVER (PARTITION BY event_type) n
+  FROM pairs)
+SELECT event_type,
+       CAST(n AS BIGINT) n_pairs,
+       CAST(dy AS BIGINT) med_dy,
+       CAST(dx AS BIGINT) med_dx,
+       round(slope, 6) slope_cents_per_day
+FROM rk WHERE rn = (n + 1) // 2"""
+
+
+def q_events_apdex(spark, sf_dir):
+    """Apdex score per event type (T = 50.00 in cents, tolerating up
+    to 4T): apdex = (satisfied + tolerating/2) / n computed as the
+    EXACT integer (2·sat + tol) over 2n with one final division —
+    the SLA roll-up, fully map-side combinable (one hash aggregate)."""
+    T = 5000
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("cents") <= T, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_satisfied"),
+        F.sum(
+            F.when(
+                (F.col("cents") > T) & (F.col("cents") <= 4 * T), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_tolerating"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "n_satisfied",
+        "n_tolerating",
+        (F.col("n") - F.col("n_satisfied") - F.col("n_tolerating"))
+        .cast("bigint")
+        .alias("n_frustrated"),
+        F.round(
+            (2 * F.col("n_satisfied") + F.col("n_tolerating")).cast(
+                "double"
+            )
+            / (2 * F.col("n")).cast("double"),
+            6,
+        ).alias("apdex"),
+    )
+
+
+SQL_EVENTS_APDEX = """
+WITH e AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) cents
+  FROM events),
+ag AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) n,
+         CAST(sum(CASE WHEN cents <= 5000 THEN 1 ELSE 0 END)
+              AS BIGINT) n_satisfied,
+         CAST(sum(CASE WHEN cents > 5000 AND cents <= 20000
+                       THEN 1 ELSE 0 END) AS BIGINT) n_tolerating
+  FROM e GROUP BY 1)
+SELECT event_type, n, n_satisfied, n_tolerating,
+       CAST(n - n_satisfied - n_tolerating AS BIGINT) n_frustrated,
+       round(CAST(2 * n_satisfied + n_tolerating AS DOUBLE)
+             / CAST(2 * n AS DOUBLE), 6) apdex
+FROM ag"""
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Two-phase exact heavy hitters over the Zipf-skewed token stream
+    (words appearing in ≥ 1/s of all token positions, s=1000): phase 1
+    finds per-shard local candidates (cnt_shard·s ≥ n_shard — by
+    pigeonhole every global heavy hitter is locally heavy in ≥1
+    shard, so the candidate set is a PROVABLE superset); phase 2
+    re-counts only the candidates exactly and applies the global gate
+    cnt·s ≥ n. This is the scale recipe: the full token multiset is
+    never globally aggregated per distinct word beyond phase 1's
+    combinable (shard, word) grain. All-integer gates (no division)."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    s = 1000
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        (stable_hash60_expr(F.col("doc_id").cast("string")) % 32).alias(
+            "shard"
+        ),
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    )
+    local = toks.groupBy("shard", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    shard_tot = toks.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("ns")
+    )
+    cand = (
+        local.join(F.broadcast(shard_tot), "shard")
+        .where(F.col("c") * s >= F.col("ns"))
+        .select("tok")
+        .distinct()
+    )
+    n_tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_count"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(n_tot))
+        .where(F.col("n_count") * s >= F.col("n"))
+        .select(
+            "tok",
+            "n_count",
+            F.col("n").cast("bigint").alias("n_total"),
+        )
+    )
+
+
+SQL_HEAVY_HITTERS = """
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') w
+           FROM documents),
+toks AS (SELECT unnest(w) tok FROM d),
+nt AS (SELECT count(*) n FROM toks),
+cnt AS (SELECT tok, CAST(count(*) AS BIGINT) n_count
+        FROM toks GROUP BY 1)
+SELECT tok, n_count, CAST(nt.n AS BIGINT) n_total
+FROM cnt CROSS JOIN nt
+WHERE n_count * 1000 >= nt.n"""
+
+
+def q_boxplot_stats(spark, sf_dir):
+    """Box-plot statistics per event type on exact cents: nearest-rank
+    q1/median/q3 (clamped integer rank formulas), IQR fences at
+    q ∓ (3·iqr) div 2 (exact integers — the 1.5×IQR whisker without a
+    float), and the outlier count outside the fences. One ranked
+    window pass picks the quartiles; the 5-row fence table broadcasts
+    back onto the stream for the outlier count."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cents").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    q = ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.expr("greatest(1, (n + 1) div 4)"),
+                F.col("cents"),
+            )
+        )
+        .cast("bigint")
+        .alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("median"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("least(n, (3 * (n + 1)) div 4)"),
+                F.col("cents"),
+            )
+        )
+        .cast("bigint")
+        .alias("q3"),
+    )
+    fences = q.select(
+        "event_type",
+        "n",
+        "q1",
+        "median",
+        "q3",
+        (F.col("q1") - F.expr("(3 * (q3 - q1)) div 2")).alias("lo"),
+        (F.col("q3") + F.expr("(3 * (q3 - q1)) div 2")).alias("hi"),
+    )
+    out = (
+        e.join(F.broadcast(fences), "event_type")
+        .where((F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_outliers"))
+    )
+    return fences.join(out, "event_type", "left").select(
+        "event_type",
+        "n",
+        "q1",
+        "median",
+        "q3",
+        F.coalesce(F.col("n_outliers"), F.lit(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+SQL_BOXPLOT_STATS = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) cents
+  FROM events),
+rk AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) rn,
+         count(*) OVER (PARTITION BY event_type) n
+  FROM e),
+q AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) n,
+         CAST(max(CASE WHEN rn = greatest(1, (n + 1) // 4)
+                       THEN cents END) AS BIGINT) q1,
+         CAST(max(CASE WHEN rn = (n + 1) // 2
+                       THEN cents END) AS BIGINT) median,
+         CAST(max(CASE WHEN rn = least(n, (3 * (n + 1)) // 4)
+                       THEN cents END) AS BIGINT) q3
+  FROM rk GROUP BY 1),
+f AS (
+  SELECT *, q1 - (3 * (q3 - q1)) // 2 lo, q3 + (3 * (q3 - q1)) // 2 hi
+  FROM q),
+o AS (
+  SELECT e.event_type, CAST(count(*) AS BIGINT) n_outliers
+  FROM e JOIN f ON e.event_type = f.event_type
+  WHERE e.cents < f.lo OR e.cents > f.hi
+  GROUP BY 1)
+SELECT f.event_type, f.n, f.q1, f.median, f.q3,
+       CAST(COALESCE(o.n_outliers, 0) AS BIGINT) n_outliers
+FROM f LEFT JOIN o ON f.event_type = o.event_type"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -8348,6 +8866,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_clusters": q_spatial_clusters,
     "quality_readability": q_quality_readability,
     "conversion_latency": q_conversion_latency,
+    "attribution_linear": q_attribution_linear,
+    "kg_clustering_coeff": q_kg_clustering_coeff,
+    "theil_sen_trend": q_theil_sen_trend,
+    "events_apdex": q_events_apdex,
+    "heavy_hitters": q_heavy_hitters,
+    "boxplot_stats": q_boxplot_stats,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -8527,6 +9051,12 @@ ORACLES: dict[str, str] = {
     "spatial_clusters": SQL_SPATIAL_CLUSTERS,
     "quality_readability": SQL_QUALITY_READABILITY,
     "conversion_latency": SQL_CONVERSION_LATENCY,
+    "attribution_linear": SQL_ATTRIBUTION_LINEAR,
+    "kg_clustering_coeff": SQL_KG_CLUSTERING_COEFF,
+    "theil_sen_trend": SQL_THEIL_SEN_TREND,
+    "events_apdex": SQL_EVENTS_APDEX,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
+    "boxplot_stats": SQL_BOXPLOT_STATS,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
