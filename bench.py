@@ -198,6 +198,14 @@ BENCH_QUERIES = [
     "events_apdex",
     "heavy_hitters",
     "boxplot_stats",
+    # round-7 wave E (126 -> 132): rank stats / concentration /
+    # sweep-line concurrency / growth accounting
+    "spearman_corr",
+    "mann_kendall",
+    "mann_whitney_u",
+    "hhi_concentration",
+    "max_concurrency",
+    "growth_accounting",
 ]
 
 

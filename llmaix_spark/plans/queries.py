@@ -8782,6 +8782,537 @@ SELECT f.event_type, f.n, f.q1, f.median, f.q3,
 FROM f LEFT JOIN o ON f.event_type = o.event_type"""
 
 
+def q_spearman_corr(spark, sf_dir):
+    """Per-event-type Spearman rank correlation between value and event
+    time. Average ranks ride as exact integers (2·avg_rank =
+    2·rank + ties − 1), the Pearson closed form over those ranks sums
+    in DECIMAL(38,0) (order-invariant, map-side combinable), and
+    floating point appears only in the last four IEEE ops
+    (two casts→two sqrt→mul→div — sqrt is IEEE-correctly-rounded in
+    both engines, so the quotient is bit-identical). Rank windows are
+    PARTITIONED by event_type — per-group sorts, never a global sort."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("cents")
+    wu = Window.partitionBy("event_type").orderBy("us")
+    ranked = e.select(
+        "event_type",
+        (
+            2 * F.rank().over(wv)
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("event_type", "cents")
+            )
+            - 1
+        ).alias("rx"),
+        (
+            2 * F.rank().over(wu)
+            + F.count(F.lit(1)).over(Window.partitionBy("event_type", "us"))
+            - 1
+        ).alias("ry"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(d("rx")).alias("_sx"),
+        F.sum(d("ry")).alias("_sy"),
+        F.sum(d("rx") * d("ry")).alias("_sxy"),
+        F.sum(d("rx") * d("rx")).alias("_sxx"),
+        F.sum(d("ry") * d("ry")).alias("_syy"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    dx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    dy = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+        "double"
+    )
+    return a.select(
+        "event_type",
+        F.col("_n").cast("bigint").alias("n"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6),
+        ).alias("rho"),
+    )
+
+
+SQL_SPEARMAN_CORR = """
+WITH e AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) cents,
+         epoch_us(ts) us
+  FROM events),
+rk AS (
+  SELECT event_type,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY cents)
+           + count(*) OVER (PARTITION BY event_type, cents) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY us)
+           + count(*) OVER (PARTITION BY event_type, us) - 1 AS ry
+  FROM e),
+a AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) n,
+         sum(CAST(rx AS HUGEINT)) sx, sum(CAST(ry AS HUGEINT)) sy,
+         sum(CAST(rx AS HUGEINT) * ry) sxy,
+         sum(CAST(rx AS HUGEINT) * rx) sxx,
+         sum(CAST(ry AS HUGEINT) * ry) syy
+  FROM rk GROUP BY 1),
+f AS (
+  SELECT event_type, CAST(n AS BIGINT) n,
+         CAST(n * sxy - sx * sy AS DOUBLE) num,
+         CAST(n * sxx - sx * sx AS DOUBLE) dx,
+         CAST(n * syy - sy * sy AS DOUBLE) dy
+  FROM a)
+SELECT event_type, n,
+       CASE WHEN dx > 0 AND dy > 0
+            THEN round(num / (sqrt(dx) * sqrt(dy)), 6) END AS rho
+FROM f"""
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend statistic per order month: S = Σ sign(r_j −
+    r_i) over ordered day pairs of the daily-revenue series, plus the
+    tie-corrected variance NUMERATOR n(n−1)(2n+5) − Σ t(t−1)(2t+5) —
+    every output an exact BIGINT (the z-score's sqrt/18 is one client
+    op away). Pair enumeration runs on the calendar-bounded daily
+    rollup (≤31 days/month → ≤465 pairs, broadcast self-join), never
+    on raw rows — the rollup size is CONSTANT in SF, so the quadratic
+    stage costs the same at 100 TB as at sf0.01."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).cast("bigint").alias("month_key"),
+            F.dayofmonth("o_orderdate").cast("bigint").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .alias("rev")
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.month_key") == F.col("b.month_key"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.month_key").alias("month_key"))
+        .agg(
+            F.sum(F.signum(F.col("b.rev") - F.col("a.rev")).cast("bigint"))
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    base = daily.groupBy("month_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("month_key", "rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("month_key")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    return (
+        base.join(F.broadcast(s), "month_key", "left")
+        .join(F.broadcast(ties), "month_key", "left")
+        .select(
+            "month_key",
+            "n_days",
+            F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("s"),
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("var_num"),
+        )
+    )
+
+
+SQL_MANN_KENDALL = """
+WITH daily AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+           month_key,
+         CAST(day(o_orderdate) AS BIGINT) dom,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) rev
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT a.month_key,
+         CAST(sum(CAST(sign(b.rev - a.rev) AS BIGINT)) AS BIGINT) s
+  FROM daily a JOIN daily b
+    ON a.month_key = b.month_key AND a.dom < b.dom
+  GROUP BY 1),
+base AS (
+  SELECT month_key, CAST(count(*) AS BIGINT) n_days
+  FROM daily GROUP BY 1),
+ties AS (
+  SELECT month_key,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) tie_term
+  FROM (SELECT month_key, rev, count(*) t FROM daily GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT base.month_key, base.n_days,
+       CAST(COALESCE(s.s, 0) AS BIGINT) s,
+       CAST(base.n_days * (base.n_days - 1) * (2 * base.n_days + 5)
+            - COALESCE(ties.tie_term, 0) AS BIGINT) var_num
+FROM base
+LEFT JOIN s ON base.month_key = s.month_key
+LEFT JOIN ties ON base.month_key = ties.month_key"""
+
+
+def q_mann_whitney_u(spark, sf_dir):
+    """One-vs-rest Mann–Whitney U per event type on value cents,
+    returned as the exact integer 2U = Σ_v c_t(v)·(2·other_less(v) +
+    other_eq(v)) — no rank halves, no floats anywhere. The only
+    unpartitioned window runs over the DISTINCT-CENTS rollup, whose
+    domain is bounded by the value range (≤49 002 rows at ANY scale
+    factor), so the 'global' cumulative sum is a constant-size summary
+    stage, not a data-volume sort; the raw stream contributes one
+    map-side-combinable groupBy."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    per_type = e.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    totals = (
+        e.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .select(
+            "cents",
+            "total",
+            F.coalesce(
+                F.sum("total").over(
+                    Window.orderBy("cents").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("tot_less"),
+        )
+    )
+    grand = e.groupBy().agg(F.count(F.lit(1)).alias("n_all"))
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = (
+        per_type.join(F.broadcast(totals), "cents")
+        .select(
+            "event_type",
+            "cents",
+            "ct",
+            "total",
+            "tot_less",
+            F.coalesce(F.sum("ct").over(wt), F.lit(0)).alias("t_less"),
+        )
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = j.groupBy("event_type").agg(
+        F.sum("ct").cast("bigint").alias("n1"),
+        F.sum(
+            d("ct")
+            * (
+                2 * (d("tot_less") - d("t_less"))
+                + (d("total") - d("ct"))
+            )
+        )
+        .cast("bigint")
+        .alias("u2"),
+    )
+    return agg.crossJoin(F.broadcast(grand)).select(
+        "event_type",
+        "n1",
+        (F.col("n_all") - F.col("n1")).cast("bigint").alias("n2"),
+        "u2",
+    )
+
+
+SQL_MANN_WHITNEY_U = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) cents
+  FROM events),
+pt AS (
+  SELECT event_type, cents, count(*) ct FROM e GROUP BY 1, 2),
+tot AS (
+  SELECT cents, count(*) total,
+         COALESCE(sum(count(*)) OVER (
+           ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) tot_less
+  FROM e GROUP BY cents),
+j AS (
+  SELECT pt.event_type, pt.cents, pt.ct, tot.total, tot.tot_less,
+         COALESCE(sum(pt.ct) OVER (
+           PARTITION BY pt.event_type ORDER BY pt.cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) t_less
+  FROM pt JOIN tot ON pt.cents = tot.cents),
+a AS (
+  SELECT event_type,
+         CAST(sum(ct) AS BIGINT) n1,
+         CAST(sum(CAST(ct AS HUGEINT)
+                  * (2 * (tot_less - t_less) + (total - ct)))
+              AS BIGINT) u2
+  FROM j GROUP BY 1)
+SELECT event_type, n1,
+       CAST((SELECT count(*) FROM e) - n1 AS BIGINT) n2, u2
+FROM a"""
+
+
+def q_hhi_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman revenue-concentration index per order
+    month: HHI = Σ_c share_c² = Σ rev_c² / (Σ rev_c)² on exact integer
+    cents — DECIMAL(38,0) sums of per-customer squares (one
+    map-side-combinable aggregate after the (month, customer) rollup),
+    then a single cast→mul→div IEEE tail. Both aggregation grains key
+    on (month, customer) ⊂ (month) so the second groupBy reuses the
+    first shuffle's clustering."""
+    mc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).cast("bigint").alias("month_key"),
+            F.col("o_custkey"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .alias("rev")
+        )
+    )
+    d = F.col("rev").cast("decimal(38,0)")
+    a = mc.groupBy("month_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        F.sum(d * d).alias("_ss"),
+        F.sum(d).alias("_tot"),
+    )
+    tot = F.col("_tot").cast("double")
+    return a.select(
+        "month_key",
+        "n_custs",
+        F.when(
+            F.col("_tot") != 0,
+            F.round(F.col("_ss").cast("double") / (tot * tot), 6),
+        ).alias("hhi"),
+    )
+
+
+SQL_HHI_CONCENTRATION = """
+WITH mc AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+           month_key,
+         o_custkey,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) rev
+  FROM orders GROUP BY 1, 2),
+a AS (
+  SELECT month_key,
+         CAST(count(*) AS BIGINT) n_custs,
+         sum(CAST(rev AS HUGEINT) * rev) ss,
+         sum(CAST(rev AS HUGEINT)) tot
+  FROM mc GROUP BY 1)
+SELECT month_key, n_custs,
+       CASE WHEN tot <> 0
+            THEN round(CAST(ss AS DOUBLE)
+                       / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+       END AS hhi
+FROM a"""
+
+
+def q_max_concurrency(spark, sf_dir):
+    """Peak concurrency per event type via the classic sweep line:
+    each event occupies [ts, ts + cents·10ms) in microseconds; +1/−1
+    deltas sort by (t, delta) so half-open ends close BEFORE same-
+    instant starts, and the running sum's row-wise prefixes are then a
+    deterministic multiset (within a tie block deltas are identical,
+    so prefix values don't depend on tie order). One window pass
+    partitioned BY TYPE (never a global sort); max_by(struct(run,−t))
+    picks the peak and its earliest instant in the same aggregate —
+    ties (run,t) are impossible because prefixes move ±1 per row. At
+    cluster scale the per-type timeline would range-partition into
+    epochs with per-epoch offsets (two-level scan), same algebra."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    deltas = (
+        e.select(
+            "event_type",
+            F.col("start_us").alias("t"),
+            F.lit(1).alias("delta"),
+        )
+        .unionAll(
+            e.select(
+                "event_type",
+                (F.col("start_us") + F.col("cents") * 10000).alias("t"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = deltas.select(
+        "event_type", "t", F.sum("delta").over(w).alias("run")
+    )
+    return run.groupBy("event_type").agg(
+        F.max_by(
+            F.struct(F.col("run"), F.col("t")),
+            F.struct(F.col("run"), (-F.col("t")).alias("nt")),
+        ).alias("_s")
+    ).select(
+        "event_type",
+        F.col("_s.run").cast("bigint").alias("peak"),
+        F.col("_s.t").cast("bigint").alias("peak_at_us"),
+    )
+
+
+SQL_MAX_CONCURRENCY = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) start_us,
+         CAST(round(value * 100, 0) AS BIGINT) cents
+  FROM events),
+deltas AS (
+  SELECT event_type, start_us t, 1 delta FROM e
+  UNION ALL
+  SELECT event_type, start_us + cents * 10000 t, -1 delta FROM e),
+run AS (
+  SELECT event_type, t,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) run
+  FROM deltas),
+enc AS (
+  SELECT event_type,
+         max(CAST(run AS HUGEINT) * 1000000000000000000::HUGEINT
+             + (1000000000000000000::HUGEINT - t)) m
+  FROM run GROUP BY 1)
+SELECT event_type,
+       CAST(m // 1000000000000000000::HUGEINT AS BIGINT) peak,
+       CAST(1000000000000000000::HUGEINT
+            - (m % 1000000000000000000::HUGEINT) AS BIGINT) peak_at_us
+FROM enc"""
+
+
+def q_growth_accounting(spark, sf_dir):
+    """Weekly growth accounting over event users: each active
+    (user, week) classifies as new (first ever), retained (active the
+    immediately previous week) or resurrected (gap ≥ 2 weeks); churned
+    for week w = actives(w−1) − retained(w) via a self-join of the
+    weekly summary on w−1. Weeks are epoch-day div 7 — pure integer
+    arithmetic, no engine week-of-year semantics. The heavy stage is
+    one (user, week) distinct + one per-user lag window; the weekly
+    summary is calendar-bounded, so the churn self-join broadcasts."""
+    from pyspark.sql import Window
+
+    uw = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000)"
+                " div 7"
+            ).alias("week"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    st = uw.select(
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+    )
+    weekly = st.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(
+            F.when(F.col("prev_week").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_week") == F.col("week") - 1, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_week").isNotNull()
+                & (F.col("prev_week") < F.col("week") - 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    prev = weekly.select(
+        (F.col("week") + 1).alias("week"),
+        F.col("n_active").alias("prev_active"),
+    )
+    return weekly.join(F.broadcast(prev), "week", "left").select(
+        "week",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        (
+            F.coalesce(F.col("prev_active"), F.lit(0))
+            - F.col("n_retained")
+        )
+        .cast("bigint")
+        .alias("n_churned"),
+    )
+
+
+SQL_GROWTH_ACCOUNTING = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 86400000000) // 7 wk
+  FROM events),
+st AS (
+  SELECT wk,
+         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) prev_wk
+  FROM uw),
+weekly AS (
+  SELECT wk,
+         CAST(count(*) AS BIGINT) n_active,
+         CAST(sum(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) n_new,
+         CAST(sum(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END)
+              AS BIGINT) n_retained,
+         CAST(sum(CASE WHEN prev_wk IS NOT NULL
+                        AND prev_wk < wk - 1 THEN 1 ELSE 0 END)
+              AS BIGINT) n_resurrected
+  FROM st GROUP BY 1)
+SELECT w.wk AS "week", w.n_active, w.n_new, w.n_retained,
+       w.n_resurrected,
+       CAST(COALESCE(p.n_active, 0) - w.n_retained AS BIGINT) n_churned
+FROM weekly w
+LEFT JOIN weekly p ON p.wk = w.wk - 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8872,6 +9403,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_apdex": q_events_apdex,
     "heavy_hitters": q_heavy_hitters,
     "boxplot_stats": q_boxplot_stats,
+    "spearman_corr": q_spearman_corr,
+    "mann_kendall": q_mann_kendall,
+    "mann_whitney_u": q_mann_whitney_u,
+    "hhi_concentration": q_hhi_concentration,
+    "max_concurrency": q_max_concurrency,
+    "growth_accounting": q_growth_accounting,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -9057,6 +9594,12 @@ ORACLES: dict[str, str] = {
     "events_apdex": SQL_EVENTS_APDEX,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "boxplot_stats": SQL_BOXPLOT_STATS,
+    "spearman_corr": SQL_SPEARMAN_CORR,
+    "mann_kendall": SQL_MANN_KENDALL,
+    "mann_whitney_u": SQL_MANN_WHITNEY_U,
+    "hhi_concentration": SQL_HHI_CONCENTRATION,
+    "max_concurrency": SQL_MAX_CONCURRENCY,
+    "growth_accounting": SQL_GROWTH_ACCOUNTING,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
