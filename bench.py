@@ -206,6 +206,14 @@ BENCH_QUERIES = [
     "hhi_concentration",
     "max_concurrency",
     "growth_accounting",
+    # round-7 wave F (132 -> 138): PMI / interpolation / web funnels /
+    # inventory / tokenizer-vocab sizing / batch padding audit
+    "bigram_pmi",
+    "interpolate_linear",
+    "pages_bounce_exit",
+    "inventory_reorder",
+    "vocab_coverage",
+    "padding_waste",
 ]
 
 

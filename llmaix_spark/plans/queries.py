@@ -9313,6 +9313,450 @@ FROM weekly w
 LEFT JOIN weekly p ON p.wk = w.wk - 1"""
 
 
+def q_bigram_pmi(spark, sf_dir):
+    """Top-25 corpus bigrams by PMI expressed as the exact probability
+    RATIO (N₁²·c_ab)/(N_b·c_a·c_b) — monotone in PMI, so the log is one
+    client-side op away and never enters the engine (ln diverges
+    cross-engine; a ratio of DECIMAL(38,0) integers with a single
+    cast→div tail does not). Adjacent pairs come from one zip_with over
+    two slices of the token array (no positional self-join Spark-side);
+    unigram/bigram counts are map-side-combinable groupBys, the two
+    grand totals broadcast, and the top-k is a TakeOrderedAndProject on
+    the deterministic (ratio DESC, a, b) key. Floor support c_ab ≥ 5."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = uni.groupBy().agg(F.sum("c").alias("n_tok"))
+    bi = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1),"
+                    " slice(t, 2, size(t) - 1),"
+                    " (x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    nb = bi.groupBy().agg(F.sum("n_ab").alias("n_bi"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    scored = (
+        bi.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                (d("n_tok") * d("n_tok") * d("n_ab")).cast("double")
+                / (d("n_bi") * d("ca") * d("cb")).cast("double"),
+                6,
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio").desc(), "a", "b"
+    ).limit(25)
+
+
+SQL_BIGRAM_PMI = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
+uni AS (SELECT t tok, count(*) c FROM tok GROUP BY 1),
+n1 AS (SELECT sum(c) n_tok FROM uni),
+bi AS (
+  SELECT x.t a, y.t b, count(*) n_ab
+  FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND y.i = x.i + 1
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+nb AS (SELECT sum(n_ab) n_bi FROM bi)
+SELECT bi.a, bi.b, CAST(bi.n_ab AS BIGINT) n_ab,
+       round(CAST(CAST(n_tok AS HUGEINT) * n_tok * bi.n_ab AS DOUBLE)
+             / CAST(CAST(n_bi AS HUGEINT) * ua.c * ub.c AS DOUBLE),
+             6) pmi_ratio
+FROM bi
+JOIN uni ua ON ua.tok = bi.a
+JOIN uni ub ON ub.tok = bi.b, n1, nb
+ORDER BY pmi_ratio DESC, a, b LIMIT 25"""
+
+
+def q_interpolate_linear(spark, sf_dir):
+    """Linear interpolation of per-supplier daily shipped quantity at
+    the missing calendar days between consecutive observed days:
+    v(d) = (v₁·(d₂−d) + v₂·(d−d₁)) / (d₂−d₁) — integer numerator, ONE
+    IEEE division, bit-identical cross-engine. One shuffle total: the
+    daily rollup, the lead() window and the gap explode all key on
+    l_suppkey; sequence(d₁+1, d₂−1) only fires where d₂ > d₁+1, so the
+    ascending-guard landmine (Spark sequence descends when b < a) never
+    arms. Returns ONLY the synthesized rows."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_suppkey",
+            F.expr(
+                "unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                " div 86400000000"
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("bigint")).alias("qty")
+        )
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("day")
+    gaps = daily.select(
+        "l_suppkey",
+        F.col("day").alias("d1"),
+        F.col("qty").alias("v1"),
+        F.lead("day").over(w).alias("d2"),
+        F.lead("qty").over(w).alias("v2"),
+    ).where(F.col("d2") > F.col("d1") + 1)
+    pts = gaps.select(
+        "l_suppkey",
+        "d1",
+        "v1",
+        "d2",
+        "v2",
+        F.explode(F.expr("sequence(d1 + 1, d2 - 1)")).alias("day"),
+    )
+    return pts.select(
+        "l_suppkey",
+        F.col("day").cast("bigint").alias("day"),
+        F.round(
+            (
+                F.col("v1") * (F.col("d2") - F.col("day"))
+                + F.col("v2") * (F.col("day") - F.col("d1"))
+            ).cast("double")
+            / (F.col("d2") - F.col("d1")).cast("double"),
+            6,
+        ).alias("qty_interp"),
+    )
+
+
+SQL_INTERPOLATE_LINEAR = """
+WITH daily AS (
+  SELECT l_suppkey, epoch_us(l_shipdate) // 86400000000 d,
+         sum(CAST(round(l_quantity, 0) AS BIGINT)) qty
+  FROM lineitem GROUP BY 1, 2),
+gaps AS (
+  SELECT l_suppkey, d d1, qty v1,
+         lead(d) OVER (PARTITION BY l_suppkey ORDER BY d) d2,
+         lead(qty) OVER (PARTITION BY l_suppkey ORDER BY d) v2
+  FROM daily),
+pts AS (
+  SELECT l_suppkey, d1, v1, d2, v2,
+         unnest(generate_series(d1 + 1, d2 - 1)) dd
+  FROM gaps WHERE d2 > d1 + 1)
+SELECT l_suppkey, CAST(dd AS BIGINT) "day",
+       round(CAST(v1 * (d2 - dd) + v2 * (dd - d1) AS DOUBLE)
+             / CAST(d2 - d1 AS DOUBLE), 6) qty_interp
+FROM pts"""
+
+
+def q_pages_bounce_exit(spark, sf_dir):
+    """Bounce and exit rates per event type over 30-minute-gap
+    sessions (the same sessionization contract as session_paths).
+    Entry/exit/length reduce per session with ONE min/max over
+    struct(ts, event_id, event_type) — the (user, session) aggregate
+    reuses the window's user_id clustering, so the whole query is one
+    exchange + one sort; per-type counts and the session grand total
+    then broadcast. Rates are exact-integer quotients rounded at 6dp."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        e.withColumn("sid", F.sum(new_s).over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(F.struct("ts", "event_id", "event_type"))[
+                "event_type"
+            ].alias("first_type"),
+            F.max(F.struct("ts", "event_id", "event_type"))[
+                "event_type"
+            ].alias("last_type"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    total = sess.groupBy().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    entered = sess.groupBy(
+        F.col("first_type").alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("entered"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("bounces"),
+    )
+    exits = sess.groupBy(F.col("last_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exits")
+    )
+    return (
+        # no broadcast hint: Spark can't build-side a FULL outer join;
+        # both inputs are per-type summaries (≤ #event_types rows)
+        entered.join(exits, "event_type", "full")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            F.coalesce("entered", F.lit(0))
+            .cast("bigint")
+            .alias("entered"),
+            F.coalesce("bounces", F.lit(0))
+            .cast("bigint")
+            .alias("bounces"),
+            F.coalesce("exits", F.lit(0)).cast("bigint").alias("exits"),
+            F.when(
+                F.coalesce("entered", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("bounces", F.lit(0)).cast("double")
+                    / F.col("entered").cast("double"),
+                    6,
+                ),
+            ).alias("bounce_rate"),
+            F.round(
+                F.coalesce("exits", F.lit(0)).cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("exit_share"),
+        )
+    )
+
+
+SQL_PAGES_BOUNCE_EXIT = """
+WITH s AS (
+  SELECT user_id, event_id, event_type, ts,
+         sum(CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) sid
+  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) prev_ts
+        FROM events)),
+agg AS (
+  SELECT user_id, sid,
+         arg_min(event_type,
+                 epoch_us(ts)::HUGEINT * 10000000000 + event_id)
+           first_type,
+         arg_max(event_type,
+                 epoch_us(ts)::HUGEINT * 10000000000 + event_id)
+           last_type,
+         count(*) n_events
+  FROM s GROUP BY 1, 2),
+total AS (SELECT count(*) n_sessions FROM agg),
+ent AS (
+  SELECT first_type event_type,
+         CAST(count(*) AS BIGINT) entered,
+         CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           bounces
+  FROM agg GROUP BY 1),
+ex AS (
+  SELECT last_type event_type, CAST(count(*) AS BIGINT) exits
+  FROM agg GROUP BY 1)
+SELECT COALESCE(ent.event_type, ex.event_type) event_type,
+       CAST(COALESCE(entered, 0) AS BIGINT) entered,
+       CAST(COALESCE(bounces, 0) AS BIGINT) bounces,
+       CAST(COALESCE(exits, 0) AS BIGINT) exits,
+       CASE WHEN COALESCE(entered, 0) > 0
+            THEN round(CAST(COALESCE(bounces, 0) AS DOUBLE)
+                       / CAST(entered AS DOUBLE), 6) END bounce_rate,
+       round(CAST(COALESCE(exits, 0) AS DOUBLE)
+             / CAST(n_sessions AS DOUBLE), 6) exit_share
+FROM ent FULL JOIN ex ON ent.event_type = ex.event_type, total"""
+
+
+def q_inventory_reorder(spark, sf_dir):
+    """First reorder-point crossing per part: cumulative shipped
+    quantity in (shipdate, orderkey, linenumber) order; the crossing
+    row is picked ALGEBRAICALLY — cum ≥ T ∧ cum − qty < T — which is
+    unique because the running sum strictly increases, so no second
+    min()-pass re-derives the window branch (the multi-consumer
+    re-derivation landmine). One shuffle on l_partkey; T = 100."""
+    from pyspark.sql import Window
+
+    t = 100
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+        F.round("l_quantity", 0).cast("bigint").alias("qty"),
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("day", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = li.select(
+        "l_partkey", "day", "qty", F.sum("qty").over(w).alias("cum")
+    )
+    return run.where(
+        (F.col("cum") >= t) & (F.col("cum") - F.col("qty") < t)
+    ).select(
+        "l_partkey",
+        F.col("day").cast("bigint").alias("cross_day"),
+        F.col("cum").cast("bigint").alias("cum_qty"),
+    )
+
+
+SQL_INVENTORY_REORDER = """
+WITH li AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         epoch_us(l_shipdate) // 86400000000 d,
+         CAST(round(l_quantity, 0) AS BIGINT) qty
+  FROM lineitem),
+run AS (
+  SELECT l_partkey, d, qty,
+         sum(qty) OVER (PARTITION BY l_partkey
+                        ORDER BY d, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) cum
+  FROM li)
+SELECT l_partkey, CAST(d AS BIGINT) cross_day,
+       CAST(cum AS BIGINT) cum_qty
+FROM run WHERE cum >= 100 AND cum - qty < 100"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Token-coverage curve for tokenizer-vocabulary sizing: rank
+    corpus tokens by (count DESC, token), and at every power-of-two
+    rank report the cumulative share of corpus tokens a top-v
+    vocabulary covers. The raw stream contributes one map-side-
+    combinable count; the ranked window runs over the DISTINCT-TOKEN
+    rollup only (vocabulary-sized, orders of magnitude below corpus
+    size — at web scale this stage would two-level into per-range
+    offsets, same algebra). Power-of-two picks via rank & (rank−1)."""
+    from pyspark.sql import Window
+
+    uni = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "tok").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = uni.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "tok"))
+        .alias("vocab_size"),
+        F.sum("c").over(w).alias("covered"),
+    )
+    total = uni.groupBy().agg(F.sum("c").alias("n_tok"))
+    return (
+        ranked.where(
+            F.expr("(vocab_size & (vocab_size - 1)) = 0")
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+            F.col("covered").cast("bigint").alias("covered"),
+            F.round(
+                F.col("covered").cast("double")
+                / F.col("n_tok").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+SQL_VOCAB_COVERAGE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) t FROM documents),
+uni AS (SELECT t, count(*) c FROM tok GROUP BY 1),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY c DESC, t) vocab_size,
+         sum(c) OVER (ORDER BY c DESC, t
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) covered
+  FROM uni),
+total AS (SELECT sum(c) n_tok FROM uni)
+SELECT CAST(vocab_size AS BIGINT) vocab_size,
+       CAST(covered AS BIGINT) covered,
+       round(CAST(covered AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+         coverage
+FROM ranked, total
+WHERE (vocab_size & (vocab_size - 1)) = 0"""
+
+
+def q_padding_waste(spark, sf_dir):
+    """Padding waste of power-of-two length bucketing (the training
+    batcher's bucket audit): each document pads to the smallest power
+    of two ≥ its token length (floor-log2 via length(bin(x))−1 — the
+    cross-engine-identical recipe, exact-length docs stay put); per
+    bucket report docs, real tokens, padded tokens and the waste share
+    pad/(pad+tokens) at 6dp. One map-side-combinable groupBy."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("bigint").alias("len")
+    )
+    pad_to = F.expr(
+        "CASE WHEN len <= 1 THEN 1"
+        " WHEN len = (CAST(1 AS BIGINT) << (length(bin(len)) - 1))"
+        " THEN len"
+        " ELSE (CAST(1 AS BIGINT) << length(bin(len))) END"
+    )
+    b = docs.select(
+        pad_to.alias("bucket"), "len"
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("len").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("bucket") - F.col("len"))
+        .cast("bigint")
+        .alias("n_pad"),
+    )
+    return b.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_docs",
+        "n_tokens",
+        "n_pad",
+        F.round(
+            F.col("n_pad").cast("double")
+            / (F.col("n_pad") + F.col("n_tokens")).cast("double"),
+            6,
+        ).alias("waste_share"),
+    )
+
+
+SQL_PADDING_WASTE = """
+WITH d AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) l
+  FROM documents),
+b AS (
+  SELECT CASE WHEN l <= 1 THEN 1
+              WHEN l = (1::BIGINT << (length(bin(l)) - 1)) THEN l
+              ELSE (1::BIGINT << length(bin(l))) END bucket,
+         l
+  FROM d),
+a AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) n_docs,
+         CAST(sum(l) AS BIGINT) n_tokens,
+         CAST(sum(bucket - l) AS BIGINT) n_pad
+  FROM b GROUP BY 1)
+SELECT CAST(bucket AS BIGINT) bucket, n_docs, n_tokens, n_pad,
+       round(CAST(n_pad AS DOUBLE)
+             / CAST(n_pad + n_tokens AS DOUBLE), 6) waste_share
+FROM a"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9409,6 +9853,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hhi_concentration": q_hhi_concentration,
     "max_concurrency": q_max_concurrency,
     "growth_accounting": q_growth_accounting,
+    "bigram_pmi": q_bigram_pmi,
+    "interpolate_linear": q_interpolate_linear,
+    "pages_bounce_exit": q_pages_bounce_exit,
+    "inventory_reorder": q_inventory_reorder,
+    "vocab_coverage": q_vocab_coverage,
+    "padding_waste": q_padding_waste,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -9600,6 +10050,12 @@ ORACLES: dict[str, str] = {
     "hhi_concentration": SQL_HHI_CONCENTRATION,
     "max_concurrency": SQL_MAX_CONCURRENCY,
     "growth_accounting": SQL_GROWTH_ACCOUNTING,
+    "bigram_pmi": SQL_BIGRAM_PMI,
+    "interpolate_linear": SQL_INTERPOLATE_LINEAR,
+    "pages_bounce_exit": SQL_PAGES_BOUNCE_EXIT,
+    "inventory_reorder": SQL_INVENTORY_REORDER,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "padding_waste": SQL_PADDING_WASTE,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
