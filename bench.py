@@ -214,6 +214,14 @@ BENCH_QUERIES = [
     "inventory_reorder",
     "vocab_coverage",
     "padding_waste",
+    # round-7 wave G (138 -> 144): target encoding / CUPED / KS /
+    # Lorenz / successor entropy / runs test
+    "target_encoding",
+    "cuped_adjust",
+    "ks_statistic",
+    "lorenz_curve",
+    "conditional_entropy",
+    "runs_test",
 ]
 
 

@@ -9757,6 +9757,540 @@ SELECT CAST(bucket AS BIGINT) bucket, n_docs, n_tokens, n_pad,
 FROM a"""
 
 
+def q_target_encoding(spark, sf_dir):
+    """Smoothed mean-target encoding of customer market segment against
+    P(order status = 'F') — the leakage-safe categorical feature for
+    tabular ML. enc = (pos·G_n + m·G_pos) / ((n+m)·G_n) with m = 10
+    keeps EVERYTHING integer until one final division: the smoothing
+    blend of per-segment and global rates is a single rational, summed
+    in DECIMAL(38,0) headroom. One broadcast dim join + one map-side-
+    combinable aggregate; the global prior broadcasts back."""
+    m = 10
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+    )
+    g = seg.groupBy().agg(
+        F.sum("n").alias("g_n"), F.sum("n_pos").alias("g_pos")
+    )
+    d = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    return seg.crossJoin(F.broadcast(g)).select(
+        "segment",
+        "n",
+        "n_pos",
+        F.round(
+            (d("n_pos") * d("g_n") + m * d("g_pos")).cast("double")
+            / ((d("n") + m) * d("g_n")).cast("double"),
+            6,
+        ).alias("enc"),
+    )
+
+
+SQL_TARGET_ENCODING = """
+WITH o AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END pos
+  FROM orders),
+seg AS (
+  SELECT c_mktsegment segment,
+         CAST(count(*) AS BIGINT) n,
+         CAST(sum(pos) AS BIGINT) n_pos
+  FROM o JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1),
+g AS (SELECT sum(n) g_n, sum(n_pos) g_pos FROM seg)
+SELECT segment, n, n_pos,
+       round(CAST(CAST(n_pos AS HUGEINT) * g_n + 10 * g_pos AS DOUBLE)
+             / CAST((CAST(n AS HUGEINT) + 10) * g_n AS DOUBLE), 6) enc
+FROM seg, g"""
+
+
+def q_cuped_adjust(spark, sf_dir):
+    """CUPED variance-reduced A/B readout: users split by user_id
+    parity; pre-period covariate x = first-7-days spend, outcome y =
+    remaining spend. θ = cov(x,y)/var(x) pools ALL users from
+    DECIMAL(38,0)-exact sufficient statistics (one IEEE division — the
+    group_ols discipline, and like the intercept there the RAW θ feeds
+    the adjustment; rounding it first would amplify through mean(x)),
+    then adj_mean = ȳ_v − θ·(x̄_v − x̄). Three broadcast scalars onto a
+    two-row variant table; the only data-volume stage is the per-user
+    rollup."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    d0 = e.groupBy().agg(F.min("day").alias("d0"))
+    per_user = (
+        e.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("day") < F.col("d0") + 7, F.col("cents"))
+                .otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("day") >= F.col("d0") + 7, F.col("cents"))
+                .otherwise(0)
+            ).alias("y"),
+        )
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = per_user.groupBy().agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(d("x")).alias("_sx"),
+        F.sum(d("y")).alias("_sy"),
+        F.sum(d("x") * d("y")).alias("_sxy"),
+        F.sum(d("x") * d("x")).alias("_sxx"),
+    )
+    theta = stats.select(
+        (
+            (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+            .cast("double")
+            / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+            .cast("double")
+        ).alias("theta_raw"),
+        (F.col("_sx").cast("double") / F.col("_n").cast("double")).alias(
+            "gmean_x"
+        ),
+    )
+    var = per_user.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("variant")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(d("x")).alias("_vx"),
+        F.sum(d("y")).alias("_vy"),
+    )
+    return var.crossJoin(F.broadcast(theta)).select(
+        "variant",
+        "n_users",
+        F.round(
+            F.col("_vy").cast("double") / F.col("n_users").cast("double"),
+            6,
+        ).alias("mean_post"),
+        F.round(
+            F.col("_vy").cast("double") / F.col("n_users").cast("double")
+            - F.col("theta_raw")
+            * (
+                F.col("_vx").cast("double")
+                / F.col("n_users").cast("double")
+                - F.col("gmean_x")
+            ),
+            6,
+        ).alias("adj_mean"),
+        F.round(F.col("theta_raw"), 6).alias("theta"),
+    )
+
+
+SQL_CUPED_ADJUST = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 d,
+         CAST(round(value * 100, 0) AS BIGINT) cents
+  FROM events),
+d0 AS (SELECT min(d) d0 FROM e),
+pu AS (
+  SELECT user_id,
+         sum(CASE WHEN d < d0 + 7 THEN cents ELSE 0 END) x,
+         sum(CASE WHEN d >= d0 + 7 THEN cents ELSE 0 END) y
+  FROM e, d0 GROUP BY 1),
+st AS (
+  SELECT CAST(count(*) AS HUGEINT) n,
+         sum(CAST(x AS HUGEINT)) sx, sum(CAST(y AS HUGEINT)) sy,
+         sum(CAST(x AS HUGEINT) * y) sxy,
+         sum(CAST(x AS HUGEINT) * x) sxx
+  FROM pu),
+th AS (
+  SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) theta_raw,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) gmean_x
+  FROM st),
+v AS (
+  SELECT CAST(user_id % 2 AS BIGINT) variant,
+         CAST(count(*) AS BIGINT) n_users,
+         sum(CAST(x AS HUGEINT)) vx, sum(CAST(y AS HUGEINT)) vy
+  FROM pu GROUP BY 1)
+SELECT variant, n_users,
+       round(CAST(vy AS DOUBLE) / CAST(n_users AS DOUBLE), 6) mean_post,
+       round(CAST(vy AS DOUBLE) / CAST(n_users AS DOUBLE)
+             - theta_raw * (CAST(vx AS DOUBLE) / CAST(n_users AS DOUBLE)
+                            - gmean_x), 6) adj_mean,
+       round(theta_raw, 6) theta
+FROM v, th"""
+
+
+def q_ks_statistic(spark, sf_dir):
+    """One-vs-rest two-sample Kolmogorov–Smirnov D per event type on
+    value cents — entirely exact until one division: D·n₁·n₂ =
+    max_v |cum₁(≤v)·n₂ − cum₂(≤v)·n₁| is an integer, maximized over the
+    DENSE type × distinct-cents frame (the sup over a CDF difference
+    lands on a jump of EITHER side, so the per-type cumulative must be
+    evaluated at every pooled value, not just the type's own). Both
+    the frame and its windows are bounded by #types × value domain
+    (≤ 5·49 002 rows at ANY SF); the raw stream contributes one
+    map-side-combinable rollup."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    per_type = e.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    totals = e.groupBy("cents").agg(F.count(F.lit(1)).alias("total"))
+    types = e.select("event_type").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(totals))
+        .join(per_type, ["event_type", "cents"], "left")
+        .select(
+            "event_type",
+            "cents",
+            "total",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dense.select(
+        "event_type",
+        F.sum("ct").over(w).alias("c1"),
+        F.sum("total").over(w).alias("call"),
+    ).localCheckpoint(eager=False)  # consumers: n, scored
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # the max |c1·n2 − c2·n1| needs n1/n2 first: two stages over the
+    # bounded cum frame (n = final cumulative per type)
+    n = cum.groupBy("event_type").agg(
+        F.max("c1").alias("n1"), F.max("call").alias("nn")
+    )
+    scored = cum.join(F.broadcast(n), "event_type").select(
+        "event_type",
+        "n1",
+        "nn",
+        F.abs(
+            d("c1") * (d("nn") - d("n1"))
+            - (d("call") - d("c1")) * d("n1")
+        ).alias("dnum"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        (F.max("nn") - F.max("n1")).cast("bigint").alias("n2"),
+        F.round(
+            F.max("dnum").cast("double")
+            / (F.max(d("n1")) * (F.max(d("nn")) - F.max(d("n1"))))
+            .cast("double"),
+            6,
+        ).alias("ks"),
+    )
+
+
+SQL_KS_STATISTIC = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) cents
+  FROM events),
+pt AS (SELECT event_type, cents, count(*) ct FROM e GROUP BY 1, 2),
+tot AS (SELECT cents, count(*) total FROM e GROUP BY 1),
+ty AS (SELECT DISTINCT event_type FROM e),
+dense AS (
+  SELECT ty.event_type, tot.cents, tot.total,
+         COALESCE(pt.ct, 0) ct
+  FROM ty CROSS JOIN tot
+  LEFT JOIN pt ON pt.event_type = ty.event_type
+              AND pt.cents = tot.cents),
+cum AS (
+  SELECT event_type,
+         sum(ct) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) c1,
+         sum(total) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) cal
+  FROM dense),
+n AS (
+  SELECT event_type, max(c1) n1, max(cal) nn
+  FROM cum GROUP BY 1),
+sc AS (
+  SELECT cum.event_type, n.n1, n.nn,
+         abs(CAST(cum.c1 AS HUGEINT) * (n.nn - n.n1)
+             - CAST(cum.cal - cum.c1 AS HUGEINT) * n.n1) dnum
+  FROM cum JOIN n ON cum.event_type = n.event_type)
+SELECT event_type,
+       CAST(max(n1) AS BIGINT) n1,
+       CAST(max(nn) - max(n1) AS BIGINT) n2,
+       round(CAST(max(dnum) AS DOUBLE)
+             / CAST(CAST(max(n1) AS HUGEINT)
+                    * (max(nn) - max(n1)) AS DOUBLE), 6) ks
+FROM sc GROUP BY 1"""
+
+
+def q_lorenz_curve(spark, sf_dir):
+    """Customer-revenue Lorenz curve at decile grain: ntile(10) over
+    the deterministic (cents ASC, custkey ASC) total order, then per
+    decile the exact revenue sum and the cumulative share — cumulative
+    arithmetic happens on the 10-row decile summary, and the one
+    division per row is IEEE on decimal→double casts. Companion to
+    revenue_gini (same ordering contract); the global ntile sort is a
+    per-customer-rollup sort, and at 100 TB would two-level through a
+    range-partitioned histogram (docs/SCALING.md) like the gini rank."""
+    from pyspark.sql import Window
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    nt = rev.select(
+        F.ntile(10)
+        .over(Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc()))
+        .cast("bigint")
+        .alias("decile"),
+        "cents",
+    )
+    per = nt.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per.groupBy().agg(F.sum("rev_cents").alias("t"))
+    return (
+        per.select(
+            "decile",
+            "n_custs",
+            "rev_cents",
+            F.sum("rev_cents").over(w).alias("cum"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_custs",
+            "rev_cents",
+            F.round(
+                F.col("rev_cents").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("rev_share"),
+            F.round(
+                F.col("cum").cast("double") / F.col("t").cast("double"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+SQL_LORENZ_CURVE = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) cents
+  FROM orders GROUP BY 1),
+nt AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT)
+           decile,
+         cents
+  FROM rev),
+per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) n_custs,
+         CAST(sum(cents) AS BIGINT) rev_cents
+  FROM nt GROUP BY 1),
+t AS (SELECT sum(rev_cents) t FROM per)
+SELECT decile, n_custs, rev_cents,
+       round(CAST(rev_cents AS DOUBLE) / CAST(t AS DOUBLE), 6) rev_share,
+       round(CAST(sum(rev_cents) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / CAST(t AS DOUBLE), 6) cum_share
+FROM per, t"""
+
+
+def q_conditional_entropy(spark, sf_dir):
+    """Per-token successor entropy H(next|tok) over corpus bigrams, in
+    exact micro-log10 units: each log10 rounds at 6dp BEFORE the
+    difference (the dsir_importance / drift_psi recipe), the per-
+    successor terms c_ab·⌊10⁶·(lg c_a − lg c_ab)⌉ sum as exact BIGINTs
+    (order-invariant), and ONE division lands in float at the end.
+    Everything after the bigram rollup is vocabulary-bounded."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    bi = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1),"
+                    " slice(t, 2, size(t) - 1),"
+                    " (x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ca = bi.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"),
+        F.count(F.lit(1)).cast("bigint").alias("n_succ"),
+    )
+    term = (
+        bi.join(F.broadcast(ca), "a")
+        .select(
+            "a",
+            (
+                F.col("c_ab")
+                * F.round(
+                    (
+                        F.round(F.log10("c_a"), 6)
+                        - F.round(F.log10("c_ab"), 6)
+                    )
+                    * 1_000_000,
+                    0,
+                ).cast("bigint")
+            ).alias("mu"),
+        )
+        .groupBy("a")
+        .agg(F.sum("mu").cast("bigint").alias("mu_sum"))
+    )
+    return ca.join(F.broadcast(term), "a").select(
+        F.col("a").alias("tok"),
+        "n_succ",
+        F.col("c_a").cast("bigint").alias("c_a"),
+        F.round(
+            F.col("mu_sum").cast("double")
+            / (F.col("c_a") * 1_000_000).cast("double"),
+            6,
+        ).alias("h_log10"),
+    )
+
+
+SQL_CONDITIONAL_ENTROPY = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
+bi AS (
+  SELECT x.t a, y.t b, count(*) c_ab
+  FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND y.i = x.i + 1
+  GROUP BY 1, 2),
+ca AS (
+  SELECT a, sum(c_ab) c_a, CAST(count(*) AS BIGINT) n_succ
+  FROM bi GROUP BY 1),
+term AS (
+  SELECT bi.a,
+         CAST(sum(bi.c_ab
+                  * CAST(round((round(log10(ca.c_a), 6)
+                                - round(log10(bi.c_ab), 6))
+                               * 1000000, 0) AS BIGINT))
+              AS BIGINT) mu_sum
+  FROM bi JOIN ca ON bi.a = ca.a GROUP BY 1)
+SELECT ca.a tok, ca.n_succ, CAST(ca.c_a AS BIGINT) c_a,
+       round(CAST(term.mu_sum AS DOUBLE)
+             / CAST(ca.c_a * 1000000 AS DOUBLE), 6) h_log10
+FROM ca JOIN term ON ca.a = term.a"""
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs statistics per event type: values above vs
+    below the nearest-rank median (median ties dropped, the standard
+    convention), runs counted as 1 + sign changes along (ts, event_id)
+    time order — n_plus, n_minus and runs all exact BIGINTs; the
+    z-score is one client-side formula away. Two per-type window
+    passes (value rank for the median, time lag for changes); the
+    5-row median table broadcasts back onto the stream."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("cents").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    med = (
+        e.select(
+            "event_type",
+            "cents",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("cents").alias("med"))
+    )
+    signed = (
+        e.join(F.broadcast(med), "event_type")
+        .where(F.col("cents") != F.col("med"))
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            (F.col("cents") > F.col("med")).cast("int").alias("sgn"),
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ch = signed.select(
+        "event_type",
+        "sgn",
+        F.when(
+            F.lag("sgn").over(wt).isNull()
+            | (F.lag("sgn").over(wt) == F.col("sgn")),
+            0,
+        )
+        .otherwise(1)
+        .alias("chg"),
+    )
+    return ch.groupBy("event_type").agg(
+        F.sum("sgn").cast("bigint").alias("n_plus"),
+        F.sum(1 - F.col("sgn")).cast("bigint").alias("n_minus"),
+        (F.sum("chg") + 1).cast("bigint").alias("runs"),
+    )
+
+
+SQL_RUNS_TEST = """
+WITH e AS (
+  SELECT event_type, event_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) cents
+  FROM events),
+rk AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) rn,
+         count(*) OVER (PARTITION BY event_type) n
+  FROM e),
+med AS (
+  SELECT event_type, cents med FROM rk WHERE rn = (n + 1) // 2),
+sg AS (
+  SELECT e.event_type, e.ts, e.event_id,
+         CASE WHEN e.cents > med.med THEN 1 ELSE 0 END sgn
+  FROM e JOIN med ON e.event_type = med.event_type
+  WHERE e.cents <> med.med),
+ch AS (
+  SELECT event_type, sgn,
+         CASE WHEN lag(sgn) OVER w IS NULL
+                OR lag(sgn) OVER w = sgn THEN 0 ELSE 1 END chg
+  FROM sg
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+SELECT event_type,
+       CAST(sum(sgn) AS BIGINT) n_plus,
+       CAST(sum(1 - sgn) AS BIGINT) n_minus,
+       CAST(sum(chg) + 1 AS BIGINT) runs
+FROM ch GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9859,6 +10393,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inventory_reorder": q_inventory_reorder,
     "vocab_coverage": q_vocab_coverage,
     "padding_waste": q_padding_waste,
+    "target_encoding": q_target_encoding,
+    "cuped_adjust": q_cuped_adjust,
+    "ks_statistic": q_ks_statistic,
+    "lorenz_curve": q_lorenz_curve,
+    "conditional_entropy": q_conditional_entropy,
+    "runs_test": q_runs_test,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -10056,6 +10596,12 @@ ORACLES: dict[str, str] = {
     "inventory_reorder": SQL_INVENTORY_REORDER,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "padding_waste": SQL_PADDING_WASTE,
+    "target_encoding": SQL_TARGET_ENCODING,
+    "cuped_adjust": SQL_CUPED_ADJUST,
+    "ks_statistic": SQL_KS_STATISTIC,
+    "lorenz_curve": SQL_LORENZ_CURVE,
+    "conditional_entropy": SQL_CONDITIONAL_ENTROPY,
+    "runs_test": SQL_RUNS_TEST,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
