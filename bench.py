@@ -222,6 +222,14 @@ BENCH_QUERIES = [
     "lorenz_curve",
     "conditional_entropy",
     "runs_test",
+    # round-7 wave H (144 -> 150): ACF / centroid confusion / duplicate
+    # shipments / Zipf / lexical richness / class weights
+    "acf_daily",
+    "label_centroid_cosine",
+    "duplicate_shipments",
+    "zipf_fit",
+    "lexical_richness",
+    "class_weights",
 ]
 
 

@@ -10291,6 +10291,394 @@ SELECT event_type,
 FROM ch GROUP BY 1"""
 
 
+def q_acf_daily(spark, sf_dir):
+    """Autocorrelation of global daily order revenue at lags 1..7 —
+    the seasonality diagnostic. Each lag's Pearson runs over exact
+    DECIMAL(38,0) sufficient statistics of the (x_t, x_{t+k}) pairs
+    (present-day pairs only), so ACF is order-invariant with the usual
+    one-cast-two-sqrt-mul-div IEEE tail. The raw stream contributes one
+    map-side-combinable daily rollup (calendar-bounded ≤ ~2 500 rows at
+    ANY SF); lags explode on that rollup and the self-join broadcasts."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(
+                "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                " div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .alias("rev")
+        )
+    )
+    a = daily.select(
+        F.explode(F.expr("sequence(1, 7)")).alias("lag"),
+        F.col("day"),
+        F.col("rev").alias("x"),
+    )
+    b = daily.select(
+        F.col("day").alias("bday"), F.col("rev").alias("y")
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("bday") == F.col("day") + F.col("lag")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    st = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(d("x")).alias("_sx"),
+        F.sum(d("y")).alias("_sy"),
+        F.sum(d("x") * d("y")).alias("_sxy"),
+        F.sum(d("x") * d("x")).alias("_sxx"),
+        F.sum(d("y") * d("y")).alias("_syy"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    dx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    dy = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+        "double"
+    )
+    return st.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("_n").cast("bigint").alias("n_pairs"),
+        F.when(
+            (dx > 0) & (dy > 0), F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6)
+        ).alias("acf"),
+    )
+
+
+SQL_ACF_DAILY = """
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 d,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) rev
+  FROM orders GROUP BY 1),
+lags AS (SELECT unnest(generate_series(1, 7)) k),
+pairs AS (
+  SELECT k, a.rev x, b.rev y
+  FROM lags, daily a, daily b WHERE b.d = a.d + k),
+st AS (
+  SELECT k, CAST(count(*) AS HUGEINT) n,
+         sum(CAST(x AS HUGEINT)) sx, sum(CAST(y AS HUGEINT)) sy,
+         sum(CAST(x AS HUGEINT) * y) sxy,
+         sum(CAST(x AS HUGEINT) * x) sxx,
+         sum(CAST(y AS HUGEINT) * y) syy
+  FROM pairs GROUP BY 1),
+f AS (
+  SELECT k, CAST(n AS BIGINT) n_pairs,
+         CAST(n * sxy - sx * sy AS DOUBLE) num,
+         CAST(n * sxx - sx * sx AS DOUBLE) dx,
+         CAST(n * syy - sy * sy AS DOUBLE) dy
+  FROM st)
+SELECT CAST(k AS BIGINT) lag, n_pairs,
+       CASE WHEN dx > 0 AND dy > 0
+            THEN round(num / (sqrt(dx) * sqrt(dy)), 6) END acf
+FROM f"""
+
+
+def q_label_centroid_cosine(spark, sf_dir):
+    """Inter-class centroid cosine confusion over the embeddings table
+    — which labels' mean vectors point the same way. Embeddings
+    quantize to micro-unit integers FIRST (round(x·10⁶) as BIGINT), so
+    per-label per-dimension sums are exact and order-invariant (float
+    accumulation would drift per partitioning); cosine is scale-
+    invariant, so cos(centroid_a, centroid_b) = cos(sum_a, sum_b) and
+    the division by n never happens. One posexplode + one (label, dim)
+    aggregate; the 10×64 centroid table self-joins broadcast."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode("embedding").alias("d", "v"),
+    )
+    s = emb.groupBy("label", "d").agg(
+        F.sum(
+            F.round(F.col("v").cast("double") * 1_000_000, 0).cast(
+                "bigint"
+            )
+        ).alias("s")
+    )
+    dd = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = s.select(
+        F.col("label").alias("la"), "d", F.col("s").alias("sa")
+    )
+    b = s.select(
+        F.col("label").alias("lb"), "d", F.col("s").alias("sb")
+    )
+    pr = (
+        a.join(F.broadcast(b), "d")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(dd("sa") * dd("sb")).alias("_dot"),
+            F.sum(dd("sa") * dd("sa")).alias("_na"),
+            F.sum(dd("sb") * dd("sb")).alias("_nb"),
+        )
+    )
+    return pr.select(
+        "la",
+        "lb",
+        F.round(
+            F.col("_dot").cast("double")
+            / (
+                F.sqrt(F.col("_na").cast("double"))
+                * F.sqrt(F.col("_nb").cast("double"))
+            ),
+            6,
+        ).alias("cos"),
+    )
+
+
+SQL_LABEL_CENTROID_COSINE = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) lbl,
+         generate_subscripts(embedding, 1) d, unnest(embedding) v
+  FROM embeddings),
+s AS (
+  SELECT lbl, d,
+         sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) s
+  FROM e GROUP BY 1, 2),
+pr AS (
+  SELECT a.lbl la, b.lbl lb,
+         sum(CAST(a.s AS HUGEINT) * b.s) dot,
+         sum(CAST(a.s AS HUGEINT) * a.s) na,
+         sum(CAST(b.s AS HUGEINT) * b.s) nb
+  FROM s a JOIN s b ON a.d = b.d AND a.lbl < b.lbl
+  GROUP BY 1, 2)
+SELECT la, lb,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),
+             6) cos
+FROM pr"""
+
+
+def q_duplicate_shipments(spark, sf_dir):
+    """Duplicate-shipment audit: pairs of line items for the SAME
+    (part, quantity) shipping within one day of each other on
+    different lines — the double-billing sweep. The pair join is
+    EQUI on (l_partkey, qty) with the ±1-day band and the
+    (orderkey, linenumber) dedup ordering as residual filters, so it
+    co-partitions on the part key and never degenerates into a range
+    or cartesian join; at 100 TB the hot (part, qty) groups are
+    exactly the AQE skew-split shape."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round("l_quantity", 0).cast("bigint").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.qty") == F.col("b.qty"))
+            & (
+                F.abs(F.col("a.day") - F.col("b.day")) <= 1
+            )
+            & (
+                (F.col("a.l_orderkey") < F.col("b.l_orderkey"))
+                | (
+                    (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+                )
+            ),
+        )
+        .select(
+            F.col("a.l_partkey").alias("l_partkey"),
+            F.col("a.qty").alias("qty"),
+            F.col("a.l_orderkey").alias("o1"),
+            F.col("a.l_linenumber").cast("bigint").alias("ln1"),
+            F.col("b.l_orderkey").alias("o2"),
+            F.col("b.l_linenumber").cast("bigint").alias("ln2"),
+            (F.col("b.day") - F.col("a.day"))
+            .cast("bigint")
+            .alias("day_diff"),
+        )
+    )
+
+
+SQL_DUPLICATE_SHIPMENTS = """
+WITH li AS (
+  SELECT l_partkey, CAST(round(l_quantity, 0) AS BIGINT) qty,
+         l_orderkey, l_linenumber,
+         epoch_us(l_shipdate) // 86400000000 d
+  FROM lineitem)
+SELECT a.l_partkey, a.qty,
+       a.l_orderkey o1, CAST(a.l_linenumber AS BIGINT) ln1,
+       b.l_orderkey o2, CAST(b.l_linenumber AS BIGINT) ln2,
+       CAST(b.d - a.d AS BIGINT) day_diff
+FROM li a JOIN li b
+  ON a.l_partkey = b.l_partkey AND a.qty = b.qty
+ AND abs(a.d - b.d) <= 1
+ AND (a.l_orderkey < b.l_orderkey
+      OR (a.l_orderkey = b.l_orderkey
+          AND a.l_linenumber < b.l_linenumber))"""
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf exponent of the corpus token distribution: OLS slope of
+    log10(freq) on log10(rank) — but both logs quantize to exact
+    micro-unit BIGINTs first (6dp round, the dsir recipe), so the
+    sufficient statistics sum EXACTLY in DECIMAL(38,0): a 31-point
+    double sum would already be partition-order-dependent. The µ
+    scale factors cancel in the slope; r² is scale-free too. Rank
+    window runs on the vocabulary-sized rollup."""
+    from pyspark.sql import Window
+
+    uni = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pts = uni.select(
+        F.round(
+            F.round(
+                F.log10(
+                    F.row_number().over(
+                        Window.orderBy(F.col("c").desc(), "tok")
+                    )
+                ),
+                6,
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("mx"),
+        F.round(F.round(F.log10("c"), 6) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("my"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    st = pts.groupBy().agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(d("mx")).alias("_sx"),
+        F.sum(d("my")).alias("_sy"),
+        F.sum(d("mx") * d("my")).alias("_sxy"),
+        F.sum(d("mx") * d("mx")).alias("_sxx"),
+        F.sum(d("my") * d("my")).alias("_syy"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    dx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    dy = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+        "double"
+    )
+    return st.select(
+        F.col("_n").cast("bigint").alias("n_types"),
+        F.round(num / dx, 6).alias("zipf_slope"),
+        F.round((num / dx) * (num / dy), 6).alias("r2"),
+    )
+
+
+SQL_ZIPF_FIT = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) t FROM documents),
+uni AS (SELECT t, count(*) c FROM tok GROUP BY 1),
+pts AS (
+  SELECT CAST(round(round(log10(row_number()
+                    OVER (ORDER BY c DESC, t)), 6) * 1000000, 0)
+              AS BIGINT) mx,
+         CAST(round(round(log10(c), 6) * 1000000, 0) AS BIGINT) my
+  FROM uni),
+st AS (
+  SELECT CAST(count(*) AS HUGEINT) n,
+         sum(CAST(mx AS HUGEINT)) sx, sum(CAST(my AS HUGEINT)) sy,
+         sum(CAST(mx AS HUGEINT) * my) sxy,
+         sum(CAST(mx AS HUGEINT) * mx) sxx,
+         sum(CAST(my AS HUGEINT) * my) syy
+  FROM pts),
+f AS (
+  SELECT CAST(n AS BIGINT) n_types,
+         CAST(n * sxy - sx * sy AS DOUBLE) num,
+         CAST(n * sxx - sx * sx AS DOUBLE) dx,
+         CAST(n * syy - sy * sy AS DOUBLE) dy
+  FROM st)
+SELECT n_types, round(num / dx, 6) zipf_slope,
+       round((num / dx) * (num / dy), 6) r2
+FROM f"""
+
+
+def q_lexical_richness(spark, sf_dir):
+    """Per-source lexical profile: token count, type count, hapax
+    count (types seen once within the source) and the type-token
+    ratio — the corpus-diversity audit a mixture policy reads before
+    weighting sources. One (source, token) rollup (map-side
+    combinable) then a source aggregate; all integers, one division."""
+    st = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return st.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("ttr"),
+    )
+
+
+SQL_LEXICAL_RICHNESS = """
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) tok FROM documents),
+st AS (SELECT source, tok, count(*) c FROM t GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) n_tokens,
+       CAST(count(*) AS BIGINT) n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) n_hapax,
+       round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) ttr
+FROM st GROUP BY 1"""
+
+
+def q_class_weights(spark, sf_dir):
+    """Inverse-frequency class weights over the embeddings labels,
+    normalized so Σ w_c·n_c = N (the loss-balancing convention):
+    w_c = N / (K·n_c) — one exact integer ratio per class, one IEEE
+    division. Single aggregate + two broadcast scalars."""
+    n = _t(spark, sf_dir, "embeddings").groupBy(
+        F.col("label").cast("bigint").alias("label")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = n.groupBy().agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return n.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        F.round(
+            F.col("total").cast("double")
+            / (F.col("k") * F.col("n")).cast("double"),
+            6,
+        ).alias("weight"),
+    )
+
+
+SQL_CLASS_WEIGHTS = """
+WITH n AS (
+  SELECT CAST(label AS BIGINT) lbl, CAST(count(*) AS BIGINT) n
+  FROM embeddings GROUP BY 1),
+t AS (SELECT sum(n) total, count(*) k FROM n)
+SELECT lbl AS "label", n,
+       round(CAST(total AS DOUBLE) / CAST(k * n AS DOUBLE), 6) weight
+FROM n, t"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -10399,6 +10787,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lorenz_curve": q_lorenz_curve,
     "conditional_entropy": q_conditional_entropy,
     "runs_test": q_runs_test,
+    "acf_daily": q_acf_daily,
+    "label_centroid_cosine": q_label_centroid_cosine,
+    "duplicate_shipments": q_duplicate_shipments,
+    "zipf_fit": q_zipf_fit,
+    "lexical_richness": q_lexical_richness,
+    "class_weights": q_class_weights,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -10602,6 +10996,12 @@ ORACLES: dict[str, str] = {
     "lorenz_curve": SQL_LORENZ_CURVE,
     "conditional_entropy": SQL_CONDITIONAL_ENTROPY,
     "runs_test": SQL_RUNS_TEST,
+    "acf_daily": SQL_ACF_DAILY,
+    "label_centroid_cosine": SQL_LABEL_CENTROID_COSINE,
+    "duplicate_shipments": SQL_DUPLICATE_SHIPMENTS,
+    "zipf_fit": SQL_ZIPF_FIT,
+    "lexical_richness": SQL_LEXICAL_RICHNESS,
+    "class_weights": SQL_CLASS_WEIGHTS,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
