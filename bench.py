@@ -230,6 +230,14 @@ BENCH_QUERIES = [
     "zipf_fit",
     "lexical_richness",
     "class_weights",
+    # round-7 wave I (150 -> 156): Adamic-Adar / revenue bridge /
+    # engagement CCDF / token-source MI / inter-arrival / seasonality
+    "adamic_adar",
+    "revenue_bridge",
+    "engagement_ccdf",
+    "token_source_mi",
+    "interarrival_hist",
+    "month_seasonal_index",
 ]
 
 

@@ -10679,6 +10679,474 @@ SELECT lbl AS "label", n,
 FROM n, t"""
 
 
+def q_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction over the triple graph: non-adjacent
+    pairs scored by Σ_m 1/log10(deg m) over common neighbors — rare
+    hubs vouch harder than celebrities. Each hub's reciprocal log
+    quantizes to nano-unit BIGINTs (round(10⁹/round(log10 d, 6)) — a
+    double SUM of reciprocals would be partition-order-dependent; the
+    quantized sum is exact), so scores are order-invariant with one
+    final division. deg ≥ 2 for any common neighbor, so log10 never
+    hits zero. Same wedge + anti-join shape as common_neighbor_scores
+    (operators/graph.py) with its O(Σ deg²) celebrity caveat."""
+    tri = q_kg_triples(spark, sf_dir)
+    e0 = (
+        tri.select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .where(
+            F.col("subj").isNotNull()
+            & F.col("obj").isNotNull()
+            & (F.col("subj") != F.col("obj"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: adjacency, anti-join
+    )
+    adj = (
+        e0.unionAll(
+            e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .localCheckpoint(eager=False)  # consumers: wedge l/r, degrees
+    )
+    wmu = adj.groupBy(F.col("a").alias("m")).agg(
+        F.round(
+            F.lit(1_000_000_000)
+            / F.round(F.log10(F.count(F.lit(1))), 6),
+            0,
+        )
+        .cast("bigint")
+        .alias("w")
+    )
+    wedge = (
+        adj.select(F.col("b").alias("m"), F.col("a").alias("x"))
+        .join(
+            adj.select(F.col("a").alias("m"), F.col("b").alias("y")), "m"
+        )
+        .where(F.col("x") < F.col("y"))
+        .join(F.broadcast(wmu), "m")
+        .groupBy(F.col("x").alias("node_a"), F.col("y").alias("node_b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("w").alias("mu"),
+        )
+    )
+    nonadj = wedge.join(
+        e0.select(F.col("a").alias("node_a"), F.col("b").alias("node_b")),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    return nonadj.select(
+        "node_a",
+        "node_b",
+        "n_common",
+        F.round(F.col("mu").cast("double") / 1e9, 6).alias("aa_score"),
+    )
+
+
+SQL_ADAMIC_ADAR = f"""
+WITH t AS ({SQL_KG_TRIPLES}),
+e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+      FROM t WHERE subj IS NOT NULL AND obj IS NOT NULL
+        AND subj <> obj),
+adj AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+wmu AS (SELECT a AS m,
+               CAST(round(1000000000 / round(log10(count(*)), 6), 0)
+                    AS BIGINT) w
+        FROM adj GROUP BY 1),
+wedge AS (
+  SELECT l.a AS node_a, r.b AS node_b,
+         CAST(count(*) AS BIGINT) n_common,
+         sum(wmu.w) mu
+  FROM adj l JOIN adj r ON l.b = r.a AND l.a < r.b
+  JOIN wmu ON wmu.m = l.b
+  GROUP BY 1, 2),
+nonadj AS (
+  SELECT w.* FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM e
+                    WHERE e.a = w.node_a AND e.b = w.node_b))
+SELECT node_a, node_b, n_common,
+       round(CAST(mu AS DOUBLE) / 1e9, 6) aa_score
+FROM nonadj"""
+
+
+def q_revenue_bridge(spark, sf_dir):
+    """Month-over-month revenue bridge (the SaaS waterfall): per
+    customer-month cents, one per-customer window pass (lag AND lead
+    on the same sort) classifies new / resurrected / expansion /
+    contraction and charges churn to the month AFTER the last active
+    one. All amounts exact BIGINTs, and the bridge identity
+    Δtotal = new + resurrected + expansion − contraction − churned
+    holds exactly month over month. The monthly summaries are
+    calendar-bounded, so the class/churn recombination broadcasts."""
+    from pyspark.sql import Window
+
+    cm = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).cast("bigint").alias("mk"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("mk")
+    st = cm.select(
+        "mk",
+        "cents",
+        F.lag("mk").over(w).alias("pmk"),
+        F.lag("cents").over(w).alias("pcents"),
+        F.lead("mk").over(w).alias("nmk"),
+    ).localCheckpoint(eager=False)  # consumers: classes, churn
+    classes = st.groupBy("mk").agg(
+        F.sum(
+            F.when(F.col("pmk").isNull(), F.col("cents")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("new_cents"),
+        F.sum(
+            F.when(
+                F.col("pmk").isNotNull() & (F.col("pmk") < F.col("mk") - 1),
+                F.col("cents"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("resurrected_cents"),
+        F.sum(
+            F.when(
+                (F.col("pmk") == F.col("mk") - 1)
+                & (F.col("cents") > F.col("pcents")),
+                F.col("cents") - F.col("pcents"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("expansion_cents"),
+        F.sum(
+            F.when(
+                (F.col("pmk") == F.col("mk") - 1)
+                & (F.col("cents") < F.col("pcents")),
+                F.col("pcents") - F.col("cents"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("contraction_cents"),
+    )
+    churn = (
+        st.where(F.col("nmk").isNull() | (F.col("nmk") > F.col("mk") + 1))
+        .groupBy((F.col("mk") + 1).alias("mk"))
+        .agg(F.sum("cents").cast("bigint").alias("churned_cents"))
+    )
+    months = classes.select("mk").distinct()
+    return (
+        months.join(F.broadcast(classes), "mk", "left")
+        .join(F.broadcast(churn), "mk", "left")
+        .select(
+            F.col("mk").alias("month_key"),
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+                for c in (
+                    "new_cents",
+                    "resurrected_cents",
+                    "expansion_cents",
+                    "contraction_cents",
+                    "churned_cents",
+                )
+            ],
+        )
+    )
+
+
+SQL_REVENUE_BRIDGE = """
+WITH cm AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) mk,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) cents
+  FROM orders GROUP BY 1, 2),
+st AS (
+  SELECT mk, cents,
+         lag(mk) OVER w pmk, lag(cents) OVER w pcents,
+         lead(mk) OVER w nmk
+  FROM cm WINDOW w AS (PARTITION BY o_custkey ORDER BY mk)),
+cl AS (
+  SELECT mk,
+         CAST(sum(CASE WHEN pmk IS NULL THEN cents ELSE 0 END)
+              AS BIGINT) new_cents,
+         CAST(sum(CASE WHEN pmk IS NOT NULL AND pmk < mk - 1
+                       THEN cents ELSE 0 END) AS BIGINT)
+           resurrected_cents,
+         CAST(sum(CASE WHEN pmk = mk - 1 AND cents > pcents
+                       THEN cents - pcents ELSE 0 END) AS BIGINT)
+           expansion_cents,
+         CAST(sum(CASE WHEN pmk = mk - 1 AND cents < pcents
+                       THEN pcents - cents ELSE 0 END) AS BIGINT)
+           contraction_cents
+  FROM st GROUP BY 1),
+ch AS (
+  SELECT mk + 1 mk, CAST(sum(cents) AS BIGINT) churned_cents
+  FROM st WHERE nmk IS NULL OR nmk > mk + 1
+  GROUP BY 1)
+SELECT cl.mk month_key,
+       CAST(COALESCE(cl.new_cents, 0) AS BIGINT) new_cents,
+       CAST(COALESCE(cl.resurrected_cents, 0) AS BIGINT)
+         resurrected_cents,
+       CAST(COALESCE(cl.expansion_cents, 0) AS BIGINT) expansion_cents,
+       CAST(COALESCE(cl.contraction_cents, 0) AS BIGINT)
+         contraction_cents,
+       CAST(COALESCE(ch.churned_cents, 0) AS BIGINT) churned_cents
+FROM cl LEFT JOIN ch ON cl.mk = ch.mk"""
+
+
+def q_engagement_ccdf(spark, sf_dir):
+    """Engagement CCDF at power-of-two thresholds: for k = 1, 2, 4, …
+    the user count (and share) with ≥ k events. The k-spine derives
+    from floor-log2(max count) (length(bin(x))−1, the cross-engine
+    recipe), so each per-user rollup row joins ≤ log₂(max) spine rows —
+    a bounded broadcast fan-out, no window, no sort anywhere."""
+    uc = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = (
+        uc.groupBy()
+        .agg(F.max("cnt").alias("mx"), F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "n_users",
+            F.explode(
+                F.expr("sequence(0, length(bin(mx)) - 1)")
+            ).alias("i"),
+        )
+        .select(
+            "n_users", F.expr("CAST(1 AS BIGINT) << i").alias("k")
+        )
+    )
+    return (
+        uc.join(F.broadcast(spine), F.col("cnt") >= F.col("k"))
+        .groupBy("k", "n_users")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_ge"))
+        .select(
+            "k",
+            "n_users_ge",
+            F.round(
+                F.col("n_users_ge").cast("double")
+                / F.col("n_users").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
+SQL_ENGAGEMENT_CCDF = """
+WITH uc AS (
+  SELECT user_id, count(*) cnt FROM events GROUP BY 1),
+mx AS (SELECT max(cnt) mx, count(*) n_users FROM uc),
+spine AS (
+  SELECT n_users,
+         (1::BIGINT << unnest(generate_series(0, length(bin(mx)) - 1)))
+           k
+  FROM mx)
+SELECT k, CAST(count(*) AS BIGINT) n_users_ge,
+       round(CAST(count(*) AS DOUBLE) / CAST(max(n_users) AS DOUBLE), 6)
+         AS "share"
+FROM uc JOIN spine ON uc.cnt >= spine.k
+GROUP BY k"""
+
+
+def q_token_source_mi(spark, sf_dir):
+    """Per-source mutual-information contribution between tokens and
+    sources — how source-specific a corpus slice's vocabulary is (the
+    mixture-weighting diagnostic). MI_s = Σ_t (c_ts/N)·log10(N·c_ts /
+    (c_t·c_s)): all four log10s round at 6dp BEFORE combining (the
+    dsir recipe), each term quantizes to micro-units scaled by the
+    integer c_ts, the per-source sum is an exact BIGINT, and N divides
+    once at the end. Rollups are vocabulary × source bounded."""
+    st = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_ts"))
+        .localCheckpoint(eager=False)  # consumers: marginals, terms
+    )
+    ct = st.groupBy("tok").agg(F.sum("c_ts").alias("c_t"))
+    cs = st.groupBy("source").agg(F.sum("c_ts").alias("c_s"))
+    n = st.groupBy().agg(F.sum("c_ts").alias("n_all"))
+    lg = lambda c: F.round(F.log10(c), 6)  # noqa: E731
+    terms = (
+        st.join(F.broadcast(ct), "tok")
+        .join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "c_s",
+            "n_all",
+            (
+                F.col("c_ts")
+                * F.round(
+                    (
+                        lg("c_ts")
+                        + lg("n_all")
+                        - lg("c_t")
+                        - lg("c_s")
+                    )
+                    * 1_000_000,
+                    0,
+                ).cast("bigint")
+            ).alias("mu"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("c_s").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("mu").cast("double")
+            / (F.max("n_all") * 1_000_000).cast("double"),
+            6,
+        ).alias("mi"),
+    )
+
+
+SQL_TOKEN_SOURCE_MI = """
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) tok FROM documents),
+st AS (SELECT source, tok, count(*) c_ts FROM t GROUP BY 1, 2),
+ct AS (SELECT tok, sum(c_ts) c_t FROM st GROUP BY 1),
+cs AS (SELECT source, sum(c_ts) c_s FROM st GROUP BY 1),
+n AS (SELECT sum(c_ts) n_all FROM st),
+terms AS (
+  SELECT st.source, cs.c_s, n.n_all,
+         st.c_ts * CAST(round((round(log10(st.c_ts), 6)
+                               + round(log10(n.n_all), 6)
+                               - round(log10(ct.c_t), 6)
+                               - round(log10(cs.c_s), 6))
+                              * 1000000, 0) AS BIGINT) mu
+  FROM st JOIN ct ON st.tok = ct.tok
+  JOIN cs ON st.source = cs.source, n)
+SELECT source, CAST(max(c_s) AS BIGINT) n_tokens,
+       round(CAST(sum(mu) AS DOUBLE)
+             / CAST(max(n_all) * 1000000 AS DOUBLE), 6) mi
+FROM terms GROUP BY 1"""
+
+
+def q_interarrival_hist(spark, sf_dir):
+    """Inter-arrival-time histogram per event type at power-of-two
+    second buckets (bucket −1 holds sub-second gaps): one per-type lag
+    window, then a map-side-combinable bucket count via the
+    cross-engine floor-log2. The Poisson-or-bursty shape diagnostic a
+    capacity planner reads before sizing stream partitions."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            (F.col("us") - F.lag("us").over(w)) / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    b = gaps.select(
+        "event_type",
+        F.when(F.col("gap_s") <= 0, F.lit(-1))
+        .otherwise(F.expr("length(bin(gap_s)) - 1"))
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(
+        "event_type",
+        "bucket",
+        F.when(F.col("bucket") < 0, F.lit(0))
+        .otherwise(F.expr("CAST(1 AS BIGINT) << bucket"))
+        .cast("bigint")
+        .alias("gap_lo_s"),
+        "n",
+    )
+
+
+SQL_INTERARRIVAL_HIST = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) us FROM events),
+g AS (
+  SELECT event_type,
+         (us - lag(us) OVER (PARTITION BY event_type
+                             ORDER BY us, event_id)) // 1000000 gap_s
+  FROM e),
+b AS (
+  SELECT event_type,
+         CASE WHEN gap_s <= 0 THEN -1
+              ELSE length(bin(gap_s)) - 1 END bucket
+  FROM g WHERE gap_s IS NOT NULL)
+SELECT event_type, CAST(bucket AS BIGINT) bucket,
+       CAST(CASE WHEN bucket < 0 THEN 0
+                 ELSE (1::BIGINT << bucket) END AS BIGINT) gap_lo_s,
+       CAST(count(*) AS BIGINT) n
+FROM b GROUP BY event_type, bucket"""
+
+
+def q_month_seasonal_index(spark, sf_dir):
+    """Calendar-month multiplicative seasonal index of order revenue,
+    normalized by OBSERVED order-days so unequal month coverage across
+    years doesn't bias the index: idx_m = (rev_m·days_all) /
+    (days_m·rev_all) — exact integer cross-products, one IEEE
+    division. Month extraction via the engines' identical month();
+    both aggregates are calendar-bounded."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000"
+        ).alias("day"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    per = o.groupBy("m").agg(
+        F.countDistinct("day").cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+    )
+    tot = per.groupBy().agg(
+        F.sum("n_days").alias("d_all"), F.sum("rev_cents").alias("r_all")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("m").alias("month"),
+        "n_days",
+        "rev_cents",
+        F.round(
+            (d("rev_cents") * d("d_all")).cast("double")
+            / (d("n_days") * d("r_all")).cast("double"),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+SQL_MONTH_SEASONAL_INDEX = """
+WITH o AS (
+  SELECT CAST(month(o_orderdate) AS BIGINT) m,
+         epoch_us(o_orderdate) // 86400000000 d,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) cents
+  FROM orders),
+per AS (
+  SELECT m, CAST(count(DISTINCT d) AS BIGINT) n_days,
+         CAST(sum(cents) AS BIGINT) rev_cents
+  FROM o GROUP BY 1),
+t AS (SELECT sum(n_days) d_all, sum(rev_cents) r_all FROM per)
+SELECT m "month", n_days, rev_cents,
+       round(CAST(CAST(rev_cents AS HUGEINT) * d_all AS DOUBLE)
+             / CAST(CAST(n_days AS HUGEINT) * r_all AS DOUBLE), 6)
+         seasonal_index
+FROM per, t"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -10793,6 +11261,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": q_zipf_fit,
     "lexical_richness": q_lexical_richness,
     "class_weights": q_class_weights,
+    "adamic_adar": q_adamic_adar,
+    "revenue_bridge": q_revenue_bridge,
+    "engagement_ccdf": q_engagement_ccdf,
+    "token_source_mi": q_token_source_mi,
+    "interarrival_hist": q_interarrival_hist,
+    "month_seasonal_index": q_month_seasonal_index,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -11002,6 +11476,12 @@ ORACLES: dict[str, str] = {
     "zipf_fit": SQL_ZIPF_FIT,
     "lexical_richness": SQL_LEXICAL_RICHNESS,
     "class_weights": SQL_CLASS_WEIGHTS,
+    "adamic_adar": SQL_ADAMIC_ADAR,
+    "revenue_bridge": SQL_REVENUE_BRIDGE,
+    "engagement_ccdf": SQL_ENGAGEMENT_CCDF,
+    "token_source_mi": SQL_TOKEN_SOURCE_MI,
+    "interarrival_hist": SQL_INTERARRIVAL_HIST,
+    "month_seasonal_index": SQL_MONTH_SEASONAL_INDEX,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
