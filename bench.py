@@ -238,6 +238,14 @@ BENCH_QUERIES = [
     "token_source_mi",
     "interarrival_hist",
     "month_seasonal_index",
+    # round-7 wave J (156 -> 162): zone-map pruning / late-data audit /
+    # co-occurrence lift / channel cohorts / stickiness / basket sizes
+    "zonemap_prune_sim",
+    "late_arrival_audit",
+    "daily_cooccurrence_lift",
+    "cohort_by_channel",
+    "stickiness_weekly",
+    "basket_size_hist",
 ]
 
 

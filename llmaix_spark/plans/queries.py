@@ -11147,6 +11147,428 @@ SELECT m "month", n_days, rev_cents,
 FROM per, t"""
 
 
+def q_zonemap_prune_sim(spark, sf_dir):
+    """Zone-map pruning simulation — the evidence query behind a
+    layout decision: block orders by orderkey (ingest order) vs by
+    day-range (partition-on-date), keep per-block min/max day, and
+    count blocks a one-year predicate can skip. Both layouts derive
+    block ids by pure integer division (NO global sort — the simulation
+    keys blocks off the layout column directly, which is exactly what
+    a writer's range partitioning produces at scale), so the whole
+    query is two map-side-combinable aggregates unioned."""
+    lo, hi = 9497, 9862  # calendar year 1996 in epoch days
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000"
+        ).alias("day"),
+    )
+
+    def _blocks(block_col, name):
+        b = o.groupBy(block_col.alias("blk")).agg(
+            F.min("day").alias("mn"), F.max("day").alias("mx")
+        )
+        return b.groupBy().agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(
+                F.when(
+                    (F.col("mx") < lo) | (F.col("mn") > hi), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pruned"),
+        )
+
+    res = _blocks(F.expr("o_orderkey div 256"), "by_orderkey").unionAll(
+        _blocks(F.expr("day div 8"), "by_day")
+    )
+    return res.select(
+        "layout",
+        "n_blocks",
+        "n_pruned",
+        F.round(
+            F.col("n_pruned").cast("double")
+            / F.col("n_blocks").cast("double"),
+            6,
+        ).alias("prune_rate"),
+    )
+
+
+SQL_ZONEMAP_PRUNE_SIM = """
+WITH o AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 d
+  FROM orders),
+bk AS (
+  SELECT o_orderkey // 256 blk, min(d) mn, max(d) mx
+  FROM o GROUP BY 1),
+bd AS (
+  SELECT d // 8 blk, min(d) mn, max(d) mx
+  FROM o GROUP BY 1),
+s AS (
+  SELECT 'by_orderkey' layout, CAST(count(*) AS BIGINT) n_blocks,
+         CAST(sum(CASE WHEN mx < 9497 OR mn > 9862
+                       THEN 1 ELSE 0 END) AS BIGINT) n_pruned
+  FROM bk
+  UNION ALL
+  SELECT 'by_day', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN mx < 9497 OR mn > 9862
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM bd)
+SELECT layout, n_blocks, n_pruned,
+       round(CAST(n_pruned AS DOUBLE) / CAST(n_blocks AS DOUBLE), 6)
+         prune_rate
+FROM s"""
+
+
+def q_late_arrival_audit(spark, sf_dir):
+    """Late-data audit for watermark sizing: replay events in ingest
+    order (event_id) per type, track the running max event time, and
+    count rows arriving more than 30 minutes behind it — the batch
+    measurement that justifies a streaming watermark before deploying
+    dropDuplicatesWithinWatermark. One per-type window pass; lateness
+    and its maximum are exact integer microseconds."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lat = e.select(
+        "event_type",
+        (F.max("us").over(w) - F.col("us")).alias("late_us"),
+    )
+    return lat.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 1_800_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+        F.round(
+            F.sum(
+                F.when(F.col("late_us") > 1_800_000_000, 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("late_share"),
+    )
+
+
+SQL_LATE_ARRIVAL_AUDIT = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) us FROM events),
+l AS (
+  SELECT event_type,
+         max(us) OVER (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - us late_us
+  FROM e)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) n_events,
+       CAST(sum(CASE WHEN late_us > 1800000000 THEN 1 ELSE 0 END)
+            AS BIGINT) n_late,
+       CAST(max(late_us) AS BIGINT) max_late_us,
+       round(CAST(sum(CASE WHEN late_us > 1800000000
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) late_share
+FROM l GROUP BY 1"""
+
+
+def q_daily_cooccurrence_lift(spark, sf_dir):
+    """Event-type co-occurrence lift at user-day grain: for each
+    unordered type pair, lift = P(both in a user-day) / (P(a)·P(b)) =
+    (n_ab·N)/(n_a·n_b) — exact integer cross-products, one division.
+    The distinct (user, day, type) rollup feeds a per-(user, day)
+    self-join whose groups are bounded by the type universe (≤ 5
+    rows), so the pair stage can never blow up on a hot key."""
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+            "event_type",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: pairs, marginals, N
+    )
+    pairs = (
+        ud.alias("a")
+        .join(
+            ud.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    marg = ud.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    n = ud.select("user_id", "day").distinct().groupBy().agg(
+        F.count(F.lit(1)).alias("n_ud")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_a"),
+                                    F.col("n_t").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_b"),
+                                    F.col("n_t").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                (d("n_ab") * d("n_ud")).cast("double")
+                / (d("n_a") * d("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_DAILY_COOCCURRENCE_LIFT = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 d, event_type
+  FROM events),
+pairs AS (
+  SELECT a.event_type type_a, b.event_type type_b,
+         CAST(count(*) AS BIGINT) n_ab
+  FROM ud a JOIN ud b
+    ON a.user_id = b.user_id AND a.d = b.d
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+marg AS (SELECT event_type, count(*) n_t FROM ud GROUP BY 1),
+n AS (SELECT count(*) n_ud FROM (SELECT DISTINCT user_id, d FROM ud))
+SELECT type_a, type_b, n_ab,
+       round(CAST(CAST(n_ab AS HUGEINT) * n_ud AS DOUBLE)
+             / CAST(CAST(ma.n_t AS HUGEINT) * mb.n_t AS DOUBLE), 6)
+         lift
+FROM pairs
+JOIN marg ma ON ma.event_type = type_a
+JOIN marg mb ON mb.event_type = type_b, n"""
+
+
+def q_cohort_by_channel(spark, sf_dir):
+    """Acquisition-cohort retention by first-touch channel: each user's
+    first event (min struct(ts, event_id) — one aggregate, no window)
+    sets channel and day 0; report day-1 and day-7 exact-day retention
+    per channel. The probe join keys on (user, day0+k) against the
+    distinct user-day activity set — equi keys only, broadcast cohort
+    side, integer rates."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+    ).localCheckpoint(eager=False)  # consumers: firsts, activity
+    # (us, event_id) is a total order — same tie-break as the oracle's
+    # HUGEINT-encoded arg_min key
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.struct("us", "event_id", "event_type", "day")).alias("_f")
+    ).select(
+        "user_id",
+        F.col("_f.event_type").alias("channel"),
+        F.col("_f.day").alias("day0"),
+    )
+    probes = firsts.select(
+        "user_id",
+        "channel",
+        F.explode(F.array(F.lit(1), F.lit(7))).alias("k"),
+        F.col("day0"),
+    ).select(
+        "user_id", "channel", "k", (F.col("day0") + F.col("k")).alias("d")
+    )
+    act = e.select("user_id", "day").distinct()
+    hit = probes.join(
+        act,
+        (probes.user_id == act.user_id) & (probes.d == act.day),
+        "left_semi",
+    ).groupBy("channel", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )
+    cohort = firsts.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    spine = cohort.crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(F.array(F.lit(1), F.lit(7))).alias("k")
+            )
+        )
+    )
+    return spine.join(F.broadcast(hit), ["channel", "k"], "left").select(
+        "channel",
+        F.col("k").cast("bigint").alias("day_k"),
+        "n_cohort",
+        F.coalesce("n_active", F.lit(0)).cast("bigint").alias("n_active"),
+        F.round(
+            F.coalesce("n_active", F.lit(0)).cast("double")
+            / F.col("n_cohort").cast("double"),
+            6,
+        ).alias("retention"),
+    )
+
+
+SQL_COHORT_BY_CHANNEL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) us,
+         epoch_us(ts) // 86400000000 d
+  FROM events),
+f AS (
+  SELECT user_id,
+         arg_min(event_type,
+                 us::HUGEINT * 10000000000 + event_id) channel,
+         arg_min(d, us::HUGEINT * 10000000000 + event_id) day0
+  FROM e GROUP BY 1),
+ks AS (SELECT unnest([1, 7]) k),
+probes AS (
+  SELECT f.user_id, f.channel, ks.k, f.day0 + ks.k d
+  FROM f, ks),
+act AS (SELECT DISTINCT user_id, d FROM e),
+hit AS (
+  SELECT channel, k, CAST(count(*) AS BIGINT) n_active
+  FROM probes WHERE EXISTS (SELECT 1 FROM act
+                            WHERE act.user_id = probes.user_id
+                              AND act.d = probes.d)
+  GROUP BY 1, 2),
+cohort AS (SELECT channel, CAST(count(*) AS BIGINT) n_cohort
+           FROM f GROUP BY 1)
+SELECT cohort.channel, CAST(ks.k AS BIGINT) day_k, cohort.n_cohort,
+       CAST(COALESCE(hit.n_active, 0) AS BIGINT) n_active,
+       round(CAST(COALESCE(hit.n_active, 0) AS DOUBLE)
+             / CAST(cohort.n_cohort AS DOUBLE), 6) retention
+FROM cohort CROSS JOIN ks
+LEFT JOIN hit ON hit.channel = cohort.channel AND hit.k = ks.k"""
+
+
+def q_stickiness_weekly(spark, sf_dir):
+    """Weekly DAU/WAU stickiness: per epoch-week, the mean daily
+    distinct users over observed days divided by weekly distinct users
+    — stickiness = Σ dau / (n_days·wau), one exact integer ratio per
+    week. Both distinct counts reduce from the same (user, day, week)
+    rollup; epoch-day div 7 weeks avoid engine week-of-year
+    semantics."""
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+        )
+        .distinct()
+        .select("user_id", "day", F.expr("day div 7").alias("week"))
+        .localCheckpoint(eager=False)  # consumers: dau, wau
+    )
+    dau = ud.groupBy("week", "day").agg(
+        F.count(F.lit(1)).alias("dau")
+    ).groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+    )
+    wau = ud.groupBy("week").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return dau.join(F.broadcast(wau), "week").select(
+        "week",
+        "n_days",
+        "wau",
+        F.round(
+            F.col("dau_sum").cast("double")
+            / (F.col("n_days") * F.col("wau")).cast("double"),
+            6,
+        ).alias("stickiness"),
+    )
+
+
+SQL_STICKINESS_WEEKLY = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 d
+  FROM events),
+udw AS (SELECT user_id, d, d // 7 wk FROM ud),
+dau AS (
+  SELECT wk, CAST(count(*) AS BIGINT) n_days,
+         CAST(sum(dau) AS BIGINT) dau_sum
+  FROM (SELECT wk, d, count(*) dau FROM udw GROUP BY 1, 2)
+  GROUP BY 1),
+wau AS (SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) wau
+        FROM udw GROUP BY 1)
+SELECT dau.wk AS "week", dau.n_days, wau.wau,
+       round(CAST(dau.dau_sum AS DOUBLE)
+             / CAST(dau.n_days * wau.wau AS DOUBLE), 6) stickiness
+FROM dau JOIN wau ON dau.wk = wau.wk"""
+
+
+def q_basket_size_hist(spark, sf_dir):
+    """Order-size histogram: orders by line count, with the share of
+    orders and of lines each size carries — the denormalization-sizing
+    profile. Two map-side-combinable aggregates; grand totals
+    broadcast."""
+    per = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    tot = per.groupBy().agg(
+        F.sum("n_orders").alias("t_orders"),
+        F.sum(F.col("k") * F.col("n_orders")).alias("t_lines"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("k").cast("bigint").alias("basket_size"),
+        "n_orders",
+        F.round(
+            F.col("n_orders").cast("double")
+            / F.col("t_orders").cast("double"),
+            6,
+        ).alias("order_share"),
+        F.round(
+            (F.col("k") * F.col("n_orders")).cast("double")
+            / F.col("t_lines").cast("double"),
+            6,
+        ).alias("line_share"),
+    )
+
+
+SQL_BASKET_SIZE_HIST = """
+WITH per AS (
+  SELECT k, CAST(count(*) AS BIGINT) n_orders
+  FROM (SELECT l_orderkey, count(*) k FROM lineitem GROUP BY 1)
+  GROUP BY 1),
+t AS (SELECT sum(n_orders) t_orders, sum(k * n_orders) t_lines
+      FROM per)
+SELECT CAST(k AS BIGINT) basket_size, n_orders,
+       round(CAST(n_orders AS DOUBLE) / CAST(t_orders AS DOUBLE), 6)
+         order_share,
+       round(CAST(k * n_orders AS DOUBLE) / CAST(t_lines AS DOUBLE), 6)
+         line_share
+FROM per, t"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11267,6 +11689,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_source_mi": q_token_source_mi,
     "interarrival_hist": q_interarrival_hist,
     "month_seasonal_index": q_month_seasonal_index,
+    "zonemap_prune_sim": q_zonemap_prune_sim,
+    "late_arrival_audit": q_late_arrival_audit,
+    "daily_cooccurrence_lift": q_daily_cooccurrence_lift,
+    "cohort_by_channel": q_cohort_by_channel,
+    "stickiness_weekly": q_stickiness_weekly,
+    "basket_size_hist": q_basket_size_hist,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -11482,6 +11910,12 @@ ORACLES: dict[str, str] = {
     "token_source_mi": SQL_TOKEN_SOURCE_MI,
     "interarrival_hist": SQL_INTERARRIVAL_HIST,
     "month_seasonal_index": SQL_MONTH_SEASONAL_INDEX,
+    "zonemap_prune_sim": SQL_ZONEMAP_PRUNE_SIM,
+    "late_arrival_audit": SQL_LATE_ARRIVAL_AUDIT,
+    "daily_cooccurrence_lift": SQL_DAILY_COOCCURRENCE_LIFT,
+    "cohort_by_channel": SQL_COHORT_BY_CHANNEL,
+    "stickiness_weekly": SQL_STICKINESS_WEEKLY,
+    "basket_size_hist": SQL_BASKET_SIZE_HIST,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
