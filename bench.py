@@ -246,6 +246,14 @@ BENCH_QUERIES = [
     "cohort_by_channel",
     "stickiness_weekly",
     "basket_size_hist",
+    # round-7 wave K (162 -> 168): change alerts / load factor /
+    # assortativity / cadence / norm histogram / weekend effect
+    "dod_change_alerts",
+    "load_factor",
+    "degree_assortativity",
+    "purchase_cadence",
+    "embedding_norm_hist",
+    "weekend_effect",
 ]
 
 

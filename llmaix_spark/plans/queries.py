@@ -11569,6 +11569,441 @@ SELECT CAST(k AS BIGINT) basket_size, n_orders,
 FROM per, t"""
 
 
+def q_dod_change_alerts(spark, sf_dir):
+    """Day-over-day revenue-change alerts per event type: flag days
+    where |Δ| ≥ 50% of the previous day. The threshold is an INTEGER
+    cross-multiplication (2·|cur−prev| ≥ prev) — no float ever decides
+    membership, so the flagged set is exact cross-engine; the reported
+    ratio rounds only for display. One lag window on the calendar-
+    bounded daily rollup."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    ch = daily.select(
+        "event_type",
+        "day",
+        F.lag("cents").over(w).alias("prev_cents"),
+        F.col("cents").alias("cur_cents"),
+    ).where(
+        F.col("prev_cents").isNotNull()
+        & (F.col("prev_cents") > 0)
+        & (
+            2 * F.abs(F.col("cur_cents") - F.col("prev_cents"))
+            >= F.col("prev_cents")
+        )
+    )
+    return ch.select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        F.col("prev_cents").cast("bigint").alias("prev_cents"),
+        F.col("cur_cents").cast("bigint").alias("cur_cents"),
+        F.round(
+            F.abs(F.col("cur_cents") - F.col("prev_cents")).cast("double")
+            / F.col("prev_cents").cast("double"),
+            6,
+        ).alias("change_ratio"),
+    )
+
+
+SQL_DOD_CHANGE_ALERTS = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 d,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) cents
+  FROM events GROUP BY 1, 2),
+ch AS (
+  SELECT event_type, d,
+         lag(cents) OVER (PARTITION BY event_type ORDER BY d)
+           prev_cents,
+         cents cur_cents
+  FROM daily)
+SELECT event_type, CAST(d AS BIGINT) "day",
+       CAST(prev_cents AS BIGINT) prev_cents,
+       CAST(cur_cents AS BIGINT) cur_cents,
+       round(CAST(abs(cur_cents - prev_cents) AS DOUBLE)
+             / CAST(prev_cents AS DOUBLE), 6) change_ratio
+FROM ch
+WHERE prev_cents IS NOT NULL AND prev_cents > 0
+  AND 2 * abs(cur_cents - prev_cents) >= prev_cents"""
+
+
+def q_load_factor(spark, sf_dir):
+    """Peak-to-mean hourly load factor per event type — the capacity-
+    sizing number: load = peak_hour_count·n_hours / total_events, an
+    exact integer ratio over the hourly rollup (observed hours only).
+    One map-side-combinable rollup + one aggregate."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+            ).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.max("n").cast("bigint").alias("peak"),
+        F.sum("n").cast("bigint").alias("total"),
+    )
+    return a.select(
+        "event_type",
+        "n_hours",
+        "peak",
+        "total",
+        F.round(
+            (d("peak") * d("n_hours")).cast("double")
+            / d("total").cast("double"),
+            6,
+        ).alias("load_factor"),
+    )
+
+
+SQL_LOAD_FACTOR = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 hr, count(*) n
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) n_hours,
+       CAST(max(n) AS BIGINT) peak,
+       CAST(sum(n) AS BIGINT) total,
+       round(CAST(CAST(max(n) AS HUGEINT) * count(*) AS DOUBLE)
+             / CAST(sum(n) AS DOUBLE), 6) load_factor
+FROM h GROUP BY 1"""
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the triple graph: Pearson correlation
+    between endpoint degrees over the DIRECTED edge list (both
+    orientations — the standard symmetric estimator). Degrees join
+    back by broadcast; the sufficient statistics sum in DECIMAL(38,0)
+    (exact, order-invariant) with the usual IEEE tail. Hub-loving
+    graphs score positive, hub-and-spoke graphs negative."""
+    tri = q_kg_triples(spark, sf_dir)
+    e0 = (
+        tri.select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .where(
+            F.col("subj").isNotNull()
+            & F.col("obj").isNotNull()
+            & (F.col("subj") != F.col("obj"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: adjacency ×2
+    )
+    adj = e0.unionAll(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)  # consumers: degrees, edge join
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    pairs = (
+        adj.join(
+            F.broadcast(deg.select(F.col("node").alias("a"),
+                                   F.col("deg").alias("dx"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("b"),
+                                   F.col("deg").alias("dy"))),
+            "b",
+        )
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    st = pairs.groupBy().agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(d("dx")).alias("_sx"),
+        F.sum(d("dy")).alias("_sy"),
+        F.sum(d("dx") * d("dy")).alias("_sxy"),
+        F.sum(d("dx") * d("dx")).alias("_sxx"),
+        F.sum(d("dy") * d("dy")).alias("_syy"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    dx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    dy = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+        "double"
+    )
+    return st.select(
+        (F.col("_n") / 2).cast("bigint").alias("n_edges"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6),
+        ).alias("assortativity"),
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+WITH t AS ({SQL_KG_TRIPLES}),
+e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+      FROM t WHERE subj IS NOT NULL AND obj IS NOT NULL
+        AND subj <> obj),
+adj AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT a AS node, count(*) AS deg FROM adj GROUP BY 1),
+pairs AS (
+  SELECT da.deg dx, db.deg dy
+  FROM adj JOIN deg da ON da.node = adj.a
+  JOIN deg db ON db.node = adj.b),
+st AS (
+  SELECT CAST(count(*) AS HUGEINT) n,
+         sum(CAST(dx AS HUGEINT)) sx, sum(CAST(dy AS HUGEINT)) sy,
+         sum(CAST(dx AS HUGEINT) * dy) sxy,
+         sum(CAST(dx AS HUGEINT) * dx) sxx,
+         sum(CAST(dy AS HUGEINT) * dy) syy
+  FROM pairs),
+f AS (
+  SELECT CAST(n / 2 AS BIGINT) n_edges,
+         CAST(n * sxy - sx * sy AS DOUBLE) num,
+         CAST(n * sxx - sx * sx AS DOUBLE) dx,
+         CAST(n * syy - sy * sy AS DOUBLE) dy
+  FROM st)
+SELECT n_edges,
+       CASE WHEN dx > 0 AND dy > 0
+            THEN round(num / (sqrt(dx) * sqrt(dy)), 6) END
+         assortativity
+FROM f"""
+
+
+def q_purchase_cadence(spark, sf_dir):
+    """Purchase cadence by market segment: the nearest-rank median of
+    day gaps between a customer's consecutive orders. One per-customer
+    lag window produces the gaps; the median ranks within segment over
+    the deterministic (gap, custkey, day) order — rank statistics on
+    the gap table (one row per repeat order), never the raw stream
+    twice. All integers."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000"
+        ).alias("day"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        (F.col("day") - F.lag("day").over(w)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    g = gaps.join(
+        F.broadcast(cust), gaps.o_custkey == cust.c_custkey
+    ).select(F.col("c_mktsegment").alias("segment"), "gap", "o_custkey",
+             "day")
+    wr = Window.partitionBy("segment").orderBy(
+        "gap", "o_custkey", "day"
+    )
+    wn = Window.partitionBy("segment")
+    ranked = g.select(
+        "segment",
+        "gap",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.where(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.col("gap").cast("bigint").alias("median_gap_days"),
+    )
+
+
+SQL_PURCHASE_CADENCE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         epoch_us(o_orderdate) // 86400000000 d
+  FROM orders),
+g AS (
+  SELECT o_custkey, o_orderkey, d,
+         d - lag(d) OVER (PARTITION BY o_custkey
+                          ORDER BY d, o_orderkey) gap
+  FROM o),
+j AS (
+  SELECT c_mktsegment segment, gap, o_custkey, d
+  FROM g JOIN customer ON o_custkey = c_custkey
+  WHERE gap IS NOT NULL),
+rk AS (
+  SELECT segment, gap,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY gap, o_custkey, d) rn,
+         count(*) OVER (PARTITION BY segment) n
+  FROM j)
+SELECT segment, CAST(n AS BIGINT) n_gaps,
+       CAST(gap AS BIGINT) median_gap_days
+FROM rk WHERE rn = (n + 1) // 2"""
+
+
+def q_embedding_norm_hist(spark, sf_dir):
+    """Per-label histogram of squared embedding norms at power-of-two
+    buckets, in exact micro-unit² integers: components quantize to
+    round(x·10⁶) BIGINTs, the squared norm sums exactly per vector,
+    and the bucket is the cross-engine floor-log2. The norm-collapse
+    detector an embedding pipeline runs before trusting cosine
+    scores."""
+    q = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.explode("embedding").alias("v"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("v").cast("double") * 1_000_000, 0)
+            .cast("bigint")
+            .alias("qv"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            # explicit qv*qv, never pow(): Math.pow is not guaranteed
+            # correctly rounded; integer multiply is exact
+            F.sum(F.col("qv") * F.col("qv")).alias("q2")
+        )
+    )
+    b = q.select(
+        "label",
+        F.when(F.col("q2") <= 0, F.lit(-1))
+        .otherwise(F.expr("length(bin(q2)) - 1"))
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    return b.groupBy("label", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+SQL_EMBEDDING_NORM_HIST = """
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) lbl, unnest(embedding) v
+  FROM embeddings),
+q AS (
+  SELECT vec_id, lbl, sum(qv * qv) q2
+  FROM (SELECT vec_id, lbl,
+               CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) qv
+        FROM e)
+  GROUP BY 1, 2),
+b AS (
+  SELECT lbl,
+         CASE WHEN q2 <= 0 THEN -1
+              ELSE length(bin(q2)) - 1 END bucket
+  FROM q)
+SELECT lbl AS "label", CAST(bucket AS BIGINT) bucket,
+       CAST(count(*) AS BIGINT) n
+FROM b GROUP BY lbl, bucket"""
+
+
+def q_weekend_effect(spark, sf_dir):
+    """Weekend revenue effect per event type: mean daily weekend
+    revenue over mean daily weekday revenue — exact integer cross-
+    products (we_cents·wd_days)/(wd_cents·we_days), one division.
+    Day-of-week is pure integer arithmetic ((epoch_day + 4) mod 7,
+    0 = Sunday) — never the engines' dayofweek functions, whose
+    numbering conventions differ."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .alias("cents")
+        )
+    )
+    flagged = daily.select(
+        "event_type",
+        "cents",
+        F.expr("(day + 4) % 7").isin(0, 6).alias("is_we"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = flagged.groupBy("event_type").agg(
+        F.sum(F.when(~F.col("is_we"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("wd_days"),
+        F.sum(F.when(~F.col("is_we"), F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("wd_cents"),
+        F.sum(F.when(F.col("is_we"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("we_days"),
+        F.sum(F.when(F.col("is_we"), F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("we_cents"),
+    )
+    return a.select(
+        "event_type",
+        "wd_days",
+        "wd_cents",
+        "we_days",
+        "we_cents",
+        F.when(
+            (F.col("wd_cents") > 0) & (F.col("we_days") > 0),
+            F.round(
+                (d("we_cents") * d("wd_days")).cast("double")
+                / (d("wd_cents") * d("we_days")).cast("double"),
+                6,
+            ),
+        ).alias("weekend_ratio"),
+    )
+
+
+SQL_WEEKEND_EFFECT = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 d,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) cents
+  FROM events GROUP BY 1, 2),
+f AS (
+  SELECT event_type, cents,
+         ((d + 4) % 7) IN (0, 6) is_we
+  FROM daily),
+a AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN NOT is_we THEN 1 ELSE 0 END) AS BIGINT)
+           wd_days,
+         CAST(sum(CASE WHEN NOT is_we THEN cents ELSE 0 END) AS BIGINT)
+           wd_cents,
+         CAST(sum(CASE WHEN is_we THEN 1 ELSE 0 END) AS BIGINT)
+           we_days,
+         CAST(sum(CASE WHEN is_we THEN cents ELSE 0 END) AS BIGINT)
+           we_cents
+  FROM f GROUP BY 1)
+SELECT event_type, wd_days, wd_cents, we_days, we_cents,
+       CASE WHEN wd_cents > 0 AND we_days > 0
+            THEN round(CAST(CAST(we_cents AS HUGEINT) * wd_days
+                            AS DOUBLE)
+                       / CAST(CAST(wd_cents AS HUGEINT) * we_days
+                              AS DOUBLE), 6) END weekend_ratio
+FROM a"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11695,6 +12130,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_by_channel": q_cohort_by_channel,
     "stickiness_weekly": q_stickiness_weekly,
     "basket_size_hist": q_basket_size_hist,
+    "dod_change_alerts": q_dod_change_alerts,
+    "load_factor": q_load_factor,
+    "degree_assortativity": q_degree_assortativity,
+    "purchase_cadence": q_purchase_cadence,
+    "embedding_norm_hist": q_embedding_norm_hist,
+    "weekend_effect": q_weekend_effect,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -11916,6 +12357,12 @@ ORACLES: dict[str, str] = {
     "cohort_by_channel": SQL_COHORT_BY_CHANNEL,
     "stickiness_weekly": SQL_STICKINESS_WEEKLY,
     "basket_size_hist": SQL_BASKET_SIZE_HIST,
+    "dod_change_alerts": SQL_DOD_CHANGE_ALERTS,
+    "load_factor": SQL_LOAD_FACTOR,
+    "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
+    "purchase_cadence": SQL_PURCHASE_CADENCE,
+    "embedding_norm_hist": SQL_EMBEDDING_NORM_HIST,
+    "weekend_effect": SQL_WEEKEND_EFFECT,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
