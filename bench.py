@@ -254,6 +254,14 @@ BENCH_QUERIES = [
     "purchase_cadence",
     "embedding_norm_hist",
     "weekend_effect",
+    # round-7 wave L (168 -> 174): shipping SLA / Fano / funnel
+    # integrity / reactivation / hourly envelope / discount response
+    "shipping_sla",
+    "fano_factor",
+    "sequence_violations",
+    "reactivation_latency",
+    "hourly_envelope",
+    "discount_elasticity",
 ]
 
 

@@ -12004,6 +12004,378 @@ SELECT event_type, wd_days, wd_cents, we_days, we_cents,
 FROM a"""
 
 
+def q_shipping_sla(spark, sf_dir):
+    """Shipping-latency SLA per order priority: nearest-rank p50/p90
+    and max of (shipdate − orderdate) days. One equi join on the order
+    key (co-partitioned fact-to-fact — broadcastable at small SF,
+    shuffle-hash at 100 TB with AQE), one ranked window per priority
+    with the clamped integer rank formulas p50 = (n+1) div 2 and
+    p90 = ⌈9n/10⌉ = (9n+9) div 10. All integer days."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"
+        ).alias("sday"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000"
+        ).alias("oday"),
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("sday") - F.col("oday")).alias("days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = Window.partitionBy("priority").orderBy(
+        "days", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("priority")
+    ranked = lat.select(
+        "priority",
+        "days",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("priority").agg(
+        F.max("n").cast("bigint").alias("n_lines"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("days"))
+        )
+        .cast("bigint")
+        .alias("p50_days"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * n + 9) div 10"),
+                F.col("days"),
+            )
+        )
+        .cast("bigint")
+        .alias("p90_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )
+
+
+SQL_SHIPPING_SLA = """
+WITH lat AS (
+  SELECT o_orderpriority priority,
+         epoch_us(l_shipdate) // 86400000000
+           - epoch_us(o_orderdate) // 86400000000 dy,
+         l_orderkey, l_linenumber
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+rk AS (
+  SELECT priority, dy,
+         row_number() OVER (PARTITION BY priority
+                            ORDER BY dy, l_orderkey, l_linenumber)
+           rn,
+         count(*) OVER (PARTITION BY priority) n
+  FROM lat)
+SELECT priority,
+       CAST(max(n) AS BIGINT) n_lines,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN dy END) AS BIGINT)
+         p50_days,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN dy END)
+            AS BIGINT) p90_days,
+       CAST(max(dy) AS BIGINT) max_days
+FROM rk GROUP BY 1"""
+
+
+def q_fano_factor(spark, sf_dir):
+    """Burstiness of hourly event arrivals per type via the Fano
+    factor (sample variance over mean): F = (n·Σx² − (Σx)²) /
+    ((n−1)·Σx) — one exact-integer closed form per type over the
+    hourly rollup, one IEEE division. Poisson arrivals score ≈ 1,
+    bursty streams > 1 (the partition-count sizing diagnostic)."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+            ).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(d("x")).alias("_sx"),
+        F.sum(d("x") * d("x")).alias("_sxx"),
+    )
+    return a.select(
+        "event_type",
+        F.col("_n").cast("bigint").alias("n_hours"),
+        F.when(
+            (F.col("_n") > 1) & (F.col("_sx") > 0),
+            F.round(
+                (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+                .cast("double")
+                / ((F.col("_n") - 1) * F.col("_sx")).cast("double"),
+                6,
+            ),
+        ).alias("fano"),
+    )
+
+
+SQL_FANO_FACTOR = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 hr, count(*) x
+  FROM events GROUP BY 1, 2),
+a AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) n,
+         sum(CAST(x AS HUGEINT)) sx,
+         sum(CAST(x AS HUGEINT) * x) sxx
+  FROM h GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) n_hours,
+       CASE WHEN n > 1 AND sx > 0
+            THEN round(CAST(n * sxx - sx * sx AS DOUBLE)
+                       / CAST((n - 1) * sx AS DOUBLE), 6) END fano
+FROM a"""
+
+
+def q_sequence_violations(spark, sf_dir):
+    """Funnel-order integrity: users whose first purchase precedes
+    their first signup (or who purchase without ever signing up) — the
+    instrumentation-bug detector. Conditional min aggregates per user
+    (one map-side-combinable pass, no window), then one global
+    summary row with exact counts and the violation share."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    per = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("us"))
+        ).alias("first_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("first_purchase"),
+    )
+    return per.groupBy().agg(
+        F.sum(
+            F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_purchasers"),
+        F.sum(
+            F.when(
+                F.col("first_purchase").isNotNull()
+                & (
+                    F.col("first_signup").isNull()
+                    | (F.col("first_purchase") < F.col("first_signup"))
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_violating"),
+    ).select(
+        "n_purchasers",
+        "n_violating",
+        F.round(
+            F.col("n_violating").cast("double")
+            / F.col("n_purchasers").cast("double"),
+            6,
+        ).alias("violation_share"),
+    )
+
+
+SQL_SEQUENCE_VIOLATIONS = """
+WITH per AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+           first_signup,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           first_purchase
+  FROM events GROUP BY 1),
+a AS (
+  SELECT CAST(sum(CASE WHEN first_purchase IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) n_purchasers,
+         CAST(sum(CASE WHEN first_purchase IS NOT NULL
+                        AND (first_signup IS NULL
+                             OR first_purchase < first_signup)
+                       THEN 1 ELSE 0 END) AS BIGINT) n_violating
+  FROM per)
+SELECT n_purchasers, n_violating,
+       round(CAST(n_violating AS DOUBLE)
+             / CAST(n_purchasers AS DOUBLE), 6) violation_share
+FROM a"""
+
+
+def q_reactivation_latency(spark, sf_dir):
+    """Reactivation-latency histogram: day gaps ≥ 2 between a user's
+    consecutive active days — how long lapsed users stay away before
+    returning. One per-user lag window over the distinct (user, day)
+    rollup, then a map-side-combinable histogram with the distinct
+    returning-user count per gap."""
+    from pyspark.sql import Window
+
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    gaps = ud.select(
+        "user_id",
+        (F.col("day") - F.lag("day").over(w)).alias("gap"),
+    ).where(F.col("gap") >= 2)
+    return gaps.groupBy(F.col("gap").cast("bigint").alias("gap_days")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+SQL_REACTIVATION_LATENCY = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 d
+  FROM events),
+g AS (
+  SELECT user_id,
+         d - lag(d) OVER (PARTITION BY user_id ORDER BY d) gap
+  FROM ud)
+SELECT CAST(gap AS BIGINT) gap_days,
+       CAST(count(*) AS BIGINT) n_gaps,
+       CAST(count(DISTINCT user_id) AS BIGINT) n_users
+FROM g WHERE gap >= 2 GROUP BY 1"""
+
+
+def q_hourly_envelope(spark, sf_dir):
+    """Hour-of-day traffic envelope: nearest-rank p10/p50/p90 of the
+    per-day event count at each of the 24 hours — the seasonality band
+    an anomaly detector alarms against. The (hour, day) rollup is
+    calendar-bounded; ranking windows partition by hour-of-day. Rank
+    formulas: p10 = max(1, (n+9) div 10 with clamp via greatest),
+    p50 = (n+1) div 2, p90 = (9n+9) div 10 — all integer."""
+    from pyspark.sql import Window
+
+    hd = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.expr(
+                "(unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000)"
+                " % 24"
+            ).cast("bigint").alias("hod"),
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wr = Window.partitionBy("hod").orderBy("x", "day")
+    wn = Window.partitionBy("hod")
+    ranked = hd.select(
+        "hod",
+        "x",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("hod").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("greatest(1, (n + 9) div 10)"),
+                F.col("x"),
+            )
+        )
+        .cast("bigint")
+        .alias("p10"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("x"))
+        )
+        .cast("bigint")
+        .alias("p50"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("x")
+            )
+        )
+        .cast("bigint")
+        .alias("p90"),
+    )
+
+
+SQL_HOURLY_ENVELOPE = """
+WITH hd AS (
+  SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) hod,
+         epoch_us(ts) // 86400000000 d, count(*) x
+  FROM events GROUP BY 1, 2),
+rk AS (
+  SELECT hod, x,
+         row_number() OVER (PARTITION BY hod ORDER BY x, d) rn,
+         count(*) OVER (PARTITION BY hod) n
+  FROM hd)
+SELECT hod,
+       CAST(max(n) AS BIGINT) n_days,
+       CAST(max(CASE WHEN rn = greatest(1, (n + 9) // 10)
+                     THEN x END) AS BIGINT) p10,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS BIGINT) p50,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN x END)
+            AS BIGINT) p90
+FROM rk GROUP BY 1"""
+
+
+def q_discount_elasticity(spark, sf_dir):
+    """Quantity response to discount level: per integer discount
+    percent, mean line quantity relative to the zero-discount baseline
+    — ratio = (Σqty_d·n₀)/(n_d·Σqty₀), exact integer cross-products,
+    one division. One rollup; the baseline row broadcasts back."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100, 0)
+        .cast("bigint")
+        .alias("disc_pct"),
+        F.round("l_quantity", 0).cast("bigint").alias("qty"),
+    )
+    per = li.groupBy("disc_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("qty").cast("bigint").alias("sum_qty"),
+    )
+    base = per.where(F.col("disc_pct") == 0).select(
+        F.col("n_lines").alias("n0"), F.col("sum_qty").alias("q0")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return per.crossJoin(F.broadcast(base)).select(
+        "disc_pct",
+        "n_lines",
+        "sum_qty",
+        F.round(
+            (d("sum_qty") * d("n0")).cast("double")
+            / (d("n_lines") * d("q0")).cast("double"),
+            6,
+        ).alias("qty_ratio_vs_zero"),
+    )
+
+
+SQL_DISCOUNT_ELASTICITY = """
+WITH li AS (
+  SELECT CAST(round(l_discount * 100, 0) AS BIGINT) disc_pct,
+         CAST(round(l_quantity, 0) AS BIGINT) qty
+  FROM lineitem),
+per AS (
+  SELECT disc_pct, CAST(count(*) AS BIGINT) n_lines,
+         CAST(sum(qty) AS BIGINT) sum_qty
+  FROM li GROUP BY 1),
+b AS (SELECT n_lines n0, sum_qty q0 FROM per WHERE disc_pct = 0)
+SELECT disc_pct, n_lines, sum_qty,
+       round(CAST(CAST(sum_qty AS HUGEINT) * n0 AS DOUBLE)
+             / CAST(CAST(n_lines AS HUGEINT) * q0 AS DOUBLE), 6)
+         qty_ratio_vs_zero
+FROM per, b"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -12136,6 +12508,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "purchase_cadence": q_purchase_cadence,
     "embedding_norm_hist": q_embedding_norm_hist,
     "weekend_effect": q_weekend_effect,
+    "shipping_sla": q_shipping_sla,
+    "fano_factor": q_fano_factor,
+    "sequence_violations": q_sequence_violations,
+    "reactivation_latency": q_reactivation_latency,
+    "hourly_envelope": q_hourly_envelope,
+    "discount_elasticity": q_discount_elasticity,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -12363,6 +12741,12 @@ ORACLES: dict[str, str] = {
     "purchase_cadence": SQL_PURCHASE_CADENCE,
     "embedding_norm_hist": SQL_EMBEDDING_NORM_HIST,
     "weekend_effect": SQL_WEEKEND_EFFECT,
+    "shipping_sla": SQL_SHIPPING_SLA,
+    "fano_factor": SQL_FANO_FACTOR,
+    "sequence_violations": SQL_SEQUENCE_VIOLATIONS,
+    "reactivation_latency": SQL_REACTIVATION_LATENCY,
+    "hourly_envelope": SQL_HOURLY_ENVELOPE,
+    "discount_elasticity": SQL_DISCOUNT_ELASTICITY,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
