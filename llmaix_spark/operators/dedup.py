@@ -199,6 +199,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric n-gram *containment* join: C(A→B) = |A∩B| / |A| over
+    distinct word shingles. Jaccard misses superstring duplicates — a
+    short doc fully embedded in a much longer one has J ≈ |A|/|B| → 0
+    but C(A→B) = 1 — which is exactly the boilerplate/quote-inclusion
+    case a training-data dedup pass must catch (the reference's dedup
+    surface is symmetric-only; this extends it). Returns
+    (doc_a, doc_b, n_common, containment_a, containment_b) for pairs
+    where EITHER direction ≥ threshold, thresholded on the rounded
+    value so both engines agree at the boundary.
+
+    Scale note: like ngram_jaccard_pairs this is the exact
+    (oracle-checkable) variant — the shingle equi-join only pairs docs
+    sharing a shingle, but a stop-shingle could still fan out; at scale
+    feed LSH candidates (minhash bands bound containment from below by
+    J ≥ C·|A|/(|A|+|B|)) or df-cap the shingle join."""
+    sh = word_shingles(docs, n, id_col, text_col).localCheckpoint(eager=False)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "containment_a",
+            F.round(F.col("n_common") / F.col("n_a"), 6),
+        )
+        .withColumn(
+            "containment_b",
+            F.round(F.col("n_common") / F.col("n_b"), 6),
+        )
+    )
+    return j.filter(
+        F.greatest("containment_a", "containment_b") >= threshold
+    ).select("doc_a", "doc_b", "n_common", "containment_a", "containment_b")
+
+
 def jaccard_prefix_pairs(
     docs: DataFrame,
     threshold: float = 0.5,

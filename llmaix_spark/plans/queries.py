@@ -12376,6 +12376,328 @@ SELECT disc_pct, n_lines, sum_qty,
 FROM per, b"""
 
 
+def q_abc_classification(spark, sf_dir):
+    """ABC inventory classification: parts ranked by exact integer-cent
+    revenue, cumulatively bucketed A (≤80% of revenue), B (≤95%), C.
+    Revenue is summed in integer cents so the cumulative shares are
+    exact cross-engine; the class boundary thresholds the ROUNDED
+    share. One map-side-combinable groupBy over the fact table; the
+    window runs over the *part* grain (dimension-sized — bounded at any
+    fact scale) and the 1-row total broadcasts back."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("bigint")
+        .alias("line_cents"),
+    )
+    rev = li.groupBy("pk").agg(
+        F.sum("line_cents").cast("bigint").alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
+    w = Window.orderBy(F.desc("cents"), F.asc("pk")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_share", F.round(F.sum("cents").over(w) / F.col("t"), 6)
+        )
+        .withColumn(
+            "abc",
+            F.when(F.col("cum_share") <= 0.8, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        cum.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.round(F.sum("cents") / F.first("t"), 6).alias("rev_share"),
+        )
+        .select("abc", "n_parts", "revenue_cents", "rev_share")
+    )
+
+
+SQL_ABC_CLASSIFICATION = """
+WITH rev AS (
+  SELECT l_partkey pk,
+         CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT))
+              AS BIGINT) cents
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) t FROM rev),
+cum AS (SELECT pk, cents,
+          round(sum(cents) OVER (ORDER BY cents DESC, pk) * 1.0
+                / (SELECT t FROM tot), 6) cum_share
+        FROM rev),
+cls AS (SELECT pk, cents,
+          CASE WHEN cum_share <= 0.8 THEN 'A'
+               WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END abc
+        FROM cum)
+SELECT abc, CAST(count(*) AS BIGINT) n_parts,
+       CAST(sum(cents) AS BIGINT) revenue_cents,
+       round(sum(cents)*1.0/(SELECT t FROM tot),6) rev_share
+FROM cls GROUP BY 1"""
+
+
+def q_ndcg_at_k(spark, sf_dir):
+    """Ranking-quality evaluation (NDCG@10 per query group): sources
+    act as query groups, the system ranking orders docs by n_chars
+    (desc, doc_id tiebreak), graded relevance is a deterministic
+    per-doc hash grade 0-3 (independent of the ranking feature, so
+    NDCG < 1), and the ideal ranking re-sorts by grade.
+    DCG = Σ (2^rel − 1)/log2(rank+1) over the top 10. The standard
+    offline search-eval metric a retrieval pipeline needs next to
+    bm25_rank/search_rank. Two per-source windows — partitioned, never
+    a global sort."""
+    from pyspark.sql import Window
+
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    g = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (
+            stable_hash60_expr(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":rel"))
+            )
+            % 4
+        )
+        .cast("bigint")
+        .alias("rel"),
+    )
+    sys_w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ideal_w = Window.partitionBy("source").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    gain = lambda rk: (  # noqa: E731
+        (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(rk + 1)
+    )
+    ranked = g.select(
+        "source",
+        "rel",
+        F.row_number().over(sys_w).alias("sys_rk"),
+        F.row_number().over(ideal_w).alias("ideal_rk"),
+    )
+    dcg = (
+        ranked.where(F.col("sys_rk") <= 10)
+        .groupBy("source")
+        .agg(F.round(F.sum(gain(F.col("sys_rk"))), 6).alias("dcg"))
+    )
+    idcg = (
+        ranked.where(F.col("ideal_rk") <= 10)
+        .groupBy("source")
+        .agg(F.round(F.sum(gain(F.col("ideal_rk"))), 6).alias("idcg"))
+    )
+    return dcg.join(idcg, "source").select(
+        "source",
+        "dcg",
+        "idcg",
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
+SQL_NDCG_AT_K = f"""
+WITH g AS (
+  SELECT source, doc_id, n_chars,
+         CAST({_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':rel'")} % 4
+              AS BIGINT) rel
+  FROM documents),
+r AS (SELECT source, rel,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) sys_rk,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY rel DESC, doc_id) ideal_rk
+      FROM g),
+dcg  AS (SELECT source, round(sum((power(2, rel)-1)/log2(sys_rk+1)),6) dcg
+         FROM r WHERE sys_rk <= 10 GROUP BY 1),
+idcg AS (SELECT source, round(sum((power(2, rel)-1)/log2(ideal_rk+1)),6) idcg
+         FROM r WHERE ideal_rk <= 10 GROUP BY 1)
+SELECT d.source, dcg, idcg, round(dcg/idcg,6) ndcg
+FROM dcg d JOIN idcg USING(source)"""
+
+
+def q_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch audit of the deterministic hash split: the
+    experiment-integrity gate run before trusting any A/B or train/val
+    comparison. Per split: observed count, expected count under the
+    declared 90/5/5 weights, and the χ² goodness-of-fit contribution
+    (obs−exp)²/exp. Counts are exact integers; expectations are the
+    same double on both engines. One groupBy over a pure projection —
+    no shuffle beyond the 3-group agg; the 1-row total broadcasts."""
+    from llmaix_spark.operators.curation import dataset_split
+
+    obs = (
+        dataset_split(_t(spark, sf_dir, "documents"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    ratio = (
+        F.when(F.col("split") == "train", F.lit(0.9))
+        .when(F.col("split") == "val", F.lit(0.05))
+        .otherwise(F.lit(0.05))
+    )
+    exp = F.col("n").cast("double") * ratio
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "split",
+        "n_obs",
+        F.round(exp, 6).alias("expected"),
+        F.round(F.pow(F.col("n_obs") - exp, 2) / exp, 6).alias("chi2_part"),
+    )
+
+
+_SRM_RATIO = ("CASE split WHEN 'train' THEN 0.9 WHEN 'val' THEN 0.05 "
+              "ELSE 0.05 END")
+SQL_SRM_CHECK = f"""
+WITH s AS (
+  SELECT CASE WHEN {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9000 THEN 'train'
+              WHEN {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9500 THEN 'val'
+              ELSE 'test' END split
+  FROM documents),
+obs AS (SELECT split, CAST(count(*) AS BIGINT) n_obs FROM s GROUP BY 1),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) n FROM obs)
+SELECT split, n_obs,
+       round(CAST(n AS DOUBLE) * {_SRM_RATIO}, 6) expected,
+       round(power(n_obs - CAST(n AS DOUBLE) * {_SRM_RATIO}, 2)
+             / (CAST(n AS DOUBLE) * {_SRM_RATIO}), 6) chi2_part
+FROM obs, tot"""
+
+
+def q_peak_detection(spark, sf_dir):
+    """Local-maximum peaks in the daily revenue series: a day is a peak
+    when its exact integer-cent revenue strictly exceeds the three
+    present days on each side (lag/lead over day order; edges with
+    fewer than 3 neighbors are excluded). The change-point companion to
+    events_cusum/dod_change_alerts. The window runs over the *daily*
+    grain — already aggregated, bounded by calendar length (thousands
+    of rows at any fact scale), so the single ordered window is safe."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86400000000)
+            )
+            .cast("bigint")
+            .alias("day_idx"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("order_cents"),
+        )
+        .groupBy("day_idx")
+        .agg(F.sum("order_cents").cast("bigint").alias("revenue_cents"))
+    )
+    w = Window.orderBy("day_idx")
+    lagged = daily.select(
+        "day_idx",
+        "revenue_cents",
+        *[
+            F.lag("revenue_cents", i).over(w).alias(f"l{i}")
+            for i in (1, 2, 3)
+        ],
+        *[
+            F.lead("revenue_cents", i).over(w).alias(f"r{i}")
+            for i in (1, 2, 3)
+        ],
+    )
+    c = F.col("revenue_cents")
+    return lagged.where(
+        F.col("l3").isNotNull()
+        & F.col("r3").isNotNull()
+        & (c > F.greatest("l1", "l2", "l3"))
+        & (c > F.greatest("r1", "r2", "r3"))
+    ).select("day_idx", "revenue_cents")
+
+
+SQL_PEAK_DETECTION = """
+WITH daily AS (
+  SELECT epoch_us(o_orderdate)//86400000000 d,
+         CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) cents
+  FROM orders GROUP BY 1),
+w AS (SELECT d, cents,
+        lag(cents,1) OVER o l1, lag(cents,2) OVER o l2,
+        lag(cents,3) OVER o l3,
+        lead(cents,1) OVER o r1, lead(cents,2) OVER o r2,
+        lead(cents,3) OVER o r3
+      FROM daily WINDOW o AS (ORDER BY d))
+SELECT CAST(d AS BIGINT) AS day_idx, cents AS revenue_cents FROM w
+WHERE l3 IS NOT NULL AND r3 IS NOT NULL
+  AND cents > greatest(l1,l2,l3) AND cents > greatest(r1,r2,r3)"""
+
+
+def q_price_dispersion(spark, sf_dir):
+    """Per-part unit-price dispersion profile: realized unit price per
+    line rounded to integer cents, then per part the line count, exact
+    min/max cents, and relative spread (max−min)/min — the
+    price-consistency audit a catalog pipeline runs to flag mispriced
+    or heterogeneous SKUs. One map-side-combinable groupBy; the filter
+    thresholds the ROUNDED spread so engines agree at the boundary."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    u = li.select(
+        F.col("l_partkey").alias("part_key"),
+        F.round(F.col("l_extendedprice") * 100 / F.col("l_quantity"), 0)
+        .cast("bigint")
+        .alias("unit_cents"),
+    )
+    agg = u.groupBy("part_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.min("unit_cents").cast("bigint").alias("min_cents"),
+        F.max("unit_cents").cast("bigint").alias("max_cents"),
+    )
+    spread = F.round(
+        (F.col("max_cents") - F.col("min_cents")) / F.col("min_cents"), 6
+    )
+    return agg.withColumn("spread", spread).where(
+        (F.col("n_lines") >= 5) & (F.col("spread") >= 0.05)
+    )
+
+
+SQL_PRICE_DISPERSION = """
+WITH u AS (
+  SELECT l_partkey pk,
+         CAST(round(l_extendedprice*100/l_quantity,0) AS BIGINT) unit_cents
+  FROM lineitem WHERE l_quantity > 0),
+agg AS (SELECT pk, CAST(count(*) AS BIGINT) n_lines,
+          CAST(min(unit_cents) AS BIGINT) min_cents,
+          CAST(max(unit_cents) AS BIGINT) max_cents
+        FROM u GROUP BY 1)
+SELECT pk AS part_key, n_lines, min_cents, max_cents,
+       round((max_cents-min_cents)*1.0/min_cents,6) spread
+FROM agg
+WHERE n_lines >= 5 AND round((max_cents-min_cents)*1.0/min_cents,6) >= 0.05"""
+
+
+def q_containment_dedup(spark, sf_dir):
+    """Asymmetric shingle-containment dedup (superstring duplicates):
+    see operators/dedup.py containment_pairs — catches a short doc
+    fully embedded in a longer one, which Jaccard structurally misses
+    (J ≈ |A|/|B| → 0 while C(A→B) = 1)."""
+    return dd.containment_pairs(_t(spark, sf_dir, "documents"), 0.8)
+
+
+SQL_CONTAINMENT_DEDUP = f"""
+WITH {_TRIGRAM_SQL},
+common AS (SELECT a.doc_id da, b.doc_id db, CAST(count(*) AS BIGINT) c
+           FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (SELECT da, db, c,
+        round(c * 1.0 / na.n, 6) containment_a,
+        round(c * 1.0 / nb.n, 6) containment_b
+      FROM common JOIN cnt na ON da = na.doc_id
+                  JOIN cnt nb ON db = nb.doc_id)
+SELECT da AS doc_a, db AS doc_b, c AS n_common, containment_a, containment_b
+FROM j WHERE greatest(containment_a, containment_b) >= 0.8"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -12514,6 +12836,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reactivation_latency": q_reactivation_latency,
     "hourly_envelope": q_hourly_envelope,
     "discount_elasticity": q_discount_elasticity,
+    "abc_classification": q_abc_classification,
+    "ndcg_at_k": q_ndcg_at_k,
+    "srm_check": q_srm_check,
+    "peak_detection": q_peak_detection,
+    "price_dispersion": q_price_dispersion,
+    "containment_dedup": q_containment_dedup,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -12747,6 +13075,12 @@ ORACLES: dict[str, str] = {
     "reactivation_latency": SQL_REACTIVATION_LATENCY,
     "hourly_envelope": SQL_HOURLY_ENVELOPE,
     "discount_elasticity": SQL_DISCOUNT_ELASTICITY,
+    "abc_classification": SQL_ABC_CLASSIFICATION,
+    "ndcg_at_k": SQL_NDCG_AT_K,
+    "srm_check": SQL_SRM_CHECK,
+    "peak_detection": SQL_PEAK_DETECTION,
+    "price_dispersion": SQL_PRICE_DISPERSION,
+    "containment_dedup": SQL_CONTAINMENT_DEDUP,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
