@@ -12698,6 +12698,392 @@ SELECT da AS doc_a, db AS doc_b, c AS n_common, containment_a, containment_b
 FROM j WHERE greatest(containment_a, containment_b) >= 0.8"""
 
 
+def q_kendall_tau(spark, sf_dir):
+    """Exact Kendall τ-b between daily order count and daily revenue
+    (the rank-correlation complement of spearman_corr; τ-b applies the
+    standard tie correction). Concordant/discordant/tie counts come
+    from an all-pairs self-join over the DAILY grain — already
+    aggregated, calendar-bounded (thousands of rows at any fact scale),
+    so the quadratic join is safe and every count is an exact integer;
+    the only floating step is the final sqrt."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86400000000)
+            )
+            .cast("bigint")
+            .alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum("cents").cast("bigint").alias("y"),
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        (F.col("a.x") - F.col("b.x")).alias("dx"),
+        (F.col("a.y") - F.col("b.y")).alias("dy"),
+    )
+    cnt = lambda c: F.sum(c.cast("bigint")).cast("bigint")  # noqa: E731
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        cnt(F.col("dx") * F.col("dy") > 0).alias("concordant"),
+        cnt(F.col("dx") * F.col("dy") < 0).alias("discordant"),
+        cnt((F.col("dx") == 0) & (F.col("dy") != 0)).alias("ties_x"),
+        cnt((F.col("dy") == 0) & (F.col("dx") != 0)).alias("ties_y"),
+        cnt((F.col("dx") == 0) & (F.col("dy") == 0)).alias("ties_xy"),
+    )
+    nx = F.col("n_pairs") - F.col("ties_x") - F.col("ties_xy")
+    ny = F.col("n_pairs") - F.col("ties_y") - F.col("ties_xy")
+    return agg.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        "ties_xy",
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            / F.sqrt(nx.cast("double") * ny),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+SQL_KENDALL_TAU = """
+WITH daily AS (
+  SELECT epoch_us(o_orderdate)//86400000000 d,
+         CAST(count(*) AS BIGINT) x,
+         CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) y
+  FROM orders GROUP BY 1),
+p AS (SELECT a.x xa, a.y ya, b.x xb, b.y yb
+      FROM daily a JOIN daily b ON a.d < b.d),
+c AS (SELECT
+  CAST(count(*) AS BIGINT) n_pairs,
+  CAST(count(*) FILTER ((xa-xb)*(ya-yb) > 0) AS BIGINT) concordant,
+  CAST(count(*) FILTER ((xa-xb)*(ya-yb) < 0) AS BIGINT) discordant,
+  CAST(count(*) FILTER (xa = xb AND ya <> yb) AS BIGINT) ties_x,
+  CAST(count(*) FILTER (ya = yb AND xa <> xb) AS BIGINT) ties_y,
+  CAST(count(*) FILTER (xa = xb AND ya = yb) AS BIGINT) ties_xy
+  FROM p)
+SELECT n_pairs, concordant, discordant, ties_x, ties_y, ties_xy,
+  round((concordant - discordant) /
+        sqrt(CAST((n_pairs - ties_x - ties_xy) AS DOUBLE)
+             * (n_pairs - ties_y - ties_xy)), 6) tau_b
+FROM c"""
+
+
+def q_new_vs_returning(spark, sf_dir):
+    """Monthly revenue split into new vs returning customers — a
+    customer is 'new' in their first-ever order month ('yyyy-MM'
+    strings order lexicographically = chronologically, so min() works
+    identically cross-engine). One map-side-combinable groupBy for the
+    first-month table, one fact-side equi-join on custkey."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.date_format(
+            F.date_trunc("month", F.col("o_orderdate").cast("timestamp")),
+            "yyyy-MM",
+        ).alias("ym"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    first = o.groupBy("ck").agg(F.min("ym").alias("first_ym"))
+    return (
+        o.join(first, "ck")
+        .select(
+            "ym",
+            F.when(F.col("ym") == F.col("first_ym"), "new")
+            .otherwise("returning")
+            .alias("seg"),
+            "cents",
+        )
+        .groupBy("ym", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+SQL_NEW_VS_RETURNING = """
+WITH o AS (SELECT o_custkey ck,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m') ym,
+             CAST(round(o_totalprice*100,0) AS BIGINT) cents
+           FROM orders),
+f AS (SELECT ck, min(ym) first_ym FROM o GROUP BY 1)
+SELECT o.ym,
+       CASE WHEN o.ym = f.first_ym THEN 'new' ELSE 'returning' END seg,
+       CAST(count(*) AS BIGINT) n_orders,
+       CAST(sum(cents) AS BIGINT) revenue_cents
+FROM o JOIN f USING (ck) GROUP BY 1,2"""
+
+
+def q_simpson_reversal(spark, sf_dir):
+    """Aggregation-bias (Simpson's paradox) audit: the sign of the
+    quantity-vs-discount OLS slope within each returnflag group vs the
+    pooled sign. Slope sign = sign(n·Σxy − Σx·Σy) — pure integers (the
+    denominator is positive, so it never flips the sign); products go
+    through decimal(38,0) so no scale overflows. Reversal on the
+    fixture is REAL: groups A and N slope positive while the pool
+    slopes negative. One groupBy; the pooled row re-aggregates the
+    3-row group table and broadcasts back."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("x"),
+        F.round("l_quantity", 0).cast("bigint").alias("y"),
+    )
+    g = li.groupBy("rf").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    pool = g.agg(
+        F.sum("n").cast("bigint").alias("pn"),
+        F.sum("sx").cast("bigint").alias("psx"),
+        F.sum("sy").cast("bigint").alias("psy"),
+        F.sum("sxy").cast("bigint").alias("psxy"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sign = lambda num: (  # noqa: E731
+        F.when(num > 0, 1).when(num < 0, -1).otherwise(0).cast("bigint")
+    )
+    gnum = d("n") * d("sxy") - d("sx") * d("sy")
+    pnum = d("pn") * d("psxy") - d("psx") * d("psy")
+    return g.crossJoin(F.broadcast(pool)).select(
+        "rf",
+        "n",
+        sign(gnum).alias("group_sign"),
+        sign(pnum).alias("pooled_sign"),
+        (
+            (sign(gnum) != 0)
+            & (sign(pnum) != 0)
+            & (sign(gnum) != sign(pnum))
+        ).alias("reversed"),
+    )
+
+
+SQL_SIMPSON_REVERSAL = """
+WITH li AS (SELECT l_returnflag rf,
+              CAST(round(l_discount*100,0) AS BIGINT) x,
+              CAST(round(l_quantity,0) AS BIGINT) y
+            FROM lineitem),
+g AS (SELECT rf, CAST(count(*) AS BIGINT) n,
+        CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+        CAST(sum(x*y) AS BIGINT) sxy
+      FROM li GROUP BY 1),
+pool AS (SELECT CAST(sum(n) AS BIGINT) n, CAST(sum(sx) AS BIGINT) sx,
+           CAST(sum(sy) AS BIGINT) sy, CAST(sum(sxy) AS BIGINT) sxy
+         FROM g)
+SELECT g.rf,
+       g.n,
+       CAST(sign(CAST(g.n AS HUGEINT)*g.sxy - CAST(g.sx AS HUGEINT)*g.sy)
+            AS BIGINT) group_sign,
+       CAST(sign(CAST(p.n AS HUGEINT)*p.sxy - CAST(p.sx AS HUGEINT)*p.sy)
+            AS BIGINT) pooled_sign,
+       (sign(CAST(g.n AS HUGEINT)*g.sxy - CAST(g.sx AS HUGEINT)*g.sy) <> 0
+        AND sign(CAST(p.n AS HUGEINT)*p.sxy - CAST(p.sx AS HUGEINT)*p.sy) <> 0
+        AND sign(CAST(g.n AS HUGEINT)*g.sxy - CAST(g.sx AS HUGEINT)*g.sy)
+            <> sign(CAST(p.n AS HUGEINT)*p.sxy - CAST(p.sx AS HUGEINT)*p.sy))
+         reversed
+FROM g, pool p"""
+
+
+def q_aging_buckets(spark, sf_dir):
+    """Receivables-style aging report: orders bucketed by age in days
+    relative to the corpus max order date (the watermark), per status ×
+    bucket with exact integer-cent totals. The 1-row max broadcasts
+    back; one map-side-combinable groupBy — no window, no sort."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400000000)
+        )
+        .cast("bigint")
+        .alias("d"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("order_cents"),
+    )
+    mx = o.agg(F.max("d").alias("ref_day"))
+    age = F.col("ref_day") - F.col("d")
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .select(
+            "status",
+            F.when(age <= 30, "00-30")
+            .when(age <= 90, "31-90")
+            .when(age <= 365, "91-365")
+            .otherwise("365+")
+            .alias("bucket"),
+            "order_cents",
+        )
+        .groupBy("status", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("order_cents").cast("bigint").alias("cents"),
+        )
+    )
+
+
+SQL_AGING_BUCKETS = """
+WITH mx AS (SELECT max(epoch_us(o_orderdate)//86400000000) ref_day
+            FROM orders),
+o AS (SELECT o_orderstatus st,
+        (SELECT ref_day FROM mx) - epoch_us(o_orderdate)//86400000000
+          age_days,
+        CAST(round(o_totalprice*100,0) AS BIGINT) cents
+      FROM orders)
+SELECT st AS status,
+       CASE WHEN age_days <= 30 THEN '00-30' WHEN age_days <= 90 THEN '31-90'
+            WHEN age_days <= 365 THEN '91-365' ELSE '365+' END bucket,
+       CAST(count(*) AS BIGINT) n_orders, CAST(sum(cents) AS BIGINT) cents
+FROM o GROUP BY 1,2"""
+
+
+def q_subword_fertility(spark, sf_dir):
+    """Tokenizer fertility per language under a fixed 4-char-piece
+    subword model: pieces(word) = ceil(len/4), fertility = Σpieces/Σwords
+    — the tokenizer-efficiency readout a multilingual training pipeline
+    uses to budget compute per language (byte-fallback BPEs segment
+    long words into more pieces; char-4 is the deterministic stand-in —
+    no vocab file in the sandbox). Explode + one map-side-combinable
+    groupBy on a 5-value key; integer piece counts, one division."""
+    from llmaix_spark.operators.textstats import _tokens
+
+    w = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("wd")
+    )
+    pieces = F.floor((F.length("wd") + 3) / 4).cast("bigint")
+    return (
+        w.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(pieces).cast("bigint").alias("n_pieces"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_pieces",
+            F.round(F.col("n_pieces") / F.col("n_words"), 6).alias(
+                "fertility"
+            ),
+        )
+    )
+
+
+SQL_SUBWORD_FERTILITY = r"""
+WITH w AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> length(x) > 0)) wd
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) n_words,
+       CAST(sum((length(wd)+3)//4) AS BIGINT) n_pieces,
+       round(sum((length(wd)+3)//4)*1.0/count(*),6) fertility
+FROM w GROUP BY 1"""
+
+
+def q_gini_features(spark, sf_dir):
+    """Feature ranking by weighted Gini impurity of a binary label
+    (order priority ∈ {URGENT, HIGH}) across three categorical
+    features (mktsegment / nation / orderstatus) — the split-quality
+    scan a tree trainer or feature-selection pass runs first. Unpivot
+    via explode(array(structs)) keeps it one scan; per-(feature,value)
+    counts are exact integers, the impurity mix is the only float. The
+    fact-dim joins broadcast the dimension side."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .alias("pos"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("n_name").alias("nat"),
+            F.col("o_orderstatus").alias("st"),
+        )
+    )
+    fv = base.select(
+        "pos",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mktsegment").alias("feature"),
+                    F.col("seg").alias("val"),
+                ),
+                F.struct(
+                    F.lit("nation").alias("feature"),
+                    F.col("nat").alias("val"),
+                ),
+                F.struct(
+                    F.lit("orderstatus").alias("feature"),
+                    F.col("st").alias("val"),
+                ),
+            )
+        ).alias("f"),
+    ).select("pos", "f.feature", "f.val")
+    lf = fv.groupBy("feature", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("pos").cast("bigint")).cast("bigint").alias("np"),
+    )
+    tot = (
+        lf.where(F.col("feature") == "mktsegment")
+        .agg(F.sum("n").cast("bigint").alias("nt"))
+    )
+    p = F.col("np").cast("double") / F.col("n")
+    impurity = 1 - F.pow(p, 2) - F.pow(1 - p, 2)
+    return (
+        lf.crossJoin(F.broadcast(tot))
+        .groupBy("feature")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("n").cast("double") / F.col("nt")) * impurity
+                ),
+                6,
+            ).alias("weighted_gini"),
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        )
+    )
+
+
+SQL_GINI_FEATURES = """
+WITH base AS (
+  SELECT (o.o_orderpriority IN ('1-URGENT','2-HIGH')) pos,
+         c.c_mktsegment seg, n.n_name nat, o.o_orderstatus st
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey),
+lf AS (
+  SELECT f.feature, f.val, CAST(count(*) AS BIGINT) n,
+         CAST(count(*) FILTER (pos) AS BIGINT) np
+  FROM (SELECT pos,
+               unnest(['mktsegment','nation','orderstatus']) feature,
+               unnest([seg, nat, st]) val
+        FROM base) f
+  GROUP BY 1,2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) nt FROM lf WHERE feature='mktsegment')
+SELECT feature,
+  round(sum( (CAST(n AS DOUBLE)/ (SELECT nt FROM tot))
+            * (1 - power(CAST(np AS DOUBLE)/n,2)
+                 - power(1 - CAST(np AS DOUBLE)/n,2))),6) weighted_gini,
+  CAST(count(*) AS BIGINT) n_values
+FROM lf GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -12842,6 +13228,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "peak_detection": q_peak_detection,
     "price_dispersion": q_price_dispersion,
     "containment_dedup": q_containment_dedup,
+    "kendall_tau": q_kendall_tau,
+    "new_vs_returning": q_new_vs_returning,
+    "simpson_reversal": q_simpson_reversal,
+    "aging_buckets": q_aging_buckets,
+    "subword_fertility": q_subword_fertility,
+    "gini_features": q_gini_features,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -13081,6 +13473,12 @@ ORACLES: dict[str, str] = {
     "peak_detection": SQL_PEAK_DETECTION,
     "price_dispersion": SQL_PRICE_DISPERSION,
     "containment_dedup": SQL_CONTAINMENT_DEDUP,
+    "kendall_tau": SQL_KENDALL_TAU,
+    "new_vs_returning": SQL_NEW_VS_RETURNING,
+    "simpson_reversal": SQL_SIMPSON_REVERSAL,
+    "aging_buckets": SQL_AGING_BUCKETS,
+    "subword_fertility": SQL_SUBWORD_FERTILITY,
+    "gini_features": SQL_GINI_FEATURES,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
