@@ -495,6 +495,106 @@ def minhash_dedup_pairs(
     )
 
 
+def containment_pairs_lsh(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Containment scoring over banded-LSH candidates — the bounded
+    companion to the exact containment_pairs: candidates come from the
+    same MinHash band buckets as minhash_dedup_pairs (never all pairs,
+    never an uncapped shingle fan-out), then the exact containment of
+    the candidate pairs only is computed on 8-byte shingle hashes.
+
+    Recall caveat (documented, inherent): MinHash estimates JACCARD, so
+    a short-in-long pair with high containment but tiny Jaccard can
+    miss the band buckets; at J ≥ 0.5 pair-recall is ≥ 0.98, below
+    that it decays. The exact operator is the oracle baseline; a true
+    containment index at scale is LSH Ensemble (Zhu et al., VLDB 2016)
+    — partition by set size, re-tune bands per partition — which this
+    function's band stage is the building block for."""
+    sh_cached = (
+        word_shingles(docs, n, id_col, text_col, distinct=False)
+        .select(
+            "doc_id", stable_hash60_expr(F.col("shingle")).alias("sh_h")
+        )
+        .dropDuplicates(["doc_id", "sh_h"])
+        .localCheckpoint(eager=False)
+    )
+    k = len(_MINHASH_AB)
+    rows = k // bands
+    sigs = doc_minhash_signatures(
+        docs, n, id_col, text_col, shingles=sh_cached
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"h{b * rows + r}").cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    cnt = sh_cached.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh_cached.select(F.col("doc_id").alias("doc_a"), F.col("sh_h"))
+    sb = sh_cached.select(F.col("doc_id").alias("doc_b"), F.col("sh_h"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh_h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    j = (
+        common.join(
+            cnt.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            cnt.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "containment_a", F.round(F.col("n_common") / F.col("n_a"), 6)
+        )
+        .withColumn(
+            "containment_b", F.round(F.col("n_common") / F.col("n_b"), 6)
+        )
+    )
+    return j.filter(
+        F.greatest("containment_a", "containment_b") >= threshold
+    ).select("doc_a", "doc_b", "n_common", "containment_a", "containment_b")
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     n: int = 3,

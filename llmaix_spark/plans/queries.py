@@ -13084,6 +13084,317 @@ SELECT feature,
 FROM lf GROUP BY 1"""
 
 
+def q_containment_dedup_lsh(spark, sf_dir):
+    """Containment over MinHash-LSH candidates — the bounded scale path
+    of containment_dedup (see operators/dedup.py containment_pairs_lsh
+    for the recall caveat: MinHash bands estimate Jaccard, so the
+    band-blocked containment is exact on every candidate it scores but
+    can miss short-in-long pairs with tiny Jaccard; LSH Ensemble is the
+    production index for those)."""
+    return dd.containment_pairs_lsh(_t(spark, sf_dir, "documents"), 0.8)
+
+
+SQL_CONTAINMENT_DEDUP_LSH = f"""
+WITH {_minhash_pairs_ctes()}
+SELECT da AS doc_a, db AS doc_b, CAST(c AS BIGINT) n_common,
+       round(c * 1.0 / na.n, 6) containment_a,
+       round(c * 1.0 / nb.n, 6) containment_b
+FROM common JOIN cnt na ON da = na.doc_id JOIN cnt nb ON db = nb.doc_id
+WHERE greatest(round(c * 1.0 / na.n, 6), round(c * 1.0 / nb.n, 6)) >= 0.8"""
+
+
+def q_retrieval_mrr(spark, sf_dir):
+    """Offline retrieval evaluation, binary-relevance half: MRR and
+    hit@10 per query group (sources as query groups, ranking by
+    n_chars, relevance = hash grade ≥ 2 — the binarization of
+    ndcg_at_k's graded relevance, so the two metrics read off the SAME
+    derived judgments). MRR = 1/rank of the first relevant doc = the
+    max of 1/rank over relevant rows — an agg, no second window. One
+    per-source window, map-side combinable aggregates."""
+    from pyspark.sql import Window
+
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    g = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (
+            stable_hash60_expr(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":rel"))
+            )
+            % 4
+            >= 2
+        ).alias("relevant"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    r = g.select("source", "relevant", F.row_number().over(w).alias("rk"))
+    return r.groupBy("source").agg(
+        F.sum(F.col("relevant").cast("bigint")).cast("bigint").alias(
+            "n_rel"
+        ),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("relevant"), 1.0 / F.col("rk"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mrr"),
+        F.coalesce(
+            F.max(F.when(F.col("relevant") & (F.col("rk") <= 10), True)),
+            F.lit(False),
+        ).alias("hit_at_10"),
+    )
+
+
+SQL_RETRIEVAL_MRR = f"""
+WITH g AS (SELECT source, doc_id, n_chars,
+             ({_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':rel'")} % 4
+              >= 2) relevant
+           FROM documents),
+r AS (SELECT source, relevant,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) rk
+      FROM g)
+SELECT source,
+       CAST(count(*) FILTER (relevant) AS BIGINT) n_rel,
+       round(coalesce(max(1.0/rk) FILTER (relevant), 0), 6) mrr,
+       coalesce(bool_or(relevant AND rk <= 10), FALSE) hit_at_10
+FROM r GROUP BY 1"""
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve: distinct trigram-shingle
+    TYPES attributed to the first document (min doc_id) that coins
+    them, bucketed into corpus deciles (ntile over doc_id order), with
+    the cumulative type count — the sublinearity readout that tells a
+    corpus-curation pass how much new vocabulary additional data still
+    buys. The type attribution is one map-side-combinable min-groupBy;
+    the decile window runs over the DOCUMENT grain (exact ntile needs a
+    global order — at 10¹² docs swap in approx-quantile doc_id cut
+    points; the attribution stays identical)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.ntile(10)
+        .over(Window.orderBy("doc_id"))
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    sh = dd.word_shingles(docs, 3)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    nb = (
+        first.join(b, first.first_doc == b.doc_id)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    )
+    cum_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return nb.select(
+        "bucket",
+        "new_types",
+        F.sum("new_types").over(cum_w).cast("bigint").alias("cum_types"),
+    )
+
+
+SQL_VOCAB_GROWTH = f"""
+WITH b AS (SELECT doc_id,
+             CAST(ntile(10) OVER (ORDER BY doc_id) AS BIGINT) bucket
+           FROM documents),
+{_TRIGRAM_SQL.strip().rstrip()},
+first AS (SELECT s, min(doc_id) first_doc FROM sh GROUP BY 1),
+nb AS (SELECT b.bucket, CAST(count(*) AS BIGINT) new_types
+       FROM first f JOIN b ON f.first_doc = b.doc_id GROUP BY 1)
+SELECT bucket, new_types,
+       CAST(sum(new_types) OVER (ORDER BY bucket) AS BIGINT) cum_types
+FROM nb"""
+
+
+def q_transition_reciprocity(spark, sf_dir):
+    """Directed-graph reciprocity of the user event-transition graph
+    (the graph-level statistic on top of events_transitions' Markov
+    matrix): share of directed type-pairs whose reverse edge exists,
+    plus the count-weighted version Σ min(c_ab, c_ba) / Σ c — how
+    bidirectional user flows are. One sessionless lead() per user, one
+    groupBy on the (tiny) type-pair key, one self-join at the
+    type-pair grain (≤ |types|², dimension-bounded)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("a"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("u").orderBy("us", "event_id")
+    seq = e.select("a", F.lead("a").over(w).alias("b"))
+    edges = (
+        seq.where(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # two consumers (both join sides) — materialize once or the
+        # lead()+groupBy pipeline executes twice (landmine #1); lazy
+        # localCheckpoint is GC-released with the returned DataFrame
+        .localCheckpoint(eager=False)
+    )
+    rev = edges.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), F.col("c").alias(
+            "c_rev"
+        )
+    )
+    m = edges.join(rev, ["a", "b"], "left")
+    matched = F.least(F.col("c"), F.coalesce(F.col("c_rev"), F.lit(0)))
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_directed_pairs"),
+        F.sum(F.col("c_rev").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_reciprocated"),
+        F.round(
+            F.sum(F.col("c_rev").isNotNull().cast("bigint"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pair_reciprocity"),
+        F.sum("c").cast("bigint").alias("n_transitions"),
+        F.sum(matched).cast("bigint").alias("n_matched"),
+        F.round(F.sum(matched) / F.sum("c"), 6).alias(
+            "weighted_reciprocity"
+        ),
+    )
+
+
+SQL_TRANSITION_RECIPROCITY = """
+WITH e AS (SELECT user_id u, event_type et, epoch_us(ts) us, event_id eid
+           FROM events),
+seq AS (SELECT u, et a,
+          lead(et) OVER (PARTITION BY u ORDER BY us, eid) b
+        FROM e),
+edges AS (SELECT a, b, CAST(count(*) AS BIGINT) c
+          FROM seq WHERE b IS NOT NULL AND a <> b GROUP BY 1,2),
+m AS (SELECT e1.a, e1.b, e1.c, e2.c c_rev
+      FROM edges e1 LEFT JOIN edges e2 ON e1.a = e2.b AND e1.b = e2.a)
+SELECT CAST(count(*) AS BIGINT) n_directed_pairs,
+       CAST(count(*) FILTER (c_rev IS NOT NULL) AS BIGINT) n_reciprocated,
+       round(count(*) FILTER (c_rev IS NOT NULL) * 1.0 / count(*), 6)
+         pair_reciprocity,
+       CAST(sum(c) AS BIGINT) n_transitions,
+       CAST(sum(least(c, coalesce(c_rev, 0))) AS BIGINT) n_matched,
+       round(sum(least(c, coalesce(c_rev,0))) * 1.0 / sum(c), 6)
+         weighted_reciprocity
+FROM m"""
+
+
+def q_forecast_accuracy(spark, sf_dir):
+    """Seasonal-naive forecast backtest: forecast(month) = actual 12
+    months earlier (joined on (year−1, month) — no contiguity
+    assumption, unlike a lag-12 window), with per-month absolute error
+    and sMAPE on exact integer cents. The evaluation half of
+    seasonal_baseline: how good the naive seasonal forecast actually
+    is. Two map-side-combinable aggs + one equi-join at the MONTH
+    grain (calendar-bounded)."""
+    m = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.year(F.col("o_orderdate").cast("timestamp"))
+            .cast("bigint")
+            .alias("yr"),
+            F.month(F.col("o_orderdate").cast("timestamp"))
+            .cast("bigint")
+            .alias("mo"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("order_cents"),
+        )
+        .groupBy("yr", "mo")
+        .agg(F.sum("order_cents").cast("bigint").alias("cents"))
+    )
+    a = m.alias("a")
+    f_ = m.alias("f")
+    return a.join(
+        f_,
+        (F.col("a.yr") == F.col("f.yr") + 1)
+        & (F.col("a.mo") == F.col("f.mo")),
+    ).select(
+        F.col("a.yr").alias("yr"),
+        F.col("a.mo").alias("mo"),
+        F.col("a.cents").alias("actual_cents"),
+        F.col("f.cents").alias("forecast_cents"),
+        F.abs(F.col("a.cents") - F.col("f.cents"))
+        .cast("bigint")
+        .alias("abs_err_cents"),
+        F.round(
+            2.0
+            * F.abs(F.col("a.cents") - F.col("f.cents"))
+            / (F.col("a.cents") + F.col("f.cents")),
+            6,
+        ).alias("smape"),
+    )
+
+
+SQL_FORECAST_ACCURACY = """
+WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) yr,
+             CAST(month(o_orderdate) AS BIGINT) mo,
+             CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+               cents
+           FROM orders GROUP BY 1,2)
+SELECT a.yr, a.mo, a.cents actual_cents, f.cents forecast_cents,
+       CAST(abs(a.cents - f.cents) AS BIGINT) abs_err_cents,
+       round(2.0*abs(a.cents - f.cents)/(a.cents + f.cents), 6) smape
+FROM m a JOIN m f ON a.yr = f.yr + 1 AND a.mo = f.mo"""
+
+
+def q_stratified_kfold(spark, sf_dir):
+    """Stratified k-fold assignment audit: every document hashed into
+    one of 5 folds (independent salt from the train/val/test split so
+    folds cut ACROSS splits), stratified readout per (lang, fold) with
+    the fold's within-stratum share — the balance check a CV harness
+    runs before training. Pure projection + one groupBy; the
+    per-stratum total joins back at the 5-row stratum grain."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    s = _t(spark, sf_dir, "documents").select(
+        "lang",
+        (
+            stable_hash60_expr(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":fold"))
+            )
+            % 5
+        )
+        .cast("bigint")
+        .alias("fold"),
+    )
+    per = s.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = per.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_lang")
+    )
+    return per.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "fold",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_lang"), 6).alias("fold_share"),
+    )
+
+
+SQL_STRATIFIED_KFOLD = f"""
+WITH s AS (SELECT lang,
+             {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':fold'")} % 5
+               fold
+           FROM documents),
+per AS (SELECT lang, CAST(fold AS BIGINT) fold,
+          CAST(count(*) AS BIGINT) n_docs
+        FROM s GROUP BY 1,2),
+tot AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) n_lang FROM per GROUP BY 1)
+SELECT per.lang, per.fold, per.n_docs,
+       round(per.n_docs * 1.0 / tot.n_lang, 6) fold_share
+FROM per JOIN tot USING (lang)"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -13234,6 +13545,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "aging_buckets": q_aging_buckets,
     "subword_fertility": q_subword_fertility,
     "gini_features": q_gini_features,
+    "containment_dedup_lsh": q_containment_dedup_lsh,
+    "retrieval_mrr": q_retrieval_mrr,
+    "vocab_growth": q_vocab_growth,
+    "transition_reciprocity": q_transition_reciprocity,
+    "forecast_accuracy": q_forecast_accuracy,
+    "stratified_kfold": q_stratified_kfold,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -13479,6 +13796,12 @@ ORACLES: dict[str, str] = {
     "aging_buckets": SQL_AGING_BUCKETS,
     "subword_fertility": SQL_SUBWORD_FERTILITY,
     "gini_features": SQL_GINI_FEATURES,
+    "containment_dedup_lsh": SQL_CONTAINMENT_DEDUP_LSH,
+    "retrieval_mrr": SQL_RETRIEVAL_MRR,
+    "vocab_growth": SQL_VOCAB_GROWTH,
+    "transition_reciprocity": SQL_TRANSITION_RECIPROCITY,
+    "forecast_accuracy": SQL_FORECAST_ACCURACY,
+    "stratified_kfold": SQL_STRATIFIED_KFOLD,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
