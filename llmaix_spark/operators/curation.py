@@ -620,6 +620,55 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The benchmark-owner's view of contamination (decontaminate is
+    the trainer's view): per BENCHMARK document, how many training
+    documents share any word n-gram with it and how many distinct
+    n-grams leak — the evidence table a contamination writeup reports.
+    Returns (bench_doc, n_train_docs, n_shared_grams) for every
+    benchmark doc, zeros included.
+
+    Scale: identical join geometry to decontaminate — both sides
+    reduce to 8-byte n-gram hashes, the join keys on the hash, and the
+    two distinct-counts aggregate on the (tiny) benchmark grain."""
+    bench_sh = (
+        word_shingles(benchmark, n, id_col, text_col, distinct=False)
+        .select(
+            F.col("doc_id").alias("bench_doc"),
+            stable_hash60_expr(F.col("shingle")).alias("sh_h"),
+        )
+        .dropDuplicates(["bench_doc", "sh_h"])
+    )
+    train_sh = (
+        word_shingles(docs, n, id_col, text_col, distinct=False)
+        .select(
+            F.col("doc_id").alias("train_doc"),
+            stable_hash60_expr(F.col("shingle")).alias("sh_h"),
+        )
+        .dropDuplicates(["train_doc", "sh_h"])
+    )
+    hits = bench_sh.join(train_sh, "sh_h").groupBy("bench_doc").agg(
+        F.countDistinct("train_doc").cast("bigint").alias("n_train_docs"),
+        F.countDistinct("sh_h").cast("bigint").alias("n_shared_grams"),
+    )
+    ids = benchmark.select(F.col(id_col).alias("bench_doc"))
+    return ids.join(hits, "bench_doc", "left").select(
+        "bench_doc",
+        F.coalesce("n_train_docs", F.lit(0))
+        .cast("bigint")
+        .alias("n_train_docs"),
+        F.coalesce("n_shared_grams", F.lit(0))
+        .cast("bigint")
+        .alias("n_shared_grams"),
+    )
+
+
 def domain_mixture(
     docs: DataFrame,
     domain_col: str = "lang",

@@ -706,6 +706,61 @@ def dedup_groups(
     )
 
 
+def dedup_savings(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size_col: str = "n_chars",
+    pairs_fn=None,
+) -> DataFrame:
+    """The dedup ROI report: per near-dup group (size ≥ 2), how much a
+    quality-aware dedup pass saves — (group_id, n_docs, survivor_doc,
+    chars_total, chars_dropped). The survivor is the LARGEST member
+    (max size_col, min doc_id tiebreak) — the CCNet keep-the-longest
+    policy, deliberately different from dedup_groups' min-id `keep` so
+    both canonicalization policies are value-pinned. Builds on
+    dedup_groups (same CC machinery, same pairs_fn contract); the
+    survivor window partitions by group — bounded by the largest
+    near-dup cluster, never a global sort."""
+    from pyspark.sql import Window
+
+    groups = dedup_groups(
+        docs, threshold, n, id_col=id_col, text_col=text_col,
+        pairs_fn=pairs_fn,
+    )
+    members = groups.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(size_col).alias("sz"),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("sz"), F.asc("doc_id")
+    )
+    ranked = members.select(
+        "group_id",
+        "doc_id",
+        "sz",
+        F.row_number().over(w).alias("rk"),
+    )
+    out = ranked.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("survivor_doc"),
+        F.sum("sz").cast("bigint").alias("chars_total"),
+        (
+            F.sum("sz") - F.max(F.when(F.col("rk") == 1, F.col("sz")))
+        )
+        .cast("bigint")
+        .alias("chars_dropped"),
+    )
+    return out.where(F.col("n_docs") >= 2)
+
+
 # --- SimHash -------------------------------------------------------------------
 
 SIMHASH_BITS = 32

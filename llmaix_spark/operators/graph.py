@@ -198,6 +198,53 @@ def triangle_counts(
     )
 
 
+def edge_support(
+    edges: DataFrame,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+) -> DataFrame:
+    """Per-EDGE triangle support of the undirected simple graph: for
+    every canonical edge (a<b), the number of common neighbors closing
+    a triangle through it — the quantity k-truss decomposition peels on
+    (an edge is in the k-truss iff support ≥ k−2), and the edge-level
+    complement of triangle_counts' node grain. Returns
+    (a, b, support) for EVERY edge, zeros included.
+
+    Shape: the symmetric adjacency self-joins on the neighbor column —
+    wedge enumeration bounded by Σ deg(v)², the same budget the
+    triangle oracle pays; the closing check is the edge equi-join.
+    For celebrity-hub graphs route through the degree-oriented variant
+    (triangle_counts' compact-forward orientation) before joining."""
+    e0 = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).where(
+        F.col(src).isNotNull()
+        & F.col(dst).isNotNull()
+        & (F.col(src) != F.col(dst))
+    )
+    und = (
+        e0.select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: sym×2, zeros join
+    )
+    sym = und.select("a", "b").unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    s1 = sym.select(F.col("a").alias("ea"), F.col("b").alias("v"))
+    s2 = sym.select(F.col("a").alias("eb"), F.col("b").alias("v"))
+    support = (
+        und.join(s1, und.a == s1.ea)
+        .join(s2, (und.b == s2.eb) & (s1.v == s2.v))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    return und.join(support, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+    )
+
+
 def two_hop_counts(
     edges: DataFrame,
     src: str = "subj_id",

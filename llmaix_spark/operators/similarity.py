@@ -717,6 +717,60 @@ def semantic_decontaminate(
     )
 
 
+def embedding_dim_stats(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension distribution profile of an embedding column —
+    (dim, n, mean_micro, std_micro, min_micro, max_micro) — the
+    whitening/standardization statistics a feature-preprocessing pass
+    fits, and the dead/saturated-dimension audit. Values quantize to
+    integer micro-units FIRST so every sum is exact (order-independent
+    — a raw double sum would drift with partitioning); the sample
+    std comes from the exact (n·Σq² − (Σq)²) form in decimal(38,0),
+    floats appear only in the final divide/sqrt.
+
+    Shape: posexplode to LONG format + one map-side-combinable groupBy
+    on (dim) — the same O(1)-plan-width discipline as the long-format
+    k-means mean (an O(dim) aggregate list blows up the plan at
+    dim ≥ 1024)."""
+    # widen float32 -> float64 BEFORE scaling (float*int stays float32
+    # in Spark and loses the low bits DuckDB's double math keeps)
+    q = F.round(F.col("x").cast("double") * quant, 0).cast("bigint")
+    long = vecs.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select((F.col("pos") + 1).cast("bigint").alias("dim"), q.alias("q"))
+    a = long.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q"))
+        .cast("decimal(38,0)")
+        .alias("sqq"),
+        F.min("q").cast("bigint").alias("min_micro"),
+        F.max("q").cast("bigint").alias("max_micro"),
+    )
+    nd = F.col("n").cast("double")
+    return a.select(
+        "dim",
+        "n",
+        F.round(F.col("sq") * 1.0 / F.col("n"), 6).alias("mean_micro"),
+        F.round(
+            F.sqrt(
+                (
+                    nd * F.col("sqq").cast("double")
+                    - F.col("sq").cast("double") * F.col("sq")
+                )
+                / (nd * (F.col("n") - 1))
+            ),
+            6,
+        ).alias("std_micro"),
+        "min_micro",
+        "max_micro",
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 16,

@@ -13395,6 +13395,314 @@ SELECT per.lang, per.fold, per.n_docs,
 FROM per JOIN tot USING (lang)"""
 
 
+def q_dedup_savings(spark, sf_dir):
+    """Dedup ROI report over the exact pair generator (oracle path —
+    see operators/dedup.py dedup_savings; production defaults to LSH
+    pairs through the same pairs_fn contract). Survivor = largest
+    member (CCNet keep-the-longest), the OTHER canonicalization policy
+    from dedup_groups' min-id keep."""
+    return dd.dedup_savings(
+        _t(spark, sf_dir, "documents"),
+        0.5,
+        pairs_fn=dd.ngram_jaccard_pairs,
+    )
+
+
+SQL_DEDUP_SAVINGS = f"""
+WITH RECURSIVE
+{_TRIGRAM_SQL},
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT da, db
+  FROM common JOIN cnt na ON da = na.doc_id JOIN cnt nb ON db = nb.doc_id
+  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5),
+sym AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node),
+cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+members AS (SELECT cc.comp group_id, d2.doc_id, d2.n_chars
+            FROM cc JOIN documents d2 ON cc.node = d2.doc_id),
+surv AS (SELECT group_id,
+           first(doc_id ORDER BY n_chars DESC, doc_id) survivor_doc
+         FROM members GROUP BY 1)
+SELECT m.group_id, CAST(count(*) AS BIGINT) n_docs,
+       CAST(max(s.survivor_doc) AS BIGINT) survivor_doc,
+       CAST(sum(m.n_chars) AS BIGINT) chars_total,
+       CAST(sum(m.n_chars)
+            - max(CASE WHEN m.doc_id = s.survivor_doc
+                       THEN m.n_chars END) AS BIGINT) chars_dropped
+FROM members m JOIN surv s USING (group_id)
+GROUP BY 1"""
+
+
+def q_contamination_report(spark, sf_dir):
+    """Benchmark-owner contamination evidence: per benchmark doc
+    (doc_id % 8 slice — denser than decontaminate's % 97 so the report
+    exercises nonzero overlap at test scales), the count of leaking
+    training docs and of distinct leaked 8-grams."""
+    from llmaix_spark.operators.curation import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_report(
+        docs.where(F.col("doc_id") % 8 != 0),
+        docs.where(F.col("doc_id") % 8 == 0),
+    )
+
+
+SQL_CONTAMINATION_REPORT = f"""
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
+gr AS (SELECT doc_id,
+              t || ' ' || lead(t, 1) OVER win || ' ' || lead(t, 2) OVER win
+                || ' ' || lead(t, 3) OVER win || ' ' || lead(t, 4) OVER win
+                || ' ' || lead(t, 5) OVER win || ' ' || lead(t, 6) OVER win
+                || ' ' || lead(t, 7) OVER win AS s,
+              lead(t, 7) OVER win AS l7
+       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+sh AS (SELECT DISTINCT doc_id, {_HASH60_SQL.format(v="s")} AS sh_h
+       FROM gr WHERE l7 IS NOT NULL),
+hits AS (SELECT b.doc_id bench_doc, t.doc_id train_doc, b.sh_h
+         FROM sh b JOIN sh t ON b.sh_h = t.sh_h
+         WHERE b.doc_id % 8 = 0 AND t.doc_id % 8 <> 0),
+agg AS (SELECT bench_doc,
+          CAST(count(DISTINCT train_doc) AS BIGINT) n_train_docs,
+          CAST(count(DISTINCT sh_h) AS BIGINT) n_shared_grams
+        FROM hits GROUP BY 1)
+SELECT d2.doc_id bench_doc,
+       CAST(coalesce(a.n_train_docs,0) AS BIGINT) n_train_docs,
+       CAST(coalesce(a.n_shared_grams,0) AS BIGINT) n_shared_grams
+FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.bench_doc
+WHERE d2.doc_id % 8 = 0"""
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension whitening statistics of the embeddings table —
+    see operators/similarity.py embedding_dim_stats (micro-quantized
+    exact sums, long format, O(1) plan width in dim)."""
+    return sim.embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_DIM_STATS = """
+WITH x AS (SELECT vec_id, generate_subscripts(embedding,1) dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE)*1000000,0)
+                  AS BIGINT) q
+           FROM embeddings),
+a AS (SELECT CAST(dim AS BIGINT) dim, CAST(count(*) AS BIGINT) n,
+        CAST(sum(q) AS BIGINT) sq, CAST(sum(q*q) AS HUGEINT) sqq,
+        CAST(min(q) AS BIGINT) min_micro, CAST(max(q) AS BIGINT) max_micro
+      FROM x GROUP BY 1)
+SELECT dim, n, round(sq*1.0/n, 6) mean_micro,
+       round(sqrt((n*CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*sq)
+                  /(CAST(n AS DOUBLE)*(n-1))), 6) std_micro,
+       min_micro, max_micro
+FROM a"""
+
+
+def q_edge_support(spark, sf_dir):
+    """Per-edge triangle support of the triple graph (the k-truss
+    peel quantity; see operators/graph.py edge_support). The oracle
+    brute-forces common neighbors over the symmetric adjacency — two
+    independent formulations must agree."""
+    from llmaix_spark.operators.graph import edge_support
+
+    return edge_support(q_kg_triples(spark, sf_dir), src="subj", dst="obj")
+
+
+SQL_EDGE_SUPPORT = f"""
+WITH t AS ({SQL_KG_TRIPLES}),
+e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+      FROM t WHERE subj <> obj),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+supp AS (SELECT e.a, e.b, CAST(count(*) AS BIGINT) support
+         FROM e JOIN sym s1 ON s1.a = e.a
+                JOIN sym s2 ON s2.a = e.b AND s2.b = s1.b
+         GROUP BY 1,2)
+SELECT e.a, e.b, CAST(coalesce(supp.support, 0) AS BIGINT) support
+FROM e LEFT JOIN supp ON e.a = supp.a AND e.b = supp.b"""
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Lakehouse small-file compaction plan: per partition key (lang),
+    the file count a target-size writer needs (ceil of total bytes /
+    8 KiB budget — char count as the stand-in byte size) and the mean
+    fill factor — the input to a `repartitionByRange`/OPTIMIZE sizing
+    decision. One map-side-combinable groupBy over a pure scan."""
+    d = _t(spark, sf_dir, "documents")
+    budget = F.lit(8192)
+    total = F.sum("n_chars")
+    n_files = F.ceil(total * 1.0 / budget).cast("bigint")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        total.cast("bigint").alias("total_chars"),
+        n_files.alias("n_files"),
+        F.round(total * 1.0 / (n_files * budget), 6).alias("avg_fill"),
+    )
+
+
+SQL_COMPACTION_PLAN = """
+SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+       CAST(sum(n_chars) AS BIGINT) total_chars,
+       CAST(ceil(sum(n_chars)*1.0/8192) AS BIGINT) n_files,
+       round(sum(n_chars)*1.0
+             /(CAST(ceil(sum(n_chars)*1.0/8192) AS BIGINT)*8192),6) avg_fill
+FROM documents GROUP BY 1"""
+
+
+def q_price_volume_mix(spark, sf_dir):
+    """Year-over-year revenue decomposition into price, volume and
+    cross effects (Laspeyres PVM — the finance complement of
+    revenue_bridge's customer-lifecycle waterfall) plus new/exited
+    part revenue. Per-part effects are computed from exact integer
+    (cents, qty) pairs — identical doubles cross-engine — and
+    quantized to MILLI-CENTS per part before summing, so the roll-up
+    is an order-independent integer sum; the identity
+    Δcommon = price + volume + cross holds to the quantization grid.
+    Shape: one fact groupBy to the (year, part) grain, then joins at
+    that bounded grain only."""
+    py = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.year(F.col("l_shipdate").cast("timestamp"))
+            .cast("bigint")
+            .alias("yr"),
+            F.col("l_partkey").alias("pk"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100,
+                    0,
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("r"),
+            F.sum(F.round("l_quantity", 0).cast("bigint"))
+            .cast("bigint")
+            .alias("q"),
+        )
+        # four consumers (both join sides, new, exited) — materialize
+        .localCheckpoint(eager=False)
+    )
+    a = py.alias("a")
+    b = py.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.yr") == F.col("b.yr") + 1) & (F.col("a.pk") == F.col("b.pk")),
+    ).where((F.col("a.q") > 0) & (F.col("b.q") > 0)).select(
+        F.col("a.yr").alias("yr"),
+        F.col("a.r").alias("r1"),
+        F.col("a.q").alias("q1"),
+        F.col("b.r").alias("r0"),
+        F.col("b.q").alias("q0"),
+    )
+    p1 = F.col("r1") * 1.0 / F.col("q1")
+    p0 = F.col("r0") * 1.0 / F.col("q0")
+    eff = j.select(
+        "yr",
+        "r1",
+        "r0",
+        F.round((p1 - p0) * F.col("q0") * 1000, 0)
+        .cast("bigint")
+        .alias("pe"),
+        F.round(p0 * (F.col("q1") - F.col("q0")) * 1000, 0)
+        .cast("bigint")
+        .alias("ve"),
+        F.round((p1 - p0) * (F.col("q1") - F.col("q0")) * 1000, 0)
+        .cast("bigint")
+        .alias("ce"),
+    )
+    yr_bounds = py.agg(
+        F.min("yr").alias("min_yr"), F.max("yr").alias("max_yr")
+    )
+    newp = (
+        a.join(
+            b,
+            (F.col("a.yr") == F.col("b.yr") + 1)
+            & (F.col("a.pk") == F.col("b.pk")),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(yr_bounds))
+        .where(F.col("yr") > F.col("min_yr"))
+        .groupBy("yr")
+        .agg(F.sum("r").cast("bigint").alias("new_cents"))
+    )
+    exitp = (
+        b.join(
+            a,
+            (F.col("a.yr") == F.col("b.yr") + 1)
+            & (F.col("a.pk") == F.col("b.pk")),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(yr_bounds))
+        .where(F.col("yr") + 1 <= F.col("max_yr"))
+        .select((F.col("yr") + 1).alias("yr"), "r")
+        .groupBy("yr")
+        .agg(F.sum("r").cast("bigint").alias("exited_cents"))
+    )
+    agg = eff.groupBy("yr").agg(
+        (F.sum("r1") - F.sum("r0"))
+        .cast("bigint")
+        .alias("delta_common_cents"),
+        F.sum("pe").cast("bigint").alias("price_eff_milli"),
+        F.sum("ve").cast("bigint").alias("volume_eff_milli"),
+        F.sum("ce").cast("bigint").alias("cross_eff_milli"),
+    )
+    return (
+        agg.join(newp, "yr", "left")
+        .join(exitp, "yr", "left")
+        .select(
+            "yr",
+            "delta_common_cents",
+            "price_eff_milli",
+            "volume_eff_milli",
+            "cross_eff_milli",
+            F.coalesce("new_cents", F.lit(0))
+            .cast("bigint")
+            .alias("new_cents"),
+            F.coalesce("exited_cents", F.lit(0))
+            .cast("bigint")
+            .alias("exited_cents"),
+        )
+    )
+
+
+SQL_PRICE_VOLUME_MIX = """
+WITH py AS (SELECT CAST(year(l_shipdate) AS BIGINT) yr, l_partkey pk,
+              CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100,0)
+                            AS BIGINT)) AS BIGINT) r,
+              CAST(sum(CAST(round(l_quantity,0) AS BIGINT)) AS BIGINT) q
+            FROM lineitem GROUP BY 1,2),
+j AS (SELECT a.yr, a.pk, a.r r1, a.q q1, b.r r0, b.q q0
+      FROM py a JOIN py b ON a.yr = b.yr + 1 AND a.pk = b.pk
+      WHERE a.q > 0 AND b.q > 0),
+eff AS (SELECT yr,
+          CAST(round((r1*1.0/q1 - r0*1.0/q0) * q0 * 1000, 0) AS BIGINT) pe,
+          CAST(round((r0*1.0/q0) * (q1 - q0) * 1000, 0) AS BIGINT) ve,
+          CAST(round((r1*1.0/q1 - r0*1.0/q0) * (q1 - q0) * 1000, 0)
+               AS BIGINT) ce,
+          r1, r0 FROM j),
+newp AS (SELECT a.yr, CAST(sum(a.r) AS BIGINT) new_cents
+         FROM py a LEFT JOIN py b ON a.yr = b.yr + 1 AND a.pk = b.pk
+         WHERE b.pk IS NULL AND a.yr > (SELECT min(yr) FROM py)
+         GROUP BY 1),
+exitp AS (SELECT b.yr + 1 yr, CAST(sum(b.r) AS BIGINT) exited_cents
+          FROM py b LEFT JOIN py a ON a.yr = b.yr + 1 AND a.pk = b.pk
+          WHERE a.pk IS NULL AND b.yr + 1 <= (SELECT max(yr) FROM py)
+          GROUP BY 1)
+SELECT e.yr, CAST(sum(r1) - sum(r0) AS BIGINT) delta_common_cents,
+       CAST(sum(pe) AS BIGINT) price_eff_milli,
+       CAST(sum(ve) AS BIGINT) volume_eff_milli,
+       CAST(sum(ce) AS BIGINT) cross_eff_milli,
+       CAST(coalesce(max(n.new_cents),0) AS BIGINT) new_cents,
+       CAST(coalesce(max(x.exited_cents),0) AS BIGINT) exited_cents
+FROM eff e LEFT JOIN newp n ON e.yr = n.yr LEFT JOIN exitp x ON e.yr = x.yr
+GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -13551,6 +13859,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transition_reciprocity": q_transition_reciprocity,
     "forecast_accuracy": q_forecast_accuracy,
     "stratified_kfold": q_stratified_kfold,
+    "dedup_savings": q_dedup_savings,
+    "contamination_report": q_contamination_report,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "edge_support": q_edge_support,
+    "compaction_plan": q_compaction_plan,
+    "price_volume_mix": q_price_volume_mix,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -13802,6 +14116,12 @@ ORACLES: dict[str, str] = {
     "transition_reciprocity": SQL_TRANSITION_RECIPROCITY,
     "forecast_accuracy": SQL_FORECAST_ACCURACY,
     "stratified_kfold": SQL_STRATIFIED_KFOLD,
+    "dedup_savings": SQL_DEDUP_SAVINGS,
+    "contamination_report": SQL_CONTAMINATION_REPORT,
+    "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
+    "edge_support": SQL_EDGE_SUPPORT,
+    "compaction_plan": SQL_COMPACTION_PLAN,
+    "price_volume_mix": SQL_PRICE_VOLUME_MIX,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
