@@ -13703,6 +13703,435 @@ FROM eff e LEFT JOIN newp n ON e.yr = n.yr LEFT JOIN exitp x ON e.yr = x.yr
 GROUP BY 1"""
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingestion dedup — the production mode every
+    whole-corpus dedup here so far skips: an incoming batch
+    (doc_id % 5 == 0 slice) is checked against the EXISTING corpus and
+    against itself, each batch doc getting a verdict
+    'dup_of_corpus' > 'dup_in_batch' (earlier-id batch twin wins) >
+    'unique'. Exact pair generator (the oracle path — at scale the
+    batch side's shingles join the corpus's pre-built shingle index,
+    same geometry as decontaminate). The asymmetric join only carries
+    batch docs on the probe side."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.word_shingles(docs, 3).localCheckpoint(eager=False)
+    a = sh.where(F.col("doc_id") % 5 == 0).alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    j = (
+        pairs.join(
+            cnt.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")),
+            "da",
+        )
+        .join(
+            cnt.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb")),
+            "db",
+        )
+        .where(
+            F.col("c") / (F.col("na") + F.col("nb") - F.col("c")) >= 0.5
+        )
+    )
+    verdict = j.groupBy(F.col("da").alias("doc_id")).agg(
+        F.max((F.col("db") % 5 != 0).cast("boolean")).alias("dup_corpus"),
+        F.max(
+            ((F.col("db") % 5 == 0) & (F.col("db") < F.col("da"))).cast(
+                "boolean"
+            )
+        ).alias("dup_batch_earlier"),
+    )
+    batch = docs.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    return batch.join(verdict, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.coalesce("dup_corpus", F.lit(False)), "dup_of_corpus")
+        .when(F.coalesce("dup_batch_earlier", F.lit(False)), "dup_in_batch")
+        .otherwise("unique")
+        .alias("verdict"),
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {_TRIGRAM_SQL},
+pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+          JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+          WHERE a.doc_id % 5 = 0
+          GROUP BY 1,2),
+j AS (SELECT da, db
+      FROM pairs JOIN cnt na ON da=na.doc_id JOIN cnt nb ON db=nb.doc_id
+      WHERE c*1.0/(na.n + nb.n - c) >= 0.5),
+verdict AS (SELECT da doc_id,
+    bool_or(db % 5 <> 0) dup_corpus,
+    bool_or(db % 5 = 0 AND db < da) dup_batch_earlier
+  FROM j GROUP BY 1)
+SELECT d2.doc_id,
+  CASE WHEN coalesce(v.dup_corpus, FALSE) THEN 'dup_of_corpus'
+       WHEN coalesce(v.dup_batch_earlier, FALSE) THEN 'dup_in_batch'
+       ELSE 'unique' END verdict
+FROM documents d2 LEFT JOIN verdict v USING (doc_id)
+WHERE d2.doc_id % 5 = 0"""
+
+
+def q_lang_divergence_js(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence (bits) between per-language
+    token distributions — the corpus-drift / domain-distance readout a
+    multilingual mixture pass reads before re-weighting. Per-token
+    terms: the log2 ratio is rounded to 9dp FIRST (libm 1-ulp
+    divergence between engines), the 0.5·p·log term is quantized to
+    nano-bits per token, and the roll-up is an order-independent
+    integer sum (the conditional_entropy convention). Shape: counts at
+    the (lang, token) grain, a full-outer token join per language pair
+    — never a token cross-product."""
+    from llmaix_spark.operators.textstats import _tokens
+
+    w = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("t")
+    )
+    c = w.groupBy("lang", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)
+    n = c.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    langs = c.select("lang").distinct()
+    pr = (
+        langs.alias("x")
+        .join(langs.alias("y"), F.col("x.lang") < F.col("y.lang"))
+        .select(F.col("x.lang").alias("la"), F.col("y.lang").alias("lb"))
+    )
+    a_side = pr.join(
+        c.select(F.col("lang").alias("la"), "t", F.col("c").alias("cca")),
+        "la",
+    )
+    b_side = pr.join(
+        c.select(F.col("lang").alias("lb"), "t", F.col("c").alias("ccb")),
+        "lb",
+    )
+    tt = a_side.join(b_side, ["la", "lb", "t"], "full_outer").select(
+        "la",
+        "lb",
+        F.coalesce("cca", F.lit(0)).alias("cca"),
+        F.coalesce("ccb", F.lit(0)).alias("ccb"),
+    )
+    na = n.select(F.col("lang").alias("la"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("lang").alias("lb"), F.col("n").alias("n_b"))
+    t2 = tt.join(F.broadcast(na), "la").join(F.broadcast(nb), "lb")
+    pa = F.col("cca") * 1.0 / F.col("n_a")
+    pb = F.col("ccb") * 1.0 / F.col("n_b")
+    m = (pa + pb) / 2
+    term = F.when(F.col("cca") > 0, 0.5 * pa * F.round(F.log2(pa / m), 9)).otherwise(0.0) + F.when(
+        F.col("ccb") > 0, 0.5 * pb * F.round(F.log2(pb / m), 9)
+    ).otherwise(0.0)
+    nano = F.round(term * 1e9, 0).cast("bigint")
+    return (
+        t2.select(
+            F.col("la").alias("lang_a"),
+            F.col("lb").alias("lang_b"),
+            nano.alias("nano"),
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(F.sum("nano").cast("bigint").alias("js_nano"))
+    )
+
+
+SQL_LANG_DIVERGENCE_JS = r"""
+WITH w AS (SELECT lang, unnest(list_filter(
+             string_split_regex(lower(trim(text)),'\s+'),
+             x -> length(x) > 0)) t
+           FROM documents),
+c AS (SELECT lang, t, CAST(count(*) AS BIGINT) c FROM w GROUP BY 1,2),
+n AS (SELECT lang, CAST(sum(c) AS BIGINT) n FROM c GROUP BY 1),
+langs AS (SELECT DISTINCT lang FROM c),
+pr AS (SELECT a.lang la, b.lang lb FROM langs a JOIN langs b
+       ON a.lang < b.lang),
+a_side AS (SELECT pr.la, pr.lb, c.t, c.c cca
+           FROM pr JOIN c ON c.lang = pr.la),
+b_side AS (SELECT pr.la, pr.lb, c.t, c.c ccb
+           FROM pr JOIN c ON c.lang = pr.lb),
+tt AS (SELECT coalesce(a.la, b.la) la, coalesce(a.lb, b.lb) lb,
+         coalesce(a.cca, 0) cca, coalesce(b.ccb, 0) ccb
+       FROM a_side a FULL OUTER JOIN b_side b
+         ON a.la = b.la AND a.lb = b.lb AND a.t = b.t),
+t2 AS (SELECT tt.la, tt.lb, cca, ccb, na.n n_a, nb.n n_b
+       FROM tt JOIN n na ON na.lang = tt.la JOIN n nb ON nb.lang = tt.lb),
+terms AS (SELECT la, lb,
+    CAST(round((
+      CASE WHEN cca > 0 THEN 0.5 * (cca*1.0/n_a)
+        * round(log2((cca*1.0/n_a) / ((cca*1.0/n_a + ccb*1.0/n_b)/2)), 9)
+        ELSE 0 END
+      + CASE WHEN ccb > 0 THEN 0.5 * (ccb*1.0/n_b)
+        * round(log2((ccb*1.0/n_b) / ((cca*1.0/n_a + ccb*1.0/n_b)/2)), 9)
+        ELSE 0 END) * 1000000000, 0) AS BIGINT) nano
+  FROM t2)
+SELECT la AS lang_a, lb AS lang_b, CAST(sum(nano) AS BIGINT) js_nano
+FROM terms GROUP BY 1,2"""
+
+
+def q_pr_gains_curve(spark, sf_dir):
+    """Cumulative precision/recall gains table for the lang-ID
+    classifier scored by doc length: docs ranked by n_chars (desc,
+    doc_id tiebreak) into deciles; per decile-prefix the cumulative
+    precision and recall of `pred == truth` — the threshold-sweep
+    readout (gains chart) next to calibration_bins' per-bin view. Two
+    bounded windows (ranking + 10-row cumsum); counts exact."""
+    from pyspark.sql import Window
+
+    from llmaix_spark.operators.textstats import lang_id_expr
+
+    lab = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (lang_id_expr(F.col("text")) == F.col("lang")).alias("pos"),
+    )
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    r = lab.select("pos", F.ntile(10).over(w).cast("bigint").alias("dcl"))
+    per = (
+        r.groupBy("dcl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("pos").cast("bigint")).cast("bigint").alias("tp"),
+        )
+        # two consumers (cumsum + total) — materialize or the ranking
+        # window executes twice (landmine #1)
+        .localCheckpoint(eager=False)
+    )
+    tot = per.agg(F.sum("tp").cast("bigint").alias("all_tp"))
+    cw = Window.orderBy("dcl").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dcl").alias("decile"),
+            F.sum("n").over(cw).cast("bigint").alias("cum_n"),
+            F.sum("tp").over(cw).cast("bigint").alias("cum_tp"),
+            F.round(
+                F.sum("tp").over(cw) * 1.0 / F.sum("n").over(cw), 6
+            ).alias("precision_at"),
+            F.round(F.sum("tp").over(cw) * 1.0 / F.col("all_tp"), 6).alias(
+                "recall_at"
+            ),
+        )
+    )
+
+
+def _langid_hits_sql() -> str:
+    hits = ", ".join(
+        "len(list_filter(string_split(lower(trim(text)), ' '), "
+        f"x -> x IN ({', '.join(repr(m) for m in ts.LANG_MARKERS[lang])})))"
+        f" hit_{lang}"
+        for lang in ts.LANG_MARKERS
+    )
+    return hits
+
+
+SQL_PR_GAINS_CURVE = f"""
+WITH h AS (SELECT doc_id, lang, n_chars, {_langid_hits_sql()}
+           FROM documents),
+lab AS (SELECT doc_id, n_chars,
+          (CASE WHEN greatest(hit_en,hit_de,hit_es,hit_fr) = 0 THEN 'und'
+                WHEN hit_en = greatest(hit_en,hit_de,hit_es,hit_fr) THEN 'en'
+                WHEN hit_de = greatest(hit_en,hit_de,hit_es,hit_fr) THEN 'de'
+                WHEN hit_es = greatest(hit_en,hit_de,hit_es,hit_fr) THEN 'es'
+                ELSE 'fr' END = lang) pos
+        FROM h),
+r AS (SELECT pos, ntile(10) OVER (ORDER BY n_chars DESC, doc_id) dcl
+      FROM lab),
+per AS (SELECT CAST(dcl AS BIGINT) dcl, CAST(count(*) AS BIGINT) n,
+          CAST(count(*) FILTER (pos) AS BIGINT) tp FROM r GROUP BY 1),
+tot AS (SELECT CAST(sum(tp) AS BIGINT) all_tp FROM per)
+SELECT dcl AS decile,
+       CAST(sum(n) OVER w AS BIGINT) cum_n,
+       CAST(sum(tp) OVER w AS BIGINT) cum_tp,
+       round(sum(tp) OVER w * 1.0 / sum(n) OVER w, 6) precision_at,
+       round(sum(tp) OVER w * 1.0 / (SELECT all_tp FROM tot), 6) recall_at
+FROM per WINDOW w AS (ORDER BY dcl)"""
+
+
+def q_rle_lengths(spark, sf_dir):
+    """Run-length histogram of consecutive same-type events per user
+    (the RLE complement of runs_test's global sign runs): lag marks
+    run breaks, a running sum numbers the runs, two groupBys produce
+    the (event_type, run_len, n_runs) distribution — the bot/replay
+    detector's signature table. Both windows partition by user."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("et"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("u").orderBy("us", "event_id")
+    s = e.select(
+        "u",
+        "et",
+        "us",
+        "event_id",
+        F.when(F.lag("et").over(w) == F.col("et"), 0)
+        .otherwise(1)
+        .alias("brk"),
+    )
+    r = s.select(
+        "u", "et", F.sum("brk").over(w).alias("run_id")
+    )
+    runs = r.groupBy("u", "et", "run_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    return runs.groupBy(
+        F.col("et").alias("event_type"), "run_len"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_runs"))
+
+
+SQL_RLE_LENGTHS = """
+WITH e AS (SELECT user_id u, event_type et, epoch_us(ts) us, event_id eid
+           FROM events),
+s AS (SELECT u, et, us, eid,
+        CASE WHEN lag(et) OVER w = et THEN 0 ELSE 1 END brk
+      FROM e WINDOW w AS (PARTITION BY u ORDER BY us, eid)),
+r AS (SELECT u, et,
+        sum(brk) OVER (PARTITION BY u ORDER BY us, eid) run_id FROM s),
+runs AS (SELECT u, et, run_id, CAST(count(*) AS BIGINT) run_len
+         FROM r GROUP BY 1,2,3)
+SELECT et AS event_type, run_len, CAST(count(*) AS BIGINT) n_runs
+FROM runs GROUP BY 1,2"""
+
+
+def q_hour_uniformity(spark, sf_dir):
+    """χ² goodness-of-fit of each event type's hour-of-day histogram
+    against uniform (df = 23) — 'does this event type have a diurnal
+    cycle at all', the hypothesis-test companion of hourly_envelope's
+    percentile bands and fano_factor's dispersion. Missing hours
+    contribute their full expected mass. Two map-side-combinable
+    groupBys; the only floats are the final (o−e)²/e terms from exact
+    integer counts."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"),
+        (
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(3600000000)
+            ).cast("bigint")
+            % 24
+        ).alias("hod"),
+    )
+    per = e.groupBy("et", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = per.groupBy("et").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    )
+    exp = F.col("n") / 24.0
+    return (
+        per.join(tot, "et")
+        .groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.lit(23).cast("bigint").alias("df"),
+            F.round(
+                F.sum(F.pow(F.col("c") - exp, 2) / exp)
+                + (24 - F.max("n_hours")) * (F.max("n") / 24.0),
+                6,
+            ).alias("chi2"),
+        )
+    )
+
+
+SQL_HOUR_UNIFORMITY = """
+WITH e AS (SELECT event_type et,
+             CAST(epoch_us(ts)//3600000000 % 24 AS BIGINT) hod
+           FROM events),
+per AS (SELECT et, hod, CAST(count(*) AS BIGINT) c FROM e GROUP BY 1,2),
+tot AS (SELECT et, CAST(sum(c) AS BIGINT) n,
+          CAST(count(*) AS BIGINT) n_hours FROM per GROUP BY 1)
+SELECT per.et AS event_type, CAST(max(tot.n) AS BIGINT) n_events,
+       CAST(23 AS BIGINT) df,
+       round(sum(power(per.c - tot.n/24.0, 2) / (tot.n/24.0))
+             + (24 - max(tot.n_hours)) * (max(tot.n)/24.0), 6) chi2
+FROM per JOIN tot USING (et) GROUP BY 1"""
+
+
+def q_corpus_datasheet(spark, sf_dir):
+    """The one-row 'Datasheets for Datasets' composition block: doc /
+    lang / char / token / vocab totals, exact lower-median doc length
+    (n_chars, doc_id order — at corpus scale swap the rank window for
+    approx_percentile) and mean tokens per doc. Everything else is
+    1-row aggregates crossJoin-broadcast together."""
+    from pyspark.sql import Window
+
+    from llmaix_spark.operators.textstats import _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(F.explode(_tokens(F.col("text"))).alias("t"))
+    tk = w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("t").cast("bigint").alias("vocab"),
+    )
+    dc = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+    rw = Window.orderBy("n_chars", "doc_id")
+    med = (
+        d.select(
+            F.col("n_chars").cast("bigint").alias("p50_chars"),
+            F.row_number().over(rw).alias("rk"),
+        )
+        .crossJoin(F.broadcast(dc.select("n_docs")))
+        .where(F.col("rk") == F.floor((F.col("n_docs") + 1) / 2))
+        .select("p50_chars")
+    )
+    return (
+        dc.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(tk))
+        .select(
+            "n_docs",
+            "n_langs",
+            "total_chars",
+            "min_chars",
+            "max_chars",
+            "p50_chars",
+            "n_tokens",
+            "vocab",
+            F.round(F.col("n_tokens") * 1.0 / F.col("n_docs"), 6).alias(
+                "mean_tokens_per_doc"
+            ),
+        )
+    )
+
+
+SQL_CORPUS_DATASHEET = r"""
+WITH w AS (SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(trim(text)),'\s+'),
+             x -> length(x) > 0)) t
+           FROM documents),
+tk AS (SELECT CAST(count(*) AS BIGINT) n_tokens,
+         CAST(count(DISTINCT t) AS BIGINT) vocab FROM w),
+dc AS (SELECT CAST(count(*) AS BIGINT) n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) n_langs,
+         CAST(sum(n_chars) AS BIGINT) total_chars,
+         CAST(min(n_chars) AS BIGINT) min_chars,
+         CAST(max(n_chars) AS BIGINT) max_chars FROM documents),
+med AS (SELECT CAST(n_chars AS BIGINT) p50_chars FROM documents
+        ORDER BY n_chars, doc_id
+        LIMIT 1 OFFSET (SELECT (n_docs+1)//2 - 1 FROM dc))
+SELECT dc.n_docs, dc.n_langs, dc.total_chars, dc.min_chars, dc.max_chars,
+       med.p50_chars, tk.n_tokens, tk.vocab,
+       round(tk.n_tokens * 1.0 / dc.n_docs, 6) mean_tokens_per_doc
+FROM dc, med, tk"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -13865,6 +14294,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edge_support": q_edge_support,
     "compaction_plan": q_compaction_plan,
     "price_volume_mix": q_price_volume_mix,
+    "dedup_incremental": q_dedup_incremental,
+    "lang_divergence_js": q_lang_divergence_js,
+    "pr_gains_curve": q_pr_gains_curve,
+    "rle_lengths": q_rle_lengths,
+    "hour_uniformity": q_hour_uniformity,
+    "corpus_datasheet": q_corpus_datasheet,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -14122,6 +14557,12 @@ ORACLES: dict[str, str] = {
     "edge_support": SQL_EDGE_SUPPORT,
     "compaction_plan": SQL_COMPACTION_PLAN,
     "price_volume_mix": SQL_PRICE_VOLUME_MIX,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "lang_divergence_js": SQL_LANG_DIVERGENCE_JS,
+    "pr_gains_curve": SQL_PR_GAINS_CURVE,
+    "rle_lengths": SQL_RLE_LENGTHS,
+    "hour_uniformity": SQL_HOUR_UNIFORMITY,
+    "corpus_datasheet": SQL_CORPUS_DATASHEET,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
