@@ -14132,6 +14132,371 @@ SELECT dc.n_docs, dc.n_langs, dc.total_chars, dc.min_chars, dc.max_chars,
 FROM dc, med, tk"""
 
 
+def q_chunk_sliding(spark, sf_dir):
+    """RAG-prep sliding-window chunking: 64-token chunks at stride 32
+    (50% overlap — the retrieval-recall standard the non-overlapping
+    chunk_by_words can't give). Emits (doc_id, chunk_idx, start_tok,
+    end_tok, n_tokens, chunk_hash) — the hash stands in for the chunk
+    text so the oracle value-checks CONTENT, not just spans. One
+    narrow explode of per-doc start offsets; bind_array keeps the
+    token slice O(|doc|) per row (landmine #2)."""
+    from llmaix_spark.functions.arrays import bind_array
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    rows = d.select(
+        "doc_id",
+        bind_array(
+            toks,
+            lambda w: F.struct(
+                w.alias("w"), F.size(w).cast("bigint").alias("nt")
+            ),
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w").alias("w"), F.col("b.nt").alias("nt"))
+    starts = rows.where(F.col("nt") >= 1).select(
+        "doc_id",
+        "w",
+        "nt",
+        F.explode(
+            F.sequence(F.lit(1).cast("bigint"), F.col("nt"), F.lit(32))
+        ).alias("st"),
+    )
+    end = F.least(F.col("st") + 63, F.col("nt"))
+    chunk = F.concat_ws(" ", F.slice(F.col("w"), F.col("st"), end - F.col("st") + 1))
+    return starts.select(
+        "doc_id",
+        ((F.col("st") - 1) / 32).cast("bigint").alias("chunk_idx"),
+        F.col("st").cast("bigint").alias("start_tok"),
+        end.cast("bigint").alias("end_tok"),
+        (end - F.col("st") + 1).cast("bigint").alias("n_tokens"),
+        stable_hash60_expr(chunk).alias("chunk_hash"),
+    )
+
+
+SQL_CHUNK_SLIDING = r"""
+WITH d AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)),'\s+'),
+             x->length(x)>0) w FROM documents),
+n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) nt FROM d),
+starts AS (SELECT doc_id, w, nt,
+             unnest(range(1, CAST(nt AS BIGINT)+1, 32)) st
+           FROM n WHERE nt >= 1),
+ch AS (SELECT doc_id, CAST((st-1)//32 AS BIGINT) chunk_idx,
+         CAST(st AS BIGINT) start_tok,
+         CAST(least(st+63, nt) AS BIGINT) end_tok,
+         array_to_string(list_slice(w, st, least(st+63, nt)), ' ') chunk
+       FROM starts)
+SELECT doc_id, chunk_idx, start_tok, end_tok,
+       CAST(end_tok - start_tok + 1 AS BIGINT) n_tokens,
+       (('0x' || substring(md5(chunk), 1, 15))::BIGINT) chunk_hash
+FROM ch"""
+
+
+def q_prefix_collision(spark, sf_dir):
+    """Boilerplate-prefix detection: documents sharing an identical
+    first-16-token prefix grouped by the prefix hash — catches
+    templated/boilerplate families whose bodies diverge too much for
+    Jaccard (the prefix complement of containment_dedup). Output per
+    colliding prefix: member count and id span."""
+    from llmaix_spark.functions.arrays import bind_array
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    pre = d.select(
+        "doc_id",
+        stable_hash60_expr(
+            bind_array(
+                toks, lambda w: F.concat_ws(" ", F.slice(w, 1, 16))
+            )
+        ).alias("prefix_hash"),
+    )
+    return (
+        pre.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+SQL_PREFIX_COLLISION = r"""
+WITH p AS (SELECT doc_id,
+             (('0x' || substring(md5(array_to_string(list_slice(
+                list_filter(string_split_regex(lower(trim(text)),'\s+'),
+                            x->length(x)>0), 1, 16), ' ')), 1, 15))::BIGINT)
+               prefix_hash
+           FROM documents)
+SELECT prefix_hash, CAST(count(*) AS BIGINT) n_docs,
+       CAST(min(doc_id) AS BIGINT) min_doc,
+       CAST(max(doc_id) AS BIGINT) max_doc
+FROM p GROUP BY 1 HAVING count(*) >= 2"""
+
+
+def q_erasure_audit(spark, sf_dir):
+    """GDPR/right-to-be-forgotten propagation audit: given an erasure
+    list (user/customer key % 37 == 0 as the derived deletion set),
+    count the rows each table STILL holds for erased subjects — events
+    directly, orders by custkey, lineitem transitively through its
+    order. The compliance sweep a deletion pipeline must end with;
+    at scale the erasure list broadcasts into every probe."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") % 37 == 0)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("events").alias("tbl"), "n")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    od = (
+        orders.where(F.col("o_custkey") % 37 == 0)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("orders").alias("tbl"), "n")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                orders.where(F.col("o_custkey") % 37 == 0).select(
+                    F.col("o_orderkey").alias("l_orderkey")
+                )
+            ),
+            "l_orderkey",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("lineitem").alias("tbl"), "n")
+    )
+    return ev.unionAll(od).unionAll(li)
+
+
+SQL_ERASURE_AUDIT = """
+WITH e AS (SELECT CAST(count(*) AS BIGINT) n FROM events
+           WHERE user_id % 37 = 0),
+o AS (SELECT CAST(count(*) AS BIGINT) n FROM orders
+      WHERE o_custkey % 37 = 0),
+l AS (SELECT CAST(count(*) AS BIGINT) n FROM lineitem li
+      JOIN orders oo ON li.l_orderkey = oo.o_orderkey
+      WHERE oo.o_custkey % 37 = 0)
+SELECT 'events' tbl, n FROM e UNION ALL SELECT 'orders', n FROM o
+UNION ALL SELECT 'lineitem', n FROM l"""
+
+
+def q_ab_count_ztest(spark, sf_dir):
+    """Two-sample Welch z-test on a count metric (purchases per user)
+    between hash-assigned A/B arms — the experiment readout layer on
+    top of srm_check's integrity gate. All moments from exact integer
+    sums; the z denominator is the only float chain. One groupBy to
+    the user grain, one 2-row pivot."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("u"))
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    g = u.select(
+        F.when(
+            stable_hash60_expr(
+                F.concat(F.col("u").cast("string"), F.lit(":ab"))
+            )
+            % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("grp"),
+        "x",
+    )
+    agg = g.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    pick = lambda grp, c: F.max(  # noqa: E731
+        F.when(F.col("grp") == grp, F.col(c))
+    )
+    w = agg.agg(
+        pick("A", "n").alias("na"),
+        pick("A", "s").alias("sa"),
+        pick("A", "ss").alias("ssa"),
+        pick("B", "n").alias("nb"),
+        pick("B", "s").alias("sb"),
+        pick("B", "ss").alias("ssb"),
+    )
+    var_a = (
+        F.col("ssa") - F.col("sa").cast("double") * F.col("sa") / F.col("na")
+    ) / (F.col("na") - 1.0)
+    var_b = (
+        F.col("ssb") - F.col("sb").cast("double") * F.col("sb") / F.col("nb")
+    ) / (F.col("nb") - 1.0)
+    return w.select(
+        "na",
+        "nb",
+        F.round(F.col("sa") * 1.0 / F.col("na"), 6).alias("mean_a"),
+        F.round(F.col("sb") * 1.0 / F.col("nb"), 6).alias("mean_b"),
+        F.round(
+            (F.col("sa") * 1.0 / F.col("na") - F.col("sb") * 1.0 / F.col("nb"))
+            / F.sqrt(var_a / F.col("na") + var_b / F.col("nb")),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+SQL_AB_COUNT_ZTEST = f"""
+WITH u AS (SELECT user_id u,
+             CAST(count(*) FILTER (event_type='purchase') AS BIGINT) x
+           FROM events GROUP BY 1),
+g AS (SELECT CASE WHEN {_HASH60_SQL.format(v="CAST(u AS VARCHAR) || ':ab'")} % 2 = 0
+                  THEN 'A' ELSE 'B' END grp, x FROM u),
+agg AS (SELECT grp, CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) s,
+          CAST(sum(x*x) AS BIGINT) ss FROM g GROUP BY 1),
+w AS (SELECT
+  max(CASE WHEN grp='A' THEN n END) na, max(CASE WHEN grp='A' THEN s END) sa,
+  max(CASE WHEN grp='A' THEN ss END) ssa,
+  max(CASE WHEN grp='B' THEN n END) nb, max(CASE WHEN grp='B' THEN s END) sb,
+  max(CASE WHEN grp='B' THEN ss END) ssb
+  FROM agg)
+SELECT na, nb, round(sa*1.0/na,6) mean_a, round(sb*1.0/nb,6) mean_b,
+  round( (sa*1.0/na - sb*1.0/nb) /
+    sqrt( ((ssa - CAST(sa AS DOUBLE)*sa/na)/(na-1.0))/na
+        + ((ssb - CAST(sb AS DOUBLE)*sb/nb)/(nb-1.0))/nb ), 6) z_stat
+FROM w"""
+
+
+def q_nation_outlier_loo(spark, sf_dir):
+    """Leave-one-out z-score per nation revenue: each nation scored
+    against the mean/std of the OTHER nations (LOO removes the
+    self-masking that deflates a plain z-score when the outlier
+    inflates the pooled std). Closed form from the global (k, Σx, Σx²)
+    — decimal(38,0) squares, one broadcast of the 1-row totals."""
+    r = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(d38("cents") * d38("cents")).cast("decimal(38,0)").alias("ss"),
+    )
+    others_mean = (F.col("s") - F.col("cents")) * 1.0 / (F.col("k") - 1)
+    # ((Σx² − x²) − (Σx − x)²/(k−1)) / (k−2): the LOO sample variance,
+    # mirrors the oracle's HUGEINT/double operand order exactly
+    s_minus = F.col("s").cast("double") - F.col("cents")
+    others_var = (
+        (
+            F.col("ss").cast("double")
+            - F.col("cents").cast("double") * F.col("cents")
+        )
+        - s_minus * (F.col("s") - F.col("cents")) / (F.col("k") - 1.0)
+    ) / (F.col("k") - 2.0)
+    return r.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "cents",
+        F.round(
+            (F.col("cents") - others_mean) / F.sqrt(others_var), 6
+        ).alias("loo_z"),
+    )
+
+
+SQL_NATION_OUTLIER_LOO = """
+WITH r AS (SELECT n.n_name nation,
+             CAST(sum(CAST(round(o.o_totalprice*100,0) AS BIGINT))
+                  AS BIGINT) cents
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) k, CAST(sum(cents) AS BIGINT) s,
+          CAST(sum(CAST(cents AS HUGEINT)*cents) AS HUGEINT) ss FROM r)
+SELECT nation, cents,
+  round((cents - (s - cents)*1.0/(k-1)) /
+        sqrt( ((ss - CAST(cents AS HUGEINT)*cents)
+               - CAST((s-cents) AS HUGEINT)*(s-cents)/(k-1.0)) / (k-2.0) ),
+        6) loo_z
+FROM r, tot"""
+
+
+def q_epoch_plan(spark, sf_dir):
+    """Multilingual upsampling-epoch plan (the dual of domain_mixture's
+    downsample gate): per language, the T=2 target share, the epoch
+    multiplier target/natural capped at 4 (the standard repeat budget
+    before memorization risk), and the effective token count the
+    schedule yields. All shares from exact token counts; the Σ√ scalar
+    follows domain_mixture's sqrt convention."""
+    from llmaix_spark.operators.textstats import _tokens
+
+    c = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", F.explode(_tokens(F.col("text"))).alias("t"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+        # two consumers (share rows + the Σ√ scalar)
+        .localCheckpoint(eager=False)
+    )
+    nt = c.agg(F.sum("n_tokens").cast("bigint").alias("nt"))
+    withtot = c.crossJoin(F.broadcast(nt))
+    z = withtot.agg(
+        F.sum(F.sqrt(F.col("n_tokens") * 1.0 / F.col("nt"))).alias("z")
+    )
+    s = F.col("n_tokens") * 1.0 / F.col("nt")
+    target = F.sqrt(s) / F.col("z")
+    epochs = F.least(F.lit(4.0), target * F.col("nt") / F.col("n_tokens"))
+    return withtot.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_tokens",
+        F.round(s, 6).alias("natural_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(epochs, 6).alias("epochs"),
+        F.round(F.col("n_tokens") * epochs, 0)
+        .cast("bigint")
+        .alias("effective_tokens"),
+    )
+
+
+SQL_EPOCH_PLAN = r"""
+WITH w AS (SELECT lang, unnest(list_filter(
+             string_split_regex(lower(trim(text)),'\s+'),
+             x->length(x)>0)) t FROM documents),
+c AS (SELECT lang, CAST(count(*) AS BIGINT) n_tokens FROM w GROUP BY 1),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) nt,
+          sum(sqrt(n_tokens*1.0/(SELECT sum(n_tokens) FROM c))) z FROM c)
+SELECT lang, n_tokens,
+  round(n_tokens*1.0/nt, 6) natural_share,
+  round(sqrt(n_tokens*1.0/nt)/z, 6) target_share,
+  round(least(4.0, (sqrt(n_tokens*1.0/nt)/z) * nt / n_tokens), 6) epochs,
+  CAST(round(n_tokens * least(4.0, (sqrt(n_tokens*1.0/nt)/z) * nt
+                                   / n_tokens), 0) AS BIGINT)
+    effective_tokens
+FROM c, tot"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -14300,6 +14665,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rle_lengths": q_rle_lengths,
     "hour_uniformity": q_hour_uniformity,
     "corpus_datasheet": q_corpus_datasheet,
+    "chunk_sliding": q_chunk_sliding,
+    "prefix_collision": q_prefix_collision,
+    "erasure_audit": q_erasure_audit,
+    "ab_count_ztest": q_ab_count_ztest,
+    "nation_outlier_loo": q_nation_outlier_loo,
+    "epoch_plan": q_epoch_plan,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -14563,6 +14934,12 @@ ORACLES: dict[str, str] = {
     "rle_lengths": SQL_RLE_LENGTHS,
     "hour_uniformity": SQL_HOUR_UNIFORMITY,
     "corpus_datasheet": SQL_CORPUS_DATASHEET,
+    "chunk_sliding": SQL_CHUNK_SLIDING,
+    "prefix_collision": SQL_PREFIX_COLLISION,
+    "erasure_audit": SQL_ERASURE_AUDIT,
+    "ab_count_ztest": SQL_AB_COUNT_ZTEST,
+    "nation_outlier_loo": SQL_NATION_OUTLIER_LOO,
+    "epoch_plan": SQL_EPOCH_PLAN,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
