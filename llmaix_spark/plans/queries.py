@@ -14497,6 +14497,367 @@ SELECT lang, n_tokens,
 FROM c, tot"""
 
 
+def q_dedup_triangle_audit(spark, sf_dir):
+    """Transitivity audit of the threshold dedup graph: count 2-paths
+    (A~B~C wedges) and how many close (A~C also ≥ threshold). A low
+    closure rate means single-link CC clustering is chaining unrelated
+    docs through bridges — the canary a dedup pass checks before
+    trusting group survivors. One row: pairs, wedges, closed,
+    transitivity. Wedge join runs at the PAIR grain (near-dup pairs,
+    tiny relative to the corpus)."""
+    pairs = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), 0.5
+    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    sym = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("m"))
+    s2 = sym.select(F.col("a").alias("m"), F.col("b").alias("y"))
+    wedge = s1.join(s2, "m").where(F.col("x") < F.col("y"))
+    closing = pairs.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("y"), F.lit(1).alias("hit")
+    )
+    closed = wedge.join(closing, ["x", "y"], "left")
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    agg = closed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
+        F.sum(F.col("hit").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_closed"),
+    )
+    return agg.crossJoin(F.broadcast(n_pairs)).select(
+        "n_pairs",
+        "n_wedges",
+        "n_closed",
+        F.round(F.col("n_closed") * 1.0 / F.col("n_wedges"), 6).alias(
+            "transitivity"
+        ),
+    )
+
+
+SQL_DEDUP_TRIANGLE_AUDIT = f"""
+WITH {_TRIGRAM_SQL},
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+p AS (SELECT da, db
+      FROM common JOIN cnt na ON da = na.doc_id JOIN cnt nb ON db = nb.doc_id
+      WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5),
+sym AS (SELECT da a, db b FROM p UNION ALL SELECT db, da FROM p),
+wedge AS (SELECT s1.a x, s1.b m, s2.b y FROM sym s1 JOIN sym s2
+          ON s1.b = s2.a AND s1.a < s2.b),
+closed AS (SELECT w.x, w.y, (p2.da IS NOT NULL) is_closed
+           FROM wedge w LEFT JOIN p p2 ON p2.da = w.x AND p2.db = w.y)
+SELECT CAST((SELECT count(*) FROM p) AS BIGINT) n_pairs,
+       CAST(count(*) AS BIGINT) n_wedges,
+       CAST(count(*) FILTER (is_closed) AS BIGINT) n_closed,
+       round(count(*) FILTER (is_closed) * 1.0 / count(*), 6) transitivity
+FROM closed"""
+
+
+def q_share_of_parent(spark, sf_dir):
+    """Two-level share-of-parent rollup (the BI drilldown contract):
+    nation revenue, its share within the region, and the region's
+    share of the grand total — three grains stitched by broadcast
+    joins, exact integer cents at every level."""
+    j = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    nat = j.groupBy("nation", "region").agg(
+        F.sum("cents").cast("bigint").alias("nation_cents")
+    ).localCheckpoint(eager=False)
+    reg = nat.groupBy("region").agg(
+        F.sum("nation_cents").cast("bigint").alias("region_cents")
+    ).localCheckpoint(eager=False)
+    tot = reg.agg(F.sum("region_cents").cast("bigint").alias("t"))
+    return (
+        nat.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "region",
+            "nation_cents",
+            "region_cents",
+            F.round(
+                F.col("nation_cents") * 1.0 / F.col("region_cents"), 6
+            ).alias("share_in_region"),
+            F.round(F.col("region_cents") * 1.0 / F.col("t"), 6).alias(
+                "region_share"
+            ),
+        )
+    )
+
+
+SQL_SHARE_OF_PARENT = """
+WITH j AS (SELECT n.n_name nation, r.r_name region,
+             CAST(round(o.o_totalprice*100,0) AS BIGINT) cents
+           FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey
+                JOIN nation n ON c.c_nationkey=n.n_nationkey
+                JOIN region r ON n.n_regionkey=r.r_regionkey),
+nat AS (SELECT nation, region, CAST(sum(cents) AS BIGINT) nation_cents
+        FROM j GROUP BY 1,2),
+reg AS (SELECT region, CAST(sum(nation_cents) AS BIGINT) region_cents
+        FROM nat GROUP BY 1),
+tot AS (SELECT CAST(sum(region_cents) AS BIGINT) t FROM reg)
+SELECT nat.nation, nat.region, nat.nation_cents, reg.region_cents,
+       round(nat.nation_cents*1.0/reg.region_cents, 6) share_in_region,
+       round(reg.region_cents*1.0/(SELECT t FROM tot), 6) region_share
+FROM nat JOIN reg USING (region)"""
+
+
+def q_realized_vs_list(spark, sf_dir):
+    """Realized-vs-list price audit per brand: the gap between summed
+    realized unit prices and summed list (retail) prices — the
+    catalog-pricing health check that finally exercises
+    part.p_retailprice. Integer-cent sums; one broadcast dim join."""
+    u = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 0)
+        .join(
+            F.broadcast(_t(spark, sf_dir, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(F.col("l_extendedprice") * 100 / F.col("l_quantity"), 0)
+            .cast("bigint")
+            .alias("unit_cents"),
+            F.round(F.col("p_retailprice") * 100, 0)
+            .cast("bigint")
+            .alias("list_cents"),
+        )
+    )
+    return u.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("unit_cents").cast("bigint").alias("realized_cents"),
+        F.sum("list_cents").cast("bigint").alias("list_cents"),
+        F.round(
+            1.0 - F.sum("unit_cents") * 1.0 / F.sum("list_cents"), 6
+        ).alias("mean_gap"),
+    )
+
+
+SQL_REALIZED_VS_LIST = """
+WITH u AS (SELECT p.p_brand brand,
+             CAST(round(li.l_extendedprice*100/li.l_quantity,0) AS BIGINT)
+               unit_cents,
+             CAST(round(p.p_retailprice*100,0) AS BIGINT) list_cents
+           FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+           WHERE li.l_quantity > 0)
+SELECT brand, CAST(count(*) AS BIGINT) n_lines,
+       CAST(sum(unit_cents) AS BIGINT) realized_cents,
+       CAST(sum(list_cents) AS BIGINT) list_cents,
+       round(1.0 - sum(unit_cents)*1.0/sum(list_cents), 6) mean_gap
+FROM u GROUP BY 1"""
+
+
+def q_supplier_concentration(spark, sf_dir):
+    """Supply-chain concentration per part: supplier count, the top
+    supplier's quantity share, and the supplier HHI (Σ share² from
+    exact integer quantities — decimal squares, one division). The
+    single-source-risk scan over the rarely-touched l_suppkey axis."""
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("part_key"),
+            F.col("l_suppkey").alias("sk"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = s.groupBy("part_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("q").cast("bigint").alias("total_q"),
+        F.max("q").cast("bigint").alias("top_q"),
+        F.sum(d38("q") * d38("q")).cast("decimal(38,0)").alias("sq2"),
+    )
+    return a.select(
+        "part_key",
+        "n_suppliers",
+        "total_q",
+        F.round(F.col("top_q") * 1.0 / F.col("total_q"), 6).alias(
+            "top_share"
+        ),
+        F.round(
+            F.col("sq2").cast("double")
+            / (F.col("total_q").cast("double") * F.col("total_q")),
+            6,
+        ).alias("hhi"),
+    )
+
+
+SQL_SUPPLIER_CONCENTRATION = """
+WITH s AS (SELECT l_partkey pk, l_suppkey sk,
+             CAST(sum(CAST(round(l_quantity,0) AS BIGINT)) AS BIGINT) q
+           FROM lineitem GROUP BY 1,2),
+a AS (SELECT pk, CAST(count(*) AS BIGINT) n_suppliers,
+        CAST(sum(q) AS BIGINT) total_q, CAST(max(q) AS BIGINT) top_q,
+        CAST(sum(CAST(q AS HUGEINT)*q) AS HUGEINT) sq2
+      FROM s GROUP BY 1)
+SELECT pk AS part_key, n_suppliers, total_q,
+       round(top_q*1.0/total_q, 6) top_share,
+       round(CAST(sq2 AS DOUBLE)/(CAST(total_q AS DOUBLE)*total_q), 6) hhi
+FROM a"""
+
+
+def q_quant_error(spark, sf_dir):
+    """Reconstruction-error audit of the int8 symmetric quantization
+    (the quality gate on quantize_embeddings): per class label, the
+    summed squared error of x − round(x/scale)·scale in exact
+    pico-units (per-element quantization BEFORE the sum, so the
+    roll-up is order-independent) and the RMSE. Long-format explode +
+    one groupBy."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double")
+        ).alias("v"),
+    )
+    s = e.select(
+        "label",
+        "v",
+        (
+            F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+            / 127.0
+        ).alias("scale"),
+    )
+    u = s.select("label", "scale", F.explode("v").alias("x"))
+    err = F.col("x") - F.when(F.col("scale") == 0, 0.0).otherwise(
+        F.round(F.col("x") / F.col("scale"), 0) * F.col("scale")
+    )
+    pico = F.round(F.pow(err, 2) * 1e12, 0).cast("bigint")
+    return (
+        u.select(F.col("label").cast("bigint").alias("label_id"), pico.alias("pico"))
+        .groupBy("label_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_elems"),
+            F.sum("pico").cast("bigint").alias("sse_pico"),
+        )
+        .select(
+            "label_id",
+            "n_elems",
+            "sse_pico",
+            F.round(
+                F.sqrt(F.col("sse_pico") * 1.0 / F.col("n_elems") / 1e12),
+                9,
+            ).alias("rmse"),
+        )
+    )
+
+
+SQL_QUANT_ERROR = """
+WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+           FROM embeddings),
+s AS (SELECT vec_id, label, v,
+        list_max(list_transform(v, x -> abs(x))) / 127.0 scale FROM e),
+u AS (SELECT label, scale, unnest(v) x FROM s),
+t AS (SELECT label,
+        CAST(round(power(x - CASE WHEN scale = 0 THEN 0
+                                  ELSE round(x/scale,0)*scale END, 2)
+                   * 1e12, 0) AS BIGINT) pico
+      FROM u)
+SELECT CAST(label AS BIGINT) label_id, CAST(count(*) AS BIGINT) n_elems,
+       CAST(sum(pico) AS BIGINT) sse_pico,
+       round(sqrt(sum(pico)*1.0/count(*)/1e12), 9) rmse
+FROM t GROUP BY 1"""
+
+
+def q_repeat_bestsellers(spark, sf_dir):
+    """Recurring bestsellers: parts landing in the monthly top-20
+    revenue chart at least twice, with their hit rate over all months
+    — separates durable winners from one-month spikes. The ranking
+    window partitions by month; everything downstream is
+    map-side-combinable."""
+    from pyspark.sql import Window
+
+    m = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            (
+                F.year(F.col("l_shipdate").cast("timestamp")) * 12
+                + F.month(F.col("l_shipdate").cast("timestamp"))
+            )
+            .cast("bigint")
+            .alias("mk"),
+            F.col("l_partkey").alias("part_key"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100,
+                    0,
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+        # two consumers (ranking + month count)
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("mk").orderBy(F.desc("cents"), F.asc("part_key"))
+    hits = (
+        m.select("mk", "part_key", F.row_number().over(w).alias("r"))
+        .where(F.col("r") <= 20)
+        .groupBy("part_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_top"))
+        .where(F.col("n_top") >= 2)
+    )
+    months = m.agg(
+        F.countDistinct("mk").cast("bigint").alias("n_months")
+    )
+    return hits.crossJoin(F.broadcast(months)).select(
+        "part_key",
+        "n_top",
+        "n_months",
+        F.round(F.col("n_top") * 1.0 / F.col("n_months"), 6).alias(
+            "top_rate"
+        ),
+    )
+
+
+SQL_REPEAT_BESTSELLERS = """
+WITH m AS (SELECT CAST(year(l_shipdate)*12 + month(l_shipdate) AS BIGINT) mk,
+             l_partkey pk,
+             CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100,0)
+                           AS BIGINT)) AS BIGINT) cents
+           FROM lineitem GROUP BY 1,2),
+rk AS (SELECT mk, pk,
+         row_number() OVER (PARTITION BY mk ORDER BY cents DESC, pk) r
+       FROM m),
+months AS (SELECT CAST(count(DISTINCT mk) AS BIGINT) nm FROM m),
+hits AS (SELECT pk, CAST(count(*) AS BIGINT) n_top FROM rk
+         WHERE r <= 20 GROUP BY 1 HAVING count(*) >= 2)
+SELECT pk AS part_key, n_top, (SELECT nm FROM months) n_months,
+       round(n_top*1.0/(SELECT nm FROM months), 6) top_rate
+FROM hits"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -14671,6 +15032,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_count_ztest": q_ab_count_ztest,
     "nation_outlier_loo": q_nation_outlier_loo,
     "epoch_plan": q_epoch_plan,
+    "dedup_triangle_audit": q_dedup_triangle_audit,
+    "share_of_parent": q_share_of_parent,
+    "realized_vs_list": q_realized_vs_list,
+    "supplier_concentration": q_supplier_concentration,
+    "quant_error": q_quant_error,
+    "repeat_bestsellers": q_repeat_bestsellers,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -14940,6 +15307,12 @@ ORACLES: dict[str, str] = {
     "ab_count_ztest": SQL_AB_COUNT_ZTEST,
     "nation_outlier_loo": SQL_NATION_OUTLIER_LOO,
     "epoch_plan": SQL_EPOCH_PLAN,
+    "dedup_triangle_audit": SQL_DEDUP_TRIANGLE_AUDIT,
+    "share_of_parent": SQL_SHARE_OF_PARENT,
+    "realized_vs_list": SQL_REALIZED_VS_LIST,
+    "supplier_concentration": SQL_SUPPLIER_CONCENTRATION,
+    "quant_error": SQL_QUANT_ERROR,
+    "repeat_bestsellers": SQL_REPEAT_BESTSELLERS,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
