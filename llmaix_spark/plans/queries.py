@@ -14858,6 +14858,380 @@ SELECT pk AS part_key, n_top, (SELECT nm FROM months) n_months,
 FROM hits"""
 
 
+def q_fk_cardinality(spark, sf_dir):
+    """Referential-cardinality profile of the star schema: per FK edge
+    the child row count, distinct parents referenced, parent coverage
+    (are there cold parents?) and the max fan-in (is any parent hot?) —
+    the join-planning statistics a warehouse collects before choosing
+    broadcast vs shuffle strategies. Each leg is a pair of map-side
+    combinable aggregates; no joins at all."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cu = _t(spark, sf_dir, "customer")
+    pa = _t(spark, sf_dir, "part")
+    na = _t(spark, sf_dir, "nation")
+
+    def leg(name, child, key, parent):
+        fan = (
+            child.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").cast("bigint").alias("max_fan_in"))
+        )
+        stats = child.agg(
+            F.count(F.lit(1)).cast("bigint").alias("child_rows"),
+            F.countDistinct(key).cast("bigint").alias("parents_referenced"),
+        )
+        ptot = parent.agg(
+            F.count(F.lit(1)).cast("bigint").alias("parents_total")
+        )
+        return (
+            stats.crossJoin(F.broadcast(ptot))
+            .crossJoin(F.broadcast(fan))
+            .select(
+                F.lit(name).alias("fk"),
+                "child_rows",
+                "parents_referenced",
+                "parents_total",
+                F.round(
+                    F.col("parents_referenced") * 1.0
+                    / F.col("parents_total"),
+                    6,
+                ).alias("parent_coverage"),
+                "max_fan_in",
+            )
+        )
+
+    return (
+        leg("orders->customer", o, "o_custkey", cu)
+        .unionAll(leg("lineitem->orders", li, "l_orderkey", o))
+        .unionAll(leg("lineitem->part", li, "l_partkey", pa))
+        .unionAll(leg("customer->nation", cu, "c_nationkey", na))
+    )
+
+
+SQL_FK_CARDINALITY = """
+WITH f AS (
+  SELECT 'orders->customer' fk, CAST(count(*) AS BIGINT) child_rows,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) parents_referenced,
+         (SELECT CAST(count(*) AS BIGINT) FROM customer) parents_total,
+         (SELECT CAST(max(c) AS BIGINT)
+          FROM (SELECT count(*) c FROM orders GROUP BY o_custkey))
+           max_fan_in
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem->orders', count(*), count(DISTINCT l_orderkey),
+         (SELECT count(*) FROM orders),
+         (SELECT max(c)
+          FROM (SELECT count(*) c FROM lineitem GROUP BY l_orderkey))
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem->part', count(*), count(DISTINCT l_partkey),
+         (SELECT count(*) FROM part),
+         (SELECT max(c)
+          FROM (SELECT count(*) c FROM lineitem GROUP BY l_partkey))
+  FROM lineitem
+  UNION ALL
+  SELECT 'customer->nation', count(*), count(DISTINCT c_nationkey),
+         (SELECT count(*) FROM nation),
+         (SELECT max(c)
+          FROM (SELECT count(*) c FROM customer GROUP BY c_nationkey))
+  FROM customer)
+SELECT fk, child_rows, parents_referenced, parents_total,
+       round(parents_referenced*1.0/parents_total, 6) parent_coverage,
+       max_fan_in
+FROM f"""
+
+
+def q_topk_overlap(spark, sf_dir):
+    """Rank-stability at the set level: Jaccard overlap between the
+    top-k customers by REVENUE and by ORDER COUNT at k ∈ {10, 25, 50,
+    100} — whether 'best customers' means the same thing under two
+    metrics (spearman_corr answers this for the full ranking; @k
+    set-overlap answers it where decisions are made). Two windows over
+    the customer grain, then a 4-row k sweep."""
+    from pyspark.sql import Window
+
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    r = per.select(
+        "ck",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), F.asc("ck")))
+        .alias("rk_rev"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_orders"), F.asc("ck")))
+        .alias("rk_freq"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (10, 25, 50, 100)])).alias(
+            "k"
+        )
+    )
+    both = F.sum(
+        ((F.col("rk_rev") <= F.col("k")) & (F.col("rk_freq") <= F.col("k")))
+        .cast("bigint")
+    ).cast("bigint")
+    return (
+        r.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").cast("bigint").alias("k"))
+        .agg(both.alias("n_both"))
+        .select(
+            "k",
+            "n_both",
+            F.round(
+                F.col("n_both") * 1.0 / (2 * F.col("k") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_TOPK_OVERLAP = """
+WITH per AS (SELECT o_custkey ck, CAST(count(*) AS BIGINT) n_orders,
+               CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT))
+                    AS BIGINT) cents
+             FROM orders GROUP BY 1),
+r AS (SELECT ck,
+        row_number() OVER (ORDER BY cents DESC, ck) rk_rev,
+        row_number() OVER (ORDER BY n_orders DESC, ck) rk_freq
+      FROM per),
+ks AS (SELECT unnest([10,25,50,100]) k)
+SELECT CAST(k AS BIGINT) k,
+  CAST(count(*) FILTER (rk_rev <= k AND rk_freq <= k) AS BIGINT) n_both,
+  round(count(*) FILTER (rk_rev <= k AND rk_freq <= k) * 1.0 /
+        (2*k - count(*) FILTER (rk_rev <= k AND rk_freq <= k)), 6) jaccard
+FROM r, ks GROUP BY k"""
+
+
+def q_dedup_rate_by_source(spark, sf_dir):
+    """Dedup composition readout: per language, the share of documents
+    that belong to any ≥-threshold near-dup pair — which slices of the
+    corpus are redundant (feeds the epoch/mixture planners). Exact
+    pair generator (oracle path); the member set is a distinct over
+    the (tiny) pair list."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, 0.5)
+    dup = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(dup), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("is_dup").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_dup_members"),
+            F.round(
+                F.sum(F.col("is_dup").isNotNull().cast("bigint"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+SQL_DEDUP_RATE_BY_SOURCE = f"""
+WITH {_TRIGRAM_SQL},
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+p AS (SELECT da, db
+      FROM common JOIN cnt na ON da = na.doc_id JOIN cnt nb ON db = nb.doc_id
+      WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5),
+dup AS (SELECT da doc_id FROM p UNION SELECT db FROM p)
+SELECT d2.lang, CAST(count(*) AS BIGINT) n_docs,
+       CAST(count(dup.doc_id) AS BIGINT) n_dup_members,
+       round(count(dup.doc_id)*1.0/count(*), 6) dup_rate
+FROM documents d2 LEFT JOIN dup ON d2.doc_id = dup.doc_id
+GROUP BY 1"""
+
+
+def q_emd_segments(spark, sf_dir):
+    """Exact 1-D earth mover's distance between the BUILDING segment's
+    order-value distribution and everyone else's — the integral
+    companion of ks_statistic's max-gap. The trapezoid sum
+    Σ |cumA·nb − cumB·na| · gap accumulates in decimal(38,0) — EXACT
+    integers, order-independent — and divides by na·nb·100 once at
+    the end. One value-grain window (bounded by distinct cent values);
+    the 1-row counts broadcast."""
+    from pyspark.sql import Window
+
+    x = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("v"),
+            (F.col("c_mktsegment") == "BUILDING").alias("is_a"),
+        )
+    )
+    n = x.agg(
+        F.sum(F.col("is_a").cast("bigint")).cast("bigint").alias("na"),
+        F.sum((~F.col("is_a")).cast("bigint")).cast("bigint").alias("nb"),
+    )
+    g = x.groupBy("v").agg(
+        F.sum(F.col("is_a").cast("bigint")).cast("bigint").alias("ca"),
+        F.sum((~F.col("is_a")).cast("bigint")).cast("bigint").alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        "v",
+        F.sum("ca").over(w).cast("bigint").alias("cum_a"),
+        F.sum("cb").over(w).cast("bigint").alias("cum_b"),
+        F.lead("v").over(Window.orderBy("v")).alias("next_v"),
+    )
+    d38 = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    term = F.abs(
+        d38("cum_a") * d38("nb") - d38("cum_b") * d38("na")
+    ) * (d38("next_v") - d38("v"))
+    agg = (
+        c.where(F.col("next_v").isNotNull())
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.max("na").cast("bigint").alias("na"),
+            F.max("nb").cast("bigint").alias("nb"),
+            F.sum(term).cast("decimal(38,0)").alias("s"),
+        )
+    )
+    return agg.select(
+        "na",
+        "nb",
+        F.round(
+            F.col("s").cast("double")
+            / (F.col("na").cast("double") * F.col("nb"))
+            / 100.0,
+            6,
+        ).alias("emd_dollars"),
+    )
+
+
+SQL_EMD_SEGMENTS = """
+WITH x AS (SELECT CAST(round(o.o_totalprice*100,0) AS BIGINT) v,
+             (c.c_mktsegment = 'BUILDING') is_a
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+n AS (SELECT CAST(count(*) FILTER (is_a) AS BIGINT) na,
+        CAST(count(*) FILTER (NOT is_a) AS BIGINT) nb FROM x),
+g AS (SELECT v, CAST(count(*) FILTER (is_a) AS BIGINT) ca,
+        CAST(count(*) FILTER (NOT is_a) AS BIGINT) cb
+      FROM x GROUP BY 1),
+c AS (SELECT v,
+        sum(ca) OVER (ORDER BY v) cum_a, sum(cb) OVER (ORDER BY v) cum_b,
+        lead(v) OVER (ORDER BY v) next_v
+      FROM g),
+s AS (SELECT CAST(sum(abs(CAST(cum_a AS HUGEINT)*(SELECT nb FROM n)
+                          - CAST(cum_b AS HUGEINT)*(SELECT na FROM n))
+                      * (next_v - v)) AS HUGEINT) s
+      FROM c WHERE next_v IS NOT NULL)
+SELECT (SELECT na FROM n) na, (SELECT nb FROM n) nb,
+  round(CAST(s AS DOUBLE)
+        / (CAST((SELECT na FROM n) AS DOUBLE) * (SELECT nb FROM n))
+        / 100.0, 6) emd_dollars
+FROM s"""
+
+
+def q_hill_tail(spark, sf_dir):
+    """Hill tail-index estimate on the top-250 order values:
+    α̂ = 1 / mean(ln(x_i / x_k)) — the heavy-tail exponent a capacity
+    planner needs (zipf_fit answers it for token ranks; Hill answers
+    it for value tails). Per-term ln rounded to 9dp (libm ulp). The
+    global rank window is the small-SF oracle shape — at scale take
+    the top k+1 with a TakeOrdered/limit instead."""
+    from pyspark.sql import Window
+
+    x = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v")
+    )
+    r = x.select(
+        "v", F.row_number().over(Window.orderBy(F.desc("v"))).alias("rk")
+    ).localCheckpoint(eager=False)
+    thr = r.where(F.col("rk") == 251).select(F.col("v").alias("xk"))
+    logs = (
+        r.where(F.col("rk") <= 250)
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.round(F.log(F.col("v") * 1.0 / F.col("xk")), 9).alias("lg"),
+            "xk",
+        )
+    )
+    return logs.agg(
+        F.lit(250).cast("bigint").alias("k"),
+        F.max("xk").cast("bigint").alias("x_k"),
+        F.round(1.0 / F.avg("lg"), 6).alias("hill_alpha"),
+    )
+
+
+SQL_HILL_TAIL = """
+WITH x AS (SELECT CAST(round(o_totalprice*100,0) AS BIGINT) v FROM orders),
+r AS (SELECT v, row_number() OVER (ORDER BY v DESC) rk FROM x),
+thr AS (SELECT v xk FROM r WHERE rk = 251),
+logs AS (SELECT round(ln(r.v*1.0/(SELECT xk FROM thr)), 9) lg,
+                (SELECT xk FROM thr) xk
+         FROM r WHERE rk <= 250)
+SELECT CAST(250 AS BIGINT) k, CAST(max(xk) AS BIGINT) x_k,
+       round(1.0/avg(lg), 6) hill_alpha
+FROM logs"""
+
+
+def q_promo_share_trend(spark, sf_dir):
+    """Monthly share of revenue sold under ANY discount — the
+    promotion-dependence trend a pricing team watches. One map-side
+    combinable groupBy on exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (
+            F.year(F.col("l_shipdate").cast("timestamp")) * 12
+            + F.month(F.col("l_shipdate").cast("timestamp"))
+        )
+        .cast("bigint")
+        .alias("mk"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("l_discount") > 0).alias("promo"),
+    )
+    return li.groupBy("mk").agg(
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.when(F.col("promo"), F.col("cents")))
+        .cast("bigint")
+        .alias("promo_cents"),
+        F.round(
+            F.sum(F.when(F.col("promo"), F.col("cents"))) * 1.0
+            / F.sum("cents"),
+            6,
+        ).alias("promo_share"),
+    )
+
+
+SQL_PROMO_SHARE_TREND = """
+WITH li AS (SELECT CAST(year(l_shipdate)*12 + month(l_shipdate) AS BIGINT)
+              mk,
+              CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)
+                cents,
+              (l_discount > 0) promo
+            FROM lineitem)
+SELECT mk, CAST(sum(cents) AS BIGINT) total_cents,
+       CAST(sum(cents) FILTER (promo) AS BIGINT) promo_cents,
+       round(sum(cents) FILTER (promo) * 1.0 / sum(cents), 6) promo_share
+FROM li GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -15038,6 +15412,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_concentration": q_supplier_concentration,
     "quant_error": q_quant_error,
     "repeat_bestsellers": q_repeat_bestsellers,
+    "fk_cardinality": q_fk_cardinality,
+    "topk_overlap": q_topk_overlap,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
+    "emd_segments": q_emd_segments,
+    "hill_tail": q_hill_tail,
+    "promo_share_trend": q_promo_share_trend,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -15313,6 +15693,12 @@ ORACLES: dict[str, str] = {
     "supplier_concentration": SQL_SUPPLIER_CONCENTRATION,
     "quant_error": SQL_QUANT_ERROR,
     "repeat_bestsellers": SQL_REPEAT_BESTSELLERS,
+    "fk_cardinality": SQL_FK_CARDINALITY,
+    "topk_overlap": SQL_TOPK_OVERLAP,
+    "dedup_rate_by_source": SQL_DEDUP_RATE_BY_SOURCE,
+    "emd_segments": SQL_EMD_SEGMENTS,
+    "hill_tail": SQL_HILL_TAIL,
+    "promo_share_trend": SQL_PROMO_SHARE_TREND,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
