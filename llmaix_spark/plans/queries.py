@@ -15232,6 +15232,452 @@ SELECT mk, CAST(sum(cents) AS BIGINT) total_cents,
 FROM li GROUP BY 1"""
 
 
+def q_minhash_calibration(spark, sf_dir):
+    """Calibration audit of the MinHash estimator itself: on every
+    exact-verified pair (J ≥ 0.5), compare the 16-function signature
+    agreement rate ĵ = matches/16 against the exact Jaccard — the
+    bias/MAE readout that justifies the banding thresholds the LSH
+    operators run with. One row. Signatures and exact pairs share the
+    shingle machinery; the pair table is tiny, signatures broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, 0.5)
+    sigs = dd.doc_minhash_signatures(docs)
+    k = len(_MINHASH_AB)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)
+    )
+    est = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("jaccard", (agree / float(k)).alias("jhat"))
+    )
+    diff = F.col("jhat") - F.col("jaccard")
+    return est.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg(diff), 6).alias("mean_bias"),
+        F.round(F.avg(F.abs(diff)), 6).alias("mae"),
+        F.round(F.max(F.abs(diff)), 6).alias("max_abs_err"),
+    )
+
+
+def _minhash_calibration_sql() -> str:
+    h = f"({_HASH60_SQL.format(v='s')} % {_P})"
+    mins = ", ".join(
+        f"min(({a} * {h} + {b}) % {_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    )
+    agree = " + ".join(
+        f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(len(_MINHASH_AB))
+    )
+    return f"""
+WITH {_TRIGRAM_SQL},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+p AS (SELECT da, db, round(c*1.0/(na.n + nb.n - c), 6) j
+      FROM common JOIN cnt na ON da=na.doc_id JOIN cnt nb ON db=nb.doc_id
+      WHERE c*1.0/(na.n + nb.n - c) >= 0.5),
+est AS (SELECT p.j, ({agree})/16.0 jhat
+        FROM p JOIN sig sa ON sa.doc_id = p.da
+               JOIN sig sb ON sb.doc_id = p.db)
+SELECT CAST(count(*) AS BIGINT) n_pairs,
+       round(avg(jhat - j), 6) mean_bias,
+       round(avg(abs(jhat - j)), 6) mae,
+       round(max(abs(jhat - j)), 6) max_abs_err
+FROM est"""
+
+
+SQL_MINHASH_CALIBRATION = _minhash_calibration_sql()
+
+
+def q_dq_rules(spark, sf_dir):
+    """Declarative data-quality rule engine (the deequ-shaped surface):
+    a fixed rule table evaluated in one pass per target —
+    positivity, range, uniqueness, null-rate, FK coverage — each row
+    reporting the observed metric (6dp rate) and the verdict. Every
+    rule is a map-side-combinable aggregate; no joins except the FK
+    probe, which broadcasts the parent keys."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cu = _t(spark, sf_dir, "customer")
+    docs = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+
+    def rule(name, df, metric, passed):
+        return df.agg(
+            F.lit(name).alias("rule_name"),
+            F.round(metric, 6).alias("observed"),
+            passed.alias("passed"),
+        )
+
+    share = lambda cond: F.sum(cond.cast("bigint")) / F.count(F.lit(1))  # noqa: E731
+    r1 = rule(
+        "orders.totalprice > 0",
+        o,
+        share(F.col("o_totalprice") > 0),
+        (F.sum((F.col("o_totalprice") <= 0).cast("bigint")) == 0),
+    )
+    r2 = rule(
+        "lineitem.quantity in [0,100]",
+        li,
+        share(F.col("l_quantity").between(0, 100)),
+        (
+            F.sum((~F.col("l_quantity").between(0, 100)).cast("bigint"))
+            == 0
+        ),
+    )
+    r3 = rule(
+        "customer.custkey unique",
+        cu,
+        F.countDistinct("c_custkey") / F.count(F.lit(1)),
+        (F.countDistinct("c_custkey") == F.count(F.lit(1))),
+    )
+    r4 = rule(
+        "events.event_id unique",
+        ev,
+        F.countDistinct("event_id") / F.count(F.lit(1)),
+        (F.countDistinct("event_id") == F.count(F.lit(1))),
+    )
+    r5 = rule(
+        "documents.text not null",
+        docs,
+        share(F.col("text").isNotNull()),
+        (F.sum(F.col("text").isNull().cast("bigint")) == 0),
+    )
+    fk = o.join(
+        F.broadcast(
+            cu.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.lit(1).alias("_pk"),
+            )
+        ),
+        "o_custkey",
+        "left",
+    ).select(F.col("_pk").isNotNull().alias("_hit"))
+    r6 = rule(
+        "orders.custkey fk-covered",
+        fk,
+        share(F.col("_hit")),
+        (F.sum((~F.col("_hit")).cast("bigint")) == 0),
+    )
+    return r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5).unionAll(r6)
+
+
+SQL_DQ_RULES = """
+SELECT 'orders.totalprice > 0' rule_name,
+       round(count(*) FILTER (o_totalprice > 0) * 1.0 / count(*), 6)
+         observed,
+       count(*) FILTER (o_totalprice <= 0) = 0 passed
+FROM orders
+UNION ALL
+SELECT 'lineitem.quantity in [0,100]',
+       round(count(*) FILTER (l_quantity BETWEEN 0 AND 100) * 1.0
+             / count(*), 6),
+       count(*) FILTER (l_quantity NOT BETWEEN 0 AND 100) = 0
+FROM lineitem
+UNION ALL
+SELECT 'customer.custkey unique',
+       round(count(DISTINCT c_custkey) * 1.0 / count(*), 6),
+       count(DISTINCT c_custkey) = count(*)
+FROM customer
+UNION ALL
+SELECT 'events.event_id unique',
+       round(count(DISTINCT event_id) * 1.0 / count(*), 6),
+       count(DISTINCT event_id) = count(*)
+FROM events
+UNION ALL
+SELECT 'documents.text not null',
+       round(count(*) FILTER (text IS NOT NULL) * 1.0 / count(*), 6),
+       count(*) FILTER (text IS NULL) = 0
+FROM documents
+UNION ALL
+SELECT 'orders.custkey fk-covered',
+       round(count(c.c_custkey) * 1.0 / count(*), 6),
+       count(*) - count(c.c_custkey) = 0
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"""
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Embedding drift audit: per label, the cosine between the
+    centroid of the EARLY half (even vec_id, standing in for the old
+    snapshot) and the LATE half — 'did the class mean move between
+    refreshes'. Same micro-quantized exact-sum convention as
+    label_centroid_cosine; here the halves of one class compare
+    instead of two classes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("early"),
+        F.col("label").cast("bigint").alias("label_id"),
+        F.posexplode("embedding").alias("d", "v"),
+    )
+    qv = F.round(F.col("v").cast("double") * 1_000_000, 0).cast("bigint")
+    s = x.groupBy("label_id", "d").agg(
+        F.sum(F.when(F.col("early"), qv)).cast("bigint").alias("se"),
+        F.sum(F.when(~F.col("early"), qv)).cast("bigint").alias("sl"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cos = s.groupBy("label_id").agg(
+        F.sum(d38("se") * d38("sl")).alias("_dot"),
+        F.sum(d38("se") * d38("se")).alias("_ne"),
+        F.sum(d38("sl") * d38("sl")).alias("_nl"),
+    )
+    n = emb.groupBy(F.col("label").cast("bigint").alias("label_id")).agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_early"),
+        F.sum((F.col("vec_id") % 2 != 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_late"),
+    )
+    return cos.join(F.broadcast(n), "label_id").select(
+        "label_id",
+        "n_early",
+        "n_late",
+        F.round(
+            F.col("_dot").cast("double")
+            / (
+                F.sqrt(F.col("_ne").cast("double"))
+                * F.sqrt(F.col("_nl").cast("double"))
+            ),
+            6,
+        ).alias("half_cosine"),
+    )
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH x AS (SELECT vec_id % 2 = 0 early, label,
+             generate_subscripts(embedding,1) d,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE)*1000000,0)
+                  AS BIGINT) q
+           FROM embeddings),
+s AS (SELECT CAST(label AS BIGINT) label_id, d,
+        CAST(sum(q) FILTER (early) AS BIGINT) se,
+        CAST(sum(q) FILTER (NOT early) AS BIGINT) sl
+      FROM x GROUP BY 1,2),
+n AS (SELECT CAST(label AS BIGINT) label_id,
+        CAST(count(*) FILTER (vec_id % 2 = 0) AS BIGINT) n_early,
+        CAST(count(*) FILTER (vec_id % 2 <> 0) AS BIGINT) n_late
+      FROM embeddings GROUP BY 1)
+SELECT s.label_id, max(n.n_early) n_early, max(n.n_late) n_late,
+  round(sum(CAST(se AS HUGEINT)*sl) /
+        (sqrt(CAST(sum(CAST(se AS HUGEINT)*se) AS DOUBLE))
+         * sqrt(CAST(sum(CAST(sl AS HUGEINT)*sl) AS DOUBLE))), 6)
+    half_cosine
+FROM s JOIN n USING (label_id) GROUP BY 1"""
+
+
+def q_conformal_bound(spark, sf_dir):
+    """Split-conformal prediction bound per segment: calibration half
+    (hash-split on order key) fits the segment-mean predictor and the
+    90% residual quantile q̂ (the ceil((n+1)·0.9)-th order statistic);
+    the held-out half reports empirical coverage of |y − ŷ| ≤ q̂ —
+    the distribution-free uncertainty readout. Rank windows partition
+    by segment; everything upstream is exact integers."""
+    from pyspark.sql import Window
+
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    j = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("v"),
+            (
+                stable_hash60_expr(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"), F.lit(":conf")
+                    )
+                )
+                % 2
+                == 0
+            ).alias("is_cal"),
+        )
+    )
+    mu = (
+        j.where("is_cal")
+        .groupBy("seg")
+        .agg(
+            F.sum("v").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    resid = j.join(F.broadcast(mu), "seg").select(
+        "seg",
+        "is_cal",
+        F.abs(F.col("v") - F.col("s") * 1.0 / F.col("n")).alias("r"),
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("seg").orderBy("r")
+    qh = (
+        resid.where("is_cal")
+        .select(
+            "seg",
+            "r",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("seg"))
+            .alias("n"),
+        )
+        .where(F.col("rk") == F.ceil(0.9 * (F.col("n") + 1)))
+        .select("seg", F.col("r").alias("qhat"))
+    )
+    test = (
+        resid.where(~F.col("is_cal"))
+        .join(F.broadcast(qh), "seg")
+        .groupBy("seg")
+        .agg(
+            F.max("qhat").alias("qhat"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum((F.col("r") <= F.col("qhat")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return test.select(
+        "seg",
+        F.round(F.col("qhat") / 100.0, 6).alias("qhat_dollars"),
+        "n_test",
+        F.round(F.col("n_covered") * 1.0 / F.col("n_test"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+SQL_CONFORMAL_BOUND = f"""
+WITH j AS (SELECT c.c_mktsegment seg,
+             CAST(round(o.o_totalprice*100,0) AS BIGINT) v,
+             ({_HASH60_SQL.format(v="CAST(o.o_orderkey AS VARCHAR) || ':conf'")} % 2 = 0)
+               is_cal
+           FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey),
+mu AS (SELECT seg, CAST(sum(v) AS BIGINT) s, CAST(count(*) AS BIGINT) n
+       FROM j WHERE is_cal GROUP BY 1),
+resid AS (SELECT j.seg, j.is_cal, abs(j.v - mu.s*1.0/mu.n) r
+          FROM j JOIN mu USING (seg)),
+qh AS (SELECT seg, r qhat FROM (
+         SELECT seg, r,
+                row_number() OVER (PARTITION BY seg ORDER BY r) rk,
+                count(*) OVER (PARTITION BY seg) n
+         FROM resid WHERE is_cal)
+       WHERE rk = CAST(ceil(0.9*(n+1)) AS BIGINT))
+SELECT t.seg, round(max(q.qhat)/100.0, 6) qhat_dollars,
+       CAST(count(*) AS BIGINT) n_test,
+       round(count(*) FILTER (t.r <= q.qhat) * 1.0 / count(*), 6) coverage
+FROM resid t JOIN qh q USING (seg)
+WHERE NOT t.is_cal GROUP BY 1"""
+
+
+def q_boilerplate_score(spark, sf_dir):
+    """Per-document boilerplate mass: the share of a doc's distinct
+    trigrams that occur in ≥ 5 documents corpus-wide (document
+    frequency of the shingle) — high-share docs are template/listing
+    pages a quality filter should drop even when no single near-dup
+    twin exists. Shingle DF is one map-side-combinable groupBy; the
+    threshold applies to the ROUNDED share."""
+    sh = dd.word_shingles(
+        _t(spark, sf_dir, "documents"), 3
+    ).localCheckpoint(eager=False)
+    df_ = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    per = (
+        sh.join(df_, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+            F.sum((F.col("df") >= 5).cast("bigint"))
+            .cast("bigint")
+            .alias("n_common"),
+        )
+    )
+    share = F.round(F.col("n_common") * 1.0 / F.col("n_sh"), 6)
+    return per.withColumn("boilerplate_share", share).where(
+        F.col("boilerplate_share") >= 0.05
+    )
+
+
+SQL_BOILERPLATE_SCORE = f"""
+WITH {_TRIGRAM_SQL},
+df AS (SELECT s, count(*) df FROM sh GROUP BY 1),
+per AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) n_sh,
+          CAST(count(*) FILTER (df.df >= 5) AS BIGINT) n_common
+        FROM sh JOIN df USING (s) GROUP BY 1)
+SELECT doc_id, n_sh, n_common,
+       round(n_common*1.0/n_sh, 6) boilerplate_share
+FROM per WHERE round(n_common*1.0/n_sh, 6) >= 0.05"""
+
+
+def q_shingle_size_sensitivity(spark, sf_dir):
+    """Parameter-sensitivity audit of the dedup threshold: exact
+    Jaccard pairs at trigram vs 5-gram shingles, full-outer joined —
+    which near-dup pairs survive a stricter shingle size (5-grams
+    demand longer verbatim runs). Both generators share
+    word_shingles; missing side reported as −1 so the row stays
+    value-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    p3 = dd.ngram_jaccard_pairs(docs, 0.5, n=3).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("j3")
+    )
+    p5 = dd.ngram_jaccard_pairs(docs, 0.5, n=5).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("j5")
+    )
+    return p3.join(p5, ["doc_a", "doc_b"], "full_outer").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("j3", F.lit(-1.0)).alias("j3"),
+        F.coalesce("j5", F.lit(-1.0)).alias("j5"),
+        (F.col("j3").isNotNull() & F.col("j5").isNotNull()).alias(
+            "in_both"
+        ),
+    )
+
+
+def _ngram_sql(n: int) -> str:
+    """_TRIGRAM_SQL generalized to word n-grams: CTEs d2/tok2/g{n}/shN/
+    cntN with suffixed names so two sizes can coexist in one WITH."""
+    leads = " || ' ' || ".join(
+        ["t"] + [f"lead(t, {j}) OVER win" for j in range(1, n)]
+    )
+    return f"""
+g{n} AS (SELECT doc_id, {leads} AS s, lead(t, {n - 1}) OVER win AS lN
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+sh{n} AS (SELECT DISTINCT doc_id, s FROM g{n} WHERE lN IS NOT NULL),
+cnt{n} AS (SELECT doc_id, count(*) n FROM sh{n} GROUP BY 1)"""
+
+
+SQL_SHINGLE_SIZE_SENSITIVITY = f"""
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
+{_ngram_sql(3).strip()},
+{_ngram_sql(5).strip()},
+c3 AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh3 a
+       JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+p3 AS (SELECT da, db, round(c*1.0/(na.n + nb.n - c), 6) j3
+       FROM c3 JOIN cnt3 na ON da=na.doc_id JOIN cnt3 nb ON db=nb.doc_id
+       WHERE c*1.0/(na.n + nb.n - c) >= 0.5),
+c5 AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh5 a
+       JOIN sh5 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+p5 AS (SELECT da, db, round(c*1.0/(na.n + nb.n - c), 6) j5
+       FROM c5 JOIN cnt5 na ON da=na.doc_id JOIN cnt5 nb ON db=nb.doc_id
+       WHERE c*1.0/(na.n + nb.n - c) >= 0.5)
+SELECT coalesce(p3.da, p5.da) doc_a, coalesce(p3.db, p5.db) doc_b,
+       coalesce(j3, -1.0) j3, coalesce(j5, -1.0) j5,
+       (j3 IS NOT NULL AND j5 IS NOT NULL) in_both
+FROM p3 FULL OUTER JOIN p5 ON p3.da = p5.da AND p3.db = p5.db"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -15418,6 +15864,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emd_segments": q_emd_segments,
     "hill_tail": q_hill_tail,
     "promo_share_trend": q_promo_share_trend,
+    "minhash_calibration": q_minhash_calibration,
+    "dq_rules": q_dq_rules,
+    "embedding_drift": q_embedding_drift,
+    "conformal_bound": q_conformal_bound,
+    "boilerplate_score": q_boilerplate_score,
+    "shingle_size_sensitivity": q_shingle_size_sensitivity,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -15699,6 +16151,12 @@ ORACLES: dict[str, str] = {
     "emd_segments": SQL_EMD_SEGMENTS,
     "hill_tail": SQL_HILL_TAIL,
     "promo_share_trend": SQL_PROMO_SHARE_TREND,
+    "minhash_calibration": SQL_MINHASH_CALIBRATION,
+    "dq_rules": SQL_DQ_RULES,
+    "embedding_drift": SQL_EMBEDDING_DRIFT,
+    "conformal_bound": SQL_CONFORMAL_BOUND,
+    "boilerplate_score": SQL_BOILERPLATE_SCORE,
+    "shingle_size_sensitivity": SQL_SHINGLE_SIZE_SENSITIVITY,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
