@@ -15678,6 +15678,419 @@ SELECT coalesce(p3.da, p5.da) doc_a, coalesce(p3.db, p5.db) doc_b,
 FROM p3 FULL OUTER JOIN p5 ON p3.da = p5.da AND p3.db = p5.db"""
 
 
+def q_segment_trend_ols(spark, sf_dir):
+    """Grouped exact OLS: per market segment, the revenue-per-month
+    slope in dollars from the closed form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    — every moment an exact integer (x is the month index offset to
+    the corpus min, y integer cents; decimal products), one float
+    division at the end. The grouped counterpart of the global exact
+    OLS/Theil-Sen trends."""
+    m = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            (
+                F.year(F.col("o_orderdate").cast("timestamp")) * 12
+                + F.month(F.col("o_orderdate").cast("timestamp"))
+            )
+            .cast("bigint")
+            .alias("mk"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+        # two consumers: min(mk) scalar + the regression rows
+        .localCheckpoint(eager=False)
+    )
+    mn = m.agg(F.min("mk").alias("mk0"))
+    z = m.crossJoin(F.broadcast(mn)).select(
+        "seg", (F.col("mk") - F.col("mk0")).alias("x"), "y"
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = z.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(d38("x") * d38("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxy")
+        - d38("sx") * d38("sy")
+    ).cast("double")
+    den = (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return agg.select(
+        "seg",
+        "n",
+        F.round(num / den / 100.0, 6).alias("slope_dollars_per_month"),
+    )
+
+
+SQL_SEGMENT_TREND_OLS = """
+WITH m AS (SELECT c.c_mktsegment seg,
+             CAST(year(o.o_orderdate)*12 + month(o.o_orderdate) AS BIGINT)
+               mk,
+             CAST(round(o.o_totalprice*100,0) AS BIGINT) cents
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+g AS (SELECT seg, mk, CAST(sum(cents) AS BIGINT) y FROM m GROUP BY 1,2),
+z AS (SELECT seg, mk - (SELECT min(mk) FROM g) x, y FROM g),
+agg AS (SELECT seg, CAST(count(*) AS BIGINT) n,
+          CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+          CAST(sum(x*x) AS BIGINT) sxx,
+          CAST(sum(CAST(x AS HUGEINT)*y) AS HUGEINT) sxy
+        FROM z GROUP BY 1)
+SELECT seg, n,
+  round(CAST(n*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+        / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) / 100.0, 6)
+    slope_dollars_per_month
+FROM agg"""
+
+
+def q_split_parity_psi(spark, sf_dir):
+    """Split-parity audit: PSI of the doc-length histogram between the
+    TRAIN slice of the deterministic hash split and the rest — 'is my
+    held-out set distributionally like training'. Fixed 64-char bins
+    capped at 8, Laplace-smoothed shares, per-bin ln rounded to 9dp
+    (libm ulp). One groupBy + a 9-row aggregate."""
+    from llmaix_spark.operators.curation import dataset_split
+
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.join(dataset_split(docs), "doc_id").select(
+        "n_chars", (F.col("split") == "train").alias("is_train")
+    )
+    b = s.select(
+        F.least(
+            (F.col("n_chars") / 64).cast("bigint"), F.lit(8).cast("bigint")
+        ).alias("bin"),
+        "is_train",
+    )
+    c = b.groupBy("bin").agg(
+        F.sum(F.col("is_train").cast("bigint")).cast("bigint").alias("ct"),
+        F.sum((~F.col("is_train")).cast("bigint"))
+        .cast("bigint")
+        .alias("ch"),
+    )
+    n = c.agg(
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.sum("ch").cast("bigint").alias("nh"),
+    )
+    pt = (F.col("ct") + 0.5) / (F.col("nt").cast("double") + 0.5 * 9)
+    ph = (F.col("ch") + 0.5) / (F.col("nh").cast("double") + 0.5 * 9)
+    return (
+        c.crossJoin(F.broadcast(n))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.round(
+                F.sum((pt - ph) * F.round(F.log(pt / ph), 9)), 6
+            ).alias("psi"),
+        )
+    )
+
+
+SQL_SPLIT_PARITY_PSI = f"""
+WITH s AS (SELECT n_chars,
+    CASE WHEN {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9000 THEN 'train'
+         WHEN {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9500 THEN 'val'
+         ELSE 'test' END split
+  FROM documents),
+b AS (SELECT split, least(CAST(n_chars // 64 AS BIGINT), 8) bin FROM s),
+c AS (SELECT bin,
+        CAST(count(*) FILTER (split = 'train') AS BIGINT) ct,
+        CAST(count(*) FILTER (split <> 'train') AS BIGINT) ch
+      FROM b GROUP BY 1),
+n AS (SELECT CAST(sum(ct) AS BIGINT) nt, CAST(sum(ch) AS BIGINT) nh FROM c),
+t AS (SELECT bin,
+        (ct + 0.5) / (CAST((SELECT nt FROM n) AS DOUBLE) + 0.5*9) pt,
+        (ch + 0.5) / (CAST((SELECT nh FROM n) AS DOUBLE) + 0.5*9) ph
+      FROM c)
+SELECT CAST(count(*) AS BIGINT) n_bins,
+  round(sum((pt - ph) * round(ln(pt/ph), 9)), 6) psi
+FROM t"""
+
+
+def q_transition_dwell(spark, sf_dir):
+    """Per-transition dwell time: the exact lower-median gap (seconds)
+    between consecutive DIFFERENT event types per user, at the
+    (from, to) pair grain — the timing layer events_transitions'
+    probability matrix lacks. Rank window partitions by the pair."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("a"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("u").orderBy("us", "event_id")
+    s = e.select(
+        "a",
+        F.lead("a").over(w).alias("b"),
+        (F.lead("us").over(w) - F.col("us")).alias("gap_us"),
+    )
+    p = s.where(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    pw = Window.partitionBy("a", "b").orderBy("gap_us")
+    r = p.select(
+        "a",
+        "b",
+        "gap_us",
+        F.row_number().over(pw).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("a", "b")).alias("n"),
+    )
+    return (
+        r.groupBy(F.col("a").alias("from_type"), F.col("b").alias("to_type"))
+        .agg(
+            F.max("n").cast("bigint").alias("n_transitions"),
+            (
+                F.max(
+                    F.when(
+                        F.col("rk") == F.floor((F.col("n") + 1) / 2),
+                        F.col("gap_us"),
+                    )
+                )
+                / 1000000
+            )
+            .cast("bigint")
+            .alias("p50_gap_sec"),
+        )
+    )
+
+
+SQL_TRANSITION_DWELL = """
+WITH e AS (SELECT user_id u, event_type et, epoch_us(ts) us, event_id eid
+           FROM events),
+s AS (SELECT u, et a, lead(et) OVER w b, lead(us) OVER w - us gap_us
+      FROM e WINDOW w AS (PARTITION BY u ORDER BY us, eid)),
+p AS (SELECT a, b, gap_us FROM s WHERE b IS NOT NULL AND a <> b),
+r AS (SELECT a, b, gap_us,
+        row_number() OVER (PARTITION BY a, b ORDER BY gap_us) rk,
+        count(*) OVER (PARTITION BY a, b) n
+      FROM p)
+SELECT a AS from_type, b AS to_type, CAST(max(n) AS BIGINT) n_transitions,
+       CAST(max(CASE WHEN rk = (n+1)//2 THEN gap_us END)//1000000
+            AS BIGINT) p50_gap_sec
+FROM r GROUP BY 1,2"""
+
+
+def q_embedding_coverage(spark, sf_dir):
+    """Embedding-table conformance audit: vector count, key
+    distinctness, dimension consistency, and coverage of the documents
+    table by vec_id ↔ doc_id — the join-health gate a retrieval
+    pipeline runs before trusting ANN answers. All 1-row aggregates
+    crossJoin-broadcast; the coverage probe broadcasts the doc keys."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    e = emb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.countDistinct("vec_id").cast("bigint").alias("n_distinct"),
+        F.min(F.size("embedding")).cast("bigint").alias("min_dim"),
+        F.max(F.size("embedding")).cast("bigint").alias("max_dim"),
+    )
+    d = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    m = emb.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("vec_id"))),
+        "vec_id",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+    return (
+        e.crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_vecs",
+            "n_distinct",
+            "min_dim",
+            "max_dim",
+            "n_docs",
+            "n_matched",
+            F.round(F.col("n_matched") * 1.0 / F.col("n_docs"), 6).alias(
+                "doc_coverage"
+            ),
+            (F.col("min_dim") == F.col("max_dim")).alias(
+                "dims_consistent"
+            ),
+        )
+    )
+
+
+SQL_EMBEDDING_COVERAGE = """
+WITH e AS (SELECT CAST(count(*) AS BIGINT) n_vecs,
+             CAST(count(DISTINCT vec_id) AS BIGINT) n_distinct,
+             CAST(min(len(embedding)) AS BIGINT) min_dim,
+             CAST(max(len(embedding)) AS BIGINT) max_dim FROM embeddings),
+d AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
+m AS (SELECT CAST(count(*) AS BIGINT) n_matched
+      FROM embeddings em JOIN documents dd ON em.vec_id = dd.doc_id)
+SELECT e.n_vecs, e.n_distinct, e.min_dim, e.max_dim, d.n_docs, m.n_matched,
+       round(m.n_matched*1.0/d.n_docs, 6) doc_coverage,
+       (e.min_dim = e.max_dim) dims_consistent
+FROM e, d, m"""
+
+
+def q_late_by_priority_trend(spark, sf_dir):
+    """Cochran-Armitage trend test: does the late-shipping rate (> 60
+    days order→ship) fall monotonically with order priority? Scores
+    w = the priority's leading digit (1-URGENT … 5-LOW); the trend z
+    comes entirely from exact integer count moments — the ordered
+    alternative chi2_crosstab's omnibus independence test can't see."""
+    j = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.substring("o_orderpriority", 1, 1)
+            .cast("bigint")
+            .alias("w"),
+            (
+                (
+                    F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                    / F.lit(86400000000)
+                ).cast("bigint")
+                - (
+                    F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                    / F.lit(86400000000)
+                ).cast("bigint")
+                > 60
+            ).alias("late"),
+        )
+    )
+    g = j.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("late").cast("bigint")).cast("bigint").alias("r"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("r").cast("bigint").alias("rr"),
+        F.sum(d38("w") * d38("n")).cast("decimal(38,0)").alias("swn"),
+        F.sum(d38("w") * d38("r")).cast("decimal(38,0)").alias("swr"),
+        F.sum(d38("w") * d38("w") * d38("n"))
+        .cast("decimal(38,0)")
+        .alias("swwn"),
+    )
+    p = F.col("rr").cast("double") / F.col("nn")
+    num = F.col("swr").cast("double") - F.col("rr").cast("double") * F.col(
+        "swn"
+    ).cast("double") / F.col("nn")
+    den = F.sqrt(
+        p
+        * (1 - p)
+        * (
+            F.col("swwn").cast("double")
+            - F.col("swn").cast("double")
+            * F.col("swn").cast("double")
+            / F.col("nn")
+        )
+    )
+    return t.select(
+        F.col("nn").alias("n_lines"),
+        F.col("rr").alias("n_late"),
+        F.round(num / den, 6).alias("ca_trend_z"),
+    )
+
+
+SQL_LATE_BY_PRIORITY_TREND = """
+WITH j AS (SELECT CAST(substring(o.o_orderpriority,1,1) AS BIGINT) w,
+             (epoch_us(li.l_shipdate)//86400000000
+              - epoch_us(o.o_orderdate)//86400000000 > 60) late
+           FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+g AS (SELECT w, CAST(count(*) AS BIGINT) n,
+        CAST(count(*) FILTER (late) AS BIGINT) r
+      FROM j GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) nn, CAST(sum(r) AS BIGINT) rr,
+        CAST(sum(CAST(w AS HUGEINT)*n) AS HUGEINT) swn,
+        CAST(sum(CAST(w AS HUGEINT)*r) AS HUGEINT) swr,
+        CAST(sum(CAST(w AS HUGEINT)*w*n) AS HUGEINT) swwn
+      FROM g)
+SELECT nn n_lines, rr n_late,
+  round( (CAST(swr AS DOUBLE) - CAST(rr AS DOUBLE)*swn/nn) /
+         sqrt( (CAST(rr AS DOUBLE)/nn) * (1 - CAST(rr AS DOUBLE)/nn)
+               * (CAST(swwn AS DOUBLE) - CAST(swn AS DOUBLE)*swn/nn) ), 6)
+    ca_trend_z
+FROM t"""
+
+
+def q_ab_qte(spark, sf_dir):
+    """Quantile treatment effect table: per within-arm decile of
+    purchases-per-user, the A−B mean difference — the distributional
+    readout behind ab_count_ztest's single mean (an experiment can
+    move the tail without moving the mean). Deciles rank within each
+    arm; exact integer sums per cell."""
+    from pyspark.sql import Window
+
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("u"))
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    g = u.select(
+        F.when(
+            stable_hash60_expr(
+                F.concat(F.col("u").cast("string"), F.lit(":ab"))
+            )
+            % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("grp"),
+        "u",
+        "x",
+    )
+    w = Window.partitionBy("grp").orderBy("x", "u")
+    r = g.select("grp", "x", F.ntile(10).over(w).alias("dcl"))
+    m = r.groupBy("dcl", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    a = m.where(F.col("grp") == "A").select(
+        "dcl", F.col("n").alias("n_a"), F.col("s").alias("sa")
+    )
+    b = m.where(F.col("grp") == "B").select(
+        "dcl", F.col("n").alias("n_b"), F.col("s").alias("sb")
+    )
+    mean_a = F.col("sa") * 1.0 / F.col("n_a")
+    mean_b = F.col("sb") * 1.0 / F.col("n_b")
+    return a.join(b, "dcl").select(
+        F.col("dcl").cast("bigint").alias("decile"),
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_a - mean_b, 6).alias("qte"),
+    )
+
+
+SQL_AB_QTE = f"""
+WITH u AS (SELECT user_id u,
+             CAST(count(*) FILTER (event_type='purchase') AS BIGINT) x
+           FROM events GROUP BY 1),
+g AS (SELECT CASE WHEN {_HASH60_SQL.format(v="CAST(u AS VARCHAR) || ':ab'")} % 2 = 0
+                  THEN 'A' ELSE 'B' END grp, u, x FROM u),
+r AS (SELECT grp, x, ntile(10) OVER (PARTITION BY grp ORDER BY x, u) dcl
+      FROM g),
+m AS (SELECT dcl, grp, CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) s
+      FROM r GROUP BY 1,2)
+SELECT CAST(a.dcl AS BIGINT) decile, a.n n_a, b.n n_b,
+  round(a.s*1.0/a.n, 6) mean_a, round(b.s*1.0/b.n, 6) mean_b,
+  round(a.s*1.0/a.n - b.s*1.0/b.n, 6) qte
+FROM m a JOIN m b ON a.dcl = b.dcl AND a.grp='A' AND b.grp='B'"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -15870,6 +16283,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conformal_bound": q_conformal_bound,
     "boilerplate_score": q_boilerplate_score,
     "shingle_size_sensitivity": q_shingle_size_sensitivity,
+    "segment_trend_ols": q_segment_trend_ols,
+    "split_parity_psi": q_split_parity_psi,
+    "transition_dwell": q_transition_dwell,
+    "embedding_coverage": q_embedding_coverage,
+    "late_by_priority_trend": q_late_by_priority_trend,
+    "ab_qte": q_ab_qte,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -16157,6 +16576,12 @@ ORACLES: dict[str, str] = {
     "conformal_bound": SQL_CONFORMAL_BOUND,
     "boilerplate_score": SQL_BOILERPLATE_SCORE,
     "shingle_size_sensitivity": SQL_SHINGLE_SIZE_SENSITIVITY,
+    "segment_trend_ols": SQL_SEGMENT_TREND_OLS,
+    "split_parity_psi": SQL_SPLIT_PARITY_PSI,
+    "transition_dwell": SQL_TRANSITION_DWELL,
+    "embedding_coverage": SQL_EMBEDDING_COVERAGE,
+    "late_by_priority_trend": SQL_LATE_BY_PRIORITY_TREND,
+    "ab_qte": SQL_AB_QTE,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
