@@ -16091,6 +16091,410 @@ SELECT CAST(a.dcl AS BIGINT) decile, a.n n_a, b.n n_b,
 FROM m a JOIN m b ON a.dcl = b.dcl AND a.grp='A' AND b.grp='B'"""
 
 
+def q_rbo_rankings(spark, sf_dir):
+    """Rank-biased overlap (Webber et al. 2010) between the
+    revenue and order-count customer rankings, p = 0.9, truncated at
+    depth 100 — the top-weighted rank agreement measure (topk_overlap
+    gives flat set Jaccard at 4 depths; RBO weights depth 1 most).
+    overlap_d = |{items with max(rank_a, rank_b) ≤ d}| comes from the
+    per-item max-rank, each depth term is nano-quantized before the
+    integer sum. Windows run at the customer grain."""
+    from pyspark.sql import Window
+
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    r = per.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), F.asc("ck")))
+        .alias("ra"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_orders"), F.asc("ck")))
+        .alias("rb"),
+    )
+    m = r.where((F.col("ra") <= 100) | (F.col("rb") <= 100)).select(
+        F.greatest("ra", "rb").alias("mx")
+    )
+    depth = spark.range(1, 101).select(F.col("id").alias("d"))
+    ov = (
+        depth.join(F.broadcast(m), F.col("mx") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("mx").cast("bigint").alias("overlap_d"))
+    )
+    nano = F.round(
+        (1 - 0.9)
+        * F.pow(F.lit(0.9), F.col("d") - 1)
+        * F.col("overlap_d")
+        * 1.0
+        / F.col("d")
+        * 1e9,
+        0,
+    ).cast("bigint")
+    return ov.agg(
+        F.lit(100).cast("bigint").alias("depth"),
+        F.round(F.sum(nano) / 1e9, 6).alias("rbo"),
+    )
+
+
+SQL_RBO_RANKINGS = """
+WITH per AS (SELECT o_custkey ck, CAST(count(*) AS BIGINT) n_orders,
+               CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT))
+                    AS BIGINT) cents
+             FROM orders GROUP BY 1),
+r AS (SELECT ck,
+        row_number() OVER (ORDER BY cents DESC, ck) ra,
+        row_number() OVER (ORDER BY n_orders DESC, ck) rb
+      FROM per),
+m AS (SELECT greatest(ra, rb) mx FROM r WHERE ra <= 100 OR rb <= 100),
+depth AS (SELECT unnest(range(1, 101)) d),
+ov AS (SELECT d, CAST(count(*) FILTER (m.mx <= d) AS BIGINT) overlap_d
+       FROM depth LEFT JOIN m ON TRUE GROUP BY d),
+terms AS (SELECT d, CAST(round((1-0.9) * power(0.9, d-1) * overlap_d
+                               * 1.0 / d * 1e9, 0) AS BIGINT) nano
+          FROM ov)
+SELECT CAST(100 AS BIGINT) depth, round(sum(nano)/1e9, 6) rbo
+FROM terms"""
+
+
+def q_dup_pair_edit_distance(spark, sf_dir):
+    """Character-level closeness of every shingle-Jaccard near-dup
+    pair: Levenshtein distance and normalized edit similarity next to
+    the Jaccard score — the second, independent lens on the same
+    candidates (built-in levenshtein on both engines; bounded by the
+    near-dup pair count, so the quadratic string cost stays off the
+    corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    p = dd.ngram_jaccard_pairs(docs, 0.5)
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    j = p.join(ta, "doc_a").join(tb, "doc_b")
+    dist = F.levenshtein("text_a", "text_b").cast("bigint")
+    max_len = F.greatest(F.length("text_a"), F.length("text_b")).cast(
+        "bigint"
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        dist.alias("edit_dist"),
+        max_len.alias("max_len"),
+        F.round(1.0 - dist * 1.0 / max_len, 6).alias("edit_sim"),
+    )
+
+
+SQL_DUP_PAIR_EDIT_DISTANCE = f"""
+WITH {_TRIGRAM_SQL},
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+p AS (SELECT da, db, round(c*1.0/(na.n + nb.n - c), 6) j
+      FROM common JOIN cnt na ON da=na.doc_id JOIN cnt nb ON db=nb.doc_id
+      WHERE c*1.0/(na.n + nb.n - c) >= 0.5)
+SELECT p.da doc_a, p.db doc_b, p.j jaccard,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) edit_dist,
+       CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) max_len,
+       round(1.0 - levenshtein(ta.text, tb.text)*1.0
+             / greatest(length(ta.text), length(tb.text)), 6) edit_sim
+FROM p JOIN documents ta ON p.da = ta.doc_id
+       JOIN documents tb ON p.db = tb.doc_id"""
+
+
+def q_eb_smoothed_rates(spark, sf_dir):
+    """Empirical-Bayes smoothed return rate per brand (prior strength
+    50 pulled toward the global rate) with raw-vs-smoothed rank — the
+    cold-start-safe ranking a recommender publishes instead of raw
+    rates (small-n brands shrink hardest). Exact counts; the 1-row
+    global rate broadcasts."""
+    from pyspark.sql import Window
+
+    g = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("bigint"))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    gl = g.agg(
+        F.sum("r").cast("bigint").alias("rr"),
+        F.sum("n").cast("bigint").alias("nn"),
+    )
+    s = g.crossJoin(F.broadcast(gl)).select(
+        "brand",
+        "n",
+        "r",
+        F.round(F.col("r") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+        F.round(
+            (F.col("r") + 50.0 * F.col("rr") / F.col("nn"))
+            / (F.col("n") + 50),
+            6,
+        ).alias("eb_rate"),
+    )
+    return s.select(
+        "brand",
+        "n",
+        "r",
+        "raw_rate",
+        "eb_rate",
+        F.row_number()
+        .over(Window.orderBy(F.desc("raw_rate"), F.asc("brand")))
+        .cast("bigint")
+        .alias("rank_raw"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("eb_rate"), F.asc("brand")))
+        .cast("bigint")
+        .alias("rank_eb"),
+    )
+
+
+SQL_EB_SMOOTHED_RATES = """
+WITH j AS (SELECT p.p_brand brand, (li.l_returnflag = 'R') ret
+           FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey),
+g AS (SELECT brand, CAST(count(*) AS BIGINT) n,
+        CAST(count(*) FILTER (ret) AS BIGINT) r
+      FROM j GROUP BY 1),
+gl AS (SELECT CAST(sum(r) AS BIGINT) rr, CAST(sum(n) AS BIGINT) nn FROM g),
+s AS (SELECT brand, n, r,
+        round(r*1.0/n, 6) raw_rate,
+        round((r + 50.0 * (SELECT rr FROM gl) / (SELECT nn FROM gl))
+              / (n + 50), 6) eb_rate
+      FROM g)
+SELECT brand, n, r, raw_rate, eb_rate,
+  CAST(row_number() OVER (ORDER BY raw_rate DESC, brand) AS BIGINT)
+    rank_raw,
+  CAST(row_number() OVER (ORDER BY eb_rate DESC, brand) AS BIGINT) rank_eb
+FROM s"""
+
+
+def q_fd_binwidth(spark, sf_dir):
+    """Freedman-Diaconis histogram sizing advisor per metric:
+    width = 2·IQR·n^(−1/3) and the implied bin count from exact
+    rank-based quartiles — what profile_histogram should be configured
+    with instead of a guessed bin count. Quartile windows partition by
+    metric."""
+    from pyspark.sql import Window
+
+    v = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.lit("o_totalprice").alias("metric"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("x"),
+        )
+        .unionAll(
+            _t(spark, sf_dir, "lineitem").select(
+                F.lit("l_quantity").alias("metric"),
+                F.round("l_quantity", 0).cast("bigint").alias("x"),
+            )
+        )
+        .unionAll(
+            _t(spark, sf_dir, "documents").select(
+                F.lit("n_chars").alias("metric"),
+                F.col("n_chars").cast("bigint").alias("x"),
+            )
+        )
+        .localCheckpoint(eager=False)  # consumers: quartiles + extents
+    )
+    w = Window.partitionBy("metric").orderBy("x")
+    r = v.select(
+        "metric",
+        "x",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("metric")).alias("n"),
+    )
+    q = r.groupBy("metric").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(F.col("rk") == F.floor((F.col("n") + 3) / 4), F.col("x"))
+        )
+        .cast("bigint")
+        .alias("q1"),
+        F.max(
+            F.when(
+                F.col("rk") == F.floor((3 * F.col("n") + 3) / 4), F.col("x")
+            )
+        )
+        .cast("bigint")
+        .alias("q3"),
+    )
+    ext = v.groupBy("metric").agg(
+        F.min("x").cast("bigint").alias("mn"),
+        F.max("x").cast("bigint").alias("mx"),
+    )
+    width = 2.0 * (F.col("q3") - F.col("q1")) / F.pow(F.col("n"), 1.0 / 3)
+    return q.join(F.broadcast(ext), "metric").select(
+        "metric",
+        "n",
+        "q1",
+        "q3",
+        F.round(width, 6).alias("fd_width"),
+        F.ceil((F.col("mx") - F.col("mn")) / width)
+        .cast("bigint")
+        .alias("n_bins"),
+    )
+
+
+SQL_FD_BINWIDTH = """
+WITH v AS (SELECT 'o_totalprice' metric,
+             CAST(round(o_totalprice*100,0) AS BIGINT) x FROM orders
+           UNION ALL
+           SELECT 'l_quantity', CAST(round(l_quantity,0) AS BIGINT)
+           FROM lineitem
+           UNION ALL SELECT 'n_chars', n_chars FROM documents),
+r AS (SELECT metric, x, row_number() OVER (PARTITION BY metric ORDER BY x)
+        rk,
+        count(*) OVER (PARTITION BY metric) n FROM v),
+q AS (SELECT metric, max(n) n,
+        max(CASE WHEN rk = (n+3)//4 THEN x END) q1,
+        max(CASE WHEN rk = (3*n+3)//4 THEN x END) q3
+      FROM r GROUP BY 1),
+ext AS (SELECT metric, CAST(min(x) AS BIGINT) mn,
+          CAST(max(x) AS BIGINT) mx FROM v GROUP BY 1)
+SELECT q.metric, CAST(q.n AS BIGINT) n, CAST(q1 AS BIGINT) q1,
+       CAST(q3 AS BIGINT) q3,
+       round(2.0 * (q3 - q1) / power(q.n, 1.0/3), 6) fd_width,
+       CAST(ceil((ext.mx - ext.mn)
+                 / (2.0 * (q3 - q1) / power(q.n, 1.0/3))) AS BIGINT) n_bins
+FROM q JOIN ext USING (metric)"""
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient of the triple graph at degree thresholds
+    k ∈ {2, 4, 8}: edge density among nodes with degree > k — do hubs
+    preferentially interlink (the elite-core structure degree
+    assortativity summarizes as one number). Degrees and hub-edge
+    counts from plain groupBys; the k sweep joins a 3-row literal."""
+    tri = q_kg_triples(spark, sf_dir).select("subj", "obj")
+    und = (
+        tri.where(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("x"),
+            F.greatest("subj", "obj").alias("y"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: degrees + hub filter
+    )
+    deg = (
+        und.select(F.col("x").alias("n"))
+        .unionAll(und.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=False)  # consumers: hubs + 2 edge joins
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(4), F.lit(8))).alias("k")
+    )
+    hn = (
+        ks.join(F.broadcast(deg), F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hubs"))
+    )
+    da = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    db = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    he = (
+        und.join(F.broadcast(da), "x")
+        .join(F.broadcast(db), "y")
+        .crossJoin(F.broadcast(ks))
+        .where((F.col("dx") > F.col("k")) & (F.col("dy") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    return (
+        hn.join(he, "k", "left")
+        .where(F.col("n_hubs") >= 2)
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_hubs",
+            F.coalesce("n_edges", F.lit(0)).cast("bigint").alias("n_edges"),
+            F.round(
+                F.coalesce("n_edges", F.lit(0))
+                * 2.0
+                / (F.col("n_hubs") * (F.col("n_hubs") - 1)),
+                6,
+            ).alias("phi"),
+        )
+    )
+
+
+SQL_RICH_CLUB = f"""
+WITH t AS ({SQL_KG_TRIPLES}),
+ed AS (SELECT DISTINCT least(subj, obj) x, greatest(subj, obj) y
+       FROM t WHERE subj <> obj),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) d FROM (
+          SELECT x n FROM ed UNION ALL SELECT y FROM ed) GROUP BY 1),
+ks AS (SELECT unnest([2,4,8]) k),
+hn AS (SELECT k, CAST(count(*) AS BIGINT) n_hubs
+       FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1),
+he AS (SELECT ks.k, CAST(count(*) AS BIGINT) n_edges
+       FROM ks JOIN ed ON TRUE
+       JOIN deg da ON da.n = ed.x JOIN deg db ON db.n = ed.y
+       WHERE da.d > ks.k AND db.d > ks.k GROUP BY 1)
+SELECT CAST(hn.k AS BIGINT) k, hn.n_hubs,
+       CAST(coalesce(he.n_edges, 0) AS BIGINT) n_edges,
+       round(coalesce(he.n_edges,0) * 2.0
+             / (hn.n_hubs * (hn.n_hubs - 1)), 6) phi
+FROM hn LEFT JOIN he ON hn.k = he.k WHERE hn.n_hubs >= 2"""
+
+
+def q_nb_dispersion(spark, sf_dir):
+    """Negative-binomial dispersion fit (method of moments) on
+    orders-per-customer: mean, sample variance, r̂ = m²/(v−m) and the
+    overdispersion verdict — whether a Poisson rate model is even
+    admissible for demand. All moments exact integers; two floats at
+    the end."""
+    c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    m = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s") * 1.0 / F.col("n")
+    var = (
+        F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1.0)
+    return m.select(
+        "n",
+        F.round(mean, 6).alias("mean_x"),
+        F.round(var, 6).alias("var_x"),
+        F.round(F.pow(mean, 2) / (var - mean), 6).alias("nb_r"),
+        (var > mean).alias("overdispersed"),
+    )
+
+
+SQL_NB_DISPERSION = """
+WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) x
+           FROM orders GROUP BY 1),
+m AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) s,
+        CAST(sum(x*x) AS BIGINT) ss FROM c)
+SELECT n, round(s*1.0/n, 6) mean_x,
+  round((ss - CAST(s AS DOUBLE)*s/n)/(n-1.0), 6) var_x,
+  round( power(s*1.0/n, 2)
+         / ((ss - CAST(s AS DOUBLE)*s/n)/(n-1.0) - s*1.0/n), 6) nb_r,
+  ((ss - CAST(s AS DOUBLE)*s/n)/(n-1.0) > s*1.0/n) overdispersed
+FROM m"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -16289,6 +16693,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_coverage": q_embedding_coverage,
     "late_by_priority_trend": q_late_by_priority_trend,
     "ab_qte": q_ab_qte,
+    "rbo_rankings": q_rbo_rankings,
+    "dup_pair_edit_distance": q_dup_pair_edit_distance,
+    "eb_smoothed_rates": q_eb_smoothed_rates,
+    "fd_binwidth": q_fd_binwidth,
+    "rich_club": q_rich_club,
+    "nb_dispersion": q_nb_dispersion,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -16582,6 +16992,12 @@ ORACLES: dict[str, str] = {
     "embedding_coverage": SQL_EMBEDDING_COVERAGE,
     "late_by_priority_trend": SQL_LATE_BY_PRIORITY_TREND,
     "ab_qte": SQL_AB_QTE,
+    "rbo_rankings": SQL_RBO_RANKINGS,
+    "dup_pair_edit_distance": SQL_DUP_PAIR_EDIT_DISTANCE,
+    "eb_smoothed_rates": SQL_EB_SMOOTHED_RATES,
+    "fd_binwidth": SQL_FD_BINWIDTH,
+    "rich_club": SQL_RICH_CLUB,
+    "nb_dispersion": SQL_NB_DISPERSION,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
