@@ -17,6 +17,8 @@ Alignment rules (hard-won; see tests/test_oracle_parity.py):
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16495,6 +16497,397 @@ SELECT n, round(s*1.0/n, 6) mean_x,
 FROM m"""
 
 
+def q_diurnal_phase(spark, sf_dir):
+    """Circular statistics of each event type's diurnal cycle: the
+    argmax peak hour, the mean-resultant length R̄ (0 = flat, 1 = all
+    mass at one hour) and the circular mean hour from atan2 of the
+    exact count-weighted cos/sin sums (per-bin trig rounded to 9dp,
+    micro-quantized, integer-summed — the full order-invariance
+    treatment). The phase readout hour_uniformity's χ² can't give."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"),
+        (
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(3600000000)
+            ).cast("bigint")
+            % 24
+        ).alias("hod"),
+    )
+    c = e.groupBy("et", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    two_pi = 2 * math.pi
+    cosr = F.round(F.cos(two_pi * F.col("hod") / 24), 9)
+    sinr = F.round(F.sin(two_pi * F.col("hod") / 24), 9)
+    v = c.select(
+        "et",
+        "n",
+        "hod",
+        F.round(F.col("n") * cosr * 1e6, 0).cast("bigint").alias("cx"),
+        F.round(F.col("n") * sinr * 1e6, 0).cast("bigint").alias("sx"),
+    )
+    agg = v.groupBy("et").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("cx").cast("bigint").alias("scx"),
+        F.sum("sx").cast("bigint").alias("ssx"),
+        F.max_by("hod", F.col("n") * 100 - F.col("hod"))
+        .cast("bigint")
+        .alias("peak_hour"),
+    )
+    return agg.select(
+        F.col("et").alias("event_type"),
+        "n_events",
+        "peak_hour",
+        F.round(
+            F.sqrt(
+                F.col("scx").cast("double") * F.col("scx")
+                + F.col("ssx").cast("double") * F.col("ssx")
+            )
+            / (F.col("n_events") * 1e6),
+            6,
+        ).alias("resultant"),
+        F.round(
+            (24.0 / two_pi)
+            * F.atan2(F.col("ssx") * 1.0, F.col("scx") * 1.0),
+            6,
+        ).alias("circ_mean_hour"),
+    )
+
+
+SQL_DIURNAL_PHASE = """
+WITH e AS (SELECT event_type et,
+             CAST(epoch_us(ts)//3600000000 % 24 AS BIGINT) hod
+           FROM events),
+c AS (SELECT et, hod, CAST(count(*) AS BIGINT) n FROM e GROUP BY 1,2),
+v AS (SELECT et, n, hod,
+        CAST(round(n * round(cos(2*pi()*hod/24), 9) * 1e6, 0) AS BIGINT) cx,
+        CAST(round(n * round(sin(2*pi()*hod/24), 9) * 1e6, 0) AS BIGINT) sx
+      FROM c),
+agg AS (SELECT et, CAST(sum(n) AS BIGINT) n_events,
+          CAST(sum(cx) AS BIGINT) scx, CAST(sum(sx) AS BIGINT) ssx,
+          max_by(hod, n * 100 - hod) peak_hour
+        FROM v GROUP BY 1)
+SELECT et AS event_type, n_events, CAST(peak_hour AS BIGINT) peak_hour,
+  round(sqrt(CAST(scx AS DOUBLE)*scx + CAST(ssx AS DOUBLE)*ssx)
+        / (n_events*1e6), 6) resultant,
+  round( (24.0/(2*pi())) * atan2(ssx*1.0, scx*1.0), 6) circ_mean_hour
+FROM agg"""
+
+
+def q_standardized_repeat(spark, sf_dir):
+    """Indirect standardization (SMR) of repeat-purchase behaviour:
+    per segment, observed repeat orders vs the count EXPECTED from the
+    segment's cohort-month mix at global per-cohort rates — the
+    confounder-adjusted comparison a raw repeat-rate ranking gets
+    wrong when segments skew old (epidemiology's standardized
+    mortality ratio applied to retention)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        (
+            F.year(F.col("o_orderdate").cast("timestamp")) * 12
+            + F.month(F.col("o_orderdate").cast("timestamp"))
+        )
+        .cast("bigint")
+        .alias("mk"),
+    )
+    f = o.groupBy("ck").agg(
+        F.min("mk").alias("cohort"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("repeats"),
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .join(f, "ck")
+        # two consumers: per-cohort rates + the segment rows
+        .localCheckpoint(eager=False)
+    )
+    coh = cust.groupBy("cohort").agg(
+        F.round(F.avg("repeats"), 9).alias("rate")
+    )
+    j = cust.join(F.broadcast(coh), "cohort")
+    return j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("repeats").cast("bigint").alias("observed_repeats"),
+        F.round(F.sum("rate"), 6).alias("expected_repeats"),
+        F.round(F.sum("repeats") / F.sum("rate"), 6).alias("smr"),
+    )
+
+
+SQL_STANDARDIZED_REPEAT = """
+WITH o AS (SELECT o_custkey ck,
+             CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) mk
+           FROM orders),
+f AS (SELECT ck, min(mk) cohort, CAST(count(*) AS BIGINT) - 1 repeats
+      FROM o GROUP BY 1),
+cust AS (SELECT c.c_custkey ck, c.c_mktsegment seg, f.cohort, f.repeats
+         FROM customer c JOIN f ON c.c_custkey = f.ck),
+coh AS (SELECT cohort, round(avg(repeats), 9) rate FROM cust GROUP BY 1),
+j AS (SELECT cust.seg, cust.repeats, coh.rate
+      FROM cust JOIN coh USING (cohort))
+SELECT seg, CAST(count(*) AS BIGINT) n_customers,
+  CAST(sum(repeats) AS BIGINT) observed_repeats,
+  round(sum(rate), 6) expected_repeats,
+  round(sum(repeats)/sum(rate), 6) smr
+FROM j GROUP BY 1"""
+
+
+def q_weekday_priority_residuals(spark, sf_dir):
+    """Adjusted standardized residuals of the weekday × priority
+    contingency table — the CELL-level diagnostic behind
+    chi2_crosstab's omnibus statistic (which cells actually deviate).
+    Haberman residual: (o − e)/√(e·(1−rowshare)·(1−colshare)). All
+    margins exact; three broadcast joins at the margin grains."""
+    o = _t(spark, sf_dir, "orders").select(
+        # DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7
+        (F.dayofweek(F.col("o_orderdate").cast("timestamp")) - 1)
+        .cast("bigint")
+        .alias("dow"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    cell = o.groupBy("dow", "priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).localCheckpoint(eager=False)
+    rowm = cell.groupBy("dow").agg(F.sum("n").cast("bigint").alias("nr"))
+    colm = cell.groupBy("priority").agg(
+        F.sum("n").cast("bigint").alias("nc")
+    )
+    tot = cell.agg(F.sum("n").cast("bigint").alias("nt"))
+    exp = F.col("nr").cast("double") * F.col("nc") / F.col("nt")
+    denom = F.sqrt(
+        exp
+        * (1 - F.col("nr").cast("double") / F.col("nt"))
+        * (1 - F.col("nc").cast("double") / F.col("nt"))
+    )
+    return (
+        cell.join(F.broadcast(rowm), "dow")
+        .join(F.broadcast(colm), "priority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "priority",
+            "n",
+            F.round(exp, 6).alias("expected"),
+            F.round((F.col("n") - exp) / denom, 6).alias("adj_residual"),
+        )
+    )
+
+
+SQL_WEEKDAY_PRIORITY_RESIDUALS = """
+WITH o AS (SELECT CAST(dayofweek(o_orderdate) AS BIGINT) dow,
+             o_orderpriority pr FROM orders),
+cell AS (SELECT dow, pr, CAST(count(*) AS BIGINT) n FROM o GROUP BY 1,2),
+rowm AS (SELECT dow, CAST(sum(n) AS BIGINT) nr FROM cell GROUP BY 1),
+colm AS (SELECT pr, CAST(sum(n) AS BIGINT) nc FROM cell GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) nt FROM cell)
+SELECT c.dow, c.pr AS priority, c.n,
+  round(CAST(r.nr AS DOUBLE)*cm.nc/t.nt, 6) expected,
+  round( (c.n - CAST(r.nr AS DOUBLE)*cm.nc/t.nt) /
+         sqrt( CAST(r.nr AS DOUBLE)*cm.nc/t.nt
+               * (1 - CAST(r.nr AS DOUBLE)/t.nt)
+               * (1 - CAST(cm.nc AS DOUBLE)/t.nt) ), 6) adj_residual
+FROM cell c JOIN rowm r USING (dow) JOIN colm cm USING (pr), tot t"""
+
+
+def q_funnel_wilson(spark, sf_dir):
+    """Per-step funnel conversion with 95% Wilson intervals: the
+    min-anchored signup→click→purchase user funnel, each step's rate
+    wrapped in the CI a product readout needs before calling a drop
+    significant (events_funnel gives the counts; this is the
+    uncertainty layer). One user-grain groupBy, a 2-row step table."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    first = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("us"))
+    )
+    f = e.groupBy("u").agg(
+        first("signup").alias("t0"),
+        first("click").alias("t1"),
+        first("purchase").alias("t2"),
+    )
+    s = f.agg(
+        F.sum(F.col("t0").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("s0"),
+        F.sum(
+            (F.col("t0").isNotNull() & (F.col("t1") > F.col("t0"))).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(
+            (
+                F.col("t0").isNotNull()
+                & (F.col("t1") > F.col("t0"))
+                & (F.col("t2") > F.col("t1"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s2"),
+    )
+    steps = s.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("signup->click").alias("step"),
+                    F.col("s1").alias("x"),
+                    F.col("s0").alias("n"),
+                ),
+                F.struct(
+                    F.lit("click->purchase").alias("step"),
+                    F.col("s2").alias("x"),
+                    F.col("s1").alias("n"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.step", "r.n", "r.x")
+    center = (F.col("x") + 1.92) / (F.col("n") + 3.84)
+    half = (
+        1.96
+        / (F.col("n") + 3.84)
+        * F.sqrt(
+            F.col("x") * 1.0 * (F.col("n") - F.col("x")) / F.col("n")
+            + 0.96
+        )
+    )
+    return steps.select(
+        "step",
+        "n",
+        "x",
+        F.round(F.col("x") * 1.0 / F.col("n"), 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )
+
+
+SQL_FUNNEL_WILSON = """
+WITH f AS (SELECT user_id u,
+             min(epoch_us(ts)) FILTER (event_type='signup') t0,
+             min(epoch_us(ts)) FILTER (event_type='click') t1,
+             min(epoch_us(ts)) FILTER (event_type='purchase') t2
+           FROM events GROUP BY 1),
+s AS (SELECT CAST(count(*) FILTER (t0 IS NOT NULL) AS BIGINT) s0,
+        CAST(count(*) FILTER (t0 IS NOT NULL AND t1 > t0) AS BIGINT) s1,
+        CAST(count(*) FILTER (t0 IS NOT NULL AND t1 > t0 AND t2 > t1)
+             AS BIGINT) s2
+      FROM f)
+SELECT step, n, x, round(x*1.0/n, 6) rate,
+  round( (x + 1.92) / (n + 3.84)
+         - 1.96/(n + 3.84) * sqrt(x*1.0*(n-x)/n + 0.96), 6) wilson_lo,
+  round( (x + 1.92) / (n + 3.84)
+         + 1.96/(n + 3.84) * sqrt(x*1.0*(n-x)/n + 0.96), 6) wilson_hi
+FROM (SELECT 'signup->click' step, s1 x, s0 n FROM s
+      UNION ALL SELECT 'click->purchase', s2, s1 FROM s) steps"""
+
+
+def q_price_endings(spark, sf_dir):
+    """Psychological-pricing audit: the top-10 cent endings
+    (total cents mod 100) by frequency — charm-pricing mass (.99/.95)
+    vs the uniform endings synthetic or mechanically-priced data
+    shows. One map-side-combinable groupBy + a bounded top-10."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "orders").select(
+        (
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint") % 100
+        ).alias("ending")
+    )
+    c = e.groupBy("ending").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).localCheckpoint(eager=False)
+    t = c.agg(F.sum("n").cast("bigint").alias("nt"))
+    ranked = c.crossJoin(F.broadcast(t)).select(
+        "ending",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("nt"), 6).alias("ending_share"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("ending")))
+        .alias("rk"),
+    )
+    return ranked.where(F.col("rk") <= 10).select(
+        "ending", "n", "ending_share"
+    )
+
+
+SQL_PRICE_ENDINGS = """
+WITH e AS (SELECT CAST(round(o_totalprice*100,0) AS BIGINT) % 100 ending
+           FROM orders),
+c AS (SELECT ending, CAST(count(*) AS BIGINT) n FROM e GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) nt FROM c),
+r AS (SELECT CAST(ending AS BIGINT) ending, n,
+        round(n*1.0/(SELECT nt FROM t), 6) ending_share,
+        row_number() OVER (ORDER BY n DESC, ending) rk
+      FROM c)
+SELECT ending, n, ending_share FROM r WHERE rk <= 10"""
+
+
+def q_type_cofrequency(spark, sf_dir):
+    """Event-type co-engagement matrix: Jaccard of the USER sets of
+    every type pair — which behaviours share an audience (the
+    user-grain analogue of daily_cooccurrence_lift's day grain). The
+    distinct (user, type) table self-joins at the type-pair grain."""
+    ut = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("u"), F.col("event_type").alias("et")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = ut.groupBy("et").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    both = (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u"))
+            & (F.col("a.et") < F.col("b.et")),
+        )
+        .groupBy(
+            F.col("a.et").alias("type_a"), F.col("b.et").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    na = n.select(F.col("et").alias("type_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("et").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        both.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("user_jaccard"),
+        )
+    )
+
+
+SQL_TYPE_COFREQUENCY = """
+WITH ut AS (SELECT DISTINCT user_id u, event_type et FROM events),
+n AS (SELECT et, CAST(count(*) AS BIGINT) n FROM ut GROUP BY 1),
+bo AS (SELECT a.et type_a, b.et type_b, CAST(count(*) AS BIGINT) n_both
+       FROM ut a JOIN ut b ON a.u = b.u AND a.et < b.et
+       GROUP BY 1,2)
+SELECT bo.type_a, bo.type_b, na.n n_a, nb.n n_b, bo.n_both,
+       round(bo.n_both*1.0/(na.n + nb.n - bo.n_both), 6) user_jaccard
+FROM bo JOIN n na ON bo.type_a = na.et
+        JOIN n nb ON bo.type_b = nb.et"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -16699,6 +17092,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fd_binwidth": q_fd_binwidth,
     "rich_club": q_rich_club,
     "nb_dispersion": q_nb_dispersion,
+    "diurnal_phase": q_diurnal_phase,
+    "standardized_repeat": q_standardized_repeat,
+    "weekday_priority_residuals": q_weekday_priority_residuals,
+    "funnel_wilson": q_funnel_wilson,
+    "price_endings": q_price_endings,
+    "type_cofrequency": q_type_cofrequency,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -16998,6 +17397,12 @@ ORACLES: dict[str, str] = {
     "fd_binwidth": SQL_FD_BINWIDTH,
     "rich_club": SQL_RICH_CLUB,
     "nb_dispersion": SQL_NB_DISPERSION,
+    "diurnal_phase": SQL_DIURNAL_PHASE,
+    "standardized_repeat": SQL_STANDARDIZED_REPEAT,
+    "weekday_priority_residuals": SQL_WEEKDAY_PRIORITY_RESIDUALS,
+    "funnel_wilson": SQL_FUNNEL_WILSON,
+    "price_endings": SQL_PRICE_ENDINGS,
+    "type_cofrequency": SQL_TYPE_COFREQUENCY,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
