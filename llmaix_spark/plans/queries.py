@@ -16888,6 +16888,307 @@ FROM bo JOIN n na ON bo.type_a = na.et
         JOIN n nb ON bo.type_b = nb.et"""
 
 
+def q_session_bookends(spark, sf_dir):
+    """Session entry/exit matrix: per 30-minute-gap session, the first
+    and last event type, aggregated to the (first, last) grain — how
+    journeys open and close (the bookend layer on events_sessionize's
+    counts). Session ids from the same gap rule; first/last via
+    rank-in-session, never a per-session sort of the whole table."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    s = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("sid", F.sum("new_s").over(w))
+    sw = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    r = s.select(
+        "user_id",
+        "sid",
+        "event_type",
+        F.row_number().over(sw).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id", "sid"))
+        .alias("nr"),
+    )
+    bk = r.groupBy("user_id", "sid").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("event_type"))).alias(
+            "first_type"
+        ),
+        F.max(
+            F.when(F.col("rk") == F.col("nr"), F.col("event_type"))
+        ).alias("last_type"),
+    )
+    return bk.groupBy("first_type", "last_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+
+
+SQL_SESSION_BOOKENDS = """
+WITH x AS (SELECT user_id u, ts, event_id eid, event_type et,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT u, ts, eid, et,
+        sum(new_s) OVER (PARTITION BY u ORDER BY ts, eid) sid
+      FROM x),
+r AS (SELECT u, sid, et,
+        row_number() OVER (PARTITION BY u, sid ORDER BY ts, eid) rk,
+        count(*) OVER (PARTITION BY u, sid) nr
+      FROM s),
+bk AS (SELECT u, sid,
+         max(CASE WHEN rk = 1 THEN et END) first_type,
+         max(CASE WHEN rk = nr THEN et END) last_type
+       FROM r GROUP BY 1,2)
+SELECT first_type, last_type, CAST(count(*) AS BIGINT) n_sessions
+FROM bk GROUP BY 1,2"""
+
+
+def q_crosslang_dups(spark, sf_dir):
+    """Cross-language leakage in the near-dup pairs: every exact
+    Jaccard pair annotated with both documents' languages and the
+    cross-language flag — translated/copied content that a per-language
+    dedup pass would MISS entirely (the fixture's near-dups are mostly
+    cross-lingual, which is exactly the finding)."""
+    docs = _t(spark, sf_dir, "documents")
+    p = dd.ngram_jaccard_pairs(docs, 0.5)
+    la = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
+    )
+    lb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
+    )
+    return (
+        p.join(F.broadcast(la), "doc_a")
+        .join(F.broadcast(lb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "lang_a",
+            "lang_b",
+            "jaccard",
+            (F.col("lang_a") != F.col("lang_b")).alias("cross_lang"),
+        )
+    )
+
+
+SQL_CROSSLANG_DUPS = f"""
+WITH {_TRIGRAM_SQL},
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+p AS (SELECT da, db, round(c*1.0/(na.n + nb.n - c), 6) j
+      FROM common JOIN cnt na ON da=na.doc_id JOIN cnt nb ON db=nb.doc_id
+      WHERE c*1.0/(na.n + nb.n - c) >= 0.5)
+SELECT p.da doc_a, p.db doc_b, la.lang lang_a, lb.lang lang_b,
+       p.j jaccard, (la.lang <> lb.lang) cross_lang
+FROM p JOIN documents la ON p.da = la.doc_id
+       JOIN documents lb ON p.db = lb.doc_id"""
+
+
+def q_velocity_by_size(spark, sf_dir):
+    """Quantity velocity per part-size band (p_size // 10): line count,
+    total and mean quantity — the size-vs-demand profile warehouse slot
+    planning reads. One broadcast dim join + map-side groupBy."""
+    j = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            (((F.col("p_size") - 1) / 10).cast("bigint")).alias(
+                "size_band"
+            ),
+            F.round("l_quantity", 0).cast("bigint").alias("q"),
+        )
+    )
+    return j.groupBy("size_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("q").cast("bigint").alias("total_qty"),
+        F.round(F.sum("q") * 1.0 / F.count(F.lit(1)), 6).alias("mean_qty"),
+    )
+
+
+SQL_VELOCITY_BY_SIZE = """
+WITH j AS (SELECT p.p_size sz, CAST(round(li.l_quantity,0) AS BIGINT) q
+           FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey),
+b AS (SELECT CAST((sz-1)//10 AS BIGINT) size_band, q FROM j)
+SELECT size_band, CAST(count(*) AS BIGINT) n_lines,
+       CAST(sum(q) AS BIGINT) total_qty,
+       round(sum(q)*1.0/count(*), 6) mean_qty
+FROM b GROUP BY 1"""
+
+
+def q_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: truth × predicted counts with the
+    within-truth row share — the standard eval artifact behind
+    metrics_stringmatch's per-class accuracy (which says HOW MUCH is
+    wrong; this says WHERE it goes — e.g. low-marker de docs fall to
+    'en' or 'und')."""
+    from llmaix_spark.operators.textstats import lang_id_expr
+
+    p = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("truth"),
+        lang_id_expr(F.col("text")).alias("pred"),
+    )
+    cm = p.groupBy("truth", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    n = cm.groupBy("truth").agg(
+        F.sum("n").cast("bigint").alias("n_truth")
+    )
+    return cm.join(F.broadcast(n), "truth").select(
+        "truth",
+        "pred",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("n_truth"), 6).alias("row_share"),
+    )
+
+
+SQL_LANGID_CONFUSION = f"""
+WITH h AS (SELECT lang, {_langid_hits_sql()} FROM documents),
+p AS (SELECT lang truth,
+        CASE WHEN greatest(hit_en,hit_de,hit_es,hit_fr) = 0 THEN 'und'
+             WHEN hit_en = greatest(hit_en,hit_de,hit_es,hit_fr) THEN 'en'
+             WHEN hit_de = greatest(hit_en,hit_de,hit_es,hit_fr) THEN 'de'
+             WHEN hit_es = greatest(hit_en,hit_de,hit_es,hit_fr) THEN 'es'
+             ELSE 'fr' END pred
+      FROM h),
+n AS (SELECT truth, CAST(count(*) AS BIGINT) n_truth FROM p GROUP BY 1)
+SELECT p.truth, p.pred, CAST(count(*) AS BIGINT) n,
+       round(count(*)*1.0/max(n.n_truth), 6) row_share
+FROM p JOIN n USING (truth) GROUP BY 1,2"""
+
+
+def q_gap_skewness(spark, sf_dir):
+    """Third-moment analysis of inter-order gaps per segment: exact
+    integer Σd, Σd², Σd³ (decimal cubes) feed the population skewness
+    g₁ = (m₃ − 3m₁m₂ + 2m₁³)/m₂′^1.5 — whether reorder cadence is
+    right-tailed (a mean±std view would miss it). One lag window per
+    customer, then map-side moments."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400000000)
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    w = Window.partitionBy("ck").orderBy("d", "ck")
+    g = o.select(
+        "ck", (F.col("d") - F.lag("d").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    j = g.join(
+        F.broadcast(
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("ck"),
+                F.col("c_mktsegment").alias("seg"),
+            )
+        ),
+        "ck",
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("s2"),
+        F.sum(d38("gap") * d38("gap") * d38("gap"))
+        .cast("decimal(38,0)")
+        .alias("s3"),
+    )
+    m1 = F.col("s1") * 1.0 / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    m3 = F.col("s3").cast("double") / F.col("n")
+    return m.select(
+        "seg",
+        "n",
+        F.round(m1, 6).alias("mean_gap"),
+        F.round(
+            (m3 - 3 * m1 * m2 + 2 * F.pow(m1, 3))
+            / F.pow(m2 - F.pow(m1, 2), 1.5),
+            6,
+        ).alias("skewness"),
+    )
+
+
+SQL_GAP_SKEWNESS = """
+WITH o AS (SELECT o_custkey ck, epoch_us(o_orderdate)//86400000000 d
+           FROM orders),
+g AS (SELECT ck, d - lag(d) OVER (PARTITION BY ck ORDER BY d, ck) gap
+      FROM o QUALIFY gap IS NOT NULL AND gap > 0),
+j AS (SELECT c.c_mktsegment seg, g.gap
+      FROM g JOIN customer c ON g.ck = c.c_custkey),
+m AS (SELECT seg, CAST(count(*) AS BIGINT) n, CAST(sum(gap) AS BIGINT) s1,
+        CAST(sum(gap*gap) AS BIGINT) s2,
+        CAST(sum(CAST(gap AS HUGEINT)*gap*gap) AS HUGEINT) s3
+      FROM j GROUP BY 1)
+SELECT seg, n,
+  round(s1*1.0/n, 6) mean_gap,
+  round( (CAST(s3 AS DOUBLE)/n - 3*(s1*1.0/n)*(CAST(s2 AS DOUBLE)/n)
+          + 2*power(s1*1.0/n,3))
+         / power( CAST(s2 AS DOUBLE)/n - power(s1*1.0/n,2), 1.5), 6)
+    skewness
+FROM m"""
+
+
+def q_return_by_latency(spark, sf_dir):
+    """Return rate by ship-latency band (30-day bands capped at 120+;
+    negative latencies — ship before order date — isolated in a −1
+    data-quality band rather than silently merged): does late
+    fulfilment correlate with returns. One fact join + map-side
+    groupBy on exact day arithmetic."""
+    day = lambda c: (  # noqa: E731
+        F.unix_micros(F.col(c).cast("timestamp")) / F.lit(86400000000)
+    ).cast("bigint")
+    j = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (day("l_shipdate") - day("o_orderdate")).alias("lat"),
+            (F.col("l_returnflag") == "R").alias("ret"),
+        )
+    )
+    band = F.when(F.col("lat") < 0, F.lit(-1).cast("bigint")).otherwise(
+        F.least((F.col("lat") / 30).cast("bigint"), F.lit(4).cast("bigint"))
+    )
+    return (
+        j.select(band.alias("band"), "ret")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("ret").cast("bigint"))
+            .cast("bigint")
+            .alias("n_returned"),
+            F.round(
+                F.sum(F.col("ret").cast("bigint")) / F.count(F.lit(1)), 6
+            ).alias("return_rate"),
+        )
+    )
+
+
+SQL_RETURN_BY_LATENCY = """
+WITH j AS (SELECT (epoch_us(li.l_shipdate)//86400000000
+                   - epoch_us(o.o_orderdate)//86400000000) lat,
+             (li.l_returnflag = 'R') ret
+           FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+b AS (SELECT CASE WHEN lat < 0 THEN CAST(-1 AS BIGINT)
+                  ELSE least(CAST(lat//30 AS BIGINT), 4) END band, ret
+      FROM j)
+SELECT band, CAST(count(*) AS BIGINT) n_lines,
+       CAST(count(*) FILTER (ret) AS BIGINT) n_returned,
+       round(count(*) FILTER (ret) * 1.0 / count(*), 6) return_rate
+FROM b GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -17098,6 +17399,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_wilson": q_funnel_wilson,
     "price_endings": q_price_endings,
     "type_cofrequency": q_type_cofrequency,
+    "session_bookends": q_session_bookends,
+    "crosslang_dups": q_crosslang_dups,
+    "velocity_by_size": q_velocity_by_size,
+    "langid_confusion": q_langid_confusion,
+    "gap_skewness": q_gap_skewness,
+    "return_by_latency": q_return_by_latency,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -17403,6 +17710,12 @@ ORACLES: dict[str, str] = {
     "funnel_wilson": SQL_FUNNEL_WILSON,
     "price_endings": SQL_PRICE_ENDINGS,
     "type_cofrequency": SQL_TYPE_COFREQUENCY,
+    "session_bookends": SQL_SESSION_BOOKENDS,
+    "crosslang_dups": SQL_CROSSLANG_DUPS,
+    "velocity_by_size": SQL_VELOCITY_BY_SIZE,
+    "langid_confusion": SQL_LANGID_CONFUSION,
+    "gap_skewness": SQL_GAP_SKEWNESS,
+    "return_by_latency": SQL_RETURN_BY_LATENCY,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
