@@ -17189,6 +17189,446 @@ SELECT band, CAST(count(*) AS BIGINT) n_lines,
 FROM b GROUP BY 1"""
 
 
+def q_lsh_s_curve(spark, sf_dir):
+    """The LSH S-curve, theory vs practice: ALL shared-shingle pairs
+    (threshold 0 — the unthresholded truth) bucketed by Jaccard decile,
+    each bucket's empirical band-candidate capture rate next to the
+    analytic 1−(1−J^r)^b at the bucket midpoint (b=8, r=2 — the
+    production banding). The evidence plot behind every LSH threshold
+    choice in this repo, as a value-checked table."""
+    docs = _t(spark, sf_dir, "documents")
+    allp = dd.ngram_jaccard_pairs(docs, 0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    cand = dd.lsh_candidate_pairs(docs).withColumn("is_cand", F.lit(1))
+    lab = allp.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.least(
+            F.floor(F.col("jaccard") * 10).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("j_bucket"),
+        F.col("is_cand").isNotNull().alias("hit"),
+    )
+    mid = (F.col("j_bucket") + 0.5) / 10
+    return (
+        lab.groupBy("j_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("hit").cast("bigint"))
+            .cast("bigint")
+            .alias("n_candidates"),
+        )
+        .select(
+            "j_bucket",
+            "n_pairs",
+            "n_candidates",
+            F.round(F.col("n_candidates") * 1.0 / F.col("n_pairs"), 6).alias(
+                "empirical_rate"
+            ),
+            F.round(1 - F.pow(1 - F.pow(mid, 2), 8), 6).alias(
+                "theory_rate"
+            ),
+        )
+    )
+
+
+def _lsh_s_curve_sql() -> str:
+    h = f"({_HASH60_SQL.format(v='s')} % {_P})"
+    mins = ", ".join(
+        f"min(({a} * {h} + {b}) % {_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    )
+    bands = ", ".join(
+        "CAST(h{} AS VARCHAR) || ':' || CAST(h{} AS VARCHAR)".format(
+            b * 2, b * 2 + 1
+        )
+        for b in range(8)
+    )
+    return f"""
+WITH {_TRIGRAM_SQL},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS (SELECT doc_id, generate_subscripts(bv,1)-1 band_idx,
+             unnest(bv) band_val
+           FROM (SELECT doc_id, [{bands}] bv FROM sig)),
+cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM banded a
+         JOIN banded b ON a.band_idx=b.band_idx
+                      AND a.band_val=b.band_val AND a.doc_id<b.doc_id),
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+allp AS (SELECT common.da, common.db, c*1.0/(na.n + nb.n - c) j
+         FROM common JOIN cnt na ON common.da=na.doc_id
+                     JOIN cnt nb ON common.db=nb.doc_id),
+lab AS (SELECT least(CAST(floor(allp.j*10) AS BIGINT), 9) jb,
+          (cand.da IS NOT NULL) hit
+        FROM allp LEFT JOIN cand ON allp.da=cand.da AND allp.db=cand.db)
+SELECT jb AS j_bucket, CAST(count(*) AS BIGINT) n_pairs,
+       CAST(count(*) FILTER (hit) AS BIGINT) n_candidates,
+       round(count(*) FILTER (hit)*1.0/count(*), 6) empirical_rate,
+       round(1 - power(1 - power((jb+0.5)/10, 2), 8), 6) theory_rate
+FROM lab GROUP BY 1"""
+
+
+SQL_LSH_S_CURVE = _lsh_s_curve_sql()
+
+
+def q_dedup_scaling_curve(spark, sf_dir):
+    """Redundancy scaling curve: near-dup pair counts restricted to
+    the first 25/50/75/100% of the doc-id range — whether duplication
+    grows superlinearly with corpus size (it does: pairs arrive faster
+    than docs), the capacity-planning input for a growing crawl."""
+    docs = _t(spark, sf_dir, "documents")
+    p = dd.ngram_jaccard_pairs(docs, 0.5).localCheckpoint(eager=False)
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    fr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in (25, 50, 75, 100)])
+        ).alias("pct")
+    ).crossJoin(F.broadcast(mx))
+    nd = (
+        fr.join(
+            docs.select("doc_id"),
+            F.col("doc_id") <= F.col("m") * F.col("pct") / 100.0,
+            "left",
+        )
+        .groupBy("pct", "m")
+        .agg(F.count("doc_id").cast("bigint").alias("n_docs"))
+    )
+    np_ = (
+        fr.join(
+            p,
+            (F.col("doc_a") <= F.col("m") * F.col("pct") / 100.0)
+            & (F.col("doc_b") <= F.col("m") * F.col("pct") / 100.0),
+            "left",
+        )
+        .groupBy("pct")
+        .agg(F.count("doc_a").cast("bigint").alias("n_pairs"))
+    )
+    return (
+        nd.join(np_, "pct")
+        .select(
+            F.col("pct").cast("bigint").alias("pct"), "n_docs", "n_pairs"
+        )
+    )
+
+
+SQL_DEDUP_SCALING_CURVE = f"""
+WITH {_TRIGRAM_SQL},
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+p AS (SELECT da, db
+      FROM common JOIN cnt na ON da=na.doc_id JOIN cnt nb ON db=nb.doc_id
+      WHERE c*1.0/(na.n+nb.n-c) >= 0.5),
+mx AS (SELECT max(doc_id) m FROM documents),
+fr AS (SELECT unnest([25,50,75,100]) pct)
+SELECT CAST(pct AS BIGINT) pct,
+  (SELECT CAST(count(*) AS BIGINT) FROM documents, mx
+   WHERE doc_id <= m*pct/100.0) n_docs,
+  CAST(count(*) FILTER (p.da <= (SELECT m FROM mx)*pct/100.0
+                        AND p.db <= (SELECT m FROM mx)*pct/100.0)
+       AS BIGINT) n_pairs
+FROM fr LEFT JOIN p ON TRUE GROUP BY pct"""
+
+
+def q_heldout_perplexity(spark, sf_dir):
+    """TRUE held-out LM evaluation (unigram_logprob scores in-sample):
+    the unigram model fits on the TRAIN split only (Laplace +1 over
+    train vocab, one shared OOV slot), then scores val and test docs —
+    per split: docs, tokens, mean log10 probability (per-token log
+    rounded to 6dp, mean to 4dp — the repo's cross-engine log
+    contract). The train-side freq table is the only join input."""
+    from llmaix_spark.operators.curation import dataset_split
+    from llmaix_spark.operators.textstats import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.join(dataset_split(docs), "doc_id").select(
+        "doc_id", "split", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).localCheckpoint(eager=False)
+    freq = (
+        toks.where(F.col("split") == "train")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    v = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    scored = (
+        toks.where(F.col("split") != "train")
+        .join(F.broadcast(freq), "tok", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "split",
+            "doc_id",
+            F.round(
+                F.log10(
+                    (F.coalesce("c", F.lit(0)) + 1.0)
+                    / (F.col("n") + F.col("vocab") + 1)
+                ),
+                6,
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("split").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("lp"), 4).alias("mean_logprob"),
+    )
+
+
+SQL_HELDOUT_PERPLEXITY = rf"""
+WITH toks AS (SELECT doc_id,
+        CASE WHEN {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9000 THEN 'train'
+             WHEN {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9500 THEN 'val'
+             ELSE 'test' END split,
+        unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0)) tok
+      FROM documents),
+freq AS (SELECT tok, CAST(count(*) AS BIGINT) c FROM toks
+         WHERE split = 'train' GROUP BY 1),
+v AS (SELECT CAST(count(*) AS BIGINT) vocab, CAST(sum(c) AS BIGINT) n
+      FROM freq),
+scored AS (SELECT t.split, t.doc_id,
+             round(log10((coalesce(f.c, 0) + 1.0)
+                   / ((SELECT n FROM v) + (SELECT vocab FROM v) + 1)), 6)
+               lp
+           FROM toks t LEFT JOIN freq f ON t.tok = f.tok
+           WHERE t.split <> 'train')
+SELECT split, CAST(count(DISTINCT doc_id) AS BIGINT) n_docs,
+       CAST(count(*) AS BIGINT) n_tokens,
+       round(avg(lp), 4) mean_logprob
+FROM scored GROUP BY 1"""
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: sign-hash the first 4
+    embedding dimensions into 16 coarse buckets, then count
+    same-bucket DIFFERENT-label pairs per label pair — geometrically
+    close cross-class examples, the pairs a contrastive fine-tune
+    should sample hardest. Pair join runs within buckets only (the
+    SimHash-lite stand-in for the IVF assignment at test dims)."""
+    b = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        (
+            F.when(F.element_at("embedding", 1) > 0, 1).otherwise(0)
+            + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
+            + F.when(F.element_at("embedding", 3) > 0, 4).otherwise(0)
+            + F.when(F.element_at("embedding", 4) > 0, 8).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    a = b.alias("a")
+    c = b.alias("b")
+    p = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+        & (F.col("a.label") != F.col("b.label")),
+    ).select(
+        F.least(F.col("a.label"), F.col("b.label")).alias("label_a"),
+        F.greatest(F.col("a.label"), F.col("b.label")).alias("label_b"),
+    )
+    return p.groupBy("label_a", "label_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hard_pairs")
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH b AS (SELECT vec_id, label,
+    CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS BIGINT) bucket
+  FROM embeddings),
+p AS (SELECT least(a.label, b.label) la, greatest(a.label, b.label) lb
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE a.label <> b.label)
+SELECT CAST(la AS BIGINT) label_a, CAST(lb AS BIGINT) label_b,
+       CAST(count(*) AS BIGINT) n_hard_pairs
+FROM p GROUP BY 1,2"""
+
+
+def q_quality_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of three quality signals (length,
+    type-token ratio, 1−repetition) into one curation ranking:
+    RRF = Σ 1/(60+rank_i), nano-quantized so the fused score is an
+    exact integer; top-50 manifest. The rank-fusion combinator a
+    multi-signal curation pass needs when signal scales don't
+    commensurate."""
+    from pyspark.sql import Window
+
+    from llmaix_spark.functions.arrays import bind_array
+    from llmaix_spark.operators.textstats import _tokens
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("len_sig"),
+        bind_array(
+            _tokens(F.col("text")),
+            lambda w: F.round(
+                F.size(F.array_distinct(w)) * 1.0 / F.size(w), 9
+            ),
+        ).alias("ttr"),
+    ).withColumn("rep", F.round(1.0 - F.col("ttr"), 9))
+    r = base.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("len_sig"), F.asc("doc_id")))
+        .alias("r1"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("ttr"), F.asc("doc_id")))
+        .alias("r2"),
+        F.row_number()
+        .over(Window.orderBy(F.asc("rep"), F.asc("doc_id")))
+        .alias("r3"),
+    )
+    rrf = F.round(
+        (
+            1.0 / (60 + F.col("r1"))
+            + 1.0 / (60 + F.col("r2"))
+            + 1.0 / (60 + F.col("r3"))
+        )
+        * 1e9,
+        0,
+    ).cast("bigint")
+    f = r.select("doc_id", rrf.alias("rrf_nano"))
+    return (
+        f.withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf_nano"), F.asc("doc_id")))
+            .cast("bigint"),
+        )
+        .where(F.col("fused_rank") <= 50)
+    )
+
+
+SQL_QUALITY_FUSION = r"""
+WITH base AS (SELECT doc_id, n_chars,
+    list_filter(string_split_regex(lower(trim(text)),'\s+'),
+                x->length(x)>0) w
+  FROM documents),
+sig AS (SELECT doc_id, CAST(n_chars AS BIGINT) len_sig,
+    round(len(list_distinct(w))*1.0/len(w), 9) ttr,
+    round(1.0 - len(list_distinct(w))*1.0/len(w), 9) rep
+  FROM base),
+r AS (SELECT doc_id,
+    row_number() OVER (ORDER BY len_sig DESC, doc_id) r1,
+    row_number() OVER (ORDER BY ttr DESC, doc_id) r2,
+    row_number() OVER (ORDER BY rep ASC, doc_id) r3
+  FROM sig),
+f AS (SELECT doc_id,
+    CAST(round((1.0/(60+r1) + 1.0/(60+r2) + 1.0/(60+r3))*1e9, 0)
+         AS BIGINT) rrf_nano
+  FROM r)
+SELECT doc_id, rrf_nano,
+  CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id) AS BIGINT)
+    fused_rank
+FROM f QUALIFY fused_rank <= 50"""
+
+
+def q_split_token_chi2(spark, sf_dir):
+    """Token-level split homogeneity: χ² between the train slice and
+    the held-out rest over the top-10 train tokens (+ an OTHER
+    bucket) — the content-level companion of split_parity_psi's
+    length histogram. df = categories − 1."""
+    from pyspark.sql import Window
+
+    from llmaix_spark.operators.curation import dataset_split
+    from llmaix_spark.operators.textstats import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.join(dataset_split(docs), "doc_id").select(
+        F.when(F.col("split") == "train", "train")
+        .otherwise("heldout")
+        .alias("grp"),
+        F.explode(_tokens(F.col("text"))).alias("tok"),
+    ).localCheckpoint(eager=False)
+    top = (
+        toks.where(F.col("grp") == "train")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("c"), F.asc("tok"))
+            ),
+        )
+        .where(F.col("rk") <= 10)
+        .select("tok", F.lit(1).alias("_top"))
+    )
+    m = toks.join(F.broadcast(top), "tok", "left").select(
+        F.when(F.col("_top").isNotNull(), F.col("tok"))
+        .otherwise("__other__")
+        .alias("cat"),
+        "grp",
+    )
+    cell = m.groupBy("cat").agg(
+        F.sum((F.col("grp") == "train").cast("bigint"))
+        .cast("bigint")
+        .alias("ct"),
+        F.sum((F.col("grp") == "heldout").cast("bigint"))
+        .cast("bigint")
+        .alias("ch"),
+    )
+    tot = cell.agg(
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.sum("ch").cast("bigint").alias("nh"),
+    )
+    et = (
+        (F.col("ct") + F.col("ch"))
+        * 1.0
+        * F.col("nt")
+        / (F.col("nt") + F.col("nh"))
+    )
+    eh = (
+        (F.col("ct") + F.col("ch"))
+        * 1.0
+        * F.col("nh")
+        / (F.col("nt") + F.col("nh"))
+    )
+    return cell.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cats"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("df"),
+        F.round(
+            F.sum(
+                F.pow(F.col("ct") - et, 2) / et
+                + F.pow(F.col("ch") - eh, 2) / eh
+            ),
+            6,
+        ).alias("chi2"),
+    )
+
+
+SQL_SPLIT_TOKEN_CHI2 = rf"""
+WITH toks AS (SELECT
+        CASE WHEN {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9000 THEN 'train' ELSE 'heldout' END grp,
+        unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0)) tok
+      FROM documents),
+top AS (SELECT tok FROM (SELECT tok, count(*) c FROM toks
+        WHERE grp='train' GROUP BY 1
+        QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 10) q0),
+m AS (SELECT CASE WHEN top.tok IS NOT NULL THEN toks.tok
+                  ELSE '__other__' END cat, grp
+      FROM toks LEFT JOIN top ON toks.tok = top.tok),
+cell AS (SELECT cat, CAST(count(*) FILTER (grp='train') AS BIGINT) ct,
+           CAST(count(*) FILTER (grp='heldout') AS BIGINT) ch
+         FROM m GROUP BY 1),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) nt, CAST(sum(ch) AS BIGINT) nh
+        FROM cell),
+ex AS (SELECT cat, ct, ch,
+         (ct+ch)*1.0*(SELECT nt FROM tot)
+           /((SELECT nt FROM tot)+(SELECT nh FROM tot)) et,
+         (ct+ch)*1.0*(SELECT nh FROM tot)
+           /((SELECT nt FROM tot)+(SELECT nh FROM tot)) eh
+       FROM cell)
+SELECT CAST(count(*) AS BIGINT) n_cats, CAST(count(*) - 1 AS BIGINT) df,
+  round(sum(power(ct-et,2)/et + power(ch-eh,2)/eh), 6) chi2
+FROM ex"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -17405,6 +17845,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_confusion": q_langid_confusion,
     "gap_skewness": q_gap_skewness,
     "return_by_latency": q_return_by_latency,
+    "lsh_s_curve": q_lsh_s_curve,
+    "dedup_scaling_curve": q_dedup_scaling_curve,
+    "heldout_perplexity": q_heldout_perplexity,
+    "hard_negatives": q_hard_negatives,
+    "quality_fusion": q_quality_fusion,
+    "split_token_chi2": q_split_token_chi2,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -17716,6 +18162,12 @@ ORACLES: dict[str, str] = {
     "langid_confusion": SQL_LANGID_CONFUSION,
     "gap_skewness": SQL_GAP_SKEWNESS,
     "return_by_latency": SQL_RETURN_BY_LATENCY,
+    "lsh_s_curve": SQL_LSH_S_CURVE,
+    "dedup_scaling_curve": SQL_DEDUP_SCALING_CURVE,
+    "heldout_perplexity": SQL_HELDOUT_PERPLEXITY,
+    "hard_negatives": SQL_HARD_NEGATIVES,
+    "quality_fusion": SQL_QUALITY_FUSION,
+    "split_token_chi2": SQL_SPLIT_TOKEN_CHI2,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
