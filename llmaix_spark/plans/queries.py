@@ -17629,6 +17629,514 @@ SELECT CAST(count(*) AS BIGINT) n_cats, CAST(count(*) - 1 AS BIGINT) df,
 FROM ex"""
 
 
+def q_anova_two_way(spark, sf_dir):
+    """Two-way ANOVA of line quantity on discount band × return flag:
+    SS decomposition (factor A, factor B, interaction, error) and the
+    three F statistics — the factorial-design readout beyond the
+    one-factor tests in the library. Every sum of squares comes from
+    exact integer (n, Σy, Σy²) cell moments; the handful of group-mean
+    divisions are the only floats."""
+    x = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_discount") == 0, "none")
+        .when(F.col("l_discount") < 0.05, "low")
+        .otherwise("high")
+        .alias("a"),
+        F.col("l_returnflag").alias("b"),
+        F.round("l_quantity", 0).cast("bigint").alias("y"),
+    )
+    cell = x.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss"),
+    ).localCheckpoint(eager=False)  # 4 consumers: tot/am/bm/cells
+    mean_sq = F.sum(F.col("s").cast("double") * F.col("s") / F.col("n"))
+    tot = cell.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("s"),
+        F.sum("ss").cast("bigint").alias("ss"),
+    )
+    am = cell.groupBy("a").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s")
+    ).agg(mean_sq.alias("ma"), F.count(F.lit(1)).cast("bigint").alias("ka"))
+    bm = cell.groupBy("b").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s")
+    ).agg(mean_sq.alias("mb"), F.count(F.lit(1)).cast("bigint").alias("kb"))
+    cm = cell.agg(
+        mean_sq.alias("mc"), F.count(F.lit(1)).cast("bigint").alias("kc")
+    )
+    j = (
+        tot.crossJoin(F.broadcast(am))
+        .crossJoin(F.broadcast(bm))
+        .crossJoin(F.broadcast(cm))
+    )
+    grand = F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssa = F.col("ma") - grand
+    ssb = F.col("mb") - grand
+    ssab = F.col("mc") - F.col("ma") - F.col("mb") + grand
+    sse = F.col("ss").cast("double") - F.col("mc")
+    dfe = F.col("n") - F.col("kc")
+    return j.select(
+        "n",
+        "ka",
+        "kb",
+        F.round(ssa, 6).alias("ss_a"),
+        F.round(ssb, 6).alias("ss_b"),
+        F.round(ssab, 6).alias("ss_interaction"),
+        F.round(sse, 6).alias("ss_error"),
+        F.round((ssa / (F.col("ka") - 1)) / (sse / dfe), 6).alias("f_a"),
+        F.round((ssb / (F.col("kb") - 1)) / (sse / dfe), 6).alias("f_b"),
+        F.round(
+            (ssab / ((F.col("ka") - 1) * (F.col("kb") - 1)))
+            / (sse / dfe),
+            6,
+        ).alias("f_ab"),
+    )
+
+
+SQL_ANOVA_TWO_WAY = """
+WITH x AS (SELECT CASE WHEN l_discount = 0 THEN 'none'
+                       WHEN l_discount < 0.05 THEN 'low'
+                       ELSE 'high' END a,
+             l_returnflag b, CAST(round(l_quantity,0) AS BIGINT) y
+           FROM lineitem),
+cell AS (SELECT a, b, CAST(count(*) AS BIGINT) n, CAST(sum(y) AS BIGINT) s,
+           CAST(sum(y*y) AS BIGINT) ss FROM x GROUP BY 1,2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) n, CAST(sum(s) AS BIGINT) s,
+          CAST(sum(ss) AS BIGINT) ss FROM cell),
+am AS (SELECT sum(CAST(s2.s AS DOUBLE)*s2.s/s2.n) ma,
+         CAST(count(*) AS BIGINT) ka
+       FROM (SELECT a, CAST(sum(n) AS BIGINT) n, CAST(sum(s) AS BIGINT) s
+             FROM cell GROUP BY 1) s2),
+bm AS (SELECT sum(CAST(s2.s AS DOUBLE)*s2.s/s2.n) mb,
+         CAST(count(*) AS BIGINT) kb
+       FROM (SELECT b, CAST(sum(n) AS BIGINT) n, CAST(sum(s) AS BIGINT) s
+             FROM cell GROUP BY 1) s2),
+cm AS (SELECT sum(CAST(s AS DOUBLE)*s/n) mc,
+         CAST(count(*) AS BIGINT) kc FROM cell)
+SELECT tot.n, am.ka, bm.kb,
+  round(am.ma - CAST(tot.s AS DOUBLE)*tot.s/tot.n, 6) ss_a,
+  round(bm.mb - CAST(tot.s AS DOUBLE)*tot.s/tot.n, 6) ss_b,
+  round(cm.mc - am.ma - bm.mb + CAST(tot.s AS DOUBLE)*tot.s/tot.n, 6)
+    ss_interaction,
+  round(CAST(tot.ss AS DOUBLE) - cm.mc, 6) ss_error,
+  round( ((am.ma - CAST(tot.s AS DOUBLE)*tot.s/tot.n)/(am.ka-1))
+         / ((CAST(tot.ss AS DOUBLE) - cm.mc)/(tot.n - cm.kc)), 6) f_a,
+  round( ((bm.mb - CAST(tot.s AS DOUBLE)*tot.s/tot.n)/(bm.kb-1))
+         / ((CAST(tot.ss AS DOUBLE) - cm.mc)/(tot.n - cm.kc)), 6) f_b,
+  round( ((cm.mc - am.ma - bm.mb + CAST(tot.s AS DOUBLE)*tot.s/tot.n)
+          /((am.ka-1)*(bm.kb-1)))
+         / ((CAST(tot.ss AS DOUBLE) - cm.mc)/(tot.n - cm.kc)), 6) f_ab
+FROM tot, am, bm, cm"""
+
+
+def q_feature_hash_collisions(spark, sf_dir):
+    """Hashing-trick capacity audit: distinct trigram features hashed
+    into 256 buckets — buckets used, max load, colliding-bucket count
+    and the share of feature mass living in collided buckets (1.0 here:
+    16k features cannot fit 256 buckets, which is the point a feature-
+    hashing dimension choice must confront). One groupBy on the
+    distinct-feature table."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    feat = dd.word_shingles(_t(spark, sf_dir, "documents"), 3).select(
+        "shingle"
+    ).distinct()
+    b = feat.select(
+        (
+            stable_hash60_expr(F.concat(F.col("shingle"), F.lit(":feat")))
+            % 256
+        ).alias("bucket")
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feats")
+    )
+    return b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        F.sum("n_feats").cast("bigint").alias("n_features"),
+        F.max("n_feats").cast("bigint").alias("max_bucket"),
+        F.sum((F.col("n_feats") >= 2).cast("bigint"))
+        .cast("bigint")
+        .alias("n_colliding_buckets"),
+        F.round(
+            F.sum(F.when(F.col("n_feats") >= 2, F.col("n_feats")).otherwise(0))
+            * 1.0
+            / F.sum("n_feats"),
+            6,
+        ).alias("collision_mass"),
+    )
+
+
+SQL_FEATURE_HASH_COLLISIONS = rf"""
+WITH {_TRIGRAM_SQL},
+feat AS (SELECT DISTINCT s FROM sh),
+h AS (SELECT s, {_HASH60_SQL.format(v="s || ':feat'")} % 256 bucket
+      FROM feat),
+b AS (SELECT CAST(bucket AS BIGINT) bucket,
+        CAST(count(*) AS BIGINT) n_feats FROM h GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) n_buckets_used,
+  CAST(sum(n_feats) AS BIGINT) n_features,
+  CAST(max(n_feats) AS BIGINT) max_bucket,
+  CAST(count(*) FILTER (n_feats >= 2) AS BIGINT) n_colliding_buckets,
+  round(sum(CASE WHEN n_feats >= 2 THEN n_feats ELSE 0 END)*1.0
+        /sum(n_feats), 6) collision_mass
+FROM b"""
+
+
+def q_cdf_linearity(spark, sf_dir):
+    """Learned-index feasibility audit: R² of rank-vs-key for three
+    key distributions — the dense surrogate key (perfectly linear), raw
+    cents (near-uniform) and squared cents (convex CDF, visibly
+    sub-linear) — how well a single linear model would locate records,
+    the decision input for learned-vs-btree indexing. Exact integer
+    moment sums in decimal(38,0)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    v = (
+        o.select(
+            F.lit("orderkey").alias("metric"),
+            F.col("o_orderkey").cast("bigint").alias("k"),
+        )
+        .unionAll(
+            o.select(
+                F.lit("totalprice_cents").alias("metric"),
+                cents.alias("k"),
+            )
+        )
+        .unionAll(
+            o.select(
+                F.lit("price_squared").alias("metric"),
+                ((cents % 100000) * (cents % 100000)).alias("k"),
+            )
+        )
+    )
+    r = v.select(
+        "metric",
+        "k",
+        F.row_number()
+        .over(Window.partitionBy("metric").orderBy("k"))
+        .alias("rk"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = r.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("decimal(38,0)").alias("sx"),
+        F.sum("rk").cast("bigint").alias("sy"),
+        F.sum(d38("k") * d38("k")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d38("rk") * d38("rk")).cast("decimal(38,0)").alias("syy"),
+        F.sum(d38("k") * d38("rk")).cast("decimal(38,0)").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * (
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return m.select(
+        "metric", "n", F.round(F.pow(num, 2) / den, 9).alias("r2")
+    )
+
+
+SQL_CDF_LINEARITY = """
+WITH v AS (
+  SELECT 'orderkey' metric, CAST(o_orderkey AS BIGINT) k FROM orders
+  UNION ALL SELECT 'totalprice_cents',
+    CAST(round(o_totalprice*100,0) AS BIGINT) FROM orders
+  UNION ALL SELECT 'price_squared',
+    (CAST(round(o_totalprice*100,0) AS BIGINT) % 100000)
+    * (CAST(round(o_totalprice*100,0) AS BIGINT) % 100000) FROM orders),
+r AS (SELECT metric, k,
+        row_number() OVER (PARTITION BY metric ORDER BY k) rk FROM v),
+m AS (SELECT metric, CAST(count(*) AS BIGINT) n,
+        CAST(sum(k) AS HUGEINT) sx, CAST(sum(rk) AS BIGINT) sy,
+        CAST(sum(CAST(k AS HUGEINT)*k) AS HUGEINT) sxx,
+        CAST(sum(CAST(rk AS HUGEINT)*rk) AS HUGEINT) syy,
+        CAST(sum(CAST(k AS HUGEINT)*rk) AS HUGEINT) sxy
+      FROM r GROUP BY 1)
+SELECT metric, n,
+  round( power(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE)*sy, 2) /
+         ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+          * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE)*sy)), 9) r2
+FROM m"""
+
+
+def q_dedup_group_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram: how many CC groups of each
+    size the threshold graph produces (exact pair generator — the
+    oracle path) — the shape that decides whether keep-one dedup or
+    cluster-level re-weighting is the right policy."""
+    groups = dd.dedup_groups(
+        _t(spark, sf_dir, "documents"),
+        0.5,
+        pairs_fn=dd.ngram_jaccard_pairs,
+    )
+    sizes = groups.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size")
+    )
+    return sizes.groupBy("group_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups")
+    )
+
+
+SQL_DEDUP_GROUP_SIZES = f"""
+WITH RECURSIVE
+{_TRIGRAM_SQL},
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT da, db
+          FROM common JOIN cnt na ON da=na.doc_id
+                      JOIN cnt nb ON db=nb.doc_id
+          WHERE c*1.0/(na.n + nb.n - c) >= 0.5),
+sym AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+reach(node, comp) AS (SELECT a, a FROM sym UNION
+  SELECT s2.b, r.comp FROM reach r JOIN sym s2 ON s2.a = r.node),
+cc AS (SELECT node, min(comp) comp FROM reach GROUP BY node),
+assigned AS (SELECT d2.doc_id,
+               coalesce(cc.comp, d2.doc_id) group_id
+             FROM documents d2 LEFT JOIN cc ON d2.doc_id = cc.node),
+sizes AS (SELECT group_id, CAST(count(*) AS BIGINT) group_size
+          FROM assigned GROUP BY 1)
+SELECT group_size, CAST(count(*) AS BIGINT) n_groups
+FROM sizes GROUP BY 1"""
+
+
+def q_logrank_test(spark, sf_dir):
+    """Log-rank test between two hash arms on time-to-first-purchase
+    (days since the user's first event; censored at their last event)
+    — the survival-curve comparison kaplan_meier's single curve can't
+    test. Per-event-time O/E/V terms are nano-quantized before the
+    integer sum (order-invariant); the at-risk table joins the event
+    times against the (user-grain) survival rows."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(86400000000)
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    u = e.groupBy("u").agg(
+        F.min("d").alias("t0"),
+        F.max("d").alias("t_last"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("d"))
+        ).alias("t_p"),
+    )
+    surv = u.select(
+        F.when(
+            stable_hash60_expr(
+                F.concat(F.col("u").cast("string"), F.lit(":arm"))
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("g"),
+        F.when(
+            F.col("t_p").isNotNull(), F.col("t_p") - F.col("t0")
+        )
+        .otherwise(F.col("t_last") - F.col("t0"))
+        .alias("t"),
+        F.col("t_p").isNotNull().alias("ev"),
+    ).localCheckpoint(eager=False)  # consumers: times + at-risk join
+    times = surv.where("ev").select("t").distinct().withColumnRenamed(
+        "t", "tt"
+    )
+    # event-time grid × user-grain survival rows: the grid is bounded
+    # by distinct event DAYS, so the crossJoin is calendar-sized
+    atrisk = (
+        times.crossJoin(surv)
+        .groupBy("tt")
+        .agg(
+            F.sum((F.col("t") >= F.col("tt")).cast("bigint"))
+            .cast("bigint")
+            .alias("nt"),
+            F.sum(
+                ((F.col("t") >= F.col("tt")) & (F.col("g") == 1)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(
+                ((F.col("t") == F.col("tt")) & F.col("ev")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("dt"),
+            F.sum(
+                (
+                    (F.col("t") == F.col("tt"))
+                    & F.col("ev")
+                    & (F.col("g") == 1)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("d1"),
+        )
+    )
+    e1_nano = F.round(
+        F.col("dt").cast("double") * F.col("n1") / F.col("nt") * 1e9, 0
+    ).cast("bigint")
+    v_nano = F.round(
+        F.when(
+            F.col("nt") > 1,
+            F.col("dt").cast("double")
+            * (F.col("n1").cast("double") / F.col("nt"))
+            * (1 - F.col("n1").cast("double") / F.col("nt"))
+            * (F.col("nt") - F.col("dt"))
+            / (F.col("nt") - 1.0),
+        ).otherwise(0.0)
+        * 1e9,
+        0,
+    ).cast("bigint")
+    s = atrisk.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum(e1_nano).cast("bigint").alias("e1n"),
+        F.sum(v_nano).cast("bigint").alias("vn"),
+    )
+    return s.select(
+        F.col("o1").alias("observed_g1"),
+        F.round(F.col("e1n") / 1e9, 6).alias("expected_g1"),
+        F.round(
+            (F.col("o1") - F.col("e1n") / 1e9)
+            / F.sqrt(F.col("vn") / 1e9),
+            6,
+        ).alias("logrank_z"),
+    )
+
+
+SQL_LOGRANK_TEST = f"""
+WITH e AS (SELECT user_id u, event_type et,
+             epoch_us(ts)//86400000000 d FROM events),
+u AS (SELECT u, min(d) t0, max(d) t_last,
+        min(CASE WHEN et = 'purchase' THEN d END) t_p
+      FROM e GROUP BY 1),
+surv AS (SELECT
+    CASE WHEN {_HASH60_SQL.format(v="CAST(u AS VARCHAR) || ':arm'")} % 2 = 0
+         THEN 1 ELSE 0 END g,
+    CASE WHEN t_p IS NOT NULL THEN t_p - t0 ELSE t_last - t0 END t,
+    (t_p IS NOT NULL) ev
+  FROM u),
+times AS (SELECT DISTINCT t tt FROM surv WHERE ev),
+atrisk AS (SELECT times.tt,
+    CAST(count(*) FILTER (surv.t >= times.tt) AS BIGINT) nt,
+    CAST(count(*) FILTER (surv.t >= times.tt AND g = 1) AS BIGINT) n1,
+    CAST(count(*) FILTER (surv.t = times.tt AND ev) AS BIGINT) dt,
+    CAST(count(*) FILTER (surv.t = times.tt AND ev AND g = 1)
+         AS BIGINT) d1
+  FROM times JOIN surv ON TRUE GROUP BY 1),
+terms AS (SELECT d1,
+    CAST(round(CAST(dt AS DOUBLE)*n1/nt * 1e9, 0) AS BIGINT) e1n,
+    CAST(round(CASE WHEN nt > 1
+       THEN CAST(dt AS DOUBLE)*(CAST(n1 AS DOUBLE)/nt)
+            *(1-CAST(n1 AS DOUBLE)/nt)*(nt-dt)/(nt-1.0)
+       ELSE 0 END * 1e9, 0) AS BIGINT) vn
+  FROM atrisk),
+s AS (SELECT CAST(sum(d1) AS BIGINT) o1, CAST(sum(e1n) AS BIGINT) e1n,
+        CAST(sum(vn) AS BIGINT) vn FROM terms)
+SELECT o1 observed_g1, round(e1n/1e9, 6) expected_g1,
+  round((o1 - e1n/1e9)/sqrt(vn/1e9), 6) logrank_z
+FROM s"""
+
+
+def q_ratio_ci_delta(spark, sf_dir):
+    """Delta-method standard error for the ratio metric
+    revenue-per-order at the CUSTOMER randomization grain (the metric
+    engineering trap: naive per-order variance understates the SE when
+    customers are the unit): per segment, the ratio in dollars and its
+    delta-method SE from exact (Σr, Σr², Σk, Σk², Σrk) customer
+    moments."""
+    per = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("r"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = per.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("sr"),
+        F.sum(d38("r") * d38("r")).cast("decimal(38,0)").alias("srr"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+        F.sum(d38("r") * d38("k")).cast("decimal(38,0)").alias("srk"),
+    )
+    ratio = F.col("sr").cast("double") / F.col("sk")
+    var_num = (
+        F.col("srr").cast("double")
+        - F.col("sr").cast("double") * F.col("sr") / F.col("n")
+        - 2.0
+        * ratio
+        * (
+            F.col("srk").cast("double")
+            - F.col("sr").cast("double") * F.col("sk") / F.col("n")
+        )
+        + F.pow(ratio, 2)
+        * (
+            F.col("skk").cast("double")
+            - F.col("sk").cast("double") * F.col("sk") / F.col("n")
+        )
+    ) / (F.col("n") - 1.0)
+    se = (
+        F.sqrt(F.greatest(var_num, F.lit(0.0)) / F.col("n"))
+        / (F.col("sk").cast("double") / F.col("n"))
+        / 100.0
+    )
+    return m.select(
+        "seg",
+        "n",
+        F.round(ratio / 100.0, 6).alias("ratio_dollars"),
+        F.round(se, 6).alias("se_dollars"),
+    )
+
+
+SQL_RATIO_CI_DELTA = """
+WITH per AS (SELECT c.c_mktsegment seg,
+               CAST(sum(CAST(round(o.o_totalprice*100,0) AS BIGINT))
+                    AS BIGINT) r,
+               CAST(count(*) AS BIGINT) k
+             FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey
+             GROUP BY c.c_mktsegment, o.o_custkey),
+m AS (SELECT seg, CAST(count(*) AS BIGINT) n,
+        CAST(sum(r) AS BIGINT) sr,
+        CAST(sum(CAST(r AS HUGEINT)*r) AS HUGEINT) srr,
+        CAST(sum(k) AS BIGINT) sk, CAST(sum(k*k) AS BIGINT) skk,
+        CAST(sum(CAST(r AS HUGEINT)*k) AS HUGEINT) srk
+      FROM per GROUP BY 1)
+SELECT seg, n,
+  round(CAST(sr AS DOUBLE)/sk/100.0, 6) ratio_dollars,
+  round( sqrt( greatest(
+      ( CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)*sr/n
+        - 2.0*(CAST(sr AS DOUBLE)/sk)
+          *(CAST(srk AS DOUBLE) - CAST(sr AS DOUBLE)*sk/n)
+        + power(CAST(sr AS DOUBLE)/sk, 2)
+          *(CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE)*sk/n)
+      ) / (n - 1.0), 0) / n ) / (CAST(sk AS DOUBLE)/n) / 100.0, 6)
+    se_dollars
+FROM m"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -17851,6 +18359,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "quality_fusion": q_quality_fusion,
     "split_token_chi2": q_split_token_chi2,
+    "anova_two_way": q_anova_two_way,
+    "feature_hash_collisions": q_feature_hash_collisions,
+    "cdf_linearity": q_cdf_linearity,
+    "dedup_group_sizes": q_dedup_group_sizes,
+    "logrank_test": q_logrank_test,
+    "ratio_ci_delta": q_ratio_ci_delta,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -18168,6 +18682,12 @@ ORACLES: dict[str, str] = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "quality_fusion": SQL_QUALITY_FUSION,
     "split_token_chi2": SQL_SPLIT_TOKEN_CHI2,
+    "anova_two_way": SQL_ANOVA_TWO_WAY,
+    "feature_hash_collisions": SQL_FEATURE_HASH_COLLISIONS,
+    "cdf_linearity": SQL_CDF_LINEARITY,
+    "dedup_group_sizes": SQL_DEDUP_GROUP_SIZES,
+    "logrank_test": SQL_LOGRANK_TEST,
+    "ratio_ci_delta": SQL_RATIO_CI_DELTA,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
