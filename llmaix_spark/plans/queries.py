@@ -18137,6 +18137,391 @@ SELECT seg, n,
 FROM m"""
 
 
+def q_order_batching(spark, sf_dir):
+    """Purchase-batching histogram: per customer, consecutive orders
+    within 7 days collapse into one batch (the RLE/sessionize gap rule
+    applied to ORDERS); output the batch-size distribution — how much
+    demand arrives in bursts vs singletons. Two per-customer windows
+    then map-side counts."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400000000)
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    w = Window.partitionBy("ck").orderBy("d")
+    s = o.select(
+        "ck",
+        "d",
+        F.when(F.col("d") - F.lag("d").over(w) <= 7, 0)
+        .otherwise(1)
+        .alias("brk"),
+    )
+    r = s.select("ck", F.sum("brk").over(w).alias("bid"))
+    b = r.groupBy("ck", "bid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("batch_size")
+    )
+    return b.groupBy("batch_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batches")
+    )
+
+
+SQL_ORDER_BATCHING = """
+WITH o AS (SELECT o_custkey ck, epoch_us(o_orderdate)//86400000000 d
+           FROM orders),
+s AS (SELECT ck, d,
+        CASE WHEN d - lag(d) OVER w <= 7 THEN 0 ELSE 1 END brk
+      FROM o WINDOW w AS (PARTITION BY ck ORDER BY d)),
+r AS (SELECT ck, sum(brk) OVER (PARTITION BY ck ORDER BY d) bid FROM s),
+b AS (SELECT ck, bid, CAST(count(*) AS BIGINT) batch_size
+      FROM r GROUP BY 1,2)
+SELECT batch_size, CAST(count(*) AS BIGINT) n_batches
+FROM b GROUP BY 1"""
+
+
+def q_token_burstiness(spark, sf_dir):
+    """Church-Gale burstiness: collection frequency over document
+    frequency per token (cf/df ≫ 1 = a token that clumps inside few
+    docs), top-10 burstiest at df ≥ 3 — the term-weighting signal
+    plain TF-IDF misses. Two counts in one groupBy."""
+    from pyspark.sql import Window
+
+    from llmaix_spark.operators.textstats import _tokens
+
+    w = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("t")
+    )
+    st = w.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    r = st.where(F.col("df") >= 3).select(
+        "t",
+        "cf",
+        "df",
+        F.round(F.col("cf") * 1.0 / F.col("df"), 6).alias("burstiness"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc(F.col("cf") * 1.0 / F.col("df")), F.asc("t")
+            )
+        )
+        .alias("rk"),
+    )
+    return r.where(F.col("rk") <= 10).select(
+        F.col("t").alias("token"), "cf", "df", "burstiness"
+    )
+
+
+SQL_TOKEN_BURSTINESS = r"""
+WITH w AS (SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(trim(text)),'\s+'),
+             x->length(x)>0)) t FROM documents),
+st AS (SELECT t, CAST(count(*) AS BIGINT) cf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) df
+       FROM w GROUP BY 1),
+r AS (SELECT t, cf, df, round(cf*1.0/df, 6) burstiness,
+        row_number() OVER (ORDER BY cf*1.0/df DESC, t) rk
+      FROM st WHERE df >= 3)
+SELECT t AS token, cf, df, burstiness FROM r WHERE rk <= 10"""
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Sub-document dedup at the RAG-chunk grain: sliding 64/32 chunk
+    hashes (chunk_sliding's contract) appearing in ≥ 2 documents — the
+    index-level dedup step that stops a retrieval index serving the
+    same passage twice even when the parent docs aren't near-dups."""
+    from llmaix_spark.functions.arrays import bind_array
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    rows = d.select(
+        "doc_id",
+        bind_array(
+            toks,
+            lambda w: F.struct(
+                w.alias("w"), F.size(w).cast("bigint").alias("nt")
+            ),
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w").alias("w"), F.col("b.nt").alias("nt"))
+    starts = rows.where(F.col("nt") >= 1).select(
+        "doc_id",
+        "w",
+        "nt",
+        F.explode(
+            F.sequence(F.lit(1).cast("bigint"), F.col("nt"), F.lit(32))
+        ).alias("st"),
+    )
+    end = F.least(F.col("st") + 63, F.col("nt"))
+    chunk = F.concat_ws(
+        " ", F.slice(F.col("w"), F.col("st"), end - F.col("st") + 1)
+    )
+    ch = starts.select(
+        "doc_id", stable_hash60_expr(chunk).alias("chunk_hash")
+    )
+    g = ch.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    return g.where(F.col("n_docs") >= 2)
+
+
+SQL_CHUNK_DEDUP = rf"""
+WITH d AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)),'\s+'),
+             x->length(x)>0) w FROM documents),
+n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) nt FROM d),
+starts AS (SELECT doc_id, w, nt,
+             unnest(range(1, CAST(nt AS BIGINT)+1, 32)) st
+           FROM n WHERE nt >= 1),
+ch AS (SELECT doc_id,
+         {_HASH60_SQL.format(v="array_to_string(list_slice(w, st, least(st+63, nt)), ' ')")}
+           chunk_hash
+       FROM starts),
+g AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) n_occurrences,
+        CAST(count(DISTINCT doc_id) AS BIGINT) n_docs
+      FROM ch GROUP BY 1)
+SELECT chunk_hash, n_occurrences, n_docs FROM g WHERE n_docs >= 2"""
+
+
+def q_abc_xyz_matrix(spark, sf_dir):
+    """The ABC×XYZ inventory matrix: revenue class (cumulative-share
+    A/B/C, abc_classification's rule) crossed with demand-variability
+    class (monthly-quantity CV ≤0.5 X, ≤1.0 Y, else Z) — the 9-cell
+    planning grid that decides stocking policy per part. Exact cents
+    and quantity moments; the CV thresholds apply to the computed
+    double identically cross-engine."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                0,
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
+    w = Window.orderBy(F.desc("cents"), F.asc("pk")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    abc = rev.crossJoin(F.broadcast(tot)).select(
+        "pk",
+        F.when(
+            F.round(F.sum("cents").over(w) / F.col("t"), 6) <= 0.8, "A"
+        )
+        .when(F.round(F.sum("cents").over(w) / F.col("t"), 6) <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    mdem = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        (
+            F.year(F.col("l_shipdate").cast("timestamp")) * 12
+            + F.month(F.col("l_shipdate").cast("timestamp"))
+        )
+        .cast("bigint")
+        .alias("mk"),
+    ).agg(
+        F.sum(F.round("l_quantity", 0).cast("bigint"))
+        .cast("bigint")
+        .alias("q")
+    )
+    cv = mdem.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+    )
+    cv_val = F.sqrt(
+        F.greatest(
+            (
+                F.col("ss")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / (F.col("n") - 1.0),
+            F.lit(0.0),
+        )
+    ) / (F.col("s") * 1.0 / F.col("n"))
+    xyz = cv.where(F.col("n") >= 2).select(
+        "pk",
+        F.when(cv_val <= 0.5, "X")
+        .when(cv_val <= 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return abc.join(xyz, "pk").groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+
+
+SQL_ABC_XYZ_MATRIX = """
+WITH rev AS (SELECT l_partkey pk,
+         CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100,0)
+                       AS BIGINT)) AS BIGINT) cents
+       FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) t FROM rev),
+abc AS (SELECT pk,
+          CASE WHEN round(sum(cents) OVER (ORDER BY cents DESC, pk)*1.0
+                          /(SELECT t FROM tot), 6) <= 0.8 THEN 'A'
+               WHEN round(sum(cents) OVER (ORDER BY cents DESC, pk)*1.0
+                          /(SELECT t FROM tot), 6) <= 0.95 THEN 'B'
+               ELSE 'C' END abc_class
+        FROM rev),
+mdem AS (SELECT l_partkey pk,
+           CAST(year(l_shipdate)*12 + month(l_shipdate) AS BIGINT) mk,
+           CAST(sum(CAST(round(l_quantity,0) AS BIGINT)) AS BIGINT) q
+         FROM lineitem GROUP BY 1,2),
+cv AS (SELECT pk, CAST(count(*) AS BIGINT) n, CAST(sum(q) AS BIGINT) s,
+         CAST(sum(q*q) AS BIGINT) ss FROM mdem GROUP BY 1),
+xyz AS (SELECT pk,
+          CASE WHEN sqrt(greatest((ss - CAST(s AS DOUBLE)*s/n)/(n-1.0),0))
+                    /(s*1.0/n) <= 0.5 THEN 'X'
+               WHEN sqrt(greatest((ss - CAST(s AS DOUBLE)*s/n)/(n-1.0),0))
+                    /(s*1.0/n) <= 1.0 THEN 'Y'
+               ELSE 'Z' END xyz_class
+        FROM cv WHERE n >= 2)
+SELECT abc.abc_class, xyz.xyz_class, CAST(count(*) AS BIGINT) n_parts
+FROM abc JOIN xyz USING (pk) GROUP BY 1,2"""
+
+
+def q_dup_id_distance(spark, sf_dir):
+    """Id-distance spectrum of the near-dup pairs: ⌊log₂|Δid|⌋ bands —
+    adjacent ids mean crawl-order duplicates (a locality-window dedup
+    would catch them cheaply), scattered ids mean true re-posts that
+    force the full LSH pass. The sharding-strategy signal."""
+    p = dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
+    return (
+        p.select(
+            F.floor(F.log2(F.col("doc_b") - F.col("doc_a")))
+            .cast("bigint")
+            .alias("log2_distance_band")
+        )
+        .groupBy("log2_distance_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+SQL_DUP_ID_DISTANCE = f"""
+WITH {_TRIGRAM_SQL},
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+p AS (SELECT da, db
+      FROM common JOIN cnt na ON da=na.doc_id JOIN cnt nb ON db=nb.doc_id
+      WHERE c*1.0/(na.n + nb.n - c) >= 0.5)
+SELECT CAST(floor(log2(db - da)) AS BIGINT) log2_distance_band,
+       CAST(count(*) AS BIGINT) n_pairs
+FROM p GROUP BY 1"""
+
+
+def q_arc_elasticity(spark, sf_dir):
+    """Arc price elasticity per year: the midpoint-formula elasticity
+    (%Δq midpoint / %Δp midpoint) per part between consecutive years,
+    summarized as the exact lower-median across parts — the temporal
+    complement of discount_elasticity's cross-sectional ratio.
+    Realized unit prices from exact integer (cents, qty) pairs."""
+    from pyspark.sql import Window
+
+    py = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.year(F.col("l_shipdate").cast("timestamp"))
+            .cast("bigint")
+            .alias("yr"),
+            F.col("l_partkey").alias("pk"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100,
+                    0,
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("r"),
+            F.sum(F.round("l_quantity", 0).cast("bigint"))
+            .cast("bigint")
+            .alias("q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = py.alias("a")
+    b = py.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.yr") == F.col("b.yr") + 1)
+        & (F.col("a.pk") == F.col("b.pk")),
+    ).where((F.col("a.q") > 0) & (F.col("b.q") > 0)).select(
+        F.col("a.yr").alias("yr"),
+        F.col("a.pk").alias("pk"),
+        F.col("a.r").alias("r1"),
+        F.col("a.q").alias("q1"),
+        F.col("b.r").alias("r0"),
+        F.col("b.q").alias("q0"),
+    )
+    p1 = F.col("r1") * 1.0 / F.col("q1")
+    p0 = F.col("r0") * 1.0 / F.col("q0")
+    pdiff = p1 - p0
+    e = j.where(pdiff != 0).select(
+        "yr",
+        "pk",
+        F.round(
+            ((F.col("q1") - F.col("q0")) * 1.0 / (F.col("q1") + F.col("q0")))
+            / (pdiff / (p1 + p0)),
+            6,
+        ).alias("arc"),
+    )
+    w = Window.partitionBy("yr").orderBy("arc", "pk")
+    r = e.select(
+        "yr",
+        "arc",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("yr")).alias("n"),
+    )
+    return r.groupBy("yr").agg(
+        F.max("n").cast("bigint").alias("n_parts"),
+        F.max(
+            F.when(
+                F.col("rk") == F.floor((F.col("n") + 1) / 2), F.col("arc")
+            )
+        ).alias("median_arc"),
+    )
+
+
+SQL_ARC_ELASTICITY = """
+WITH py AS (SELECT CAST(year(l_shipdate) AS BIGINT) yr, l_partkey pk,
+              CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100,0)
+                            AS BIGINT)) AS BIGINT) r,
+              CAST(sum(CAST(round(l_quantity,0) AS BIGINT)) AS BIGINT) q
+            FROM lineitem GROUP BY 1,2),
+j AS (SELECT a.yr, a.pk, a.r r1, a.q q1, b.r r0, b.q q0
+      FROM py a JOIN py b ON a.yr = b.yr + 1 AND a.pk = b.pk
+      WHERE a.q > 0 AND b.q > 0),
+e AS (SELECT yr, pk,
+        round( ((q1-q0)*1.0/(q1+q0))
+               / ((r1*1.0/q1 - r0*1.0/q0)/(r1*1.0/q1 + r0*1.0/q0)), 6)
+          arc
+      FROM j WHERE (r1*1.0/q1 - r0*1.0/q0) <> 0),
+r AS (SELECT yr, arc,
+        row_number() OVER (PARTITION BY yr ORDER BY arc, pk) rk,
+        count(*) OVER (PARTITION BY yr) n FROM e)
+SELECT yr, CAST(max(n) AS BIGINT) n_parts,
+  max(CASE WHEN rk = (n+1)//2 THEN arc END) median_arc
+FROM r GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -18365,6 +18750,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_group_sizes": q_dedup_group_sizes,
     "logrank_test": q_logrank_test,
     "ratio_ci_delta": q_ratio_ci_delta,
+    "order_batching": q_order_batching,
+    "token_burstiness": q_token_burstiness,
+    "chunk_dedup": q_chunk_dedup,
+    "abc_xyz_matrix": q_abc_xyz_matrix,
+    "dup_id_distance": q_dup_id_distance,
+    "arc_elasticity": q_arc_elasticity,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -18688,6 +19079,12 @@ ORACLES: dict[str, str] = {
     "dedup_group_sizes": SQL_DEDUP_GROUP_SIZES,
     "logrank_test": SQL_LOGRANK_TEST,
     "ratio_ci_delta": SQL_RATIO_CI_DELTA,
+    "order_batching": SQL_ORDER_BATCHING,
+    "token_burstiness": SQL_TOKEN_BURSTINESS,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
+    "abc_xyz_matrix": SQL_ABC_XYZ_MATRIX,
+    "dup_id_distance": SQL_DUP_ID_DISTANCE,
+    "arc_elasticity": SQL_ARC_ELASTICITY,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
