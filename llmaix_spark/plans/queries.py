@@ -18522,6 +18522,469 @@ SELECT yr, CAST(max(n) AS BIGINT) n_parts,
 FROM r GROUP BY 1"""
 
 
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal sample allocation: a 100-doc review budget split
+    across languages ∝ N_h·S_h (stratum size × within-stratum std of
+    doc length), integerized by largest remainder so the allocations
+    sum EXACTLY to budget — the survey-sampling answer to 'where do
+    audit samples buy the most variance reduction' (apportionment
+    allocates by size alone; Neyman by size×spread)."""
+    from pyspark.sql import Window
+
+    m = _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    sh = F.round(
+        F.sqrt(
+            F.greatest(
+                (
+                    F.col("s2")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("nh")
+                )
+                / (F.col("nh") - 1.0),
+                F.lit(0.0),
+            )
+        ),
+        9,
+    )
+    w = m.select("lang", "nh", sh.alias("sh")).withColumn(
+        "wgt", F.col("nh") * F.col("sh")
+    )
+    tw = w.agg(F.sum("wgt").alias("tw"))
+    q = w.crossJoin(F.broadcast(tw)).select(
+        "lang",
+        "nh",
+        "sh",
+        (100.0 * F.col("wgt") / F.col("tw")).alias("quota"),
+    ).withColumn("base", F.floor("quota").cast("bigint")).withColumn(
+        "rem", F.col("quota") - F.floor("quota")
+    ).localCheckpoint(eager=False)
+    leftover = q.agg(
+        (F.lit(100) - F.sum("base")).cast("bigint").alias("leftover")
+    )
+    r = q.crossJoin(F.broadcast(leftover)).withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("lang"))),
+    )
+    return r.select(
+        "lang",
+        F.col("nh").alias("n_docs"),
+        F.round("sh", 6).alias("stddev_chars"),
+        F.round("quota", 6).alias("quota"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("allocation"),
+    )
+
+
+SQL_NEYMAN_ALLOCATION = """
+WITH m AS (SELECT lang, CAST(count(*) AS BIGINT) nh,
+             CAST(sum(n_chars) AS BIGINT) s1,
+             CAST(sum(n_chars*n_chars) AS BIGINT) s2
+           FROM documents GROUP BY 1),
+sd AS (SELECT lang, nh,
+         round(sqrt(greatest((s2 - CAST(s1 AS DOUBLE)*s1/nh)/(nh-1.0), 0)),
+               9) sh
+       FROM m),
+w AS (SELECT lang, nh, sh, nh*sh wgt, sum(nh*sh) OVER () tw FROM sd),
+q AS (SELECT lang, nh, sh, 100.0*wgt/tw quota,
+        CAST(floor(100.0*wgt/tw) AS BIGINT) base,
+        100.0*wgt/tw - floor(100.0*wgt/tw) rem FROM w),
+tot AS (SELECT CAST(100 - sum(base) AS BIGINT) leftover FROM q),
+r AS (SELECT lang, nh, round(sh,6) stddev_chars, quota, base, rem,
+        row_number() OVER (ORDER BY rem DESC, lang) rk FROM q)
+SELECT lang, nh AS n_docs, stddev_chars, round(quota, 6) quota,
+  CAST(base + CASE WHEN rk <= (SELECT leftover FROM tot) THEN 1 ELSE 0 END
+       AS BIGINT) allocation
+FROM r"""
+
+
+def q_poststrat_mean(spark, sf_dir):
+    """Post-stratified mean order value: segment means re-weighted to
+    the CUSTOMER-population segment shares instead of the realized
+    order mix — the survey-adjustment estimate of 'what would the mean
+    be if every segment ordered at its population weight'. One-row
+    comparison against the raw mean."""
+    per = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    pop = _t(spark, sf_dir, "customer").groupBy(
+        F.col("c_mktsegment").alias("seg")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("npop"))
+    t = pop.agg(F.sum("npop").cast("bigint").alias("tp"))
+    raw = per.agg(
+        F.sum("n").cast("bigint").alias("rn"),
+        F.sum("s").cast("bigint").alias("rs"),
+    )
+    return (
+        per.join(F.broadcast(pop), "seg")
+        .crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(raw))
+        .agg(
+            F.max("rn").cast("bigint").alias("n_orders"),
+            F.round(
+                F.max(F.col("rs").cast("double") / F.col("rn")) / 100.0, 6
+            ).alias("raw_mean_dollars"),
+            F.round(
+                F.sum(
+                    (F.col("npop").cast("double") / F.col("tp"))
+                    * (F.col("s").cast("double") / F.col("n"))
+                )
+                / 100.0,
+                6,
+            ).alias("poststrat_mean_dollars"),
+        )
+    )
+
+
+SQL_POSTSTRAT_MEAN = """
+WITH j AS (SELECT c.c_mktsegment seg,
+             CAST(round(o.o_totalprice*100,0) AS BIGINT) v
+           FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey),
+per AS (SELECT seg, CAST(count(*) AS BIGINT) n, CAST(sum(v) AS BIGINT) s
+        FROM j GROUP BY 1),
+pop AS (SELECT c_mktsegment seg, CAST(count(*) AS BIGINT) npop
+        FROM customer GROUP BY 1),
+t AS (SELECT CAST(sum(npop) AS BIGINT) tp FROM pop),
+raw AS (SELECT CAST(sum(n) AS BIGINT) n, CAST(sum(s) AS BIGINT) s FROM per)
+SELECT (SELECT n FROM raw) n_orders,
+  round((SELECT CAST(s AS DOUBLE)/n FROM raw)/100.0, 6) raw_mean_dollars,
+  round(sum( (CAST(pop.npop AS DOUBLE)/(SELECT tp FROM t))
+             * (CAST(per.s AS DOUBLE)/per.n) )/100.0, 6)
+    poststrat_mean_dollars
+FROM per JOIN pop USING (seg)"""
+
+
+def q_avg_neighbor_degree(spark, sf_dir):
+    """The knn(k) curve: average neighbor degree grouped by node
+    degree on the triple graph — the decomposition behind
+    degree_assortativity's single correlation (a falling curve =
+    hubs attach to leaves). Degrees from one groupBy; each edge
+    contributes both endpoints' degrees via broadcast joins."""
+    tri = q_kg_triples(spark, sf_dir).select("subj", "obj")
+    und = (
+        tri.where(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("dy"))
+    ed = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    contrib = ed.select(
+        F.col("a").alias("node"), F.col("dx").alias("d"), F.col("dy").alias("nd")
+    ).unionAll(
+        ed.select(
+            F.col("b").alias("node"),
+            F.col("dy").alias("d"),
+            F.col("dx").alias("nd"),
+        )
+    )
+    per_node = contrib.groupBy("node", "d").agg(
+        F.sum("nd").cast("bigint").alias("snd"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return per_node.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.round(
+            F.avg(F.col("snd").cast("double") / F.col("k")), 6
+        ).alias("avg_neighbor_degree"),
+    )
+
+
+SQL_AVG_NEIGHBOR_DEGREE = f"""
+WITH t AS ({SQL_KG_TRIPLES}),
+ed0 AS (SELECT DISTINCT least(subj, obj) a, greatest(subj, obj) b
+        FROM t WHERE subj <> obj),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) d FROM (
+          SELECT a n FROM ed0 UNION ALL SELECT b FROM ed0) GROUP BY 1),
+ed AS (SELECT ed0.a, ed0.b, da.d dx, db.d dy
+       FROM ed0 JOIN deg da ON da.n = ed0.a JOIN deg db ON db.n = ed0.b),
+contrib AS (SELECT a node, dx d, dy nd FROM ed
+            UNION ALL SELECT b, dy, dx FROM ed),
+per_node AS (SELECT node, d, CAST(sum(nd) AS BIGINT) snd,
+               CAST(count(*) AS BIGINT) k
+             FROM contrib GROUP BY 1,2)
+SELECT d AS degree, CAST(count(*) AS BIGINT) n_nodes,
+       round(avg(CAST(snd AS DOUBLE)/k), 6) avg_neighbor_degree
+FROM per_node GROUP BY 1"""
+
+
+def q_retention_halflife(spark, sf_dir):
+    """Exponential retention fit: pooled cohort activity rates at ages
+    1-6 months (cohorts with a full horizon only) regressed ln-linear;
+    half-life = −ln2/slope. On a non-decaying fixture the slope comes
+    out ≥ 0 and the 'half-life' flips negative — exactly the verdict
+    ('no decay') the readout is for. Ages table is a 6-row literal."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        (
+            F.year(F.col("o_orderdate").cast("timestamp")) * 12
+            + F.month(F.col("o_orderdate").cast("timestamp"))
+        )
+        .cast("bigint")
+        .alias("mk"),
+    ).localCheckpoint(eager=False)
+    f = o.groupBy("ck").agg(F.min("mk").alias("cohort"))
+    mx = o.agg(F.max("mk").alias("mmax"))
+    ages = spark.range(1, 7).select(F.col("id").alias("a"))
+    el = (
+        f.crossJoin(F.broadcast(mx))
+        .where(F.col("cohort") + 6 <= F.col("mmax"))
+        .crossJoin(F.broadcast(ages))
+    )
+    act2 = o.distinct().select(
+        F.col("ck").alias("ack"), F.col("mk").alias("amk")
+    )
+    r = el.join(
+        act2,
+        (F.col("ack") == F.col("ck"))
+        & (F.col("amk") == F.col("cohort") + F.col("a")),
+        "left",
+    ).groupBy("a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eligible"),
+        F.count("ack").cast("bigint").alias("n_active"),
+    )
+    rr = r.where(F.col("n_active") > 0).select(
+        "a",
+        F.round(
+            F.log(F.col("n_active") * 1.0 / F.col("n_eligible")), 9
+        ).alias("lnrate"),
+    )
+    ols = rr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("a").alias("sx"),
+        F.sum("lnrate").alias("sy"),
+        F.sum(F.col("a") * F.col("a")).alias("sxx"),
+        F.sum(F.col("a") * F.col("lnrate")).alias("sxy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return ols.select(
+        "k",
+        F.round(slope, 6).alias("slope"),
+        F.round(-F.log(F.lit(2.0)) / slope, 6).alias("halflife_months"),
+    )
+
+
+SQL_RETENTION_HALFLIFE = """
+WITH o AS (SELECT o_custkey ck,
+             CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) mk
+           FROM orders),
+f AS (SELECT ck, min(mk) cohort FROM o GROUP BY 1),
+mx AS (SELECT max(mk) mmax FROM o),
+el AS (SELECT f.ck, f.cohort, a.a
+       FROM f, (SELECT unnest(range(1,7)) a) a, mx
+       WHERE f.cohort + 6 <= mx.mmax),
+act AS (SELECT DISTINCT o.ck, o.mk FROM o),
+r AS (SELECT el.a, CAST(count(*) AS BIGINT) n_eligible,
+        CAST(count(act.ck) AS BIGINT) n_active
+      FROM el LEFT JOIN act ON act.ck = el.ck
+                           AND act.mk = el.cohort + el.a
+      GROUP BY 1),
+rr AS (SELECT a, round(ln(n_active*1.0/n_eligible), 9) lnrate
+       FROM r WHERE n_active > 0),
+ols AS (SELECT CAST(count(*) AS BIGINT) k, sum(a) sx, sum(lnrate) sy,
+          sum(a*a) sxx, sum(a*lnrate) sxy FROM rr)
+SELECT k,
+  round( (k*sxy - sx*sy)/(k*sxx - sx*sx), 6) slope,
+  round( -ln(2) / ((k*sxy - sx*sy)/(k*sxx - sx*sx)), 6) halflife_months
+FROM ols"""
+
+
+def q_segment_comovement(spark, sf_dir):
+    """Daily-revenue co-movement matrix: pairwise Pearson between
+    segments over each pair's COMMON trading days (pairwise-complete
+    observations — a balanced all-five panel would be empty at small
+    SF) — near-zero off-diagonals mean independent demand streams,
+    the portfolio-risk readout. Exact integer moment sums at the
+    (day, segment) grain."""
+    j = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            (
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86400000000)
+            )
+            .cast("bigint")
+            .alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+    x = j.groupBy("seg", "d").agg(
+        F.sum("v").cast("bigint").alias("cents")
+    ).localCheckpoint(eager=False)
+    a = x.select(
+        F.col("seg").alias("sa"), "d", F.col("cents").alias("ca")
+    )
+    b = x.select(
+        F.col("seg").alias("sb"), "d", F.col("cents").alias("cb")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pr = (
+        a.join(b, "d")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("ca").cast("bigint").alias("sx"),
+            F.sum("cb").cast("bigint").alias("sy"),
+            F.sum(d38("ca") * d38("ca")).cast("decimal(38,0)").alias("sxx"),
+            F.sum(d38("cb") * d38("cb")).cast("decimal(38,0)").alias("syy"),
+            F.sum(d38("ca") * d38("cb")).cast("decimal(38,0)").alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            nd * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return pr.select(
+        F.col("sa").alias("seg_a"),
+        F.col("sb").alias("seg_b"),
+        F.col("n").alias("n_days"),
+        F.round(num / den, 6).alias("pearson"),
+    )
+
+
+SQL_SEGMENT_COMOVEMENT = """
+WITH j AS (SELECT c.c_mktsegment seg,
+             epoch_us(o.o_orderdate)//86400000000 d,
+             CAST(round(o.o_totalprice*100,0) AS BIGINT) v
+           FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey),
+x AS (SELECT seg, d, CAST(sum(v) AS BIGINT) cents FROM j GROUP BY 1,2),
+pr AS (SELECT a.seg sa, b.seg sb, CAST(count(*) AS BIGINT) n,
+         CAST(sum(a.cents) AS BIGINT) sx, CAST(sum(b.cents) AS BIGINT) sy,
+         CAST(sum(CAST(a.cents AS HUGEINT)*a.cents) AS HUGEINT) sxx,
+         CAST(sum(CAST(b.cents AS HUGEINT)*b.cents) AS HUGEINT) syy,
+         CAST(sum(CAST(a.cents AS HUGEINT)*b.cents) AS HUGEINT) sxy
+       FROM x a JOIN x b ON a.d = b.d AND a.seg < b.seg
+       GROUP BY 1,2)
+SELECT sa AS seg_a, sb AS seg_b, n AS n_days,
+  round( (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE)*sy) /
+         sqrt( (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE)*sy) ), 6) pearson
+FROM pr"""
+
+
+def q_supplier_scorecard(spark, sf_dir):
+    """Per-supplier operations scorecard: lines, exact revenue cents,
+    mean order→ship latency, return rate — the multi-metric vendor
+    review table (the supplier dimension's first full readout beyond
+    concentration). One fact join + broadcast dim name join."""
+    j = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_suppkey").alias("sk"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                0,
+            )
+            .cast("bigint")
+            .alias("cents"),
+            (F.col("l_returnflag") == "R").alias("ret"),
+            (
+                (
+                    F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                    / F.lit(86400000000)
+                ).cast("bigint")
+                - (
+                    F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                    / F.lit(86400000000)
+                ).cast("bigint")
+            ).alias("lat"),
+        )
+    )
+    return (
+        j.join(
+            F.broadcast(
+                _t(spark, sf_dir, "supplier").select(
+                    F.col("s_suppkey").alias("sk"),
+                    F.col("s_name").alias("supplier"),
+                )
+            ),
+            "sk",
+        )
+        .groupBy("supplier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.round(F.avg("lat"), 6).alias("mean_latency_days"),
+            F.round(
+                F.sum(F.col("ret").cast("bigint")) / F.count(F.lit(1)), 6
+            ).alias("return_rate"),
+        )
+    )
+
+
+SQL_SUPPLIER_SCORECARD = """
+WITH j AS (SELECT li.l_suppkey sk,
+             CAST(round(li.l_extendedprice*(1-li.l_discount)*100,0)
+                  AS BIGINT) cents,
+             (li.l_returnflag='R') ret,
+             (epoch_us(li.l_shipdate)//86400000000
+              - epoch_us(o.o_orderdate)//86400000000) lat
+           FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey)
+SELECT s.s_name supplier, CAST(count(*) AS BIGINT) n_lines,
+  CAST(sum(j.cents) AS BIGINT) revenue_cents,
+  round(avg(j.lat), 6) mean_latency_days,
+  round(count(*) FILTER (j.ret)*1.0/count(*), 6) return_rate
+FROM j JOIN supplier s ON j.sk = s.s_suppkey
+GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -18756,6 +19219,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "abc_xyz_matrix": q_abc_xyz_matrix,
     "dup_id_distance": q_dup_id_distance,
     "arc_elasticity": q_arc_elasticity,
+    "neyman_allocation": q_neyman_allocation,
+    "poststrat_mean": q_poststrat_mean,
+    "avg_neighbor_degree": q_avg_neighbor_degree,
+    "retention_halflife": q_retention_halflife,
+    "segment_comovement": q_segment_comovement,
+    "supplier_scorecard": q_supplier_scorecard,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -19085,6 +19554,12 @@ ORACLES: dict[str, str] = {
     "abc_xyz_matrix": SQL_ABC_XYZ_MATRIX,
     "dup_id_distance": SQL_DUP_ID_DISTANCE,
     "arc_elasticity": SQL_ARC_ELASTICITY,
+    "neyman_allocation": SQL_NEYMAN_ALLOCATION,
+    "poststrat_mean": SQL_POSTSTRAT_MEAN,
+    "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,
+    "retention_halflife": SQL_RETENTION_HALFLIFE,
+    "segment_comovement": SQL_SEGMENT_COMOVEMENT,
+    "supplier_scorecard": SQL_SUPPLIER_SCORECARD,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
