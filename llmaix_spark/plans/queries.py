@@ -18985,6 +18985,494 @@ FROM j JOIN supplier s ON j.sk = s.s_suppkey
 GROUP BY 1"""
 
 
+def q_kfold_lm_scores(spark, sf_dir):
+    """K-fold cross-validated LM evaluation in ONE pass: per-fold
+    held-out unigram logprob where each fold's excluded-count table is
+    total − fold counts (never K separate LM fits) — the CV-stability
+    readout on top of heldout_perplexity's single split. Vocab and
+    token totals per exclusion come from a 5×vocab broadcast join."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+    from llmaix_spark.operators.textstats import _tokens
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            stable_hash60_expr(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":fold"))
+            )
+            % 5
+        )
+        .cast("bigint")
+        .alias("fold"),
+        F.explode(_tokens(F.col("text"))).alias("tok"),
+    ).localCheckpoint(eager=False)
+    tc = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_total")
+    ).localCheckpoint(eager=False)
+    fc = toks.groupBy("fold", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_fold")
+    ).localCheckpoint(eager=False)
+    folds = toks.select("fold").distinct()
+    grid = folds.crossJoin(F.broadcast(tc)).join(
+        F.broadcast(fc), ["fold", "tok"], "left"
+    )
+    excl = F.col("c_total") - F.coalesce("c_fold", F.lit(0))
+    vstats = grid.groupBy("fold").agg(
+        F.sum((excl > 0).cast("bigint")).cast("bigint").alias("vocab"),
+        F.sum(excl).cast("bigint").alias("n"),
+    )
+    scored = (
+        toks.join(F.broadcast(tc), "tok")
+        .join(F.broadcast(fc), ["fold", "tok"], "left")
+        .join(F.broadcast(vstats), "fold")
+        .select(
+            "fold",
+            "doc_id",
+            F.round(
+                F.log10(
+                    (excl + 1.0) / (F.col("n") + F.col("vocab") + 1)
+                ),
+                6,
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("fold").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.round(F.avg("lp"), 4).alias("mean_logprob"),
+    )
+
+
+SQL_KFOLD_LM_SCORES = rf"""
+WITH toks AS (SELECT doc_id,
+        {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':fold'")} % 5
+          fold,
+        unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0)) tok
+      FROM documents),
+tc AS (SELECT tok, CAST(count(*) AS BIGINT) c_total FROM toks GROUP BY 1),
+fc AS (SELECT fold, tok, CAST(count(*) AS BIGINT) c_fold
+       FROM toks GROUP BY 1,2),
+folds AS (SELECT DISTINCT fold FROM toks),
+grid AS (SELECT folds.fold, tc.tok, tc.c_total,
+           coalesce(fc.c_fold, 0) c_fold
+         FROM folds CROSS JOIN tc
+         LEFT JOIN fc ON fc.fold = folds.fold AND fc.tok = tc.tok),
+vstats AS (SELECT fold,
+             CAST(count(*) FILTER (c_total - c_fold > 0) AS BIGINT) vocab,
+             CAST(sum(c_total - c_fold) AS BIGINT) n
+           FROM grid GROUP BY 1),
+scored AS (SELECT t.fold, t.doc_id,
+    round(log10((tc.c_total - coalesce(fc.c_fold, 0) + 1.0)
+          / (v.n + v.vocab + 1)), 6) lp
+  FROM toks t
+  JOIN tc ON t.tok = tc.tok
+  LEFT JOIN fc ON fc.fold = t.fold AND fc.tok = t.tok
+  JOIN vstats v ON v.fold = t.fold)
+SELECT CAST(fold AS BIGINT) fold,
+  CAST(count(DISTINCT doc_id) AS BIGINT) n_docs,
+  round(avg(lp), 4) mean_logprob
+FROM scored GROUP BY 1"""
+
+
+def q_hybrid_dedup(spark, sf_dir):
+    """Hybrid lexical/semantic dedup: MinHash-band candidates verified
+    by EMBEDDING cosine (micro-quantized exact dot products) — the
+    modern two-modality pipeline (cheap lexical blocking, semantic
+    confirm). On this fixture embeddings are text-independent, so
+    every lexical candidate is semantically REJECTED — the operator's
+    discriminating power, value-checked."""
+    cand = dd.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+    qv = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast(
+                "bigint"
+            ),
+        ).alias("qv"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = qv.select(F.col("vec_id").alias("doc_a"), F.col("qv").alias("qa"))
+    b = qv.select(F.col("vec_id").alias("doc_b"), F.col("qv").alias("qb"))
+    sc = (
+        cand.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.aggregate(
+                F.zip_with(
+                    "qa", "qb", lambda x, y: x.cast("decimal(38,0)") * y
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+            F.aggregate(
+                F.col("qa"),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, v: acc + v.cast("decimal(38,0)") * v,
+            ).alias("na"),
+            F.aggregate(
+                F.col("qb"),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, v: acc + v.cast("decimal(38,0)") * v,
+            ).alias("nb"),
+        )
+    )
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("na").cast("double"))
+            * F.sqrt(F.col("nb").cast("double"))
+        ),
+        6,
+    )
+    return sc.select(
+        "doc_a",
+        "doc_b",
+        cos.alias("emb_cosine"),
+        (cos >= 0.2).alias("semantic_confirmed"),
+    )
+
+
+def _hybrid_dedup_sql() -> str:
+    h = f"({_HASH60_SQL.format(v='s')} % {_P})"
+    mins = ", ".join(
+        f"min(({a} * {h} + {b}) % {_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    )
+    bands = ", ".join(
+        "CAST(h{} AS VARCHAR) || ':' || CAST(h{} AS VARCHAR)".format(
+            b * 2, b * 2 + 1
+        )
+        for b in range(8)
+    )
+    return f"""
+WITH {_TRIGRAM_SQL},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS (SELECT doc_id, generate_subscripts(bv,1)-1 band_idx,
+             unnest(bv) band_val
+           FROM (SELECT doc_id, [{bands}] bv FROM sig)),
+cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM banded a
+         JOIN banded b ON a.band_idx=b.band_idx
+                      AND a.band_val=b.band_val AND a.doc_id<b.doc_id),
+q AS (SELECT vec_id, list_transform(embedding,
+        x -> CAST(round(CAST(x AS DOUBLE)*1000000,0) AS BIGINT)) qv
+      FROM embeddings),
+sc AS (SELECT cand.da, cand.db,
+         list_sum(list_transform(range(1, len(a.qv)+1),
+           i -> CAST(a.qv[i] AS HUGEINT)*b.qv[i])) dot,
+         list_sum(list_transform(a.qv, x -> CAST(x AS HUGEINT)*x)) na,
+         list_sum(list_transform(b.qv, x -> CAST(x AS HUGEINT)*x)) nb
+       FROM cand JOIN q a ON cand.da = a.vec_id
+                 JOIN q b ON cand.db = b.vec_id)
+SELECT da doc_a, db doc_b,
+  round(CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))
+        *sqrt(CAST(nb AS DOUBLE))), 6) emb_cosine,
+  (round(CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))
+         *sqrt(CAST(nb AS DOUBLE))), 6) >= 0.2) semantic_confirmed
+FROM sc"""
+
+
+SQL_HYBRID_DEDUP = _hybrid_dedup_sql()
+
+
+def q_partial_correlation(spark, sf_dir):
+    """Partial correlation r(x,y|z) for the classic corpus confound:
+    chars (x) vs distinct tokens (y) controlling for token count (z) —
+    raw r ≈ 0.91 collapses to ≈ 0.04 once length is partialed out, the
+    textbook 'your quality signal is just length' diagnosis. Three
+    Pearsons from one exact-integer moment pass."""
+    from llmaix_spark.functions.arrays import bind_array
+    from llmaix_spark.operators.textstats import _tokens
+
+    b = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("x"),
+        bind_array(
+            _tokens(F.col("text")),
+            lambda w: F.struct(
+                F.size(F.array_distinct(w)).cast("bigint").alias("y"),
+                F.size(w).cast("bigint").alias("z"),
+            ),
+        ).alias("s"),
+    ).select("x", F.col("s.y").alias("y"), F.col("s.z").alias("z"))
+    m = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(expr).cast("bigint").alias(name)
+            for name, expr in [
+                ("sx", F.col("x")),
+                ("sy", F.col("y")),
+                ("sz", F.col("z")),
+                ("sxx", F.col("x") * F.col("x")),
+                ("syy", F.col("y") * F.col("y")),
+                ("szz", F.col("z") * F.col("z")),
+                ("sxy", F.col("x") * F.col("y")),
+                ("sxz", F.col("x") * F.col("z")),
+                ("syz", F.col("y") * F.col("z")),
+            ]
+        ],
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        n = F.col("n").cast("double")
+        return (n * F.col(sab) - F.col(sa).cast("double") * F.col(sb)) / (
+            F.sqrt(
+                (n * F.col(saa) - F.col(sa).cast("double") * F.col(sa))
+                * (n * F.col(sbb) - F.col(sb).cast("double") * F.col(sb))
+            )
+        )
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    rzy = corr("syz", "sy", "sz", "syy", "szz")
+    return m.select(
+        "n",
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(rzy, 6).alias("r_zy"),
+        F.round(
+            (rxy - rxz * rzy)
+            / F.sqrt((1 - rxz * rxz) * (1 - rzy * rzy)),
+            6,
+        ).alias("r_xy_given_z"),
+    )
+
+
+SQL_PARTIAL_CORRELATION = r"""
+WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) x,
+    CAST(len(list_distinct(list_filter(
+      string_split_regex(lower(trim(text)),'\s+'),
+      t->length(t)>0))) AS BIGINT) y,
+    CAST(len(list_filter(string_split_regex(lower(trim(text)),'\s+'),
+      t->length(t)>0)) AS BIGINT) z
+  FROM documents),
+m AS (SELECT CAST(count(*) AS BIGINT) n,
+    CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+    CAST(sum(z) AS BIGINT) sz,
+    CAST(sum(x*x) AS BIGINT) sxx, CAST(sum(y*y) AS BIGINT) syy,
+    CAST(sum(z*z) AS BIGINT) szz,
+    CAST(sum(x*y) AS BIGINT) sxy, CAST(sum(x*z) AS BIGINT) sxz,
+    CAST(sum(y*z) AS BIGINT) syz
+  FROM b),
+r AS (SELECT n,
+  (n*sxy - CAST(sx AS DOUBLE)*sy)
+    /sqrt((n*sxx - CAST(sx AS DOUBLE)*sx)*(n*syy - CAST(sy AS DOUBLE)*sy))
+    rxy,
+  (n*sxz - CAST(sx AS DOUBLE)*sz)
+    /sqrt((n*sxx - CAST(sx AS DOUBLE)*sx)*(n*szz - CAST(sz AS DOUBLE)*sz))
+    rxz,
+  (n*syz - CAST(sy AS DOUBLE)*sz)
+    /sqrt((n*syy - CAST(sy AS DOUBLE)*sy)*(n*szz - CAST(sz AS DOUBLE)*sz))
+    rzy
+  FROM m)
+SELECT n, round(rxy,6) r_xy, round(rxz,6) r_xz, round(rzy,6) r_zy,
+  round((rxy - rxz*rzy)/sqrt((1-rxz*rxz)*(1-rzy*rzy)), 6) r_xy_given_z
+FROM r"""
+
+
+def q_topk_stability(spark, sf_dir):
+    """Leaderboard robustness under data halving: split lineitems into
+    two hash halves, rank parts by revenue in each, report top-k set
+    overlap at k ∈ {20, 100, 500} — a leaderboard whose halves
+    disagree is sampling noise, not signal (this fixture's uniform
+    demand makes top-20 pure noise: overlap 0)."""
+    from pyspark.sql import Window
+
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        (
+            stable_hash60_expr(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.lit("half"),
+                )
+            )
+            % 2
+        ).alias("half"),
+    )
+    rev = li.groupBy("half", "pk").agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    )
+    r = rev.select(
+        "half",
+        "pk",
+        F.row_number()
+        .over(
+            Window.partitionBy("half").orderBy(
+                F.desc("cents"), F.asc("pk")
+            )
+        )
+        .alias("rk"),
+    ).localCheckpoint(eager=False)
+    ks = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(20), F.lit(100), F.lit(500))
+        ).alias("k")
+    )
+    ta = r.where(F.col("half") == 0).select("pk", F.col("rk").alias("ra"))
+    tb = r.where(F.col("half") == 1).select("pk", F.col("rk").alias("rb"))
+    both = ta.join(tb, "pk")
+    return (
+        both.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").cast("bigint").alias("k"))
+        .agg(
+            F.sum(
+                ((F.col("ra") <= F.col("k")) & (F.col("rb") <= F.col("k")))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_common")
+        )
+        .select(
+            "k",
+            "n_common",
+            F.round(F.col("n_common") * 1.0 / F.col("k"), 6).alias(
+                "stability"
+            ),
+        )
+    )
+
+
+SQL_TOPK_STABILITY = f"""
+WITH li AS (SELECT l_partkey pk,
+              CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)
+                cents,
+              {_HASH60_SQL.format(v="CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) || ':half'")} % 2
+                half
+            FROM lineitem),
+rev AS (SELECT half, pk, CAST(sum(cents) AS BIGINT) cents
+        FROM li GROUP BY 1,2),
+r AS (SELECT half, pk,
+        row_number() OVER (PARTITION BY half
+                           ORDER BY cents DESC, pk) rk FROM rev),
+bo AS (SELECT a.pk, a.rk ra, b.rk rb
+       FROM r a JOIN r b ON a.pk = b.pk AND a.half = 0 AND b.half = 1),
+ks AS (SELECT unnest([20, 100, 500]) k)
+SELECT CAST(k AS BIGINT) k,
+  CAST(count(*) FILTER (ra <= k AND rb <= k) AS BIGINT) n_common,
+  round(count(*) FILTER (ra <= k AND rb <= k) * 1.0 / k, 6) stability
+FROM ks LEFT JOIN bo ON TRUE GROUP BY k"""
+
+
+def q_session_length_geom(spark, sf_dir):
+    """Geometric fit of session lengths (30-min gap sessions): MLE
+    p̂ = 1/mean — the one-parameter model a capacity simulation
+    samples from, with the observed mean as the sanity anchor."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    s = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("sid", F.sum("new_s").over(w))
+    sz = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return sz.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(F.sum("len") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "mean_len"
+        ),
+        F.round(F.count(F.lit(1)) * 1.0 / F.sum("len"), 6).alias(
+            "geom_p_hat"
+        ),
+    )
+
+
+SQL_SESSION_LENGTH_GEOM = """
+WITH x AS (SELECT user_id u, ts, event_id eid,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT u, sum(new_s) OVER (PARTITION BY u ORDER BY ts, eid) sid
+      FROM x),
+sz AS (SELECT u, sid, CAST(count(*) AS BIGINT) len FROM s GROUP BY 1,2),
+m AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(len) AS BIGINT) s
+      FROM sz)
+SELECT n n_sessions, round(s*1.0/n, 6) mean_len,
+  round(n*1.0/s, 6) geom_p_hat
+FROM m"""
+
+
+def q_revenue_var_es(spark, sf_dir):
+    """Historical 5% value-at-risk and expected shortfall of daily
+    revenue: the exact ⌈0.05n⌉-th order statistic and the mean of the
+    tail at or below it — the finance-risk readout on exact integer
+    cents (rank window at the calendar-bounded daily grain)."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86400000000)
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    r = daily.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "d")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ).localCheckpoint(eager=False)
+    k = F.greatest(F.ceil(0.05 * F.col("n")).cast("bigint"), F.lit(1))
+    v = r.agg(
+        F.max(F.when(F.col("rk") == k, F.col("cents"))).alias("var5"),
+        F.max(k).cast("bigint").alias("k"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    es = (
+        r.crossJoin(F.broadcast(v.select("k")))
+        .where(F.col("rk") <= F.col("k"))
+        .agg(F.sum("cents").cast("bigint").alias("tail_sum"))
+    )
+    return v.crossJoin(F.broadcast(es)).select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("tail_days"),
+        F.round(F.col("var5") / 100.0, 6).alias("var5_dollars"),
+        F.round(F.col("tail_sum") * 1.0 / F.col("k") / 100.0, 6).alias(
+            "es5_dollars"
+        ),
+    )
+
+
+SQL_REVENUE_VAR_ES = """
+WITH daily AS (SELECT epoch_us(o_orderdate)//86400000000 d,
+                 CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT))
+                      AS BIGINT) cents
+               FROM orders GROUP BY 1),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents, d) rk,
+        count(*) OVER () n FROM daily),
+v AS (SELECT max(CASE WHEN rk = greatest(CAST(ceil(0.05*n) AS BIGINT), 1)
+                 THEN cents END) var5,
+        CAST(max(greatest(CAST(ceil(0.05*n) AS BIGINT), 1)) AS BIGINT) k,
+        CAST(max(n) AS BIGINT) n FROM r),
+es AS (SELECT CAST(sum(cents) AS BIGINT) tail_sum
+       FROM r, v WHERE r.rk <= v.k)
+SELECT v.n n_days, v.k tail_days,
+  round(v.var5/100.0, 6) var5_dollars,
+  round(es.tail_sum*1.0/v.k/100.0, 6) es5_dollars
+FROM v, es"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -19225,6 +19713,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_halflife": q_retention_halflife,
     "segment_comovement": q_segment_comovement,
     "supplier_scorecard": q_supplier_scorecard,
+    "kfold_lm_scores": q_kfold_lm_scores,
+    "hybrid_dedup": q_hybrid_dedup,
+    "partial_correlation": q_partial_correlation,
+    "topk_stability": q_topk_stability,
+    "session_length_geom": q_session_length_geom,
+    "revenue_var_es": q_revenue_var_es,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -19560,6 +20054,12 @@ ORACLES: dict[str, str] = {
     "retention_halflife": SQL_RETENTION_HALFLIFE,
     "segment_comovement": SQL_SEGMENT_COMOVEMENT,
     "supplier_scorecard": SQL_SUPPLIER_SCORECARD,
+    "kfold_lm_scores": SQL_KFOLD_LM_SCORES,
+    "hybrid_dedup": SQL_HYBRID_DEDUP,
+    "partial_correlation": SQL_PARTIAL_CORRELATION,
+    "topk_stability": SQL_TOPK_STABILITY,
+    "session_length_geom": SQL_SESSION_LENGTH_GEOM,
+    "revenue_var_es": SQL_REVENUE_VAR_ES,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
