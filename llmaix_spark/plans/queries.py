@@ -19473,6 +19473,461 @@ SELECT v.n n_days, v.k tail_days,
 FROM v, es"""
 
 
+def q_pack_budget_sweep(spark, sf_dir):
+    """Context-window budget tuning: pack counts and padding-waste
+    share at budgets 128/256/512 tokens under the shard-local packing
+    rule (pack_sequences' contract swept across budgets) — the table
+    that picks the training sequence length. The 3-row budget grid
+    crosses the (tiny) per-doc token counts; windows partition by
+    (budget, shard)."""
+    from pyspark.sql import Window
+
+    from llmaix_spark.operators.textstats import _tokens
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 32).cast("bigint").alias("shard"),
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    bs = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(128), F.lit(256), F.lit(512))
+        ).alias("budget")
+    )
+    w = Window.partitionBy("budget", "shard").orderBy("doc_id")
+    packed = base.crossJoin(F.broadcast(bs)).select(
+        "budget",
+        "shard",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            * 1.0
+            / F.col("budget")
+        )
+        .cast("bigint")
+        .alias("pack_id"),
+        "n_tokens",
+    )
+    per = packed.groupBy("budget", "shard", "pack_id").agg(
+        F.sum("n_tokens").cast("bigint").alias("fill")
+    )
+    return per.groupBy(F.col("budget").cast("bigint").alias("budget")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+        F.sum("fill").cast("bigint").alias("total_tokens"),
+        F.round(
+            1.0
+            - F.sum("fill") * 1.0 / (F.count(F.lit(1)) * F.col("budget")),
+            6,
+        ).alias("waste_share"),
+    )
+
+
+SQL_PACK_BUDGET_SWEEP = r"""
+WITH base AS (SELECT doc_id, CAST(doc_id % 32 AS BIGINT) shard,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> length(x) > 0)) AS BIGINT) n_tokens
+       FROM documents),
+bs AS (SELECT unnest([128, 256, 512]) budget),
+packed AS (SELECT bs.budget, base.shard,
+    CAST(floor((sum(n_tokens) OVER (PARTITION BY bs.budget, shard
+                                    ORDER BY doc_id)
+                - n_tokens) * 1.0 / bs.budget) AS BIGINT) pack_id,
+    n_tokens
+  FROM base, bs),
+per AS (SELECT budget, shard, pack_id, CAST(sum(n_tokens) AS BIGINT) fill
+        FROM packed GROUP BY 1,2,3)
+SELECT CAST(budget AS BIGINT) budget,
+  CAST(count(*) AS BIGINT) n_packs,
+  CAST(sum(fill) AS BIGINT) total_tokens,
+  round(1.0 - sum(fill)*1.0/(count(*)*CAST(budget AS BIGINT)), 6)
+    waste_share
+FROM per GROUP BY budget"""
+
+
+def q_lsh_band_sweep(spark, sf_dir):
+    """LSH banding tuning table from ONE signature set: the 16 shared
+    MinHash functions re-banded as (b=4,r=4), (8,2) and (16,1), each
+    banding's candidate count and recall of the exact J ≥ 0.5 truth —
+    the precision/recall tradeoff (16 bands of 1 row floods 60× more
+    candidates for the same recall here) that justifies the production
+    (8,2) choice."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dd.doc_minhash_signatures(docs).localCheckpoint(eager=False)
+    truth = dd.ngram_jaccard_pairs(docs, 0.5).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=False)
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+
+    def cands(bands):
+        r = 16 // bands
+        banded = sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"h{i * r + j}").cast("string")
+                                for j in range(r)
+                            ],
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bi", "bv"),
+        )
+        a = banded.alias("a")
+        b = banded.alias("b")
+        c = (
+            a.join(
+                b,
+                (F.col("a.bi") == F.col("b.bi"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        stats = c.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        )
+        cap = c.join(truth, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true_captured")
+        )
+        return stats.crossJoin(F.broadcast(cap)).select(
+            F.lit(bands).cast("bigint").alias("bands"),
+            F.lit(r).cast("bigint").alias("rows_per_band"),
+            "n_candidates",
+            "n_true_captured",
+        )
+
+    out = cands(4).unionAll(cands(8)).unionAll(cands(16))
+    return out.crossJoin(F.broadcast(n_truth)).select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_true_captured",
+        F.round(F.col("n_true_captured") * 1.0 / F.col("nt"), 6).alias(
+            "recall"
+        ),
+    )
+
+
+def _lsh_band_sweep_sql() -> str:
+    h = f"({_HASH60_SQL.format(v='s')} % {_P})"
+    mins = ", ".join(
+        f"min(({a} * {h} + {b}) % {_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    )
+
+    def bandsql(b):
+        r = 16 // b
+        vals = ", ".join(
+            "||':'||".join(
+                f"CAST(h{i * r + j} AS VARCHAR)" for j in range(r)
+            )
+            for i in range(b)
+        )
+        return (
+            f"SELECT doc_id, generate_subscripts(bv,1)-1 bi, "
+            f"unnest(bv) bv2 FROM (SELECT doc_id, [{vals}] bv FROM sig)"
+        )
+
+    return f"""
+WITH {_TRIGRAM_SQL},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+truth AS (SELECT da, db
+          FROM common JOIN cnt na ON da=na.doc_id
+                      JOIN cnt nb ON db=nb.doc_id
+          WHERE c*1.0/(na.n+nb.n-c) >= 0.5),
+b4 AS ({bandsql(4)}), b8 AS ({bandsql(8)}), b16 AS ({bandsql(16)}),
+c4 AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM b4 a JOIN b4 b
+       ON a.bi=b.bi AND a.bv2=b.bv2 AND a.doc_id<b.doc_id),
+c8 AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM b8 a JOIN b8 b
+       ON a.bi=b.bi AND a.bv2=b.bv2 AND a.doc_id<b.doc_id),
+c16 AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM b16 a JOIN b16 b
+        ON a.bi=b.bi AND a.bv2=b.bv2 AND a.doc_id<b.doc_id),
+rows_ AS (
+  SELECT 4 bands, 4 rows_per_band,
+    (SELECT CAST(count(*) AS BIGINT) FROM c4) n_candidates,
+    (SELECT CAST(count(*) AS BIGINT) FROM c4 JOIN truth USING (da, db))
+      n_true_captured
+  UNION ALL SELECT 8, 2, (SELECT count(*) FROM c8),
+    (SELECT count(*) FROM c8 JOIN truth USING (da, db))
+  UNION ALL SELECT 16, 1, (SELECT count(*) FROM c16),
+    (SELECT count(*) FROM c16 JOIN truth USING (da, db)))
+SELECT CAST(bands AS BIGINT) bands,
+  CAST(rows_per_band AS BIGINT) rows_per_band,
+  CAST(n_candidates AS BIGINT) n_candidates,
+  CAST(n_true_captured AS BIGINT) n_true_captured,
+  round(n_true_captured*1.0/(SELECT count(*) FROM truth), 6) recall
+FROM rows_"""
+
+
+SQL_LSH_BAND_SWEEP = _lsh_band_sweep_sql()
+
+
+def q_decontam_ngram_sweep(spark, sf_dir):
+    """Decontamination n-gram sensitivity: contaminated-training-doc
+    counts at n ∈ {4, 8, 13} against the doc_id % 8 benchmark slice —
+    published pipelines run 8-13; the sweep shows how fast the flag
+    count decays with n (4-grams over-flag, long grams under-flag)."""
+    from llmaix_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 8 != 0)
+    bench = docs.where(F.col("doc_id") % 8 == 0)
+    outs = []
+    for n in (4, 8, 13):
+        c = (
+            decontaminate(train, bench, n=n)
+            .agg(
+                F.sum(F.col("contaminated").cast("bigint"))
+                .cast("bigint")
+                .alias("n_contaminated")
+            )
+            .select(
+                F.lit(n).cast("bigint").alias("ngram_size"),
+                "n_contaminated",
+            )
+        )
+        outs.append(c)
+    return outs[0].unionAll(outs[1]).unionAll(outs[2])
+
+
+def _decontam_sweep_sql() -> str:
+    def gramsql(n, alias):
+        leads = " || ' ' || ".join(
+            ["t"] + [f"lead(t, {j}) OVER win" for j in range(1, n)]
+        )
+        return f"""{alias}g AS (SELECT doc_id, {leads} s,
+      lead(t,{n - 1}) OVER win lN
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+{alias} AS (SELECT DISTINCT doc_id, {_HASH60_SQL.format(v='s')} sh_h
+            FROM {alias}g WHERE lN IS NOT NULL)"""
+
+    def leg(n, alias):
+        return f"""(SELECT CAST(count(DISTINCT t.doc_id) AS BIGINT)
+     FROM {alias} t
+     JOIN (SELECT DISTINCT sh_h FROM {alias} WHERE doc_id % 8 = 0) b
+       USING (sh_h)
+     WHERE t.doc_id % 8 <> 0)"""
+
+    return f"""
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) i, unnest(w) t FROM d),
+{gramsql(4, 'g4')},
+{gramsql(8, 'g8')},
+{gramsql(13, 'g13')},
+r AS (
+  SELECT 4 n, {leg(4, 'g4')} n_contaminated
+  UNION ALL SELECT 8, {leg(8, 'g8')}
+  UNION ALL SELECT 13, {leg(13, 'g13')})
+SELECT CAST(n AS BIGINT) ngram_size,
+  CAST(n_contaminated AS BIGINT) n_contaminated
+FROM r"""
+
+
+SQL_DECONTAM_NGRAM_SWEEP = _decontam_sweep_sql()
+
+
+def q_dup_length_bias(spark, sf_dir):
+    """Selection-bias audit of dedup: Welch z between the lengths of
+    near-dup members and everyone else — a significant gap means
+    dropping dups RESHAPES the length distribution (and every
+    length-correlated signal) rather than thinning it uniformly."""
+    docs = _t(spark, sf_dir, "documents")
+    p = dd.ngram_jaccard_pairs(docs, 0.5)
+    dup = (
+        p.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(p.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    lab = docs.join(F.broadcast(dup), "doc_id", "left").select(
+        F.col("_d").isNotNull().alias("is_dup"),
+        F.col("n_chars").cast("bigint").alias("x"),
+    )
+    m = lab.groupBy("is_dup").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    pick = lambda d, c: F.max(  # noqa: E731
+        F.when(F.col("is_dup") == d, F.col(c))
+    )
+    w = m.agg(
+        pick(True, "n").alias("nd"),
+        pick(True, "s").alias("sd"),
+        pick(True, "ss").alias("ssd"),
+        pick(False, "n").alias("nn"),
+        pick(False, "s").alias("sn"),
+        pick(False, "ss").alias("ssn"),
+    )
+    var_d = (
+        F.col("ssd") - F.col("sd").cast("double") * F.col("sd") / F.col("nd")
+    ) / (F.col("nd") - 1.0)
+    var_n = (
+        F.col("ssn") - F.col("sn").cast("double") * F.col("sn") / F.col("nn")
+    ) / (F.col("nn") - 1.0)
+    return w.select(
+        F.col("nd").alias("n_dup"),
+        F.col("nn").alias("n_nondup"),
+        F.round(F.col("sd") * 1.0 / F.col("nd"), 6).alias(
+            "mean_chars_dup"
+        ),
+        F.round(F.col("sn") * 1.0 / F.col("nn"), 6).alias(
+            "mean_chars_nondup"
+        ),
+        F.round(
+            (F.col("sd") * 1.0 / F.col("nd") - F.col("sn") * 1.0 / F.col("nn"))
+            / F.sqrt(var_d / F.col("nd") + var_n / F.col("nn")),
+            6,
+        ).alias("welch_z"),
+    )
+
+
+SQL_DUP_LENGTH_BIAS = f"""
+WITH {_TRIGRAM_SQL},
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+p AS (SELECT da, db
+      FROM common JOIN cnt na ON da=na.doc_id JOIN cnt nb ON db=nb.doc_id
+      WHERE c*1.0/(na.n+nb.n-c) >= 0.5),
+dup AS (SELECT da doc_id FROM p UNION SELECT db FROM p),
+lab AS (SELECT d2.doc_id, d2.n_chars, (dup.doc_id IS NOT NULL) is_dup
+        FROM documents d2 LEFT JOIN dup USING (doc_id)),
+m AS (SELECT is_dup, CAST(count(*) AS BIGINT) n,
+        CAST(sum(n_chars) AS BIGINT) s,
+        CAST(sum(n_chars*n_chars) AS BIGINT) ss FROM lab GROUP BY 1),
+w AS (SELECT
+  max(CASE WHEN is_dup THEN n END) nd,
+  max(CASE WHEN is_dup THEN s END) sd,
+  max(CASE WHEN is_dup THEN ss END) ssd,
+  max(CASE WHEN NOT is_dup THEN n END) nn,
+  max(CASE WHEN NOT is_dup THEN s END) sn,
+  max(CASE WHEN NOT is_dup THEN ss END) ssn FROM m)
+SELECT nd n_dup, nn n_nondup,
+  round(sd*1.0/nd, 6) mean_chars_dup,
+  round(sn*1.0/nn, 6) mean_chars_nondup,
+  round( (sd*1.0/nd - sn*1.0/nn) /
+    sqrt( ((ssd - CAST(sd AS DOUBLE)*sd/nd)/(nd-1.0))/nd
+        + ((ssn - CAST(sn AS DOUBLE)*sn/nn)/(nn-1.0))/nn ), 6) welch_z
+FROM w"""
+
+
+def q_kfold_label_balance(spark, sf_dir):
+    """CV stratification audit: per hash fold of the embeddings table,
+    the min/max class share and the imbalance ratio — an unstratified
+    hash fold can hand one fold 3× the share of a class (this fixture
+    does), the case FOR stratified_kfold's per-stratum gating."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    f = _t(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("bigint").alias("label_id"),
+        (
+            stable_hash60_expr(
+                F.concat(F.col("vec_id").cast("string"), F.lit(":fold"))
+            )
+            % 5
+        )
+        .cast("bigint")
+        .alias("fold"),
+    )
+    c = f.groupBy("fold", "label_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.groupBy("fold").agg(F.sum("n").cast("bigint").alias("nf"))
+    sh = c.join(F.broadcast(t), "fold").select(
+        "fold", F.round(F.col("n") * 1.0 / F.col("nf"), 6).alias("cls_share")
+    )
+    return sh.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.round(F.min("cls_share"), 6).alias("min_share"),
+        F.round(F.max("cls_share"), 6).alias("max_share"),
+        F.round(F.max("cls_share") / F.min("cls_share"), 6).alias(
+            "imbalance_ratio"
+        ),
+    )
+
+
+SQL_KFOLD_LABEL_BALANCE = f"""
+WITH f AS (SELECT label,
+             {_HASH60_SQL.format(v="CAST(vec_id AS VARCHAR) || ':fold'")} % 5
+               fold
+           FROM embeddings),
+c AS (SELECT CAST(fold AS BIGINT) fold, CAST(label AS BIGINT) label_id,
+        CAST(count(*) AS BIGINT) n FROM f GROUP BY 1,2),
+t AS (SELECT fold, CAST(sum(n) AS BIGINT) nf FROM c GROUP BY 1),
+sh AS (SELECT c.fold, round(c.n*1.0/t.nf, 6) cls_share
+       FROM c JOIN t USING (fold))
+SELECT fold, CAST(count(*) AS BIGINT) n_classes,
+  round(min(cls_share), 6) min_share, round(max(cls_share), 6) max_share,
+  round(max(cls_share)/min(cls_share), 6) imbalance_ratio
+FROM sh GROUP BY 1"""
+
+
+def q_gate_waterfall(spark, sf_dir):
+    """Curation-funnel waterfall: survivors after each successive gate
+    (length ≥ 100 chars → repetition ≤ 0.9 → ≥ 20 tokens) and the
+    final survival rate — the stage-attribution view curation_pipeline
+    composes but never reports (which gate actually bites). One scan,
+    one row."""
+    from llmaix_spark.functions.arrays import bind_array
+    from llmaix_spark.operators.textstats import _tokens
+
+    sig = _t(spark, sf_dir, "documents").select(
+        "n_chars",
+        bind_array(
+            _tokens(F.col("text")),
+            lambda w: F.struct(
+                F.size(w).cast("bigint").alias("nt"),
+                F.round(
+                    1.0 - F.size(F.array_distinct(w)) * 1.0 / F.size(w), 6
+                ).alias("rep"),
+            ),
+        ).alias("s"),
+    ).select("n_chars", F.col("s.nt").alias("nt"), F.col("s.rep").alias("rep"))
+    g1 = F.col("n_chars") >= 100
+    g2 = g1 & (F.col("rep") <= 0.9)
+    g3 = g2 & (F.col("nt") >= 20)
+    return sig.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input"),
+        F.sum(g1.cast("bigint")).cast("bigint").alias("pass_length"),
+        F.sum(g2.cast("bigint")).cast("bigint").alias("pass_repetition"),
+        F.sum(g3.cast("bigint")).cast("bigint").alias("pass_min_tokens"),
+        F.round(
+            F.sum(g3.cast("bigint")) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("survival_rate"),
+    )
+
+
+SQL_GATE_WATERFALL = r"""
+WITH base AS (SELECT doc_id, n_chars,
+    list_filter(string_split_regex(lower(trim(text)),'\s+'),
+                x->length(x)>0) w
+  FROM documents),
+sig AS (SELECT doc_id, n_chars, CAST(len(w) AS BIGINT) nt,
+    round(1.0 - len(list_distinct(w))*1.0/len(w), 6) rep FROM base),
+g AS (SELECT doc_id,
+    (n_chars >= 100) g1,
+    (n_chars >= 100 AND rep <= 0.9) g2,
+    (n_chars >= 100 AND rep <= 0.9 AND nt >= 20) g3
+  FROM sig)
+SELECT CAST(count(*) AS BIGINT) n_input,
+  CAST(count(*) FILTER (g1) AS BIGINT) pass_length,
+  CAST(count(*) FILTER (g2) AS BIGINT) pass_repetition,
+  CAST(count(*) FILTER (g3) AS BIGINT) pass_min_tokens,
+  round(count(*) FILTER (g3) * 1.0 / count(*), 6) survival_rate
+FROM g"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -19719,6 +20174,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_stability": q_topk_stability,
     "session_length_geom": q_session_length_geom,
     "revenue_var_es": q_revenue_var_es,
+    "pack_budget_sweep": q_pack_budget_sweep,
+    "lsh_band_sweep": q_lsh_band_sweep,
+    "decontam_ngram_sweep": q_decontam_ngram_sweep,
+    "dup_length_bias": q_dup_length_bias,
+    "kfold_label_balance": q_kfold_label_balance,
+    "gate_waterfall": q_gate_waterfall,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -20060,6 +20521,12 @@ ORACLES: dict[str, str] = {
     "topk_stability": SQL_TOPK_STABILITY,
     "session_length_geom": SQL_SESSION_LENGTH_GEOM,
     "revenue_var_es": SQL_REVENUE_VAR_ES,
+    "pack_budget_sweep": SQL_PACK_BUDGET_SWEEP,
+    "lsh_band_sweep": SQL_LSH_BAND_SWEEP,
+    "decontam_ngram_sweep": SQL_DECONTAM_NGRAM_SWEEP,
+    "dup_length_bias": SQL_DUP_LENGTH_BIAS,
+    "kfold_label_balance": SQL_KFOLD_LABEL_BALANCE,
+    "gate_waterfall": SQL_GATE_WATERFALL,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
