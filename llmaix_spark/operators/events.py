@@ -17,6 +17,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -699,4 +701,100 @@ def debounce_events(
         "user_id",
         "event_id",
         (F.col("pos") + 1).cast("bigint").alias("kept_rank"),
+    )
+
+
+def stationary_distribution(
+    events: DataFrame,
+    iterations: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    out_dp: int = 6,
+) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain via fixed-iteration power iteration over the (tiny,
+    dimension-bounded) transition-count matrix.
+
+    Partition-invariance discipline: the state vector lives in BIGINT
+    nano-probability units. Each contribution term is rounded to a
+    bigint BEFORE summation (bigint sums commute exactly), and each
+    iteration renormalizes to 1e9 via one 1-row aggregate broadcast —
+    so the result is bit-identical at any shuffle.partitions and
+    matches the unrolled DuckDB oracle term for term. States that
+    never occur as a transition target decay to mass 0 (documented:
+    no damping/restart — this is the raw chain, not PageRank).
+
+    Scale: ONE lead() window over the events table (partitioned by
+    user — parallel), one map-side pair count; every iteration then
+    touches only the K^2 transition table (K = |event types|, a
+    dimension), localCheckpointed once so the event scan never
+    re-executes.
+    """
+    w = Window.partitionBy("u").orderBy("us", "eid")
+    pairs = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            F.col(id_col).alias("eid"),
+            F.col(type_col).alias("src"),
+        )
+        .select("u", "src", F.lead("src").over(w).alias("dst"))
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("tot"))
+    p = pairs.join(F.broadcast(tot), "src").select(
+        "src", "dst", (F.col("n") / F.col("tot")).alias("p")
+    )
+    states = (
+        events.select(F.col(type_col).alias("state")).distinct()
+    )
+    # K^2 rows — cut the event-scan lineage so the loop never re-reads
+    p = p.localCheckpoint(eager=True)
+    states = states.localCheckpoint(eager=True)
+    k = states.count()
+    # floor(x + 0.5), not Python round(): the oracle's round() is
+    # half-away-from-zero while Python's is half-to-even
+    v = states.select(
+        "state",
+        F.lit(int(math.floor(1e9 / k + 0.5))).cast("bigint").alias("nano"),
+    )
+    for _ in range(iterations):
+        raw = (
+            p.join(v, p["src"] == v["state"])
+            .select(
+                F.col("dst"),
+                F.round(F.col("nano") * F.col("p"), 0)
+                .cast("bigint")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("raw"))
+        )
+        mass = raw.agg(F.sum("raw").alias("m"))
+        v = (
+            states.join(raw, states["state"] == raw["dst"], "left")
+            .crossJoin(F.broadcast(mass))
+            .select(
+                "state",
+                F.round(
+                    F.coalesce(F.col("raw"), F.lit(0)) * (1e9 / F.col("m")), 0
+                )
+                .cast("bigint")
+                .alias("nano"),
+            )
+        )
+    # integer-space final rounding — round(nano/1e9, dp) on a double
+    # diverges across engines on half-ties (Spark BigDecimal HALF_UP
+    # vs DuckDB double rounding); (nano + half) div scale is exact
+    scale = 10 ** (9 - out_dp)
+    return v.select(
+        "state",
+        (
+            F.expr(f"(nano + {scale // 2}) div {scale}")
+            / F.lit(float(10**out_dp))
+        ).alias("stationary_p"),
     )

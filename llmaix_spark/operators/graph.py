@@ -499,3 +499,87 @@ def bfs_distances(
         visited = visited.union(frontier).localCheckpoint(eager=True)
     sym.unpersist()
     return visited
+
+
+def hits(
+    edges: DataFrame,
+    hub_col: str = "hub",
+    auth_col: str = "auth",
+    iterations: int = 2,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Fixed-iteration HITS over a bipartite edge table: authority
+    scores for the ``auth`` side (hubs are the dual and are folded
+    into the iteration). Kleinberg 1999 semantics, L1-normalized.
+
+    Partition-invariance discipline: scores live in BIGINT nano-units;
+    each half-iteration sums bigint contributions (exact, commutative)
+    and renormalizes to 1e9 with one 1-row aggregate broadcast — the
+    double scale factor (1e9 / mass) is a scalar applied per row, so
+    the result is bit-identical at any partitioning and matches the
+    unrolled SQL oracle.
+
+    Scale: the deduplicated edge list is persisted and repartitioned
+    once; every half-iteration is one equi-join + one
+    map-side-combinable sum. State chains persist-materialize-unpersist
+    (landmine #1). No driver collect inside the loop.
+    """
+    e = (
+        edges.select(F.col(hub_col).alias("h"), F.col(auth_col).alias("a"))
+        .where(F.col(hub_col).isNotNull() & F.col(auth_col).isNotNull())
+        .distinct()
+        .persist()
+    )
+    auth = e.select("a").distinct().select(
+        "a", F.lit(10**9).cast("bigint").alias("nano")
+    )
+    prev = None
+    for _ in range(iterations):
+        hraw = (
+            e.join(auth, "a")
+            .groupBy("h")
+            .agg(F.sum("nano").alias("raw"))
+        )
+        hmass = hraw.agg(F.sum("raw").alias("m"))
+        hub = hraw.crossJoin(F.broadcast(hmass)).select(
+            "h",
+            F.round(F.col("raw") * (1e9 / F.col("m")), 0)
+            .cast("bigint")
+            .alias("nano"),
+        )
+        araw = (
+            e.join(hub, "h")
+            .groupBy("a")
+            .agg(F.sum("nano").alias("raw"))
+        )
+        amass = araw.agg(F.sum("raw").alias("m"))
+        new_auth = (
+            araw.crossJoin(F.broadcast(amass))
+            .select(
+                "a",
+                F.round(F.col("raw") * (1e9 / F.col("m")), 0)
+                .cast("bigint")
+                .alias("nano"),
+            )
+            .persist()
+        )
+        new_auth.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = auth = new_auth
+    # final rounding in INTEGER nano-space: round(nano/1e9, dp) on a
+    # double hits cross-engine half-tie divergence whenever
+    # nano % 10^(9-dp) == half (Spark BigDecimal HALF_UP vs DuckDB
+    # double rounding); (nano + half) div scale is exact and identical
+    scale = 10 ** (9 - out_dp)
+    out = auth.select(
+        F.col("a").alias("auth_id"),
+        (
+            F.expr(f"(nano + {scale // 2}) div {scale}")
+            / F.lit(float(10**out_dp))
+        ).alias("authority"),
+    ).localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    e.unpersist()
+    return out

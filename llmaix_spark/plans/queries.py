@@ -19928,6 +19928,452 @@ SELECT CAST(count(*) AS BIGINT) n_input,
 FROM g"""
 
 
+def q_transition_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain
+    (5 unrolled power iterations over the dimension-bounded
+    transition matrix) — "where does a user timeline spend its time
+    in the long run", the summary events_transitions' per-edge view
+    can't answer. BIGINT nano-probability state with per-term
+    rounding and per-iteration renormalization, so the value is
+    bit-identical at any partitioning and the DuckDB oracle unrolls
+    the same five iterations term for term."""
+    from llmaix_spark.operators.events import stationary_distribution
+
+    return stationary_distribution(_t(spark, sf_dir, "events"), iterations=5)
+
+
+def _stationary_iter_sql(i: int) -> str:
+    return f""",
+r{i} AS (SELECT dst,
+           CAST(sum(CAST(round(nano * p, 0) AS BIGINT)) AS BIGINT) raw
+         FROM tp JOIN v{i - 1} ON tp.src = v{i - 1}.state GROUP BY dst),
+m{i} AS (SELECT sum(raw) m FROM r{i}),
+v{i} AS (SELECT state,
+           CAST(round(coalesce(raw, 0) * (1e9 / (SELECT m FROM m{i})), 0)
+                AS BIGINT) nano
+         FROM states LEFT JOIN r{i} ON states.state = r{i}.dst)"""
+
+
+SQL_TRANSITION_STATIONARY = (
+    """
+WITH e AS (SELECT user_id u, epoch_us(ts) us, event_id eid,
+                  event_type src FROM events),
+seq AS (SELECT u, src,
+               lead(src) OVER (PARTITION BY u ORDER BY us, eid) dst
+        FROM e),
+pairs AS (SELECT src, dst, CAST(count(*) AS BIGINT) n FROM seq
+          WHERE dst IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT src, sum(n) t FROM pairs GROUP BY 1),
+tp AS (SELECT pairs.src, dst, n * 1.0 / t AS p
+       FROM pairs JOIN tot USING (src)),
+states AS (SELECT DISTINCT event_type AS state FROM events),
+v0 AS (SELECT state,
+         CAST(floor(1e9 / (SELECT count(*) FROM states) + 0.5) AS BIGINT)
+           nano
+       FROM states)"""
+    + "".join(_stationary_iter_sql(i) for i in (1, 2, 3, 4, 5))
+    + """
+SELECT state, ((nano + 500) // 1000) / 1e6 AS stationary_p FROM v5"""
+)
+
+
+def q_hits_bipartite(spark, sf_dir):
+    """HITS authority scores for parts over the customer→part
+    purchase bipartite graph (2 unrolled iterations, L1-normalized)
+    — hub/authority duality PageRank's single-score view collapses.
+    Same BIGINT nano-unit discipline as transition_stationary: exact
+    bigint contribution sums, 1-row mass broadcast per
+    half-iteration, bit-identical at any partitioning."""
+    from llmaix_spark.operators.graph import hits
+
+    e = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("hub"),
+            F.col("l_partkey").cast("bigint").alias("auth"),
+        )
+    )
+    return hits(e, iterations=2)
+
+
+def _hits_iter_sql(i: int) -> str:
+    return f""",
+h{i}r AS (SELECT h, CAST(sum(nano) AS BIGINT) raw
+          FROM e JOIN a{i - 1} USING (a) GROUP BY h),
+h{i}m AS (SELECT sum(raw) m FROM h{i}r),
+h{i} AS (SELECT h,
+           CAST(round(raw * (1e9 / (SELECT m FROM h{i}m)), 0) AS BIGINT)
+             nano
+         FROM h{i}r),
+a{i}r AS (SELECT a, CAST(sum(nano) AS BIGINT) raw
+          FROM e JOIN h{i} USING (h) GROUP BY a),
+a{i}m AS (SELECT sum(raw) m FROM a{i}r),
+a{i} AS (SELECT a,
+           CAST(round(raw * (1e9 / (SELECT m FROM a{i}m)), 0) AS BIGINT)
+             nano
+         FROM a{i}r)"""
+
+
+SQL_HITS_BIPARTITE = (
+    """
+WITH e AS (SELECT DISTINCT o_custkey h, CAST(l_partkey AS BIGINT) a
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+a0 AS (SELECT DISTINCT a, CAST(1000000000 AS BIGINT) nano FROM e)"""
+    + "".join(_hits_iter_sql(i) for i in (1, 2))
+    + """
+SELECT a AS auth_id, ((nano + 500) // 1000) / 1e6 AS authority FROM a2"""
+)
+
+
+def q_dedup_keep_policy(spark, sf_dir):
+    """Representative-selection policy sweep over the near-dup
+    clusters (LSH default path): for keep-min-id / keep-max-id /
+    keep-longest, how many chars the retained corpus keeps vs drops.
+    The cluster table is computed ONCE; the three policies are three
+    aggregates over the same per-group rollup (min_by/max_by/max on
+    a scalar key — DuckDB's min_by rejects struct keys), and the
+    1-row totals are localCheckpointed so the LSH+CC body never
+    re-executes per policy row."""
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        dd.dedup_groups(docs, 0.5)
+        .select("doc_id", "group_id")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+    )
+    pg = g.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min_by("n_chars", "doc_id").cast("bigint").alias("chars_min_id"),
+        F.max_by("n_chars", "doc_id").cast("bigint").alias("chars_max_id"),
+        F.max("n_chars").cast("bigint").alias("chars_longest"),
+    )
+    t = pg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_chars").cast("bigint").alias("total_chars"),
+        F.sum("chars_min_id").cast("bigint").alias("k_min"),
+        F.sum("chars_max_id").cast("bigint").alias("k_max"),
+        F.sum("chars_longest").cast("bigint").alias("k_long"),
+    ).localCheckpoint(eager=True)
+    rows = []
+    for policy, kept in (
+        ("min_id", "k_min"),
+        ("max_id", "k_max"),
+        ("longest", "k_long"),
+    ):
+        rows.append(
+            t.select(
+                F.lit(policy).alias("policy"),
+                "n_groups",
+                "n_docs",
+                F.col(kept).alias("kept_chars"),
+                (F.col("total_chars") - F.col(kept))
+                .cast("bigint")
+                .alias("removed_chars"),
+                F.round(F.col(kept) * 1.0 / F.col("total_chars"), 6).alias(
+                    "kept_share"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+SQL_DEDUP_KEEP_POLICY = f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+sym AS (SELECT da a, db b FROM mh_pairs UNION SELECT db, da FROM mh_pairs),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node),
+cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+g AS (SELECT d.doc_id, coalesce(cc.comp, d.doc_id) gid, d.n_chars
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+pg AS (SELECT gid, CAST(count(*) AS BIGINT) n_docs,
+         CAST(sum(n_chars) AS BIGINT) total_chars,
+         CAST(min_by(n_chars, doc_id) AS BIGINT) chars_min_id,
+         CAST(max_by(n_chars, doc_id) AS BIGINT) chars_max_id,
+         CAST(max(n_chars) AS BIGINT) chars_longest
+       FROM g GROUP BY gid),
+t AS (SELECT CAST(count(*) AS BIGINT) n_groups,
+        CAST(sum(n_docs) AS BIGINT) n_docs,
+        CAST(sum(total_chars) AS BIGINT) total_chars,
+        CAST(sum(chars_min_id) AS BIGINT) k_min,
+        CAST(sum(chars_max_id) AS BIGINT) k_max,
+        CAST(sum(chars_longest) AS BIGINT) k_long
+      FROM pg)
+SELECT 'min_id' AS policy, n_groups, n_docs, k_min kept_chars,
+       CAST(total_chars - k_min AS BIGINT) removed_chars,
+       round(k_min * 1.0 / total_chars, 6) kept_share FROM t
+UNION ALL
+SELECT 'max_id', n_groups, n_docs, k_max,
+       CAST(total_chars - k_max AS BIGINT),
+       round(k_max * 1.0 / total_chars, 6) FROM t
+UNION ALL
+SELECT 'longest', n_groups, n_docs, k_long,
+       CAST(total_chars - k_long AS BIGINT),
+       round(k_long * 1.0 / total_chars, 6) FROM t"""
+
+
+def q_split_dup_leakage(spark, sf_dir):
+    """Near-dup pairs straddling the train/val/test hash split — the
+    leakage decontaminate can't see (dup-vs-benchmark) but a model
+    eval bleeds on (train-vs-heldout near-dups). Exact Jaccard pair
+    generator (oracle path) joined twice against the broadcast split
+    projection; pair class normalized with least/greatest so
+    (train,test) and (test,train) collapse."""
+    from llmaix_spark.operators.curation import dataset_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, 0.5)
+    sp = dataset_split(docs)
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (F.col("split_lo") != F.col("split_hi")).alias("is_leak"),
+        )
+    )
+
+
+_SPLIT_CASE_SQL = (
+    "CASE WHEN "
+    + _HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")
+    + " % 10000 < 9000 THEN 'train' WHEN "
+    + _HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")
+    + " % 10000 < 9500 THEN 'val' ELSE 'test' END"
+)
+
+SQL_SPLIT_DUP_LEAKAGE = f"""
+WITH {_TRIGRAM_SQL},
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+p AS (SELECT da, db
+      FROM common JOIN cnt na ON da = na.doc_id JOIN cnt nb ON db = nb.doc_id
+      WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5),
+sp AS (SELECT doc_id, {_SPLIT_CASE_SQL} s FROM documents),
+cls AS (SELECT least(sa.s, sb.s) split_lo, greatest(sa.s, sb.s) split_hi
+        FROM p JOIN sp sa ON p.da = sa.doc_id JOIN sp sb ON p.db = sb.doc_id)
+SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) n_pairs,
+       (split_lo <> split_hi) is_leak
+FROM cls GROUP BY 1, 2"""
+
+
+def q_multiple_testing_fdr(spark, sf_dir):
+    """Benjamini-Hochberg step-up over 25 per-nation two-proportion
+    z-tests (URGENT-order share vs rest-of-world) — the
+    multiple-testing correction the per-segment z-tests
+    (ab_count_ztest family) need before anyone reads 25 p-values.
+    Φ via the Abramowitz-Stegun 7.1.26 erf polynomial written with
+    IDENTICAL operation order in both engines; p rounded 8dp before
+    ranking; BH rejection = cummax of the per-rank indicator over
+    the exact reverse ordering. Scale: all windows at the bounded
+    25-nation grain; dims broadcast."""
+    from pyspark.sql import Window
+
+    r = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("o_orderpriority") == "1-URGENT").cast("bigint"))
+            .cast("bigint")
+            .alias("u"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = r.select(
+        "nation",
+        "n",
+        "u",
+        F.sum("n").over(wall).alias("tn"),
+        F.sum("u").over(wall).alias("tu"),
+    )
+    p1 = F.col("u") * 1.0 / F.col("n")
+    p2 = (F.col("tu") - F.col("u")) * 1.0 / (F.col("tn") - F.col("n"))
+    pp = F.col("tu") * 1.0 / F.col("tn")
+    z = (p1 - p2) / F.sqrt(
+        pp * (1.0 - pp)
+        * (1.0 / F.col("n") + 1.0 / (F.col("tn") - F.col("n")))
+    )
+    x = F.abs(z) / math.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (
+        (((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+         - 0.284496736) * t + 0.254829592
+    ) * t
+    pval = F.round(poly * F.exp(-x * x), 8)  # = 2*(1-Φ(|z|)) = 1-erf(x)
+    s = r.select(
+        "nation",
+        F.col("n").alias("n_orders"),
+        F.col("u").alias("n_urgent"),
+        F.round(z, 6).alias("z_stat"),
+        pval.alias("p_value"),
+    )
+    wrank = Window.orderBy("p_value", "nation")
+    wrev = Window.orderBy(
+        F.col("p_value").desc(), F.col("nation").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = s.select(
+        "*",
+        F.row_number().over(wrank).cast("bigint").alias("p_rank"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    ind = (
+        F.col("p_value") <= F.col("p_rank") * 0.05 / F.col("m")
+    ).cast("int")
+    return s.select(
+        "nation",
+        "n_orders",
+        "n_urgent",
+        "z_stat",
+        "p_value",
+        "p_rank",
+        (F.max(ind).over(wrev) == 1).alias("rejected"),
+    )
+
+
+SQL_MULTIPLE_TESTING_FDR = """
+WITH r AS (
+  SELECT n_name nation, CAST(count(*) AS BIGINT) n,
+         CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) u
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1),
+w AS (SELECT nation, n, u, sum(n) OVER () tn, sum(u) OVER () tu FROM r),
+z AS (SELECT nation, n n_orders, u n_urgent,
+        (u*1.0/n - (tu-u)*1.0/(tn-n)) /
+          sqrt( (tu*1.0/tn) * (1.0 - tu*1.0/tn)
+                * (1.0/n + 1.0/(tn-n)) ) zv
+      FROM w),
+e AS (SELECT nation, n_orders, n_urgent, zv, abs(zv)/sqrt(2.0) x FROM z),
+t AS (SELECT *, 1.0/(1.0 + 0.3275911*x) tt FROM e),
+pv AS (SELECT nation, n_orders, n_urgent, round(zv, 6) z_stat,
+         round(((((1.061405429*tt - 1.453152027)*tt + 1.421413741)*tt
+                 - 0.284496736)*tt + 0.254829592)*tt * exp(-x*x), 8)
+           p_value
+       FROM t),
+rk AS (SELECT *,
+         CAST(row_number() OVER (ORDER BY p_value, nation) AS BIGINT) p_rank,
+         count(*) OVER () m
+       FROM pv)
+SELECT nation, n_orders, n_urgent, z_stat, p_value, p_rank,
+       (max(CASE WHEN p_value <= p_rank * 0.05 / m THEN 1 ELSE 0 END)
+          OVER (ORDER BY p_value DESC, nation DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1)
+         rejected
+FROM rk"""
+
+
+def q_pii_scan(spark, sf_dir):
+    """Corpus PII density scan per language: email / phone / long-id
+    regex hits over the documents (with a deterministic synthetic
+    PII footer injected for doc_id % 7 / % 11 so the fixture
+    actually exercises the patterns — same injection on both sides,
+    like redaction_metrics' mask injection). One scan, no joins; the
+    patterns avoid constructs where Java (leftmost-first) and RE2
+    (leftmost-longest) could disagree on match COUNT."""
+    d = _t(spark, sf_dir, "documents")
+    email_footer = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" reach me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com"),
+        ),
+    ).otherwise("")
+    phone_footer = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit(" call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    full = F.lower(F.concat(F.col("text"), email_footer, phone_footer))
+    emails = F.regexp_count(
+        full, F.lit(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}")
+    )
+    phones = F.regexp_count(full, F.lit(r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"))
+    longids = F.regexp_count(full, F.lit(r"[0-9]{9,}"))
+    s = d.select(
+        "lang",
+        emails.cast("bigint").alias("e"),
+        phones.cast("bigint").alias("p"),
+        longids.cast("bigint").alias("l"),
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(((F.col("e") + F.col("p")) > 0).cast("bigint"))
+        .cast("bigint")
+        .alias("docs_with_pii"),
+        F.sum("e").cast("bigint").alias("n_emails"),
+        F.sum("p").cast("bigint").alias("n_phones"),
+        F.sum("l").cast("bigint").alias("n_long_ids"),
+        F.round(
+            (F.sum("e") + F.sum("p")) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("pii_per_doc"),
+    )
+
+
+SQL_PII_SCAN = r"""
+WITH f AS (
+  SELECT lang,
+    lower(text ||
+      CASE WHEN doc_id % 7 = 0
+           THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com' ELSE '' END ||
+      CASE WHEN doc_id % 11 = 0
+           THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                        4, '0') ELSE '' END) full_text
+  FROM documents),
+s AS (
+  SELECT lang,
+    CAST(len(regexp_extract_all(full_text,
+      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) e,
+    CAST(len(regexp_extract_all(full_text,
+      '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) p,
+    CAST(len(regexp_extract_all(full_text, '[0-9]{9,}')) AS BIGINT) l
+  FROM f)
+SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+  CAST(count(*) FILTER (e + p > 0) AS BIGINT) docs_with_pii,
+  CAST(sum(e) AS BIGINT) n_emails,
+  CAST(sum(p) AS BIGINT) n_phones,
+  CAST(sum(l) AS BIGINT) n_long_ids,
+  round((sum(e) + sum(p)) * 1.0 / count(*), 6) pii_per_doc
+FROM s GROUP BY lang"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -20180,6 +20626,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_length_bias": q_dup_length_bias,
     "kfold_label_balance": q_kfold_label_balance,
     "gate_waterfall": q_gate_waterfall,
+    "transition_stationary": q_transition_stationary,
+    "hits_bipartite": q_hits_bipartite,
+    "dedup_keep_policy": q_dedup_keep_policy,
+    "split_dup_leakage": q_split_dup_leakage,
+    "multiple_testing_fdr": q_multiple_testing_fdr,
+    "pii_scan": q_pii_scan,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -20527,6 +20979,12 @@ ORACLES: dict[str, str] = {
     "dup_length_bias": SQL_DUP_LENGTH_BIAS,
     "kfold_label_balance": SQL_KFOLD_LABEL_BALANCE,
     "gate_waterfall": SQL_GATE_WATERFALL,
+    "transition_stationary": SQL_TRANSITION_STATIONARY,
+    "hits_bipartite": SQL_HITS_BIPARTITE,
+    "dedup_keep_policy": SQL_DEDUP_KEEP_POLICY,
+    "split_dup_leakage": SQL_SPLIT_DUP_LEAKAGE,
+    "multiple_testing_fdr": SQL_MULTIPLE_TESTING_FDR,
+    "pii_scan": SQL_PII_SCAN,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
