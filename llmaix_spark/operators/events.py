@@ -798,3 +798,77 @@ def stationary_distribution(
             / F.lit(float(10**out_dp))
         ).alias("stationary_p"),
     )
+
+
+def eventually_follows(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Process-mining eventually-follows matrix: for each ordered type
+    pair (a, b), how many users have SOME b strictly after their FIRST
+    a — the reachability view events_transitions' direct-follows
+    (adjacent-only) summary can't answer. b-after-first-a reduces to
+    one tuple comparison per (user, a, b): last(b) > first(a) under
+    the total (ts, event_id) order, so no per-pair scan is needed.
+
+    Scale: one window over (user, type) — parallel partitions — folds
+    each user×type group to a single first/last row; the self-join
+    runs at that bounded grain (≤ |types| rows per user). The
+    |types|-row denominator table broadcasts back.
+    """
+    w = Window.partitionBy("u", "t").orderBy("us", "eid")
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).alias("eid"),
+    )
+    ranked = base.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("u", "t").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    st = ranked.groupBy("u", "t").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("us"))).alias("f_us"),
+        F.max(F.when(F.col("rn") == 1, F.col("eid"))).alias("f_eid"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("us"))).alias("l_us"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("eid"))).alias("l_eid"),
+    )
+    na = st.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    a = st.select(
+        F.col("u"), F.col("t").alias("ta"),
+        F.col("f_us"), F.col("f_eid"),
+    )
+    b = st.select(
+        F.col("u").alias("ub"), F.col("t").alias("tb"),
+        F.col("l_us"), F.col("l_eid"),
+    )
+    ef = (F.col("l_us") > F.col("f_us")) | (
+        (F.col("l_us") == F.col("f_us")) & (F.col("l_eid") > F.col("f_eid"))
+    )
+    pairs = (
+        a.join(b, (F.col("u") == F.col("ub")) & (F.col("ta") != F.col("tb")))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users_both"),
+            F.sum(ef.cast("bigint")).cast("bigint").alias("n_ef"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(na), pairs["ta"] == na["t"])
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("n_a").alias("n_users_a"),
+            "n_users_both",
+            "n_ef",
+            F.round(F.col("n_ef") * 1.0 / F.col("n_a"), 6).alias("ef_share"),
+        )
+    )

@@ -583,3 +583,63 @@ def hits(
         prev.unpersist()
     e.unpersist()
     return out
+
+
+def kcore_peel_rounds(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 2,
+    rounds: int = 4,
+) -> DataFrame:
+    """Fixed-round k-core peeling: per round, drop every node whose
+    degree in the CURRENT induced subgraph is < k, then induce edges on
+    the survivors. Returns one row per round
+    (round, n_nodes, n_edges) — n_nodes = nodes passing the degree
+    test that round, n_edges = edges induced among them.
+
+    Full k-core needs iterate-to-fixpoint; a fixed round count is the
+    distributed-safe contract (bounded stage count — the same reason
+    pagerank/hits/bfs here run fixed iterations). At small SF the
+    fixture converges within the default 4 rounds (pinned by the
+    wave test); at 100 TB the round count is the operator's explicit
+    depth budget.
+
+    Scale: each round is ONE map-side-combinable degree aggregate and
+    two semi-joins on node ids; the peeled edge set shrinks
+    monotonically and is localCheckpointed per round so no round
+    re-executes its predecessors.
+    """
+    cur = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("s"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("d"),
+        )
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    out = []
+    for r in range(1, rounds + 1):
+        deg = (
+            cur.select(F.col("s").alias("node"))
+            .unionAll(cur.select(F.col("d").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        keep = (
+            deg.where(F.col("c") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        nxt = (
+            cur.join(keep, cur["s"] == keep["node"], "semi")
+            .join(keep, cur["d"] == keep["node"], "semi")
+            .localCheckpoint(eager=True)
+        )
+        out.append((r, keep.count(), nxt.count()))
+        cur = nxt
+    return spark.createDataFrame(
+        out, "round bigint, n_nodes bigint, n_edges bigint"
+    )

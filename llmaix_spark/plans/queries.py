@@ -20374,6 +20374,567 @@ SELECT lang, CAST(count(*) AS BIGINT) n_docs,
 FROM s GROUP BY lang"""
 
 
+def q_bloom_filter_fpr(spark, sf_dir):
+    """Bloom-filter join-pruning simulation: build an m=16384-bit,
+    k=3 bloom over the urgent orderkeys, probe with every other
+    orderkey, and report the OBSERVED false-positive rate next to the
+    (1 - e^(-kn/m))^k textbook estimate — the measurement that sizes
+    a bloom-pruned shuffle join (runtime row-level filtering) at
+    100 TB. Hash = the shared cross-engine md5-60bit, salted per hash
+    function, so both engines build the identical bitmap. The bit set
+    is bounded by m regardless of data size → always broadcastable;
+    the probe side needs one narrow projection + one broadcast join."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    m, k = 16384, 3
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    hashes = F.explode(
+        F.array(*[F.lit(i) for i in range(1, k + 1)])
+    ).alias("i")
+    pos = F.pmod(
+        stable_hash60_expr(
+            F.concat(
+                F.col("k").cast("string"),
+                F.lit(":bloom"),
+                F.col("i").cast("string"),
+            )
+        ),
+        F.lit(m),
+    ).alias("pos")
+    build = orders.where(urgent).select(F.col("o_orderkey").alias("k"))
+    probe = orders.where(~urgent).select(F.col("o_orderkey").alias("k"))
+    bits = (
+        build.select("k", hashes).select(pos).distinct()
+        .localCheckpoint(eager=True)
+    )
+    probe_hits = (
+        probe.select("k", hashes)
+        .select("k", pos)
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("k")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+    )
+    counts = probe_hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+        F.sum((F.col("hits") == k).cast("bigint"))
+        .cast("bigint")
+        .alias("n_fp"),
+    )
+    nb = build.agg(F.count(F.lit(1)).cast("bigint").alias("n_build"))
+    bs = bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+    return (
+        counts.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(bs))
+        .select(
+            "n_build",
+            "n_probe",
+            "bits_set",
+            "n_fp",
+            F.round(F.col("n_fp") * 1.0 / F.col("n_probe"), 6).alias("fpr"),
+            F.round(
+                F.pow(
+                    1.0 - F.exp(-(F.lit(float(k)) * F.col("n_build")) / m),
+                    F.lit(float(k)),
+                ),
+                6,
+            ).alias("theo_fpr"),
+        )
+    )
+
+
+_BLOOM_POS_SQL = (
+    "("
+    + _HASH60_SQL.format(
+        v="CAST(k AS VARCHAR) || ':bloom' || CAST(i AS VARCHAR)"
+    )
+    + " % 16384)"
+)
+
+SQL_BLOOM_FILTER_FPR = f"""
+WITH b AS (SELECT o_orderkey k FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+p AS (SELECT o_orderkey k FROM orders
+      WHERE o_orderpriority <> '1-URGENT'),
+bits AS (SELECT DISTINCT {_BLOOM_POS_SQL} pos
+         FROM b CROSS JOIN (SELECT unnest([1, 2, 3]) i)),
+pp AS (SELECT k, {_BLOOM_POS_SQL} pos
+       FROM p CROSS JOIN (SELECT unnest([1, 2, 3]) i)),
+ph AS (SELECT pp.k,
+              sum(CASE WHEN bits.pos IS NULL THEN 0 ELSE 1 END) hits
+       FROM pp LEFT JOIN bits ON pp.pos = bits.pos GROUP BY pp.k),
+c AS (SELECT CAST(count(*) AS BIGINT) n_probe,
+             CAST(sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS BIGINT) n_fp
+      FROM ph)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) n_build,
+       n_probe,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) bits_set,
+       n_fp,
+       round(n_fp * 1.0 / n_probe, 6) fpr,
+       round(power(1.0 - exp(-(3.0 * (SELECT count(*) FROM b)) / 16384),
+                   3.0), 6) theo_fpr
+FROM c"""
+
+
+_SHAPLEY_PLAYERS = ["click", "error", "signup", "view"]
+
+
+def q_shapley_attribution(spark, sf_dir):
+    """Exact Shapley-value channel attribution for purchase
+    conversion over the 4 non-purchase event types. Coalition value
+    v(S) = conversion rate among users whose observed channel set is
+    COVERED by S (v = 0 when S covers nobody) — the standard
+    cooperative-game reading of "what S alone supports". With 4
+    players the 16 coalitions are enumerable exactly (no sampling):
+    user masks fold to a ≤16-row table, every later stage is
+    dimension-bounded and broadcast. Value discipline: v in BIGINT
+    nano-units, the 8 weighted marginals per player summed as exact
+    integers (weights ×24 are integers: 6,2,2,6), one final division
+    — partition-proof and oracle-identical."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+        *[
+            F.max((F.col("event_type") == t).cast("int")).alias(f"b{i}")
+            for i, t in enumerate(_SHAPLEY_PLAYERS)
+        ],
+    )
+    mask = sum(
+        F.col(f"b{i}") * (2**i) for i in range(len(_SHAPLEY_PLAYERS))
+    )
+    ms = (
+        per_user.select(mask.alias("mask"), "conv")
+        .groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("conv").cast("bigint").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    coal = spark.range(16).select(F.col("id").cast("int").alias("S"))
+    v = (
+        ms.crossJoin(F.broadcast(coal))
+        .where(F.expr("(mask & (15 - S)) = 0"))
+        .groupBy("S")
+        .agg(
+            F.sum("n").alias("cn"),
+            F.sum("c").alias("cc"),
+        )
+    )
+    v = (
+        coal.join(F.broadcast(v), "S", "left")
+        .select(
+            "S",
+            F.when(
+                F.coalesce(F.col("cn"), F.lit(0)) > 0,
+                F.round(F.col("cc") * 1e9 / F.col("cn"), 0),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("v_nano"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    players = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_SHAPLEY_PLAYERS)],
+        "bit int, channel string",
+    )
+    base = players.join(
+        F.broadcast(v), F.expr("(S & cast(pow(2, bit) as int)) = 0")
+    )
+    with_i = v.select(
+        F.col("S").alias("S2"), F.col("v_nano").alias("v2_nano")
+    )
+    # weight(|S|) * 4! for p=4: |S|! * (3-|S|)! = 6, 2, 2, 6
+    w24 = (
+        F.when(F.expr("bit_count(S)") == 0, 6)
+        .when(F.expr("bit_count(S)") == 1, 2)
+        .when(F.expr("bit_count(S)") == 2, 2)
+        .otherwise(6)
+        .cast("bigint")
+    )
+    phi = (
+        base.join(
+            F.broadcast(with_i),
+            F.expr("S2 = S + cast(pow(2, bit) as int)"),
+        )
+        .select(
+            "channel",
+            (w24 * (F.col("v2_nano") - F.col("v_nano"))).alias("term"),
+        )
+        .groupBy("channel")
+        .agg(F.sum("term").alias("t24"))
+    )
+    nu = (
+        ms.crossJoin(F.broadcast(players))
+        .where(F.expr("(mask & cast(pow(2, bit) as int)) <> 0"))
+        .groupBy("channel")
+        .agg(F.sum("n").cast("bigint").alias("n_users"))
+    )
+    return (
+        phi.join(F.broadcast(nu), "channel")
+        .select(
+            "channel",
+            "n_users",
+            F.round(F.col("t24") / (24.0 * 1e9), 6).alias("phi_shapley"),
+        )
+    )
+
+
+SQL_SHAPLEY_ATTRIBUTION = """
+WITH pu AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) conv,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) b0,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) b1,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) b2,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) b3
+  FROM events GROUP BY user_id),
+ms AS (SELECT b0 + b1*2 + b2*4 + b3*8 AS mask,
+              CAST(count(*) AS BIGINT) n, CAST(sum(conv) AS BIGINT) c
+       FROM pu GROUP BY 1),
+coal AS (SELECT CAST(range AS INTEGER) S FROM range(16)),
+cov AS (SELECT S, sum(n) cn, sum(c) cc
+        FROM coal JOIN ms ON (mask & (15 - S)) = 0 GROUP BY S),
+v AS (SELECT coal.S,
+        CAST(CASE WHEN coalesce(cn, 0) > 0
+                  THEN round(cc * 1e9 / cn, 0) ELSE 0 END AS BIGINT) v_nano
+      FROM coal LEFT JOIN cov ON coal.S = cov.S),
+players AS (SELECT * FROM (VALUES (0, 'click'), (1, 'error'),
+                                  (2, 'signup'), (3, 'view')) p(bit, channel)),
+terms AS (
+  SELECT channel,
+         (CASE bit_count(a.S) WHEN 0 THEN 6 WHEN 1 THEN 2
+                              WHEN 2 THEN 2 ELSE 6 END)
+           * (b.v_nano - a.v_nano) term
+  FROM players
+  JOIN v a ON (a.S & CAST(power(2, bit) AS INTEGER)) = 0
+  JOIN v b ON b.S = a.S + CAST(power(2, bit) AS INTEGER)),
+phi AS (SELECT channel, sum(term) t24 FROM terms GROUP BY 1),
+nu AS (SELECT channel, CAST(sum(n) AS BIGINT) n_users
+       FROM ms JOIN players ON (mask & CAST(power(2, bit) AS INTEGER)) <> 0
+       GROUP BY 1)
+SELECT phi.channel, n_users, round(t24 / (24.0 * 1e9), 6) phi_shapley
+FROM phi JOIN nu ON phi.channel = nu.channel"""
+
+
+def q_changepoint_detection(spark, sf_dir):
+    """Best single changepoint in the daily order-count series by
+    exact SSE minimization (binary-segmentation step 1): for every
+    split point, SSE_left + SSE_right from integer prefix sums —
+    O(n) over the calendar-bounded daily grain, not O(n²). Argmin on
+    the 6dp-ROUNDED SSE with the earlier day winning ties, so both
+    engines pick the same split. The daily rollup is one
+    map-side-combinable aggregate; everything after runs at ~10³
+    rows (a calendar dimension, same exemption as acf_daily)."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i"),
+        F.sum("y").over(wcum).alias("cs"),
+        F.sum(F.col("y") * F.col("y")).over(wcum).alias("css"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("nn"),
+        F.sum("y").over(wall).alias("ts"),
+        F.sum(F.col("y") * F.col("y")).over(wall).alias("tss"),
+    )
+    sse = (
+        F.col("css") - F.col("cs") * F.col("cs") / F.col("i")
+    ) + (
+        (F.col("tss") - F.col("css"))
+        - (F.col("ts") - F.col("cs"))
+        * (F.col("ts") - F.col("cs"))
+        / (F.col("nn") - F.col("i"))
+    )
+    cand = cum.where(F.col("i") < F.col("nn")).select(
+        "d", "i", "cs", "nn", "ts", "tss",
+        F.round(sse, 6).alias("sse_split"),
+    )
+    return (
+        cand.orderBy("sse_split", "d")
+        .limit(1)
+        .select(
+            F.col("d").alias("split_day"),
+            F.col("nn").alias("n_days"),
+            F.col("i").alias("n_left"),
+            F.round(F.col("cs") * 1.0 / F.col("i"), 6).alias("mean_left"),
+            F.round(
+                (F.col("ts") - F.col("cs")) * 1.0 / (F.col("nn") - F.col("i")),
+                6,
+            ).alias("mean_right"),
+            F.round(
+                F.col("tss") - F.col("ts") * F.col("ts") / F.col("nn"), 6
+            ).alias("sse_total"),
+            F.col("sse_split").alias("sse_best"),
+            F.round(
+                1.0
+                - F.col("sse_split")
+                / (F.col("tss") - F.col("ts") * F.col("ts") / F.col("nn")),
+                6,
+            ).alias("reduction"),
+        )
+    )
+
+
+SQL_CHANGEPOINT_DETECTION = """
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) d,
+                      CAST(count(*) AS BIGINT) y
+               FROM orders GROUP BY 1),
+cum AS (SELECT d,
+          CAST(row_number() OVER (ORDER BY d) AS BIGINT) i,
+          sum(y) OVER (ORDER BY d) cs,
+          sum(y * y) OVER (ORDER BY d) css,
+          CAST(count(*) OVER () AS BIGINT) nn,
+          sum(y) OVER () ts,
+          sum(y * y) OVER () tss
+        FROM daily),
+cand AS (SELECT d, i, cs, nn, ts, tss,
+           round((css - cs * cs / i)
+                 + ((tss - css) - (ts - cs) * (ts - cs) / (nn - i)),
+                 6) sse_split
+         FROM cum WHERE i < nn)
+SELECT d split_day, nn n_days, i n_left,
+       round(cs * 1.0 / i, 6) mean_left,
+       round((ts - cs) * 1.0 / (nn - i), 6) mean_right,
+       round(tss - ts * ts / nn, 6) sse_total,
+       sse_split sse_best,
+       round(1.0 - sse_split / (tss - ts * ts / nn), 6) reduction
+FROM cand ORDER BY sse_split, d LIMIT 1"""
+
+
+def q_stylometry_delta(spark, sf_dir):
+    """Burrows' Delta between document sources: z-score the top-30
+    corpus words' relative frequencies across sources, Delta(s1,s2)
+    = mean |z1 - z2| — the stylometric distance used for authorship
+    and for spotting machine-generated / boilerplate sources in a
+    training corpus. Exact-integer discipline end-to-end: relative
+    frequencies quantized to BIGINT nanos; the z-score is written as
+    dev * sqrt((S-1)/var_sum) where dev = S*f - Σf (exact int) and
+    var_sum = Σ dev² in DECIMAL(38) (HUGEINT on the oracle side) —
+    no floating accumulation anywhere, so the 6dp Delta is
+    partition-proof. Zero-variance words are excluded on both sides.
+    Scale: one token explode + two grouped counts; everything after
+    runs at the sources×30 grid and broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), " ")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    top = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(30)
+        .select("w")
+        .localCheckpoint(eager=True)
+    )
+    per_sw = (
+        tok.join(F.broadcast(top), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot")
+    )
+    srcs = tot.select("source").localCheckpoint(eager=True)
+    n_src = srcs.count()
+    grid = (
+        srcs.crossJoin(F.broadcast(top))
+        .join(F.broadcast(per_sw), ["source", "w"], "left")
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "w",
+            F.round(F.coalesce(F.col("cnt"), F.lit(0)) * 1e9 / F.col("tot"), 0)
+            .cast("bigint")
+            .alias("f_nano"),
+        )
+    )
+    stats = grid.groupBy("w").agg(
+        F.sum("f_nano").alias("musum"),
+        F.count(F.lit(1)).alias("s_chk"),
+    )
+    dev = (F.lit(n_src) * F.col("f_nano") - F.col("musum")).alias("dev")
+    devs = grid.join(F.broadcast(stats), "w").select("source", "w", dev)
+    var = devs.groupBy("w").agg(
+        F.sum(
+            F.col("dev").cast("decimal(19,0)")
+            * F.col("dev").cast("decimal(19,0)")
+        ).alias("var_sum")
+    )
+    z = (
+        devs.join(F.broadcast(var.where(F.col("var_sum") > 0)), "w")
+        .select(
+            "source",
+            "w",
+            (
+                F.col("dev")
+                * F.sqrt(
+                    F.lit(float(n_src - 1)) / F.col("var_sum").cast("double")
+                )
+            ).alias("z"),
+        )
+    )
+    z2 = z.select(
+        F.col("source").alias("source_b"),
+        F.col("w").alias("wb"),
+        F.col("z").alias("zb"),
+    )
+    return (
+        z.join(
+            F.broadcast(z2),
+            (F.col("w") == F.col("wb")) & (F.col("source") < F.col("source_b")),
+        )
+        .select(
+            F.col("source").alias("source_a"),
+            "source_b",
+            F.round(F.abs(F.col("z") - F.col("zb")) * 1e9, 0)
+            .cast("bigint")
+            .alias("term"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.round(
+                F.sum("term") / (F.count(F.lit(1)) * 1e9), 6
+            ).alias("delta"),
+        )
+    )
+
+
+SQL_STYLOMETRY_DELTA = """
+WITH tok AS (
+  SELECT source, t w
+  FROM (SELECT source, unnest(string_split(lower(trim(text)), ' ')) t
+        FROM documents)
+  WHERE t <> ''),
+top AS (SELECT w FROM (SELECT w, count(*) cnt FROM tok GROUP BY 1)
+        ORDER BY cnt DESC, w LIMIT 30),
+per_sw AS (SELECT source, tok.w, CAST(count(*) AS BIGINT) cnt
+           FROM tok JOIN top ON tok.w = top.w GROUP BY 1, 2),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) tot FROM tok GROUP BY 1),
+srcs AS (SELECT source FROM tot),
+ns AS (SELECT count(*) s FROM srcs),
+grid AS (SELECT srcs.source, top.w,
+           CAST(round(coalesce(cnt, 0) * 1e9 / tot, 0) AS BIGINT) f_nano
+         FROM srcs CROSS JOIN top
+         LEFT JOIN per_sw ON per_sw.source = srcs.source
+                         AND per_sw.w = top.w
+         JOIN tot ON tot.source = srcs.source),
+st AS (SELECT w, sum(f_nano) musum FROM grid GROUP BY 1),
+devs AS (SELECT source, grid.w,
+           (SELECT s FROM ns) * f_nano - musum AS dev
+         FROM grid JOIN st ON grid.w = st.w),
+var AS (SELECT w, sum(dev::HUGEINT * dev::HUGEINT) var_sum
+        FROM devs GROUP BY 1),
+z AS (SELECT source, devs.w,
+        dev * sqrt(((SELECT s FROM ns) - 1) * 1.0 / var_sum::DOUBLE) z
+      FROM devs JOIN var ON devs.w = var.w WHERE var_sum > 0)
+SELECT a.source source_a, b.source source_b,
+       CAST(count(*) AS BIGINT) n_words,
+       round(sum(CAST(round(abs(a.z - b.z) * 1e9, 0) AS BIGINT))
+             / (count(*) * 1e9), 6) delta
+FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+GROUP BY 1, 2"""
+
+
+def q_eventually_follows(spark, sf_dir):
+    """Process-mining eventually-follows matrix over user event
+    streams (some-b-strictly-after-first-a, per user) — reachability,
+    where events_transitions is adjacency. One (user,type) window +
+    a bounded self-join; see operators/events.eventually_follows."""
+    from llmaix_spark.operators.events import eventually_follows
+
+    return eventually_follows(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTUALLY_FOLLOWS = """
+WITH base AS (SELECT user_id u, event_type t, epoch_us(ts) us,
+                     event_id eid FROM events),
+rk AS (SELECT *, row_number() OVER (PARTITION BY u, t ORDER BY us, eid) rn,
+              count(*) OVER (PARTITION BY u, t) n
+       FROM base),
+st AS (SELECT u, t,
+         max(CASE WHEN rn = 1 THEN us END) f_us,
+         max(CASE WHEN rn = 1 THEN eid END) f_eid,
+         max(CASE WHEN rn = n THEN us END) l_us,
+         max(CASE WHEN rn = n THEN eid END) l_eid
+       FROM rk GROUP BY 1, 2),
+na AS (SELECT t, CAST(count(*) AS BIGINT) n_a FROM st GROUP BY 1),
+pairs AS (SELECT a.t ta, b.t tb,
+            CAST(count(*) AS BIGINT) n_users_both,
+            CAST(sum(CASE WHEN b.l_us > a.f_us
+                          OR (b.l_us = a.f_us AND b.l_eid > a.f_eid)
+                     THEN 1 ELSE 0 END) AS BIGINT) n_ef
+          FROM st a JOIN st b ON a.u = b.u AND a.t <> b.t
+          GROUP BY 1, 2)
+SELECT ta type_a, tb type_b, n_a n_users_a, n_users_both, n_ef,
+       round(n_ef * 1.0 / n_a, 6) ef_share
+FROM pairs JOIN na ON pairs.ta = na.t"""
+
+
+def q_kcore_decomposition(spark, sf_dir):
+    """4-round 2-core peeling of the part co-purchase graph (parts
+    sharing an order): per-round survivor/edge counts — the
+    degeneracy audit that separates the dense co-purchase core from
+    pendant parts. Fixed-round contract (the distributed depth
+    budget); the wave test pins that the fixture converges within 4.
+    See operators/graph.kcore_peel_rounds."""
+    from llmaix_spark.operators.graph import kcore_peel_rounds
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lb = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        li.join(lb, (F.col("l_orderkey") == F.col("ok"))
+                & (F.col("l_partkey") < F.col("pb")))
+        .select(F.col("l_partkey").alias("src"), F.col("pb").alias("dst"))
+    )
+    return kcore_peel_rounds(edges, k=2, rounds=4)
+
+
+def _kcore_round_sql(i: int) -> str:
+    return f""",
+deg{i} AS (SELECT node, count(*) c FROM (
+             SELECT s node FROM e{i - 1}
+             UNION ALL SELECT d FROM e{i - 1}) GROUP BY 1),
+keep{i} AS (SELECT node FROM deg{i} WHERE c >= 2),
+e{i} AS (SELECT s, d FROM e{i - 1}
+         WHERE s IN (SELECT node FROM keep{i})
+           AND d IN (SELECT node FROM keep{i}))"""
+
+
+SQL_KCORE_DECOMPOSITION = (
+    """
+WITH e0 AS (SELECT DISTINCT a.l_partkey s, b.l_partkey d
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey)"""
+    + "".join(_kcore_round_sql(i) for i in (1, 2, 3, 4))
+    + """
+SELECT CAST(1 AS BIGINT) round,
+       (SELECT CAST(count(*) AS BIGINT) FROM keep1) n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e1) n_edges
+UNION ALL SELECT 2, (SELECT count(*) FROM keep2), (SELECT count(*) FROM e2)
+UNION ALL SELECT 3, (SELECT count(*) FROM keep3), (SELECT count(*) FROM e3)
+UNION ALL SELECT 4, (SELECT count(*) FROM keep4), (SELECT count(*) FROM e4)"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -20632,6 +21193,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_dup_leakage": q_split_dup_leakage,
     "multiple_testing_fdr": q_multiple_testing_fdr,
     "pii_scan": q_pii_scan,
+    "bloom_filter_fpr": q_bloom_filter_fpr,
+    "shapley_attribution": q_shapley_attribution,
+    "changepoint_detection": q_changepoint_detection,
+    "stylometry_delta": q_stylometry_delta,
+    "eventually_follows": q_eventually_follows,
+    "kcore_decomposition": q_kcore_decomposition,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -20985,6 +21552,12 @@ ORACLES: dict[str, str] = {
     "split_dup_leakage": SQL_SPLIT_DUP_LEAKAGE,
     "multiple_testing_fdr": SQL_MULTIPLE_TESTING_FDR,
     "pii_scan": SQL_PII_SCAN,
+    "bloom_filter_fpr": SQL_BLOOM_FILTER_FPR,
+    "shapley_attribution": SQL_SHAPLEY_ATTRIBUTION,
+    "changepoint_detection": SQL_CHANGEPOINT_DETECTION,
+    "stylometry_delta": SQL_STYLOMETRY_DELTA,
+    "eventually_follows": SQL_EVENTUALLY_FOLLOWS,
+    "kcore_decomposition": SQL_KCORE_DECOMPOSITION,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
