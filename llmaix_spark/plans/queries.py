@@ -20935,6 +20935,651 @@ UNION ALL SELECT 4, (SELECT count(*) FROM keep4), (SELECT count(*) FROM e4)"""
 )
 
 
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction: weighted PageRank (d=0.85, 3
+    iterations) over the word co-occurrence graph of the corpus —
+    nodes = the top-150 frequent words of length ≥ 4 (crude stopword
+    gate), edges = adjacency in the original token stream, weight =
+    co-occurrence count, symmetric. Mihalcea & Tarau 2004 semantics;
+    dangling vocabulary words keep only the teleport term (documented
+    TextRank convention — scores are relative, not a distribution).
+    Rank state in BIGINT nano-units with per-contribution rounding —
+    partition-proof, oracled by 3 unrolled SQL iterations. Scale: one
+    posexplode + one adjacency self-join on (doc, pos); everything
+    after runs at the ≤150-node grain and broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), " ")
+        ).alias("pos", "w"),
+    ).where((F.col("w") != "") & (F.length("w") >= 4))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(150)
+        .select("w")
+        .localCheckpoint(eager=True)
+    )
+    tv = tok.join(F.broadcast(vocab), "w").select("doc_id", "pos", "w")
+    nxt = tv.select(
+        F.col("doc_id").alias("db"),
+        (F.col("pos") - 1).alias("pb"),
+        F.col("w").alias("wb"),
+    )
+    co = (
+        tv.join(
+            nxt,
+            (F.col("doc_id") == F.col("db")) & (F.col("pos") == F.col("pb")),
+        )
+        .where(F.col("w") != F.col("wb"))
+        .groupBy("w", "wb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    edges = (
+        co.select("w", "wb", "c")
+        .unionAll(
+            co.select(
+                F.col("wb").alias("w"), F.col("w").alias("wb"), "c"
+            )
+        )
+        .groupBy("w", "wb")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    strength = edges.groupBy("w").agg(F.sum("c").alias("tw"))
+    n = vocab.count()
+    teleport = int(math.floor(0.15 * 1e9 / n + 0.5))
+    pr = vocab.select("w", F.lit(10**9 // n).cast("bigint").alias("nano"))
+    for _ in range(3):
+        contrib = (
+            edges.join(F.broadcast(strength), "w")
+            .join(F.broadcast(pr), "w")
+            .select(
+                F.col("wb"),
+                F.round(
+                    F.col("nano") * 0.85 * F.col("c") / F.col("tw"), 0
+                )
+                .cast("bigint")
+                .alias("t"),
+            )
+            .groupBy("wb")
+            .agg(F.sum("t").alias("s"))
+        )
+        pr = (
+            vocab.join(
+                F.broadcast(contrib), vocab["w"] == contrib["wb"], "left"
+            )
+            .select(
+                "w",
+                (F.lit(teleport) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("bigint")
+                .alias("nano"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        pr.orderBy(F.col("nano").desc(), "w")
+        .limit(20)
+        .select("w", (F.col("nano") / 1e9).alias("score"))
+        .withColumnRenamed("w", "keyword")
+    )
+
+
+def _textrank_iter_sql(i: int) -> str:
+    return f""",
+c{i} AS (SELECT wb, CAST(sum(CAST(round(nano * 0.85 * c / tw, 0) AS BIGINT))
+                    AS BIGINT) s
+         FROM edges JOIN strength USING (w) JOIN pr{i - 1} USING (w)
+         GROUP BY wb),
+pr{i} AS (SELECT vocab.w,
+            CAST((SELECT tp FROM tele) + coalesce(s, 0) AS BIGINT) nano
+          FROM vocab LEFT JOIN c{i} ON vocab.w = c{i}.wb)"""
+
+
+SQL_TEXTRANK_KEYWORDS = (
+    """
+WITH tok AS (
+  SELECT doc_id, i - 1 AS pos, t w
+  FROM (SELECT doc_id, generate_subscripts(ws, 1) i, unnest(ws) t
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') ws
+              FROM documents))
+  WHERE t <> '' AND length(t) >= 4),
+vocab AS (SELECT w FROM (SELECT w, count(*) cnt FROM tok GROUP BY 1)
+          ORDER BY cnt DESC, w LIMIT 150),
+tv AS (SELECT doc_id, pos, tok.w FROM tok JOIN vocab ON tok.w = vocab.w),
+co AS (SELECT a.w, b.w wb, CAST(count(*) AS BIGINT) c
+       FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.w <> b.w GROUP BY 1, 2),
+edges AS (SELECT w, wb, CAST(sum(c) AS BIGINT) c FROM (
+            SELECT w, wb, c FROM co
+            UNION ALL SELECT wb, w, c FROM co) GROUP BY 1, 2),
+strength AS (SELECT w, sum(c) tw FROM edges GROUP BY 1),
+nv AS (SELECT count(*) n FROM vocab),
+tele AS (SELECT CAST(floor(0.15 * 1e9 / n + 0.5) AS BIGINT) tp FROM nv),
+pr0 AS (SELECT w, CAST(1000000000 // (SELECT n FROM nv) AS BIGINT) nano
+        FROM vocab)"""
+    + "".join(_textrank_iter_sql(i) for i in (1, 2, 3))
+    + """
+SELECT w keyword, nano / 1e9 score FROM pr3
+ORDER BY nano DESC, w LIMIT 20"""
+)
+
+
+def q_ipf_raking(spark, sf_dir):
+    """Iterative proportional fitting (raking) of the nation ×
+    order-priority contingency table: 3 full row+column passes that
+    reweight cells so every nation contributes equally (uniform row
+    targets) while the observed priority mix is preserved (column
+    targets = data margins) — the survey-weighting primitive behind
+    post-stratification at corpus scale. Weights in BIGINT
+    nano-units, the scale factor per pass is one double ratio applied
+    per bounded row — bit-identical at any partitioning. Scale: one
+    grouped count; the IPF loop runs at the 125-cell grain."""
+    cells = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    w = cells.select(
+        "nation", "priority", "n", (F.col("n") * F.lit(10**9)).alias("wn")
+    )
+    n_nations = cells.select("nation").distinct().count()
+    total = w.select(
+        F.sum("n").cast("bigint").alias("t")
+    ).localCheckpoint(eager=True)
+    tr = total.select(
+        F.round(F.col("t") * 1e9 / n_nations, 0).cast("bigint").alias("tr")
+    )
+    tc = cells.groupBy("priority").agg(
+        (F.sum("n") * F.lit(10**9)).cast("bigint").alias("tc")
+    )
+    for _ in range(3):
+        rows = w.groupBy("nation").agg(F.sum("wn").alias("rs"))
+        w = (
+            w.join(F.broadcast(rows), "nation")
+            .crossJoin(F.broadcast(tr))
+            .select(
+                "nation", "priority", "n",
+                F.round(F.col("wn") * (F.col("tr") / F.col("rs")), 0)
+                .cast("bigint")
+                .alias("wn"),
+            )
+        )
+        colsum = w.groupBy("priority").agg(F.sum("wn").alias("cs"))
+        w = (
+            w.join(F.broadcast(colsum), "priority")
+            .join(F.broadcast(tc), "priority")
+            .select(
+                "nation", "priority", "n",
+                F.round(F.col("wn") * (F.col("tc") / F.col("cs")), 0)
+                .cast("bigint")
+                .alias("wn"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w.select(
+        "nation",
+        "priority",
+        "n",
+        F.round(F.col("wn") / 1e9, 6).alias("raked_weight"),
+        F.round(F.col("wn") / (F.col("n") * 1e9), 6).alias("rake_factor"),
+    )
+
+
+def _ipf_pass_sql(i: int) -> str:
+    return f""",
+r{i} AS (SELECT nation, sum(wn) rs FROM w{i - 1} GROUP BY 1),
+wr{i} AS (SELECT nation, priority, n,
+            CAST(round(wn * ((SELECT tr FROM tr) / rs), 0) AS BIGINT) wn
+          FROM w{i - 1} JOIN r{i} USING (nation)),
+cs{i} AS (SELECT priority, sum(wn) cs FROM wr{i} GROUP BY 1),
+w{i} AS (SELECT nation, priority, n,
+           CAST(round(wn * (tc / cs), 0) AS BIGINT) wn
+         FROM wr{i} JOIN cs{i} USING (priority) JOIN tc USING (priority))"""
+
+
+SQL_IPF_RAKING = (
+    """
+WITH cells AS (
+  SELECT n_name nation, o_orderpriority priority,
+         CAST(count(*) AS BIGINT) n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+tot AS (SELECT sum(n) t FROM cells),
+nn AS (SELECT count(DISTINCT nation) k FROM cells),
+tr AS (SELECT CAST(round((SELECT t FROM tot) * 1e9 / (SELECT k FROM nn), 0)
+              AS BIGINT) tr),
+tc AS (SELECT priority, CAST(sum(n) * 1000000000 AS BIGINT) tc
+       FROM cells GROUP BY 1),
+w0 AS (SELECT nation, priority, n,
+              CAST(n * 1000000000 AS BIGINT) wn FROM cells)"""
+    + "".join(_ipf_pass_sql(i) for i in (1, 2, 3))
+    + """
+SELECT nation, priority, n, round(wn / 1e9, 6) raked_weight,
+       round(wn / (n * 1e9), 6) rake_factor
+FROM w3"""
+)
+
+
+def q_queue_wait_lindley(spark, sf_dir):
+    """Lindley waiting-time recursion W_{n+1} = max(0, W_n + S - A_n)
+    replayed EXACTLY with parallel prefix sums — no sequential scan:
+    W_n = P_n - min(0, min_{k≤n} P_k) where P = cumsum(S - gap). Each
+    user's event stream feeds one virtual single server whose
+    deterministic service time is that user's mean interarrival
+    (floor((span)/(n-1)) µs) — load ρ ≈ 1, the critical regime where
+    the backlog profile is pure burstiness signal at ANY event
+    density/SF. Users with one event are excluded (no interarrival).
+    All math in exact integer microseconds; two stacked windows over
+    the same (user) partitioning, no joins — the classic sequential
+    simulation made shuffle-parallel."""
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("u").orderBy("us", "eid")
+    wall = _W.partitionBy("u").rowsBetween(
+        _W.unboundedPreceding, _W.unboundedFollowing
+    )
+    wcum = w.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    base = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("event_id").alias("eid"),
+    )
+    svc = base.select(
+        "u", "us", "eid",
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.expr(
+            "(max(us) over (partition by u) - min(us) over (partition by u))"
+        ).alias("span"),
+    ).where(F.col("n") >= 2)
+    svc = svc.select(
+        "u", "us", "eid", "n",
+        F.expr("span div (n - 1)").alias("s_us"),
+    )
+    x = svc.select(
+        "u", "us", "eid", "s_us",
+        F.coalesce(
+            F.col("s_us") - (F.col("us") - F.lag("us").over(w)), F.lit(0)
+        ).alias("x"),
+    )
+    p = x.select(
+        "u", "us", "eid", "s_us", F.sum("x").over(wcum).alias("pp")
+    )
+    waits = p.select(
+        "u",
+        "s_us",
+        (
+            F.col("pp")
+            - F.least(F.lit(0), F.min("pp").over(wcum))
+        ).alias("wait_us"),
+    )
+    return (
+        waits.groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.max("s_us") / 1e6, 6).alias("service_s"),
+            F.round(F.max("wait_us") / 1e6, 6).alias("max_wait_s"),
+            F.round(F.sum("wait_us") / (F.count(F.lit(1)) * 1e6), 6).alias(
+                "mean_wait_s"
+            ),
+        )
+        .select(
+            F.col("u").alias("user_id"),
+            "n_events", "service_s", "max_wait_s", "mean_wait_s",
+        )
+    )
+
+
+SQL_QUEUE_WAIT_LINDLEY = """
+WITH base AS (SELECT user_id u, epoch_us(ts) us, event_id eid FROM events),
+svc AS (SELECT u, us, eid,
+          count(*) OVER (PARTITION BY u) n,
+          (max(us) OVER (PARTITION BY u) - min(us) OVER (PARTITION BY u))
+            span
+        FROM base),
+s2 AS (SELECT u, us, eid, n, span // (n - 1) s_us FROM svc WHERE n >= 2),
+x AS (SELECT u, us, eid, s_us,
+        coalesce(s_us - (us - lag(us) OVER
+          (PARTITION BY u ORDER BY us, eid)), 0) x
+      FROM s2),
+p AS (SELECT u, us, eid, s_us,
+        sum(x) OVER (PARTITION BY u ORDER BY us, eid) pp
+      FROM x),
+waits AS (SELECT u, s_us,
+            pp - least(0, min(pp) OVER
+              (PARTITION BY u ORDER BY us, eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) wait_us
+          FROM p)
+SELECT u user_id, CAST(count(*) AS BIGINT) n_events,
+       round(max(s_us) / 1e6, 6) service_s,
+       round(max(wait_us) / 1e6, 6) max_wait_s,
+       round(sum(wait_us) / (count(*) * 1e6), 6) mean_wait_s
+FROM waits GROUP BY u"""
+
+
+def q_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the Brier score for 'normalized value
+    predicts purchase' (same score convention as calibration_bins:
+    exact cents capped at 500.00, 10 equal-width bins): BS, bin-wise
+    reliability and resolution, base-rate uncertainty, and the
+    within-bin forecast variance (the exact remainder BS - REL + RES
+    - UNC, ≥ 0). Everything reduces to ONE grouped integer aggregate
+    at the 10-bin grain: squared errors are exact cent² integers;
+    the 10 per-bin REL/RES terms quantize to nanos before summing."""
+    e = _t(spark, sf_dir, "events").select(
+        F.least(
+            F.round(F.col("value") * 100, 0).cast("bigint"), F.lit(50000)
+        ).alias("c"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("y"),
+    )
+    bins = (
+        e.groupBy(
+            F.least(F.lit(9), (F.col("c") / 5000).cast("bigint")).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nk"),
+            F.sum("c").cast("bigint").alias("sc"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(
+                (F.col("c") - 50000 * F.col("y"))
+                * (F.col("c") - 50000 * F.col("y"))
+            )
+            .cast("bigint")
+            .alias("bsum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = bins.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("sy").cast("bigint").alias("ty"),
+        F.sum("bsum").cast("bigint").alias("tb"),
+    )
+    d_rel = (F.col("sc") - 50000.0 * F.col("sy")) / (F.col("nk") * 50000.0)
+    d_res = F.col("sy") * 1.0 / F.col("nk") - F.col("ty") * 1.0 / F.col("n")
+    terms = (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "n", "ty", "tb",
+            F.round(F.col("nk") * (d_rel * d_rel) * 1e9, 0)
+            .cast("bigint")
+            .alias("rel_t"),
+            F.round(F.col("nk") * (d_res * d_res) * 1e9, 0)
+            .cast("bigint")
+            .alias("res_t"),
+        )
+        .groupBy("n", "ty", "tb")
+        .agg(
+            F.sum("rel_t").alias("rel_n"),
+            F.sum("res_t").alias("res_n"),
+        )
+    )
+    brier = F.col("tb") / (F.col("n") * 2.5e9)
+    rel = F.col("rel_n") / (F.col("n") * 1e9)
+    res = F.col("res_n") / (F.col("n") * 1e9)
+    unc = (F.col("ty") * 1.0 / F.col("n")) * (
+        1.0 - F.col("ty") * 1.0 / F.col("n")
+    )
+    return terms.select(
+        F.col("n").alias("n_events"),
+        F.round(brier, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(brier - rel + res - unc, 6).alias("within_bin_var"),
+    )
+
+
+SQL_BRIER_DECOMPOSITION = """
+WITH e AS (SELECT least(CAST(round(value * 100, 0) AS BIGINT), 50000) c,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END y
+           FROM events),
+bins AS (SELECT least(9, c // 5000) bin,
+           CAST(count(*) AS BIGINT) nk, CAST(sum(c) AS BIGINT) sc,
+           CAST(sum(y) AS BIGINT) sy,
+           CAST(sum((c - 50000 * y) * (c - 50000 * y)) AS BIGINT) bsum
+         FROM e GROUP BY 1),
+tot AS (SELECT CAST(sum(nk) AS BIGINT) n, CAST(sum(sy) AS BIGINT) ty,
+               CAST(sum(bsum) AS BIGINT) tb FROM bins),
+terms AS (SELECT n, ty, tb,
+            sum(CAST(round(nk * (((sc - 50000.0 * sy) / (nk * 50000.0))
+                                 * ((sc - 50000.0 * sy) / (nk * 50000.0)))
+                           * 1e9, 0) AS BIGINT)) rel_n,
+            sum(CAST(round(nk * ((sy * 1.0 / nk - ty * 1.0 / n)
+                                 * (sy * 1.0 / nk - ty * 1.0 / n))
+                           * 1e9, 0) AS BIGINT)) res_n
+          FROM bins CROSS JOIN tot GROUP BY 1, 2, 3)
+SELECT n n_events,
+       round(tb / (n * 2.5e9), 6) brier,
+       round(rel_n / (n * 1e9), 6) reliability,
+       round(res_n / (n * 1e9), 6) resolution,
+       round((ty * 1.0 / n) * (1.0 - ty * 1.0 / n), 6) uncertainty,
+       round(tb / (n * 2.5e9) - rel_n / (n * 1e9) + res_n / (n * 1e9)
+             - (ty * 1.0 / n) * (1.0 - ty * 1.0 / n), 6) within_bin_var
+FROM terms"""
+
+
+def q_markov_entropy_rate(spark, sf_dir):
+    """Entropy rate of the event-type Markov chain: H = Σ_i π_i ·
+    H(next|state=i), π from the same 5-iteration nano-unit power
+    method as transition_stationary — how predictable a user timeline
+    is, in bits/event, against the log2(K) ceiling. Per-state
+    conditional entropies quantize each -p·log2(p) term to nanos
+    (log2 written as ln/ln2 with identical operation order in both
+    engines); the final Σ π·h is an exact integer dot product at the
+    K-state grain."""
+    from pyspark.sql import Window
+
+    from llmaix_spark.operators.events import stationary_distribution
+
+    ev = _t(spark, sf_dir, "events")
+    pi = stationary_distribution(ev, iterations=5).select(
+        "state",
+        F.round(F.col("stationary_p") * 1e6, 0).cast("bigint").alias("pi_u"),
+    )
+    w = Window.partitionBy("u").orderBy("us", "eid")
+    pairs = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("src"),
+        )
+        .select("u", "src", F.lead("src").over(w).alias("dst"))
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("t"))
+    ln2 = math.log(2.0)
+    h = (
+        pairs.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            F.round(
+                -(F.col("n") / F.col("t"))
+                * (F.log(F.col("n") / F.col("t")) / ln2)
+                * 1e9,
+                0,
+            )
+            .cast("bigint")
+            .alias("ht"),
+        )
+        .groupBy("src")
+        .agg(F.sum("ht").alias("h_nano"))
+    )
+    joined = pi.join(F.broadcast(h), pi["state"] == h["src"], "left").select(
+        "pi_u", F.coalesce(F.col("h_nano"), F.lit(0)).alias("h_nano")
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_states"),
+        F.sum(F.col("pi_u") * F.col("h_nano")).alias("dot"),
+    )
+    return agg.select(
+        "n_states",
+        F.round(F.col("dot") / 1e15, 6).alias("entropy_rate_bits"),
+        F.round(F.log(F.col("n_states").cast("double")) / ln2, 6).alias(
+            "max_entropy_bits"
+        ),
+        F.round(
+            (F.col("dot") / 1e15)
+            / (F.log(F.col("n_states").cast("double")) / ln2),
+            6,
+        ).alias("efficiency"),
+    )
+
+
+SQL_MARKOV_ENTROPY_RATE = (
+    """
+WITH e AS (SELECT user_id u, epoch_us(ts) us, event_id eid,
+                  event_type src FROM events),
+seq AS (SELECT u, src,
+               lead(src) OVER (PARTITION BY u ORDER BY us, eid) dst
+        FROM e),
+pairs AS (SELECT src, dst, CAST(count(*) AS BIGINT) n FROM seq
+          WHERE dst IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT src, sum(n) t FROM pairs GROUP BY 1),
+tp AS (SELECT pairs.src, dst, n * 1.0 / t AS p
+       FROM pairs JOIN tot USING (src)),
+states AS (SELECT DISTINCT event_type AS state FROM events),
+v0 AS (SELECT state,
+         CAST(floor(1e9 / (SELECT count(*) FROM states) + 0.5) AS BIGINT)
+           nano
+       FROM states)"""
+    + "".join(_stationary_iter_sql(i) for i in (1, 2, 3, 4, 5))
+    + """,
+pi AS (SELECT state,
+         CAST(round(((nano + 500) // 1000) / 1e6 * 1e6, 0) AS BIGINT) pi_u
+       FROM v5),
+h AS (SELECT src,
+        CAST(sum(CAST(round(-(n * 1.0 / t) * (ln(n * 1.0 / t)
+                            / 0.6931471805599453) * 1e9, 0) AS BIGINT))
+        AS BIGINT) h_nano
+      FROM pairs JOIN tot USING (src) GROUP BY 1),
+j AS (SELECT pi_u, coalesce(h_nano, 0) h_nano
+      FROM pi LEFT JOIN h ON pi.state = h.src),
+agg AS (SELECT CAST(count(*) AS BIGINT) n_states, sum(pi_u * h_nano) dot
+        FROM j)
+SELECT n_states, round(dot / 1e15, 6) entropy_rate_bits,
+       round(ln(n_states) / 0.6931471805599453, 6) max_entropy_bits,
+       round((dot / 1e15) / (ln(n_states) / 0.6931471805599453), 6)
+         efficiency
+FROM agg"""
+)
+
+
+def q_session_gap_sweep(spark, sf_dir):
+    """Sessionization-threshold sweep: session counts, events per
+    session, and total active time at inactivity gaps of 15/30/60
+    minutes — the tuning evidence behind events_sessionize's
+    production gap, from ONE lag pass (the three thresholds are
+    three conditional sums over the same gap column; no re-scan).
+    Exact integer microseconds throughout."""
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("u").orderBy("us", "eid")
+    gaps = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("u"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.col("event_id").alias("eid"),
+        )
+        .select("u", (F.col("us") - F.lag("us").over(w)).alias("g"))
+    )
+    one = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct(F.col("u")).cast("bigint").alias("n_users"),
+        *[
+            F.sum(
+                (F.col("g") > gap_s * 1_000_000).cast("bigint")
+            )
+            .cast("bigint")
+            .alias(f"brk_{gap_s}")
+            for gap_s in (900, 1800, 3600)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("g") <= gap_s * 1_000_000, F.col("g")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias(f"act_{gap_s}")
+            for gap_s in (900, 1800, 3600)
+        ],
+    ).localCheckpoint(eager=True)
+    rows = []
+    for gap_s in (900, 1800, 3600):
+        ns = F.col("n_users") + F.col(f"brk_{gap_s}")
+        rows.append(
+            one.select(
+                F.lit(gap_s).cast("bigint").alias("gap_s"),
+                ns.cast("bigint").alias("n_sessions"),
+                "n_events",
+                F.round(F.col("n_events") * 1.0 / ns, 6).alias(
+                    "events_per_session"
+                ),
+                F.round(F.col(f"act_{gap_s}") / 3.6e9, 6).alias(
+                    "active_hours"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+SQL_SESSION_GAP_SWEEP = """
+WITH base AS (SELECT user_id u, epoch_us(ts) us, event_id eid FROM events),
+g AS (SELECT u, us - lag(us) OVER (PARTITION BY u ORDER BY us, eid) g
+      FROM base),
+one AS (SELECT CAST(count(*) AS BIGINT) n_events,
+          CAST(count(DISTINCT u) AS BIGINT) n_users,
+          CAST(sum(CASE WHEN g > 900000000 THEN 1 ELSE 0 END) AS BIGINT)
+            brk_900,
+          CAST(sum(CASE WHEN g > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+            brk_1800,
+          CAST(sum(CASE WHEN g > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+            brk_3600,
+          CAST(sum(CASE WHEN g <= 900000000 THEN g ELSE 0 END) AS BIGINT)
+            act_900,
+          CAST(sum(CASE WHEN g <= 1800000000 THEN g ELSE 0 END) AS BIGINT)
+            act_1800,
+          CAST(sum(CASE WHEN g <= 3600000000 THEN g ELSE 0 END) AS BIGINT)
+            act_3600
+        FROM g)
+SELECT CAST(900 AS BIGINT) gap_s,
+       CAST(n_users + brk_900 AS BIGINT) n_sessions, n_events,
+       round(n_events * 1.0 / (n_users + brk_900), 6) events_per_session,
+       round(act_900 / 3.6e9, 6) active_hours FROM one
+UNION ALL
+SELECT 1800, CAST(n_users + brk_1800 AS BIGINT), n_events,
+       round(n_events * 1.0 / (n_users + brk_1800), 6),
+       round(act_1800 / 3.6e9, 6) FROM one
+UNION ALL
+SELECT 3600, CAST(n_users + brk_3600 AS BIGINT), n_events,
+       round(n_events * 1.0 / (n_users + brk_3600), 6),
+       round(act_3600 / 3.6e9, 6) FROM one"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -21199,6 +21844,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stylometry_delta": q_stylometry_delta,
     "eventually_follows": q_eventually_follows,
     "kcore_decomposition": q_kcore_decomposition,
+    "textrank_keywords": q_textrank_keywords,
+    "ipf_raking": q_ipf_raking,
+    "queue_wait_lindley": q_queue_wait_lindley,
+    "brier_decomposition": q_brier_decomposition,
+    "markov_entropy_rate": q_markov_entropy_rate,
+    "session_gap_sweep": q_session_gap_sweep,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -21558,6 +22209,12 @@ ORACLES: dict[str, str] = {
     "stylometry_delta": SQL_STYLOMETRY_DELTA,
     "eventually_follows": SQL_EVENTUALLY_FOLLOWS,
     "kcore_decomposition": SQL_KCORE_DECOMPOSITION,
+    "textrank_keywords": SQL_TEXTRANK_KEYWORDS,
+    "ipf_raking": SQL_IPF_RAKING,
+    "queue_wait_lindley": SQL_QUEUE_WAIT_LINDLEY,
+    "brier_decomposition": SQL_BRIER_DECOMPOSITION,
+    "markov_entropy_rate": SQL_MARKOV_ENTROPY_RATE,
+    "session_gap_sweep": SQL_SESSION_GAP_SWEEP,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,

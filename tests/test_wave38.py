@@ -127,7 +127,7 @@ def test_stationary_matches_python(spark):
     }
 
     e = pd.read_parquet(f"{SF_DIR}/events.parquet")
-    e = e.assign(us=e["ts"].astype("int64") // 1000).sort_values(
+    e = e.assign(us=e["ts"].astype("datetime64[ns]").astype("int64") // 1000).sort_values(
         ["user_id", "us", "event_id"]
     )
     pairs: dict[tuple[str, str], int] = {}

@@ -296,7 +296,7 @@ def test_eventually_follows_matches_python(spark):
     }
 
     e = pd.read_parquet(f"{SF_DIR}/events.parquet")
-    e = e.assign(us=e["ts"].astype("int64") // 1000)
+    e = e.assign(us=e["ts"].astype("datetime64[ns]").astype("int64") // 1000)
     first: dict[tuple[int, str], tuple[int, int]] = {}
     last: dict[tuple[int, str], tuple[int, int]] = {}
     for r in e.itertuples():
