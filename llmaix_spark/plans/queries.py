@@ -21,7 +21,7 @@ import math
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from llmaix_spark.functions.text import (
@@ -21580,6 +21580,636 @@ SELECT 3600, CAST(n_users + brk_3600 AS BIGINT), n_events,
        round(act_3600 / 3.6e9, 6) FROM one"""
 
 
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity join with rare-token blocking:
+    candidate pairs are documents sharing at least one RARE token
+    (df ≤ 20 — the blocking key a sparse-vector join can afford at
+    100 TB: common tokens never fan out), then the EXACT cosine over
+    the full vocabulary is computed for candidates only and gated at
+    ≥ 0.3 on the rounded value. Weights quantized to micro-int
+    (round(tf·idf·1e6)) so dot products and norms are exact integer
+    sums — partition-proof. idf = ln(N/df) with identical operation
+    order in both engines. Features are word TRIGRAM shingles (the
+    fixture's word vocabulary is a closed 31-word set — every word is
+    a stop word; shingles carry the document identity, same reasoning
+    as the dedup family)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        dd.word_shingles(docs, 3, distinct=False)
+        .withColumnRenamed("shingle", "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    wt = (
+        tf.join(df_, "w")
+        .select(
+            "doc_id",
+            "w",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("wu"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    norm2 = wt.groupBy("doc_id").agg(
+        F.sum(F.col("wu") * F.col("wu")).alias("n2")
+    )
+    rare = wt.where(F.col("df") <= 20).select("doc_id", "w")
+    cand = (
+        rare.join(
+            rare.select(F.col("doc_id").alias("doc_b"), "w"), "w"
+        )
+        .where(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    dots = (
+        cand.join(wt.select(F.col("doc_id").alias("doc_a"), "w", F.col("wu").alias("wa")), "doc_a")
+        .join(
+            wt.select(F.col("doc_id").alias("doc_b"), "w", F.col("wu").alias("wb")),
+            ["doc_b", "w"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    out = (
+        dots.join(norm2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na")), "doc_a")
+        .join(norm2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("na").cast("double"))
+                   * F.sqrt(F.col("nb").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.3)
+    )
+    return out
+
+
+SQL_TFIDF_COSINE_PAIRS = """
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+tokp AS (SELECT doc_id, generate_subscripts(ws, 1) i, unnest(ws) t FROM d),
+tri AS (SELECT doc_id,
+               t || ' ' || lead(t, 1) OVER win || ' ' || lead(t, 2) OVER win
+                 AS w,
+               lead(t, 2) OVER win l2
+        FROM tokp WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+tok AS (SELECT doc_id, w FROM tri WHERE l2 IS NOT NULL),
+tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT w, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) n FROM documents),
+wt AS (SELECT doc_id, tf.w, df,
+         CAST(round(tf * ln((SELECT n FROM nd) * 1.0 / df) * 1e6, 0)
+              AS BIGINT) wu
+       FROM tf JOIN dfq ON tf.w = dfq.w),
+norm2 AS (SELECT doc_id, sum(wu * wu) n2 FROM wt GROUP BY 1),
+rare AS (SELECT doc_id, w FROM wt WHERE df <= 20),
+cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         FROM rare a JOIN rare b ON a.w = b.w AND a.doc_id < b.doc_id),
+dots AS (SELECT doc_a, doc_b, sum(wa.wu * wb.wu) dot
+         FROM cand
+         JOIN wt wa ON wa.doc_id = cand.doc_a
+         JOIN wt wb ON wb.doc_id = cand.doc_b AND wb.w = wa.w
+         GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(dot / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) cosine
+FROM dots JOIN norm2 na ON na.doc_id = doc_a
+          JOIN norm2 nb ON nb.doc_id = doc_b
+WHERE round(dot / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) >= 0.3"""
+
+
+def q_sequential_obf(spark, sf_dir):
+    """Group-sequential A/B monitoring with O'Brien-Fleming
+    boundaries at 3 equally spaced calendar looks: treatment = odd
+    orderkey (an SRM-free hash split), metric = urgent-order rate,
+    z from cumulative counts at each look, compared to the classic
+    OBF |z| bounds 3.471 / 2.454 / 2.004. The look assignment is
+    pure integer arithmetic on microseconds (no percentile); all
+    counts are exact; one grouped aggregate + a 3-row rollup."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
+        (F.col("o_orderkey") % 2 == 1).cast("int").alias("trt"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("bigint").alias("y"),
+    )
+    span = o.agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    ).localCheckpoint(eager=True)
+    looks = (
+        o.crossJoin(F.broadcast(span))
+        .select(
+            "trt",
+            "y",
+            # integer floor division on BOTH sides: DuckDB's
+            # CAST(double AS BIGINT) rounds while Spark's truncates
+            F.least(
+                F.lit(3),
+                F.expr("((us - lo) * 3) div (hi - lo + 1)") + 1,
+            ).alias("lk"),
+        )
+        .groupBy("lk")
+        .agg(
+            F.sum(F.col("trt").cast("bigint")).alias("nt_i"),
+            F.sum((1 - F.col("trt")).cast("bigint")).alias("nc_i"),
+            F.sum(F.col("y") * F.col("trt")).alias("yt_i"),
+            F.sum(F.col("y") * (1 - F.col("trt"))).alias("yc_i"),
+        )
+    )
+    wcum = Window.orderBy("lk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = looks.select(
+        "lk",
+        F.sum("nt_i").over(wcum).alias("nt"),
+        F.sum("nc_i").over(wcum).alias("nc"),
+        F.sum("yt_i").over(wcum).alias("yt"),
+        F.sum("yc_i").over(wcum).alias("yc"),
+    )
+    pt = F.col("yt") * 1.0 / F.col("nt")
+    pc = F.col("yc") * 1.0 / F.col("nc")
+    pp = (F.col("yt") + F.col("yc")) * 1.0 / (F.col("nt") + F.col("nc"))
+    z = (pt - pc) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("nt") + 1.0 / F.col("nc"))
+    )
+    bound = (
+        F.when(F.col("lk") == 1, 3.471)
+        .when(F.col("lk") == 2, 2.454)
+        .otherwise(2.004)
+    )
+    base = cum.select(
+        F.col("lk").cast("bigint").alias("look"),
+        (F.col("nt") + F.col("nc")).cast("bigint").alias("n_cum"),
+        F.round(z, 6).alias("z_stat"),
+        bound.alias("obf_bound"),
+        (F.abs(F.round(z, 6)) > bound).alias("crossed"),
+    )
+    wrun = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return base.select(
+        "look", "n_cum", "z_stat", "obf_bound", "crossed",
+        (F.max(F.col("crossed").cast("int")).over(wrun) == 1).alias(
+            "stopped_by_now"
+        ),
+    )
+
+
+SQL_SEQUENTIAL_OBF = """
+WITH o AS (SELECT epoch_us(o_orderdate::TIMESTAMP) us,
+                  CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END trt,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END y
+           FROM orders),
+span AS (SELECT min(us) lo, max(us) hi FROM o),
+looks AS (SELECT least(3, ((us - lo) * 3) // (hi - lo + 1) + 1)
+            lk,
+            sum(trt) nt_i, sum(1 - trt) nc_i,
+            sum(y * trt) yt_i, sum(y * (1 - trt)) yc_i
+          FROM o CROSS JOIN span GROUP BY 1),
+cum AS (SELECT lk,
+          sum(nt_i) OVER w nt, sum(nc_i) OVER w nc,
+          sum(yt_i) OVER w yt, sum(yc_i) OVER w yc
+        FROM looks
+        WINDOW w AS (ORDER BY lk ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)),
+z AS (SELECT lk, nt + nc n_cum,
+        round((yt * 1.0 / nt - yc * 1.0 / nc) /
+              sqrt(((yt + yc) * 1.0 / (nt + nc))
+                   * (1.0 - (yt + yc) * 1.0 / (nt + nc))
+                   * (1.0 / nt + 1.0 / nc)), 6) z_stat,
+        (CASE lk WHEN 1 THEN 3.471 WHEN 2 THEN 2.454 ELSE 2.004 END)::DOUBLE
+          obf_bound
+      FROM cum)
+SELECT CAST(lk AS BIGINT) look, CAST(n_cum AS BIGINT) n_cum, z_stat,
+       obf_bound, (abs(z_stat) > obf_bound) crossed,
+       (max(CASE WHEN abs(z_stat) > obf_bound THEN 1 ELSE 0 END)
+          OVER (ORDER BY lk ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) = 1) stopped_by_now
+FROM z"""
+
+
+def q_did_estimator(spark, sf_dir):
+    """Difference-in-differences on the 2×2 (treated nation ×
+    before/after) grid: treated = odd nationkey, the period break is
+    the exact midpoint of the order timeline (integer µs — no
+    percentile), outcome = order price in exact cents. DiD =
+    (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre) with the classic
+    4-cell SE = sqrt(Σ s²_g/n_g); cell variances use Σy² in
+    DECIMAL(38)/HUGEINT so every accumulation is exact. One grouped
+    aggregate; the 4-cell grid is driver-free."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            (F.col("c_nationkey") % 2 == 1).cast("int").alias("trt"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+        )
+    )
+    span = o.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("bigint").alias("mid")
+    ).localCheckpoint(eager=True)
+    cells = (
+        o.crossJoin(F.broadcast(span))
+        .select(
+            "trt",
+            (F.col("us") >= F.col("mid")).cast("int").alias("post"),
+            "c",
+        )
+        .groupBy("trt", "post")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("s"),
+            F.sum(
+                F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+            ).alias("ss"),
+        )
+    )
+    m = F.col("s") * 1.0 / F.col("n")
+    var_over_n = (
+        (F.col("ss").cast("double") - F.col("s") * m)
+        / (F.col("n") - 1)
+        / F.col("n")
+    )
+    g = cells.select(
+        "trt", "post",
+        m.alias("mean_c"),
+        var_over_n.alias("von"),
+        F.col("n"),
+    )
+    agg = g.groupBy().pivot("trt", [0, 1]).agg(
+        F.max(F.when(F.col("post") == 0, F.col("mean_c"))).alias("pre"),
+        F.max(F.when(F.col("post") == 1, F.col("mean_c"))).alias("post"),
+        F.sum("von").alias("von"),
+        F.sum("n").alias("n"),
+    )
+    did = (
+        (F.col("1_post") - F.col("1_pre"))
+        - (F.col("0_post") - F.col("0_pre"))
+    ) / 100.0
+    se = F.sqrt(F.col("0_von") + F.col("1_von")) / 100.0
+    return agg.select(
+        (F.col("0_n") + F.col("1_n")).cast("bigint").alias("n_orders"),
+        F.round(F.col("0_pre") / 100.0, 6).alias("control_pre"),
+        F.round(F.col("0_post") / 100.0, 6).alias("control_post"),
+        F.round(F.col("1_pre") / 100.0, 6).alias("treated_pre"),
+        F.round(F.col("1_post") / 100.0, 6).alias("treated_post"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(did / se, 6).alias("t_stat"),
+    )
+
+
+SQL_DID_ESTIMATOR = """
+WITH o AS (SELECT CASE WHEN c_nationkey % 2 = 1 THEN 1 ELSE 0 END trt,
+                  epoch_us(o_orderdate::TIMESTAMP) us,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) c
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+span AS (SELECT CAST((min(us) + max(us)) / 2 AS BIGINT) mid FROM o),
+cells AS (SELECT trt,
+            CASE WHEN us >= (SELECT mid FROM span) THEN 1 ELSE 0 END post,
+            CAST(count(*) AS BIGINT) n, CAST(sum(c) AS BIGINT) s,
+            sum(c::HUGEINT * c::HUGEINT) ss
+          FROM o GROUP BY 1, 2),
+g AS (SELECT trt, post, s * 1.0 / n mean_c,
+        (ss::DOUBLE - s * (s * 1.0 / n)) / (n - 1) / n von, n
+      FROM cells),
+p AS (SELECT
+        max(CASE WHEN trt = 0 AND post = 0 THEN mean_c END) c_pre,
+        max(CASE WHEN trt = 0 AND post = 1 THEN mean_c END) c_post,
+        max(CASE WHEN trt = 1 AND post = 0 THEN mean_c END) t_pre,
+        max(CASE WHEN trt = 1 AND post = 1 THEN mean_c END) t_post,
+        sum(von) von, CAST(sum(n) AS BIGINT) n
+      FROM g)
+SELECT n n_orders,
+       round(c_pre / 100.0, 6) control_pre,
+       round(c_post / 100.0, 6) control_post,
+       round(t_pre / 100.0, 6) treated_pre,
+       round(t_post / 100.0, 6) treated_post,
+       round(((t_post - t_pre) - (c_post - c_pre)) / 100.0, 6) did,
+       round(sqrt(von) / 100.0, 6) se,
+       round((((t_post - t_pre) - (c_post - c_pre)) / 100.0)
+             / (sqrt(von) / 100.0), 6) t_stat
+FROM p"""
+
+
+def q_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate
+    phrases are maximal runs of content words (length ≥ 4 — same
+    stopword proxy as textrank_keywords) found with the classic
+    gaps-and-islands trick (pos − row_number is constant within a
+    run); word score = degree/frequency where degree counts phrase
+    lengths per occurrence; phrase score = Σ word scores, quantized
+    to micro-int per term so the sum is exact. Top 15 distinct
+    phrases. Scale: one posexplode, two bounded-key aggregates, one
+    broadcast join of word scores back onto phrase members."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), " ")
+        ).alias("pos", "w"),
+    ).where((F.col("w") != "") & (F.length("w") >= 4))
+    wisl = Window.partitionBy("doc_id").orderBy("pos")
+    runs = tok.select(
+        "doc_id", "pos", "w",
+        (F.col("pos") - F.row_number().over(wisl)).alias("grp"),
+    ).localCheckpoint(eager=True)
+    plen = runs.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    members = runs.join(plen, ["doc_id", "grp"])
+    wscore = (
+        members.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("len").cast("bigint").alias("deg"),
+        )
+        .select(
+            "w",
+            F.round(F.col("deg") * 1e6 / F.col("freq"), 0)
+            .cast("bigint")
+            .alias("su"),
+        )
+    )
+    phrases = (
+        members.join(F.broadcast(wscore), "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("su").alias("su"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.round(F.max("su") / 1e6, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(15)
+    )
+
+
+SQL_RAKE_KEYPHRASES = """
+WITH tok AS (
+  SELECT doc_id, i - 1 AS pos, t w
+  FROM (SELECT doc_id, generate_subscripts(ws, 1) i, unnest(ws) t
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') ws
+              FROM documents))
+  WHERE t <> '' AND length(t) >= 4),
+runs AS (SELECT doc_id, pos, w,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) grp
+         FROM tok),
+plen AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) len
+         FROM runs GROUP BY 1, 2),
+members AS (SELECT runs.doc_id, runs.grp, pos, w, len
+            FROM runs JOIN plen ON runs.doc_id = plen.doc_id
+                              AND runs.grp = plen.grp),
+wscore AS (SELECT w,
+             CAST(round(sum(len) * 1e6 / count(*), 0) AS BIGINT) su
+           FROM members GROUP BY 1),
+phrases AS (SELECT members.doc_id, members.grp,
+              string_agg(members.w, ' ' ORDER BY pos) phrase,
+              CAST(count(*) AS BIGINT) n_words,
+              sum(su) su
+            FROM members JOIN wscore ON members.w = wscore.w
+            GROUP BY 1, 2)
+SELECT phrase, CAST(max(n_words) AS BIGINT) n_words,
+       CAST(count(*) AS BIGINT) n_occurrences,
+       round(max(su) / 1e6, 6) score
+FROM phrases GROUP BY phrase
+ORDER BY score DESC, phrase LIMIT 15"""
+
+
+def q_decision_stump_gain(spark, sf_dir):
+    """Best single decision stump 'n_chars ≤ θ' predicting
+    lang = 'en' by exact Gini information gain: candidate thresholds
+    are the distinct n_chars values, gain computed from integer
+    prefix sums over the (bounded, value-distinct) candidate grain —
+    the split-finding kernel of every distributed tree learner,
+    O(distinct values), not O(n²). Argmax on the 6dp-rounded gain,
+    smaller threshold wins ties."""
+    d = _t(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("bigint").alias("y")
+    )
+    vals = d.groupBy("n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("p"),
+    )
+    wcum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "n_chars",
+        F.sum("n").over(wcum).alias("nl"),
+        F.sum("p").over(wcum).alias("pl"),
+        F.sum("n").over(wall).alias("nn"),
+        F.sum("p").over(wall).alias("pp"),
+    )
+    pl_rate = F.col("pl") * 1.0 / F.col("nl")
+    pr_rate = (F.col("pp") - F.col("pl")) * 1.0 / (F.col("nn") - F.col("nl"))
+    pa_rate = F.col("pp") * 1.0 / F.col("nn")
+    g_parent = 2.0 * pa_rate * (1.0 - pa_rate)
+    g_left = 2.0 * pl_rate * (1.0 - pl_rate)
+    g_right = 2.0 * pr_rate * (1.0 - pr_rate)
+    gain = g_parent - (
+        F.col("nl") * 1.0 / F.col("nn") * g_left
+        + (F.col("nn") - F.col("nl")) * 1.0 / F.col("nn") * g_right
+    )
+    cand = cum.where(F.col("nl") < F.col("nn")).select(
+        "n_chars", "nl", "nn", "pl", "pp",
+        F.round(gain, 6).alias("gain"),
+        F.round(g_parent, 6).alias("gini_parent"),
+    )
+    return (
+        cand.orderBy(F.col("gain").desc(), "n_chars")
+        .limit(1)
+        .select(
+            F.col("n_chars").alias("threshold"),
+            F.col("nl").cast("bigint").alias("n_left"),
+            (F.col("nn") - F.col("nl")).cast("bigint").alias("n_right"),
+            "gini_parent",
+            F.col("gain").alias("best_gain"),
+            F.round(F.col("pl") * 1.0 / F.col("nl"), 6).alias("left_pos_rate"),
+            F.round(
+                (F.col("pp") - F.col("pl")) * 1.0
+                / (F.col("nn") - F.col("nl")),
+                6,
+            ).alias("right_pos_rate"),
+        )
+    )
+
+
+SQL_DECISION_STUMP_GAIN = """
+WITH d AS (SELECT n_chars,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END y
+           FROM documents),
+vals AS (SELECT n_chars, CAST(count(*) AS BIGINT) n,
+                CAST(sum(y) AS BIGINT) p
+         FROM d GROUP BY 1),
+cum AS (SELECT n_chars,
+          sum(n) OVER (ORDER BY n_chars) nl,
+          sum(p) OVER (ORDER BY n_chars) pl,
+          sum(n) OVER () nn, sum(p) OVER () pp
+        FROM vals),
+cand AS (SELECT n_chars, nl, nn, pl, pp,
+           round(2.0 * (pp * 1.0 / nn) * (1.0 - pp * 1.0 / nn)
+                 - (nl * 1.0 / nn * (2.0 * (pl * 1.0 / nl)
+                                     * (1.0 - pl * 1.0 / nl))
+                    + (nn - nl) * 1.0 / nn
+                      * (2.0 * ((pp - pl) * 1.0 / (nn - nl))
+                         * (1.0 - (pp - pl) * 1.0 / (nn - nl)))), 6) gain,
+           round(2.0 * (pp * 1.0 / nn) * (1.0 - pp * 1.0 / nn), 6)
+             gini_parent
+         FROM cum WHERE nl < nn)
+SELECT n_chars threshold, CAST(nl AS BIGINT) n_left,
+       CAST(nn - nl AS BIGINT) n_right, gini_parent, gain best_gain,
+       round(pl * 1.0 / nl, 6) left_pos_rate,
+       round((pp - pl) * 1.0 / (nn - nl), 6) right_pos_rate
+FROM cand ORDER BY gain DESC, n_chars LIMIT 1"""
+
+
+def q_greedy_set_cover(spark, sf_dir):
+    """Greedy max-coverage data selection: 5 greedy rounds, each
+    picking the document covering the most still-uncovered words of
+    the top-500 content vocabulary (ties → min doc_id) — the
+    facility-location/coreset heuristic behind 'which docs to keep
+    for vocabulary coverage', with its (1-1/e) guarantee. The
+    universe is the top-500 word-trigram shingles (the fixture's
+    word vocabulary is a closed 31-word set; shingles carry
+    identity); a document holds ≤ ~100 shingles, so 5 rounds can
+    never exhaust the universe at any SF. Per round: one anti-join
+    gain count + a map-side top-1; the covered set (≤500 shingles)
+    broadcasts. Returns the coverage curve."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = dd.word_shingles(docs, 3, distinct=False).withColumnRenamed(
+        "shingle", "w"
+    )
+    top = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(500)
+        .select("w")
+        .localCheckpoint(eager=True)
+    )
+    n_univ = top.count()
+    dw = (
+        tok.join(F.broadcast(top), "w")
+        .select("doc_id", "w")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark_ = docs.sparkSession
+    covered = spark_.createDataFrame([], "w string").localCheckpoint(
+        eager=True
+    )
+    out = []
+    cum = 0
+    for r in range(1, 6):
+        gain = (
+            dw.join(F.broadcast(covered), "w", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("g"))
+            .orderBy(F.col("g").desc(), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        pick, g = int(gain[0]["doc_id"]), int(gain[0]["g"])
+        cum += g
+        out.append((r, pick, g, cum, round(cum / n_univ, 6)))
+        covered = (
+            covered.unionAll(
+                dw.where(F.col("doc_id") == pick).select("w")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return spark_.createDataFrame(
+        out,
+        "round bigint, doc_id bigint, gain bigint, covered bigint, "
+        "coverage_share double",
+    )
+
+
+def _cover_round_sql(i: int) -> str:
+    prev_cov = (
+        "SELECT w FROM dw WHERE FALSE"
+        if i == 1
+        else f"SELECT w FROM cov{i - 1}"
+    )
+    prev_cum = "0" if i == 1 else f"(SELECT cum FROM cum{i - 1})"
+    return f""",
+gain{i} AS (SELECT doc_id, CAST(count(*) AS BIGINT) g FROM dw
+            WHERE w NOT IN ({prev_cov}) GROUP BY 1),
+pick{i} AS (SELECT doc_id, g FROM gain{i} ORDER BY g DESC, doc_id LIMIT 1),
+cov{i} AS (SELECT w FROM ({prev_cov})
+           UNION SELECT w FROM dw
+           WHERE doc_id = (SELECT doc_id FROM pick{i})),
+cum{i} AS (SELECT {prev_cum} + (SELECT g FROM pick{i}) cum)"""
+
+
+SQL_GREEDY_SET_COVER = (
+    """
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+tokp AS (SELECT doc_id, generate_subscripts(ws, 1) i, unnest(ws) t FROM d),
+tri AS (SELECT doc_id,
+               t || ' ' || lead(t, 1) OVER win || ' ' || lead(t, 2) OVER win
+                 AS w,
+               lead(t, 2) OVER win l2
+        FROM tokp WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+tok AS (SELECT doc_id, w FROM tri WHERE l2 IS NOT NULL),
+top AS (SELECT w FROM (SELECT w, count(*) cnt FROM tok GROUP BY 1)
+        ORDER BY cnt DESC, w LIMIT 500),
+dw AS (SELECT DISTINCT doc_id, tok.w FROM tok JOIN top ON tok.w = top.w),
+nu AS (SELECT count(*) n FROM top)"""
+    + "".join(_cover_round_sql(i) for i in (1, 2, 3, 4, 5))
+    + """
+SELECT CAST(1 AS BIGINT) round,
+       (SELECT doc_id FROM pick1) doc_id, (SELECT g FROM pick1) gain,
+       (SELECT CAST(cum AS BIGINT) FROM cum1) covered,
+       round((SELECT cum FROM cum1) * 1.0 / (SELECT n FROM nu), 6)
+         coverage_share
+UNION ALL SELECT 2, (SELECT doc_id FROM pick2), (SELECT g FROM pick2),
+       (SELECT cum FROM cum2),
+       round((SELECT cum FROM cum2) * 1.0 / (SELECT n FROM nu), 6)
+UNION ALL SELECT 3, (SELECT doc_id FROM pick3), (SELECT g FROM pick3),
+       (SELECT cum FROM cum3),
+       round((SELECT cum FROM cum3) * 1.0 / (SELECT n FROM nu), 6)
+UNION ALL SELECT 4, (SELECT doc_id FROM pick4), (SELECT g FROM pick4),
+       (SELECT cum FROM cum4),
+       round((SELECT cum FROM cum4) * 1.0 / (SELECT n FROM nu), 6)
+UNION ALL SELECT 5, (SELECT doc_id FROM pick5), (SELECT g FROM pick5),
+       (SELECT cum FROM cum5),
+       round((SELECT cum FROM cum5) * 1.0 / (SELECT n FROM nu), 6)"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -21850,6 +22480,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brier_decomposition": q_brier_decomposition,
     "markov_entropy_rate": q_markov_entropy_rate,
     "session_gap_sweep": q_session_gap_sweep,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "sequential_obf": q_sequential_obf,
+    "did_estimator": q_did_estimator,
+    "rake_keyphrases": q_rake_keyphrases,
+    "decision_stump_gain": q_decision_stump_gain,
+    "greedy_set_cover": q_greedy_set_cover,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -22215,6 +22851,12 @@ ORACLES: dict[str, str] = {
     "brier_decomposition": SQL_BRIER_DECOMPOSITION,
     "markov_entropy_rate": SQL_MARKOV_ENTROPY_RATE,
     "session_gap_sweep": SQL_SESSION_GAP_SWEEP,
+    "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
+    "sequential_obf": SQL_SEQUENTIAL_OBF,
+    "did_estimator": SQL_DID_ESTIMATOR,
+    "rake_keyphrases": SQL_RAKE_KEYPHRASES,
+    "decision_stump_gain": SQL_DECISION_STUMP_GAIN,
+    "greedy_set_cover": SQL_GREEDY_SET_COVER,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
