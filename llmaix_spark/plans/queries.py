@@ -22168,7 +22168,7 @@ def _cover_round_sql(i: int) -> str:
 gain{i} AS (SELECT doc_id, CAST(count(*) AS BIGINT) g FROM dw
             WHERE w NOT IN ({prev_cov}) GROUP BY 1),
 pick{i} AS (SELECT doc_id, g FROM gain{i} ORDER BY g DESC, doc_id LIMIT 1),
-cov{i} AS (SELECT w FROM ({prev_cov})
+cov{i} AS MATERIALIZED (SELECT w FROM ({prev_cov})
            UNION SELECT w FROM dw
            WHERE doc_id = (SELECT doc_id FROM pick{i})),
 cum{i} AS (SELECT {prev_cum} + (SELECT g FROM pick{i}) cum)"""
@@ -22186,7 +22186,7 @@ tri AS (SELECT doc_id,
 tok AS (SELECT doc_id, w FROM tri WHERE l2 IS NOT NULL),
 top AS (SELECT w FROM (SELECT w, count(*) cnt FROM tok GROUP BY 1)
         ORDER BY cnt DESC, w LIMIT 500),
-dw AS (SELECT DISTINCT doc_id, tok.w FROM tok JOIN top ON tok.w = top.w),
+dw AS MATERIALIZED (SELECT DISTINCT doc_id, tok.w FROM tok JOIN top ON tok.w = top.w),
 nu AS (SELECT count(*) n FROM top)"""
     + "".join(_cover_round_sql(i) for i in (1, 2, 3, 4, 5))
     + """
@@ -22207,6 +22207,807 @@ UNION ALL SELECT 4, (SELECT doc_id FROM pick4), (SELECT g FROM pick4),
 UNION ALL SELECT 5, (SELECT doc_id FROM pick5), (SELECT g FROM pick5),
        (SELECT cum FROM cum5),
        round((SELECT cum FROM cum5) * 1.0 / (SELECT n FROM nu), 6)"""
+)
+
+
+def q_mmr_diversified_topk(spark, sf_dir):
+    """Maximal-Marginal-Relevance diversified retrieval: query = the
+    label-0 centroid, candidates = top-20 by relevance cosine, then 5
+    greedy MMR picks with score = 0.7·rel − 0.3·max-sim-to-selected
+    (Carbonell & Goldstein 1998). Same integer discipline as
+    label_centroid_cosine: embeddings quantize to micro-ints, dots in
+    DECIMAL(38), cosines re-quantized to micro BEFORE any ordering or
+    max — every tie-break is integer-exact in both engines. The
+    greedy loop runs at the 20-candidate grain (pair-sim table 20×20,
+    broadcast); relevance is one (dim)-join aggregate over the corpus
+    — the part that scales."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d", "v"),
+    ).select(
+        "vec_id", "label", "d",
+        F.round(F.col("v").cast("double") * 1_000_000, 0)
+        .cast("bigint")
+        .alias("q"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cen = emb.where(F.col("label") == 0).groupBy("d").agg(
+        F.sum("q").alias("c")
+    )
+    vec = emb.select("vec_id", "d", "q")
+    rel = (
+        vec.join(F.broadcast(cen), "d")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(dec("q") * dec("c")).alias("_dot"),
+            F.sum(dec("q") * dec("q")).alias("_nq"),
+            F.max(dec("c") * dec("c")).alias("_one"),
+        )
+    )
+    cn2 = cen.agg(F.sum(dec("c") * dec("c")).alias("_nc"))
+    rel = (
+        rel.crossJoin(F.broadcast(cn2))
+        .select(
+            "vec_id",
+            F.round(
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_nq").cast("double"))
+                    * F.sqrt(F.col("_nc").cast("double"))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("rel_u"),
+        )
+    )
+    cands = (
+        rel.orderBy(F.col("rel_u").desc(), "vec_id")
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    cvec = vec.join(
+        F.broadcast(cands.select("vec_id")), "vec_id"
+    ).localCheckpoint(eager=True)
+    a = cvec.select(F.col("vec_id").alias("va"), "d", F.col("q").alias("qa"))
+    b = cvec.select(F.col("vec_id").alias("vb"), "d", F.col("q").alias("qb"))
+    sims = (
+        a.join(F.broadcast(b), "d")
+        .where(F.col("va") != F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(dec("qa") * dec("qb")).alias("_dot"),
+            F.sum(dec("qa") * dec("qa")).alias("_na"),
+            F.sum(dec("qb") * dec("qb")).alias("_nb"),
+        )
+        .select(
+            "va", "vb",
+            F.round(
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_na").cast("double"))
+                    * F.sqrt(F.col("_nb").cast("double"))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("su"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picked: list[int] = []
+    out = []
+    for r in range(1, 6):
+        if picked:
+            ms = (
+                sims.where(F.col("vb").isin(picked))
+                .groupBy("va")
+                .agg(F.max("su").alias("ms"))
+            )
+            scored = (
+                cands.join(ms, cands["vec_id"] == ms["va"], "left")
+                .select(
+                    "vec_id", "rel_u",
+                    F.coalesce(F.col("ms"), F.lit(0)).alias("ms"),
+                )
+            )
+        else:
+            scored = cands.select(
+                "vec_id", "rel_u", F.lit(0).cast("bigint").alias("ms")
+            )
+        scored = scored.where(~F.col("vec_id").isin(picked)) if picked else scored
+        scored = scored.select(
+            "vec_id", "rel_u", "ms",
+            F.round(0.7 * F.col("rel_u") - 0.3 * F.col("ms"), 0)
+            .cast("bigint")
+            .alias("sc"),
+        )
+        top = scored.orderBy(F.col("sc").desc(), "vec_id").limit(1).collect()[0]
+        picked.append(int(top["vec_id"]))
+        out.append(
+            (
+                r,
+                int(top["vec_id"]),
+                round(int(top["rel_u"]) / 1e6, 6),
+                round(int(top["ms"]) / 1e6, 6),
+                round(int(top["sc"]) / 1e6, 6),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "round bigint, vec_id bigint, relevance double, "
+        "max_sim_selected double, mmr_score double",
+    )
+
+
+def _mmr_round_sql(i: int) -> str:
+    if i == 1:
+        scored = """
+sc1 AS (SELECT vec_id, rel_u, CAST(0 AS BIGINT) ms,
+          CAST(round(0.7 * rel_u - 0.3 * 0, 0) AS BIGINT) sc
+        FROM cands),
+pick1 AS (SELECT * FROM sc1 ORDER BY sc DESC, vec_id LIMIT 1),
+sel1 AS MATERIALIZED (SELECT vec_id FROM pick1)"""
+        return scored
+    return f""",
+ms{i} AS (SELECT va, max(su) ms FROM sims
+          WHERE vb IN (SELECT vec_id FROM sel{i - 1}) GROUP BY va),
+sc{i} AS (SELECT c.vec_id, c.rel_u, coalesce(ms, 0) ms,
+            CAST(round(0.7 * c.rel_u - 0.3 * coalesce(ms, 0), 0) AS BIGINT)
+              sc
+          FROM cands c LEFT JOIN ms{i} ON c.vec_id = ms{i}.va
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})),
+pick{i} AS (SELECT * FROM sc{i} ORDER BY sc DESC, vec_id LIMIT 1),
+sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1}
+           UNION ALL SELECT vec_id FROM pick{i})"""
+
+
+SQL_MMR_DIVERSIFIED_TOPK = (
+    """
+WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 d,
+                  CAST(round(unnest(embedding)::DOUBLE * 1000000, 0)
+                       AS BIGINT) q
+           FROM embeddings),
+cen AS (SELECT d, sum(q) c FROM e WHERE label = 0 GROUP BY 1),
+cn2 AS (SELECT sum(c::HUGEINT * c::HUGEINT) nc FROM cen),
+rel AS (SELECT vec_id,
+          CAST(round(sum(q::HUGEINT * c::HUGEINT)::DOUBLE
+                     / (sqrt(sum(q::HUGEINT * q::HUGEINT)::DOUBLE)
+                        * sqrt((SELECT nc FROM cn2)::DOUBLE)) * 1e6, 0)
+               AS BIGINT) rel_u
+        FROM e JOIN cen USING (d) GROUP BY vec_id),
+cands AS MATERIALIZED (SELECT vec_id, rel_u FROM rel
+          ORDER BY rel_u DESC, vec_id LIMIT 20),
+cv AS (SELECT e.vec_id, d, q FROM e
+       JOIN cands ON e.vec_id = cands.vec_id),
+sims AS MATERIALIZED (SELECT a.vec_id va, b.vec_id vb,
+           CAST(round(sum(a.q::HUGEINT * b.q::HUGEINT)::DOUBLE
+                      / (sqrt(sum(a.q::HUGEINT * a.q::HUGEINT)::DOUBLE)
+                         * sqrt(sum(b.q::HUGEINT * b.q::HUGEINT)::DOUBLE))
+                      * 1e6, 0) AS BIGINT) su
+         FROM cv a JOIN cv b ON a.d = b.d AND a.vec_id <> b.vec_id
+         GROUP BY 1, 2),
+"""
+    + "".join(_mmr_round_sql(i) for i in (1, 2, 3, 4, 5))
+    + """
+SELECT CAST(1 AS BIGINT) round, vec_id, round(rel_u / 1e6, 6) relevance,
+       round(ms / 1e6, 6) max_sim_selected, round(sc / 1e6, 6) mmr_score
+FROM pick1
+UNION ALL SELECT 2, vec_id, round(rel_u / 1e6, 6), round(ms / 1e6, 6),
+       round(sc / 1e6, 6) FROM pick2
+UNION ALL SELECT 3, vec_id, round(rel_u / 1e6, 6), round(ms / 1e6, 6),
+       round(sc / 1e6, 6) FROM pick3
+UNION ALL SELECT 4, vec_id, round(rel_u / 1e6, 6), round(ms / 1e6, 6),
+       round(sc / 1e6, 6) FROM pick4
+UNION ALL SELECT 5, vec_id, round(rel_u / 1e6, 6), round(ms / 1e6, 6),
+       round(sc / 1e6, 6) FROM pick5"""
+)
+
+
+def q_greedy_matching(spark, sf_dir):
+    """Greedy maximum-weight matching on the part co-purchase graph
+    (weight = number of co-occurring orders): 5 rounds, each taking
+    the heaviest edge whose endpoints are both still free (ties →
+    (src, dst) asc) — the ½-approximation that pairs up correlated
+    items for bundling. Per round one anti-filter + map-side top-1;
+    the matched set (≤10 ids) broadcasts as an isin literal."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lb = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        li.join(
+            lb,
+            (F.col("l_orderkey") == F.col("ok"))
+            & (F.col("l_partkey") < F.col("pb")),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("s"), F.col("pb").alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    matched: list[int] = []
+    out = []
+    cum = 0
+    for r in range(1, 6):
+        free = edges
+        if matched:
+            free = edges.where(
+                ~F.col("s").isin(matched) & ~F.col("d").isin(matched)
+            )
+        top = free.orderBy(F.col("w").desc(), "s", "d").limit(1).collect()[0]
+        s_, d_, w_ = int(top["s"]), int(top["d"]), int(top["w"])
+        matched.extend([s_, d_])
+        cum += w_
+        out.append((r, s_, d_, w_, cum))
+    return spark.createDataFrame(
+        out,
+        "round bigint, src bigint, dst bigint, weight bigint, "
+        "cum_weight bigint",
+    )
+
+
+def _match_round_sql(i: int) -> str:
+    if i == 1:
+        return """
+pick1 AS (SELECT s, d, w FROM edges ORDER BY w DESC, s, d LIMIT 1),
+m1 AS MATERIALIZED (SELECT s x FROM pick1 UNION ALL SELECT d FROM pick1)"""
+    return f""",
+pick{i} AS (SELECT s, d, w FROM edges
+            WHERE s NOT IN (SELECT x FROM m{i - 1})
+              AND d NOT IN (SELECT x FROM m{i - 1})
+            ORDER BY w DESC, s, d LIMIT 1),
+m{i} AS MATERIALIZED (SELECT x FROM m{i - 1}
+         UNION ALL SELECT s FROM pick{i} UNION ALL SELECT d FROM pick{i})"""
+
+
+SQL_GREEDY_MATCHING = (
+    """
+WITH edges AS MATERIALIZED (SELECT a.l_partkey s, b.l_partkey d,
+                      CAST(count(*) AS BIGINT) w
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2),
+"""
+    + "".join(_match_round_sql(i) for i in (1, 2, 3, 4, 5))
+    + """
+SELECT CAST(1 AS BIGINT) round, s src, d dst, w weight,
+       (SELECT w FROM pick1) cum_weight FROM pick1
+UNION ALL SELECT 2, s, d, w,
+       (SELECT w FROM pick1) + (SELECT w FROM pick2) FROM pick2
+UNION ALL SELECT 3, s, d, w,
+       (SELECT w FROM pick1) + (SELECT w FROM pick2)
+       + (SELECT w FROM pick3) FROM pick3
+UNION ALL SELECT 4, s, d, w,
+       (SELECT w FROM pick1) + (SELECT w FROM pick2)
+       + (SELECT w FROM pick3) + (SELECT w FROM pick4) FROM pick4
+UNION ALL SELECT 5, s, d, w,
+       (SELECT w FROM pick1) + (SELECT w FROM pick2)
+       + (SELECT w FROM pick3) + (SELECT w FROM pick4)
+       + (SELECT w FROM pick5) FROM pick5"""
+)
+
+
+def q_ips_offpolicy(spark, sf_dir):
+    """Off-policy evaluation by inverse propensity scoring: the
+    target policy recommends, per user segment (user_id % 4), the
+    event type with the highest mean reward (exact cents) on the
+    FIRST calendar half; it is evaluated on the SECOND half with IPS
+    and self-normalized IPS against empirical propensities — the
+    counterfactual 'what would this policy have earned' a logged
+    interaction corpus answers without an experiment. Per-event IPS
+    terms quantize to micro-cents before the sum (discipline b); all
+    counts/propensities are exact integers."""
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("seg"),
+        F.col("event_type").alias("a"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    span = e.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("bigint").alias("mid")
+    ).localCheckpoint(eager=True)
+    e = e.crossJoin(F.broadcast(span)).select(
+        "seg", "a", "cents", (F.col("us") >= F.col("mid")).alias("test")
+    )
+    train = (
+        e.where(~F.col("test"))
+        .groupBy("seg", "a")
+        .agg(
+            F.sum("cents").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    wseg = Window.partitionBy("seg").orderBy(
+        (F.col("s") * 1.0 / F.col("n")).desc(), "a"
+    )
+    target = (
+        train.select(
+            "seg", "a", F.row_number().over(wseg).alias("rk")
+        )
+        .where(F.col("rk") == 1)
+        .select("seg", F.col("a").alias("tgt"))
+        .localCheckpoint(eager=True)
+    )
+    ev = e.where(F.col("test"))
+    prop = ev.groupBy("seg", "a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("na")
+    )
+    nseg = ev.groupBy("seg").agg(F.count(F.lit(1)).cast("bigint").alias("ns"))
+    scored = (
+        ev.join(F.broadcast(target), "seg")
+        .join(F.broadcast(prop), ["seg", "a"])
+        .join(F.broadcast(nseg), "seg")
+        .select(
+            "cents",
+            (F.col("a") == F.col("tgt")).cast("bigint").alias("match"),
+            (F.col("na") * 1.0 / F.col("ns")).alias("p"),
+        )
+    )
+    terms = scored.select(
+        "match",
+        "cents",
+        F.round(F.col("match") / F.col("p") * 1e6, 0)
+        .cast("bigint")
+        .alias("w_u"),
+        F.round(F.col("match") * F.col("cents") / F.col("p") * 1e6, 0)
+        .cast("bigint")
+        .alias("wr_u"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("match").cast("bigint").alias("n_match"),
+        F.sum("w_u").alias("sw"),
+        F.sum("wr_u").alias("swr"),
+    )
+    return agg.select(
+        "n_eval",
+        F.round(F.col("sum_cents") / (F.col("n_eval") * 100.0), 6).alias(
+            "behavior_value"
+        ),
+        F.round(F.col("swr") / (F.col("n_eval") * 1e8), 6).alias("ips_value"),
+        F.round(F.col("swr") / (F.col("sw") * 100.0), 6).alias("snips_value"),
+        F.round(F.col("n_match") * 1.0 / F.col("n_eval"), 6).alias(
+            "match_rate"
+        ),
+    )
+
+
+SQL_IPS_OFFPOLICY = """
+WITH e0 AS (SELECT user_id % 4 seg, event_type a,
+                   epoch_us(ts) us,
+                   CAST(round(value * 100, 0) AS BIGINT) cents
+            FROM events),
+span AS (SELECT CAST((min(us) + max(us)) / 2 AS BIGINT) mid FROM e0),
+e AS (SELECT seg, a, cents, us >= (SELECT mid FROM span) test FROM e0),
+train AS (SELECT seg, a, sum(cents) s, count(*) n
+          FROM e WHERE NOT test GROUP BY 1, 2),
+target AS (SELECT seg, a tgt FROM (
+             SELECT seg, a, row_number() OVER
+               (PARTITION BY seg ORDER BY s * 1.0 / n DESC, a) rk
+             FROM train) WHERE rk = 1),
+ev AS (SELECT * FROM e WHERE test),
+prop AS (SELECT seg, a, CAST(count(*) AS BIGINT) na FROM ev GROUP BY 1, 2),
+nseg AS (SELECT seg, CAST(count(*) AS BIGINT) ns FROM ev GROUP BY 1),
+terms AS (SELECT cents,
+            CASE WHEN ev.a = tgt THEN 1 ELSE 0 END mt,
+            CAST(round(CASE WHEN ev.a = tgt THEN 1 ELSE 0 END
+                       / (na * 1.0 / ns) * 1e6, 0) AS BIGINT) w_u,
+            CAST(round(CASE WHEN ev.a = tgt THEN 1 ELSE 0 END * cents
+                       / (na * 1.0 / ns) * 1e6, 0) AS BIGINT) wr_u
+          FROM ev JOIN target USING (seg)
+                  JOIN prop ON prop.seg = ev.seg AND prop.a = ev.a
+                  JOIN nseg ON nseg.seg = ev.seg)
+SELECT CAST(count(*) AS BIGINT) n_eval,
+       round(sum(cents) / (count(*) * 100.0), 6) behavior_value,
+       round(sum(wr_u) / (count(*) * 1e8), 6) ips_value,
+       round(sum(wr_u) / (sum(w_u) * 100.0), 6) snips_value,
+       round(sum(mt) * 1.0 / count(*), 6) match_rate
+FROM terms"""
+
+
+def q_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter record-linkage weights: m = P(feature agrees |
+    match) from the exact near-dup pairs (J ≥ 0.5), u = P(agrees |
+    non-match) from a deterministic rank-offset pairing (doc r with
+    doc r + n/2 in id order, known-match pairs anti-joined out),
+    Laplace-smoothed, weight = log2(m/u) — the agreement weights a
+    probabilistic linker scores candidate pairs with. Features: same
+    lang, same source, |Δ n_chars| ≤ 50, shares a trigram shingle.
+    All counts exact; one row per feature."""
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select("doc_id", "lang", "source", "n_chars")
+    matches = dd.ngram_jaccard_pairs(docs, 0.5).select("doc_a", "doc_b")
+    wrk = Window.orderBy("doc_id")
+    ranked = meta.select(
+        "doc_id", (F.row_number().over(wrk) - 1).alias("r")
+    )
+    n_docs = docs.count()
+    half = n_docs // 2
+    non = (
+        ranked.alias("x")
+        .join(
+            ranked.alias("y"),
+            F.col("y.r") == F.col("x.r") + half,
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .join(matches, ["doc_a", "doc_b"], "left_anti")
+    )
+    sh = dd.word_shingles(docs, 3)
+
+    def feats(pairs):
+        p = (
+            pairs.join(
+                meta.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("lang").alias("la"),
+                    F.col("source").alias("sa"),
+                    F.col("n_chars").alias("ca"),
+                ),
+                "doc_a",
+            )
+            .join(
+                meta.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("lang").alias("lb"),
+                    F.col("source").alias("sb"),
+                    F.col("n_chars").alias("cb"),
+                ),
+                "doc_b",
+            )
+        )
+        shared = (
+            pairs.join(
+                sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                ["doc_b", "shingle"],
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+            .withColumn("sh1", F.lit(1))
+        )
+        return (
+            p.join(shared, ["doc_a", "doc_b"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum((F.col("la") == F.col("lb")).cast("bigint")).alias(
+                    "f_lang"
+                ),
+                F.sum((F.col("sa") == F.col("sb")).cast("bigint")).alias(
+                    "f_source"
+                ),
+                F.sum(
+                    (F.abs(F.col("ca") - F.col("cb")) <= 50).cast("bigint")
+                ).alias("f_len"),
+                F.sum(F.coalesce(F.col("sh1"), F.lit(0)).cast("bigint")).alias(
+                    "f_shingle"
+                ),
+            )
+        )
+
+    mrow = feats(matches).localCheckpoint(eager=True)
+    urow = feats(non).localCheckpoint(eager=True)
+    ln2 = math.log(2.0)
+    rows = []
+    for feat in ("lang", "source", "len", "shingle"):
+        m = mrow.select(
+            F.lit(feat).alias("feature"),
+            F.col("n").alias("n_match"),
+            ((F.col(f"f_{feat}") + 1) * 1.0 / (F.col("n") + 2)).alias("m"),
+        )
+        u = urow.select(
+            F.col("n").alias("n_nonmatch"),
+            ((F.col(f"f_{feat}") + 1) * 1.0 / (F.col("n") + 2)).alias("u"),
+        )
+        rows.append(
+            m.crossJoin(F.broadcast(u)).select(
+                "feature",
+                "n_match",
+                "n_nonmatch",
+                F.round("m", 6).alias("m_prob"),
+                F.round("u", 6).alias("u_prob"),
+                F.round(
+                    (F.log(F.col("m") / F.col("u")) / ln2), 6
+                ).alias("weight"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+SQL_FELLEGI_SUNTER = f"""
+WITH {_TRIGRAM_SQL},
+common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+matches AS (SELECT da doc_a, db doc_b
+            FROM common JOIN cnt na ON da = na.doc_id
+                        JOIN cnt nb ON db = nb.doc_id
+            WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5),
+ranked AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 r
+           FROM documents),
+nd AS (SELECT count(*) n FROM documents),
+non AS (SELECT x.doc_id doc_a, y.doc_id doc_b
+        FROM ranked x JOIN ranked y
+          ON y.r = x.r + (SELECT n // 2 FROM nd)
+        WHERE NOT EXISTS (SELECT 1 FROM matches m
+                          WHERE m.doc_a = x.doc_id
+                            AND m.doc_b = y.doc_id)),
+meta AS (SELECT doc_id, lang, source, n_chars FROM documents),
+shp AS (SELECT DISTINCT p.doc_a, p.doc_b FROM
+          (SELECT doc_a, doc_b FROM matches
+           UNION ALL SELECT doc_a, doc_b FROM non) p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s),
+stats AS (
+  SELECT is_match, CAST(count(*) AS BIGINT) n,
+    CAST(sum(CASE WHEN ma.lang = mb.lang THEN 1 ELSE 0 END) AS BIGINT)
+      f_lang,
+    CAST(sum(CASE WHEN ma.source = mb.source THEN 1 ELSE 0 END) AS BIGINT)
+      f_source,
+    CAST(sum(CASE WHEN abs(ma.n_chars - mb.n_chars) <= 50 THEN 1 ELSE 0 END)
+         AS BIGINT) f_len,
+    CAST(sum(CASE WHEN shp.doc_a IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      f_shingle
+  FROM (SELECT doc_a, doc_b, 1 is_match FROM matches
+        UNION ALL SELECT doc_a, doc_b, 0 FROM non) p
+  JOIN meta ma ON ma.doc_id = p.doc_a
+  JOIN meta mb ON mb.doc_id = p.doc_b
+  LEFT JOIN shp ON shp.doc_a = p.doc_a AND shp.doc_b = p.doc_b
+  GROUP BY 1),
+feats(feature) AS (VALUES ('lang'), ('source'), ('len'), ('shingle')),
+mu AS (
+  SELECT feature,
+    (SELECT n FROM stats WHERE is_match = 1) n_match,
+    (SELECT n FROM stats WHERE is_match = 0) n_nonmatch,
+    (SELECT (CASE feature WHEN 'lang' THEN f_lang WHEN 'source' THEN f_source
+             WHEN 'len' THEN f_len ELSE f_shingle END + 1) * 1.0 / (n + 2)
+     FROM stats WHERE is_match = 1) m,
+    (SELECT (CASE feature WHEN 'lang' THEN f_lang WHEN 'source' THEN f_source
+             WHEN 'len' THEN f_len ELSE f_shingle END + 1) * 1.0 / (n + 2)
+     FROM stats WHERE is_match = 0) u
+  FROM feats)
+SELECT feature, n_match, n_nonmatch, round(m, 6) m_prob, round(u, 6) u_prob,
+       round(ln(m / u) / 0.6931471805599453, 6) weight
+FROM mu"""
+
+
+def q_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank on the part co-purchase graph, teleport
+    restricted to the 10 best-selling parts (seed mass uniform over
+    seeds; dangling mass also returns to the seeds) — 'what else
+    belongs to the bestseller neighborhood', the recommendation
+    variant plain kg_pagerank's global teleport can't express.
+    3 iterations in BIGINT nano-units (per-contribution rounding,
+    exact seed/dangling redistribution); top-20 by (rank, part)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lb = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    co = (
+        li.join(
+            lb,
+            (F.col("l_orderkey") == F.col("ok"))
+            & (F.col("l_partkey") != F.col("pb")),
+        )
+        .select(F.col("l_partkey").alias("s"), F.col("pb").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "l_partkey")
+        .limit(10)
+        .select(F.col("l_partkey").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = co.select(F.col("s").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    outdeg = co.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    seed_mark = seeds.withColumn("is_seed", F.lit(1))
+    base = nodes.join(F.broadcast(seed_mark), "node", "left").select(
+        "node", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed")
+    ).localCheckpoint(eager=True)
+    pr = base.select(
+        "node",
+        (F.col("is_seed") * F.lit(10**9 // 10)).cast("bigint").alias("nano"),
+    )
+    for _ in range(3):
+        contrib = (
+            co.join(outdeg, "s")
+            .join(pr, co["s"] == pr["node"])
+            .select(
+                F.col("d"),
+                F.round(F.col("nano") * 0.85 / F.col("od"), 0)
+                .cast("bigint")
+                .alias("t"),
+            )
+            .groupBy("d")
+            .agg(F.sum("t").alias("c"))
+        )
+        mass = contrib.agg(F.sum("c").alias("mc")).localCheckpoint(eager=True)
+        pr = (
+            base.join(contrib, base["node"] == contrib["d"], "left")
+            .crossJoin(F.broadcast(mass))
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.coalesce(F.col("c"), F.lit(0))
+                    + F.col("is_seed")
+                    * F.expr("((1000000000 - mc) div 10)")
+                )
+                .cast("bigint")
+                .alias("nano"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        pr.orderBy(F.col("nano").desc(), "node")
+        .limit(20)
+        .select(
+            F.col("node").alias("part_id"),
+            F.round(F.col("nano") / 1e9, 6).alias("ppr"),
+        )
+    )
+
+
+def _ppr_iter_sql(i: int) -> str:
+    return f""",
+c{i} AS (SELECT d, CAST(sum(CAST(round(nano * 0.85 / od, 0) AS BIGINT))
+                  AS BIGINT) c
+         FROM co JOIN outdeg USING (s) JOIN pr{i - 1} ON co.s = pr{i - 1}.node
+         GROUP BY d),
+mc{i} AS (SELECT sum(c) mc FROM c{i}),
+pr{i} AS (SELECT base.node, is_seed,
+            CAST(coalesce(c, 0)
+                 + is_seed * ((1000000000 - (SELECT mc FROM mc{i})) // 10)
+                 AS BIGINT) nano
+          FROM base LEFT JOIN c{i} ON base.node = c{i}.d)"""
+
+
+SQL_PAGERANK_PERSONALIZED = (
+    """
+WITH co AS (SELECT DISTINCT a.l_partkey s, b.l_partkey d
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey),
+seeds AS (SELECT l_partkey node FROM (
+            SELECT l_partkey, count(*) cnt FROM lineitem GROUP BY 1)
+          ORDER BY cnt DESC, l_partkey LIMIT 10),
+nodes AS (SELECT DISTINCT s node FROM co),
+outdeg AS (SELECT s, count(*) od FROM co GROUP BY 1),
+base AS (SELECT nodes.node,
+           CASE WHEN seeds.node IS NULL THEN 0 ELSE 1 END is_seed
+         FROM nodes LEFT JOIN seeds ON nodes.node = seeds.node),
+pr0 AS (SELECT node, is_seed,
+          CAST(is_seed * (1000000000 // 10) AS BIGINT) nano FROM base)"""
+    + "".join(_ppr_iter_sql(i) for i in (1, 2, 3))
+    + """
+SELECT node part_id, round(nano / 1e9, 6) ppr FROM pr3
+ORDER BY nano DESC, node LIMIT 20"""
+)
+
+
+def q_markov_absorption(spark, sf_dir):
+    """Absorption probability into 'purchase' within 3 steps from
+    every other event-type state (truncated Chapman-Kolmogorov on the
+    absorbing chain): f_{k+1}(i) = p(i→P) + Σ_{j≠P} p(i→j)·f_k(j) —
+    'how close is each behavior to a purchase', the directional
+    question the stationary/entropy views can't answer. Same BIGINT
+    nano discipline as transition_stationary; the recursion runs at
+    the K-state grain, 3 unrolled iterations in the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("u").orderBy("us", "eid")
+    pairs = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("src"),
+        )
+        .select("u", "src", F.lead("src").over(w).alias("dst"))
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("t"))
+    tp = (
+        pairs.join(F.broadcast(tot), "src")
+        .select("src", "dst", (F.col("n") / F.col("t")).alias("p"))
+        .where(F.col("src") != "purchase")
+        .localCheckpoint(eager=True)
+    )
+    states = (
+        ev.select(F.col("event_type").alias("state"))
+        .distinct()
+        .where(F.col("state") != "purchase")
+        .localCheckpoint(eager=True)
+    )
+    direct = tp.where(F.col("dst") == "purchase").select(
+        F.col("src").alias("state"),
+        F.round(F.col("p") * 1e9, 0).cast("bigint").alias("d_nano"),
+    )
+    base = states.join(F.broadcast(direct), "state", "left").select(
+        "state", F.coalesce(F.col("d_nano"), F.lit(0)).alias("d_nano")
+    ).localCheckpoint(eager=True)
+    f = base.select("state", F.lit(0).cast("bigint").alias("f_nano"))
+    for _ in range(3):
+        spread = (
+            tp.where(F.col("dst") != "purchase")
+            .join(f, tp["dst"] == f["state"])
+            .select(
+                F.col("src"),
+                F.round(F.col("p") * F.col("f_nano"), 0)
+                .cast("bigint")
+                .alias("t"),
+            )
+            .groupBy("src")
+            .agg(F.sum("t").alias("s"))
+        )
+        f = (
+            base.join(F.broadcast(spread), base["state"] == spread["src"], "left")
+            .select(
+                "state",
+                (F.col("d_nano") + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("bigint")
+                .alias("f_nano"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return f.select(
+        "state",
+        (F.expr("(f_nano + 500) div 1000") / 1e6).alias("p_absorb_3step"),
+    )
+
+
+def _absorb_iter_sql(i: int) -> str:
+    return f""",
+sp{i} AS (SELECT src, CAST(sum(CAST(round(p * f_nano, 0) AS BIGINT))
+                     AS BIGINT) s
+          FROM tp JOIN f{i - 1} ON tp.dst = f{i - 1}.state
+          WHERE tp.dst <> 'purchase' GROUP BY src),
+f{i} AS (SELECT base.state,
+           CAST(d_nano + coalesce(s, 0) AS BIGINT) f_nano
+         FROM base LEFT JOIN sp{i} ON base.state = sp{i}.src)"""
+
+
+SQL_MARKOV_ABSORPTION = (
+    """
+WITH e AS (SELECT user_id u, epoch_us(ts) us, event_id eid,
+                  event_type src FROM events),
+seq AS (SELECT u, src,
+               lead(src) OVER (PARTITION BY u ORDER BY us, eid) dst
+        FROM e),
+pairs AS (SELECT src, dst, CAST(count(*) AS BIGINT) n FROM seq
+          WHERE dst IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT src, sum(n) t FROM pairs GROUP BY 1),
+tp AS (SELECT pairs.src, dst, n * 1.0 / t AS p
+       FROM pairs JOIN tot USING (src) WHERE pairs.src <> 'purchase'),
+states AS (SELECT DISTINCT event_type state FROM events
+           WHERE event_type <> 'purchase'),
+direct AS (SELECT src state, CAST(round(p * 1e9, 0) AS BIGINT) d_nano
+           FROM tp WHERE dst = 'purchase'),
+base AS (SELECT states.state, coalesce(d_nano, 0) d_nano
+         FROM states LEFT JOIN direct ON states.state = direct.state),
+f0 AS (SELECT state, CAST(0 AS BIGINT) f_nano FROM base)"""
+    + "".join(_absorb_iter_sql(i) for i in (1, 2, 3))
+    + """
+SELECT state, ((f_nano + 500) // 1000) / 1e6 p_absorb_3step FROM f3"""
 )
 
 
@@ -22486,6 +23287,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rake_keyphrases": q_rake_keyphrases,
     "decision_stump_gain": q_decision_stump_gain,
     "greedy_set_cover": q_greedy_set_cover,
+    "mmr_diversified_topk": q_mmr_diversified_topk,
+    "greedy_matching": q_greedy_matching,
+    "ips_offpolicy": q_ips_offpolicy,
+    "fellegi_sunter": q_fellegi_sunter,
+    "pagerank_personalized": q_pagerank_personalized,
+    "markov_absorption": q_markov_absorption,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -22857,6 +23664,12 @@ ORACLES: dict[str, str] = {
     "rake_keyphrases": SQL_RAKE_KEYPHRASES,
     "decision_stump_gain": SQL_DECISION_STUMP_GAIN,
     "greedy_set_cover": SQL_GREEDY_SET_COVER,
+    "mmr_diversified_topk": SQL_MMR_DIVERSIFIED_TOPK,
+    "greedy_matching": SQL_GREEDY_MATCHING,
+    "ips_offpolicy": SQL_IPS_OFFPOLICY,
+    "fellegi_sunter": SQL_FELLEGI_SUNTER,
+    "pagerank_personalized": SQL_PAGERANK_PERSONALIZED,
+    "markov_absorption": SQL_MARKOV_ABSORPTION,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
