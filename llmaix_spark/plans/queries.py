@@ -23011,6 +23011,754 @@ SELECT state, ((f_nano + 500) // 1000) / 1e6 p_absorb_3step FROM f3"""
 )
 
 
+def q_pca_power_iteration(spark, sf_dir):
+    """First principal component of the embedding table by 3 power
+    iterations on the exact integer covariance — PCA without MLlib,
+    and without a single floating accumulation: embeddings quantize
+    to micro-ints, the covariance numerator n·Σxy − Σx·Σy runs in
+    DECIMAL(38)/HUGEINT, each cell then quantizes once to a shared
+    grid (÷n² ÷1e6, round) small enough that every matrix-vector
+    product term c·v stays below 2^53 — EXACT bigint sums, no
+    per-term rounding at all inside the loop. The iteration runs at
+    the dim² (64-cell) grain; sign fixed by making the
+    largest-|loading| coordinate positive. Output: per-dim loading +
+    the Rayleigh explained-variance share."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    ).select(
+        "vec_id", "d",
+        F.round(F.col("v").cast("double") * 1_000_000, 0)
+        .cast("bigint")
+        .alias("q"),
+    )
+    n = _t(spark, sf_dir, "embeddings").count()
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = emb.groupBy("d").agg(F.sum("q").alias("s"))
+    a = emb.select("vec_id", F.col("d").alias("d1"), F.col("q").alias("q1"))
+    b = emb.select(
+        F.col("vec_id").alias("v2"), F.col("d").alias("d2"),
+        F.col("q").alias("q2"),
+    )
+    cross = (
+        a.join(b, F.col("vec_id") == F.col("v2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(dec("q1") * dec("q2")).alias("sxy"))
+    )
+    s1 = sums.select(F.col("d").alias("d1"), F.col("s").alias("sa"))
+    s2 = sums.select(F.col("d").alias("d2"), F.col("s").alias("sb"))
+    cov = (
+        cross.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .select(
+            "d1", "d2",
+            F.round(
+                (
+                    F.lit(float(n)) * F.col("sxy").cast("double")
+                    - F.col("sa").cast("double") * F.col("sb")
+                )
+                / (float(n) * float(n))
+                / 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dims = cov.select(F.col("d1").alias("d")).distinct().localCheckpoint(
+        eager=True
+    )
+    v = dims.select("d", F.lit(10**9).cast("bigint").alias("nano"))
+    for _ in range(3):
+        w = (
+            cov.join(F.broadcast(v), cov["d2"] == v["d"])
+            .select("d1", (F.col("c") * F.col("nano")).alias("t"))
+            .groupBy("d1")
+            .agg(F.sum(dec("t")).alias("w"))
+        )
+        mx = w.agg(
+            F.max(F.abs(F.col("w").cast("double"))).alias("m")
+        )
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("d1").alias("d"),
+                F.round(F.col("w").cast("double") * (1e9 / F.col("m")), 0)
+                .cast("bigint")
+                .alias("nano"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # sign convention: the largest-|loading| coordinate is positive
+    sgn = (
+        v.orderBy(F.abs(F.col("nano")).desc(), "d")
+        .limit(1)
+        .select(F.signum(F.col("nano").cast("double")).alias("sg"))
+    )
+    vn = v.agg(
+        F.sum(dec("nano") * dec("nano")).alias("vv")
+    )
+    ray_num = (
+        cov.join(F.broadcast(v.select(F.col("d").alias("dd1"), F.col("nano").alias("n1"))), cov["d1"] == F.col("dd1"))
+        .join(F.broadcast(v.select(F.col("d").alias("dd2"), F.col("nano").alias("n2"))), cov["d2"] == F.col("dd2"))
+        .agg(F.sum(dec("c") * dec("n1") * dec("n2")).alias("vcv"))
+    )
+    trace = cov.where(F.col("d1") == F.col("d2")).agg(
+        F.sum("c").alias("tr")
+    )
+    norm = v.agg(
+        F.sqrt(F.sum(dec("nano") * dec("nano")).cast("double")).alias("nn")
+    )
+    evr = (
+        ray_num.crossJoin(F.broadcast(vn))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            (
+                F.col("vcv").cast("double")
+                / F.col("vv").cast("double")
+                / F.col("tr")
+            ).alias("evr")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(sgn))
+        .crossJoin(F.broadcast(norm))
+        .crossJoin(F.broadcast(evr))
+        .select(
+            F.col("d").cast("bigint").alias("dim"),
+            F.round(
+                F.col("sg") * F.col("nano") / F.col("nn"), 6
+            ).alias("loading"),
+            F.round(F.col("evr"), 6).alias("explained_var_share"),
+        )
+    )
+
+
+def _pca_iter_sql(i: int) -> str:
+    return f""",
+w{i} AS (SELECT d1, sum(c::HUGEINT * nano::HUGEINT) w
+         FROM cov JOIN v{i - 1} ON cov.d2 = v{i - 1}.d GROUP BY 1),
+mx{i} AS (SELECT max(abs(w::DOUBLE)) m FROM w{i}),
+v{i} AS (SELECT d1 d,
+           CAST(round(w::DOUBLE * (1e9 / (SELECT m FROM mx{i})), 0)
+                AS BIGINT) nano
+         FROM w{i})"""
+
+
+SQL_PCA_POWER_ITERATION = (
+    """
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 d,
+                  CAST(round(unnest(embedding)::DOUBLE * 1000000, 0)
+                       AS BIGINT) q
+           FROM embeddings),
+nn AS (SELECT count(*) n FROM embeddings),
+sums AS (SELECT d, sum(q) s FROM e GROUP BY 1),
+cross_ AS (SELECT a.d d1, b.d d2, sum(a.q::HUGEINT * b.q::HUGEINT) sxy
+           FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+cov AS MATERIALIZED (
+  SELECT d1, d2,
+    CAST(round(((SELECT n FROM nn)::DOUBLE * sxy::DOUBLE
+                - sa.s::DOUBLE * sb.s::DOUBLE)
+               / ((SELECT n FROM nn)::DOUBLE * (SELECT n FROM nn)::DOUBLE)
+               / 1e6, 0) AS BIGINT) c
+  FROM cross_ JOIN sums sa ON sa.d = d1 JOIN sums sb ON sb.d = d2),
+dims AS (SELECT DISTINCT d1 d FROM cov),
+v0 AS (SELECT d, CAST(1000000000 AS BIGINT) nano FROM dims)"""
+    + "".join(_pca_iter_sql(i) for i in (1, 2, 3))
+    + """,
+sgn AS (SELECT CASE WHEN nano >= 0 THEN 1.0 ELSE -1.0 END sg FROM v3
+        ORDER BY abs(nano) DESC, d LIMIT 1),
+vn AS (SELECT sum(nano::HUGEINT * nano::HUGEINT) vv,
+              sqrt(sum(nano::HUGEINT * nano::HUGEINT)::DOUBLE) nrm FROM v3),
+ray AS (SELECT sum(c::HUGEINT * a.nano::HUGEINT * b.nano::HUGEINT) vcv
+        FROM cov JOIN v3 a ON cov.d1 = a.d JOIN v3 b ON cov.d2 = b.d),
+tr AS (SELECT sum(c) t FROM cov WHERE d1 = d2),
+evr AS (SELECT (SELECT vcv FROM ray)::DOUBLE / (SELECT vv FROM vn)::DOUBLE
+               / (SELECT t FROM tr) e)
+SELECT CAST(d AS BIGINT) dim,
+       round((SELECT sg FROM sgn) * nano / (SELECT nrm FROM vn), 6) loading,
+       round((SELECT e FROM evr), 6) explained_var_share
+FROM v3"""
+)
+
+
+def q_naive_bayes_langid(spark, sf_dir):
+    """Multinomial naive-Bayes language ID, trained on the 90%% hash
+    split and evaluated on the rest: add-one-smoothed token
+    likelihoods, per-document log-posterior = log prior + Σ log
+    p(token|lang) with every term quantized to nano BEFORE the sum
+    (exact bigint — partition-proof), argmax with lang-asc
+    tie-break. Output = the test confusion matrix. OOV test tokens
+    fall back to the smoothing floor ln(1/(tot+V)). Scale: the
+    (lang × vocab) likelihood table is dimension-bounded and
+    broadcasts onto one token scan."""
+    from llmaix_spark.operators.curation import dataset_split
+
+    docs = _t(spark, sf_dir, "documents")
+    sp = dataset_split(docs).select(
+        "doc_id", (F.col("split") == "train").alias("is_train")
+    )
+    d = docs.join(sp, "doc_id")
+    tok = d.select(
+        "doc_id", "lang", "is_train",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    train = tok.where(F.col("is_train"))
+    cw = train.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cl = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot")
+    )
+    vocab_n = cw.select("w").distinct().count()
+    priors = (
+        d.where(F.col("is_train"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    )
+    ntr = d.where(F.col("is_train")).count()
+    langs = cl.select("lang").localCheckpoint(eager=True)
+    # full (lang × vocab) grid with add-one smoothing, quantized to nano
+    grid = (
+        langs.crossJoin(cw.select("w").distinct())
+        .join(cw, ["lang", "w"], "left")
+        .join(F.broadcast(cl), "lang")
+        .select(
+            "lang", "w",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("tot") + F.lit(vocab_n)).cast("double")
+                )
+                * 1e9,
+                0,
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    floor = cl.select(
+        "lang",
+        F.round(
+            F.log(1.0 / (F.col("tot") + F.lit(vocab_n)).cast("double")) * 1e9,
+            0,
+        )
+        .cast("bigint")
+        .alias("fl"),
+    )
+    prior_t = priors.select(
+        "lang",
+        F.round(
+            F.log(F.col("nd") / F.lit(float(ntr))) * 1e9, 0
+        )
+        .cast("bigint")
+        .alias("lprior"),
+    )
+    test_tok = tok.where(~F.col("is_train")).select(
+        "doc_id", F.col("lang").alias("true_lang"), "w"
+    )
+    grid_r = grid.select(
+        F.col("lang").alias("gl"), F.col("w").alias("gw"), "lp"
+    )
+    scored = (
+        test_tok.crossJoin(F.broadcast(langs.withColumnRenamed("lang", "hl")))
+        .join(
+            F.broadcast(grid_r),
+            (F.col("hl") == F.col("gl")) & (F.col("w") == F.col("gw")),
+            "left",
+        )
+        .join(F.broadcast(floor), F.col("hl") == floor["lang"])
+        .select(
+            "doc_id", "true_lang", "hl",
+            F.coalesce(F.col("lp"), F.col("fl")).alias("t"),
+        )
+        .groupBy("doc_id", "true_lang", "hl")
+        .agg(F.sum("t").alias("s"))
+        .join(F.broadcast(prior_t), F.col("hl") == prior_t["lang"])
+        .select(
+            "doc_id", "true_lang", "hl",
+            (F.col("s") + F.col("lprior")).alias("score"),
+        )
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "hl"
+    )
+    pred = scored.select(
+        "doc_id", "true_lang", "hl",
+        F.row_number().over(wdoc).alias("rk"),
+    ).where(F.col("rk") == 1)
+    return (
+        pred.groupBy(
+            "true_lang", F.col("hl").alias("pred_lang")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "true_lang", "pred_lang", "n_docs",
+            (F.col("true_lang") == F.col("pred_lang")).alias("correct"),
+        )
+    )
+
+
+SQL_NAIVE_BAYES_LANGID = """
+WITH sp AS (SELECT doc_id,
+              ({h} % 10000 < 9000) is_train
+            FROM documents),
+d AS (SELECT documents.doc_id, lang, text, is_train
+      FROM documents JOIN sp ON documents.doc_id = sp.doc_id),
+tok AS (SELECT doc_id, lang, is_train, t w
+        FROM (SELECT doc_id, lang, is_train,
+                     unnest(string_split(lower(trim(text)), ' ')) t
+              FROM d)
+        WHERE t <> ''),
+train AS (SELECT * FROM tok WHERE is_train),
+cw AS (SELECT lang, w, CAST(count(*) AS BIGINT) c FROM train GROUP BY 1, 2),
+cl AS (SELECT lang, CAST(count(*) AS BIGINT) tot FROM train GROUP BY 1),
+vn AS (SELECT count(DISTINCT w) v FROM cw),
+priors AS (SELECT lang, CAST(count(*) AS BIGINT) nd FROM d
+           WHERE is_train GROUP BY 1),
+ntr AS (SELECT count(*) n FROM d WHERE is_train),
+langs AS (SELECT lang FROM cl),
+grid AS MATERIALIZED (
+  SELECT langs.lang, vw.w,
+    CAST(round(ln((coalesce(c, 0) + 1)
+                  / (tot + (SELECT v FROM vn))::DOUBLE) * 1e9, 0)
+         AS BIGINT) lp
+  FROM langs CROSS JOIN (SELECT DISTINCT w FROM cw) vw
+  LEFT JOIN cw ON cw.lang = langs.lang AND cw.w = vw.w
+  JOIN cl ON cl.lang = langs.lang),
+floor_ AS (SELECT lang,
+             CAST(round(ln(1.0 / (tot + (SELECT v FROM vn))::DOUBLE) * 1e9,
+                        0) AS BIGINT) fl
+           FROM cl),
+prior_t AS (SELECT lang,
+              CAST(round(ln(nd / (SELECT n FROM ntr)::DOUBLE) * 1e9, 0)
+                   AS BIGINT) lprior
+            FROM priors),
+tt AS (SELECT doc_id, lang true_lang, w FROM tok WHERE NOT is_train),
+scored AS (
+  SELECT doc_id, true_lang, langs.lang hl,
+         sum(coalesce(lp, fl)) + any_value(lprior) score
+  FROM tt CROSS JOIN langs
+  LEFT JOIN grid ON grid.lang = langs.lang AND grid.w = tt.w
+  JOIN floor_ ON floor_.lang = langs.lang
+  JOIN prior_t ON prior_t.lang = langs.lang
+  GROUP BY 1, 2, 3),
+pred AS (SELECT doc_id, true_lang, hl FROM (
+           SELECT *, row_number() OVER
+             (PARTITION BY doc_id ORDER BY score DESC, hl) rk
+           FROM scored) WHERE rk = 1)
+SELECT true_lang, hl pred_lang, CAST(count(*) AS BIGINT) n_docs,
+       (true_lang = hl) correct
+FROM pred GROUP BY 1, 2""".format(
+    h=_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':split'")
+)
+
+
+def q_consistent_hash_ring(spark, sf_dir):
+    """Consistent-hash ring balance sweep: 16 workers × r virtual
+    nodes (r ∈ {1, 4, 16}), ring positions and document positions
+    from the shared md5-60bit hash mod 2³², each document owned by
+    the next ring point clockwise — the sharding design measurement
+    (virtual nodes shrink imbalance ~1/√r). The ring is bounded
+    (≤256 points) and broadcasts; assignment is one non-equi
+    broadcast join + min per doc, the correct 100 TB shape. Loads
+    are exact integer counts; imbalance and CV from Σload² ints."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.pmod(
+            stable_hash60_expr(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":ring"))
+            ),
+            F.lit(2**32),
+        ).alias("pos")
+    )
+    rows = []
+    for r in (1, 4, 16):
+        ring = (
+            spark.range(16)
+            .crossJoin(spark.range(r).withColumnRenamed("id", "rep"))
+            .select(
+                F.col("id").alias("worker"),
+                F.pmod(
+                    stable_hash60_expr(
+                        F.concat(
+                            F.lit("w"),
+                            F.col("id").cast("string"),
+                            F.lit(":r"),
+                            F.col("rep").cast("string"),
+                        )
+                    ),
+                    F.lit(2**32),
+                ).alias("rp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ring_min = ring.orderBy("rp", "worker").limit(1).select(
+            F.col("worker").alias("w0")
+        )
+        nxt = (
+            docs.join(F.broadcast(ring), F.col("rp") >= F.col("pos"), "left")
+            .groupBy("pos")
+            .agg(
+                F.min_by("worker", F.struct("rp", "worker")).alias("w_nxt")
+            )
+        )
+        owner = nxt.crossJoin(F.broadcast(ring_min)).select(
+            F.coalesce(F.col("w_nxt"), F.col("w0")).alias("worker")
+        )
+        loads = owner.groupBy("worker").agg(
+            F.count(F.lit(1)).cast("bigint").alias("ld")
+        )
+        # workers owning no arc get load 0
+        full = (
+            spark.range(16)
+            .select(F.col("id").alias("worker"))
+            .join(F.broadcast(loads), "worker", "left")
+            .select(F.coalesce(F.col("ld"), F.lit(0)).alias("ld"))
+        )
+        agg = full.agg(
+            F.sum("ld").cast("bigint").alias("n"),
+            F.max("ld").cast("bigint").alias("mx"),
+            F.sum(F.col("ld") * F.col("ld")).cast("bigint").alias("ss"),
+        )
+        rows.append(
+            agg.select(
+                F.lit(r).cast("bigint").alias("replicas"),
+                F.col("n").alias("n_docs"),
+                F.col("mx").alias("max_load"),
+                F.round(F.col("mx") * 16.0 / F.col("n"), 6).alias(
+                    "imbalance"
+                ),
+                F.round(
+                    F.sqrt(
+                        F.col("ss") * 16.0 / (F.col("n") * F.col("n")) - 1.0
+                    ),
+                    6,
+                ).alias("load_cv"),
+            )
+        )
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionAll(x)
+    return out
+
+
+def _ring_sql(r: int) -> str:
+    h_ring = _HASH60_SQL.format(
+        v="'w' || CAST(w.range AS VARCHAR) || ':r' || CAST(rp.range AS VARCHAR)"
+    )
+    return f"""
+ring{r} AS MATERIALIZED (
+  SELECT w.range worker, {h_ring} % 4294967296 rp
+  FROM range(16) w CROSS JOIN range({r}) rp),
+own{r} AS (SELECT pos,
+             coalesce(
+               (SELECT worker FROM ring{r}
+                WHERE rp >= pos ORDER BY rp, worker LIMIT 1),
+               (SELECT worker FROM ring{r} ORDER BY rp, worker LIMIT 1))
+               worker
+           FROM docs),
+full{r} AS (SELECT w.range worker, count(own{r}.worker) ld
+            FROM range(16) w LEFT JOIN own{r} ON own{r}.worker = w.range
+            GROUP BY 1),
+agg{r} AS (SELECT CAST(sum(ld) AS BIGINT) n, CAST(max(ld) AS BIGINT) mx,
+                  CAST(sum(ld * ld) AS BIGINT) ss FROM full{r})"""
+
+
+SQL_CONSISTENT_HASH_RING = (
+    """
+WITH docs AS MATERIALIZED (
+  SELECT """
+    + _HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':ring'")
+    + """ % 4294967296 pos
+  FROM documents),"""
+    + ",".join(_ring_sql(r) for r in (1, 4, 16))
+    + """
+SELECT CAST(1 AS BIGINT) replicas, n n_docs, mx max_load,
+       round(mx * 16.0 / n, 6) imbalance,
+       round(sqrt(ss * 16.0 / (n * n) - 1.0), 6) load_cv FROM agg1
+UNION ALL SELECT 4, n, mx, round(mx * 16.0 / n, 6),
+       round(sqrt(ss * 16.0 / (n * n) - 1.0), 6) FROM agg4
+UNION ALL SELECT 16, n, mx, round(mx * 16.0 / n, 6),
+       round(sqrt(ss * 16.0 / (n * n) - 1.0), 6) FROM agg16"""
+)
+
+
+def q_merkle_root(spark, sf_dir):
+    """Merkle fingerprint of the document corpus: leaf = md5 of
+    (doc_id:md5(text)), an 8-ary tree built over the doc_id rank
+    order (node = md5 of its children's hashes concatenated in rank
+    order), 3 internal levels then a single root digest — the
+    content-addressed dataset version a training run pins and a
+    resume verifies. Each level is one grouped ordered-concat hash;
+    at 100 TB the same shape runs per partition then combines (the
+    grouping key IS the partition prefix). Output: level sizes +
+    the root hash."""
+    docs = _t(spark, sf_dir, "documents")
+    wrk = Window.orderBy("doc_id")
+    leaf = docs.select(
+        (F.row_number().over(wrk) - 1).alias("r"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.md5(F.col("text")),
+            )
+        ).alias("h"),
+    )
+
+    def level(df):
+        return df.groupBy((F.col("r") / 8).cast("bigint").alias("g")).agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("r", "h"))),
+                        lambda x: x["h"],
+                    ),
+                    "",
+                )
+            ).alias("h")
+        ).select(F.col("g").alias("r"), "h")
+
+    l1 = level(leaf).localCheckpoint(eager=True)
+    l2 = level(l1).localCheckpoint(eager=True)
+    l3 = level(l2).localCheckpoint(eager=True)
+    root = l3.agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("r", "h"))),
+                    lambda x: x["h"],
+                ),
+                "",
+            )
+        ).alias("root_hash")
+    )
+    counts = (
+        leaf.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(l1.agg(F.count(F.lit(1)).cast("bigint").alias("n_l1")))
+        .crossJoin(l2.agg(F.count(F.lit(1)).cast("bigint").alias("n_l2")))
+        .crossJoin(l3.agg(F.count(F.lit(1)).cast("bigint").alias("n_l3")))
+    )
+    return counts.crossJoin(F.broadcast(root))
+
+
+SQL_MERKLE_ROOT = """
+WITH leaf AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 r,
+                     md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)) h
+              FROM documents),
+l1 AS (SELECT r // 8 r, md5(string_agg(h, '' ORDER BY r)) h
+       FROM leaf GROUP BY r // 8),
+l2 AS (SELECT r // 8 r, md5(string_agg(h, '' ORDER BY r)) h
+       FROM l1 GROUP BY r // 8),
+l3 AS (SELECT r // 8 r, md5(string_agg(h, '' ORDER BY r)) h
+       FROM l2 GROUP BY r // 8)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM leaf) n_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM l1) n_l1,
+       (SELECT CAST(count(*) AS BIGINT) FROM l2) n_l2,
+       (SELECT CAST(count(*) AS BIGINT) FROM l3) n_l3,
+       (SELECT md5(string_agg(h, '' ORDER BY r)) FROM l3) root_hash"""
+
+
+def q_v_optimal_histogram(spark, sf_dir):
+    """V-optimal 3-bucket histogram of the daily order-count series:
+    enumerate both cut points over the calendar-bounded grain
+    (O(days²) candidate pairs from O(days) prefix sums — the DP
+    cell evaluation, exhaustive because the grain is a dimension),
+    pick the (cut1, cut2) minimizing total SSE on the 6dp-rounded
+    value with earliest-days tie-break — changepoint_detection's
+    K=3 generalization and the piecewise-constant synopsis a
+    zone-map planner stores."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i"),
+        F.sum("y").over(wcum).alias("cs"),
+        F.sum(F.col("y") * F.col("y")).over(wcum).alias("css"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("nn"),
+        F.sum("y").over(wall).alias("ts"),
+        F.sum(F.col("y") * F.col("y")).over(wall).alias("tss"),
+    ).localCheckpoint(eager=True)
+    a = cum.select(
+        F.col("d").alias("d1"), F.col("i").alias("i1"),
+        F.col("cs").alias("cs1"), F.col("css").alias("css1"),
+        "nn", "ts", "tss",
+    )
+    b = cum.select(
+        F.col("d").alias("d2"), F.col("i").alias("i2"),
+        F.col("cs").alias("cs2"), F.col("css").alias("css2"),
+    )
+    pairs = a.join(b, F.col("i2") > F.col("i1")).where(
+        F.col("i2") < F.col("nn")
+    )
+    sse = (
+        (F.col("css1") - F.col("cs1") * F.col("cs1") / F.col("i1"))
+        + (
+            (F.col("css2") - F.col("css1"))
+            - (F.col("cs2") - F.col("cs1"))
+            * (F.col("cs2") - F.col("cs1"))
+            / (F.col("i2") - F.col("i1"))
+        )
+        + (
+            (F.col("tss") - F.col("css2"))
+            - (F.col("ts") - F.col("cs2"))
+            * (F.col("ts") - F.col("cs2"))
+            / (F.col("nn") - F.col("i2"))
+        )
+    )
+    cand = pairs.select(
+        "d1", "d2", "i1", "i2", "cs1", "cs2", "nn", "ts", "tss",
+        F.round(sse, 6).alias("sse3"),
+    )
+    return (
+        cand.orderBy("sse3", "d1", "d2")
+        .limit(1)
+        .select(
+            F.col("d1").alias("cut1_day"),
+            F.col("d2").alias("cut2_day"),
+            F.col("i1").alias("n_seg1"),
+            (F.col("i2") - F.col("i1")).cast("bigint").alias("n_seg2"),
+            (F.col("nn") - F.col("i2")).cast("bigint").alias("n_seg3"),
+            F.round(F.col("cs1") * 1.0 / F.col("i1"), 6).alias("mean1"),
+            F.round(
+                (F.col("cs2") - F.col("cs1"))
+                * 1.0
+                / (F.col("i2") - F.col("i1")),
+                6,
+            ).alias("mean2"),
+            F.round(
+                (F.col("ts") - F.col("cs2"))
+                * 1.0
+                / (F.col("nn") - F.col("i2")),
+                6,
+            ).alias("mean3"),
+            F.col("sse3").alias("sse_best"),
+            F.round(
+                1.0
+                - F.col("sse3")
+                / (F.col("tss") - F.col("ts") * F.col("ts") / F.col("nn")),
+                6,
+            ).alias("reduction"),
+        )
+    )
+
+
+SQL_V_OPTIMAL_HISTOGRAM = """
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) d,
+                      CAST(count(*) AS BIGINT) y
+               FROM orders GROUP BY 1),
+cum AS MATERIALIZED (
+  SELECT d,
+    CAST(row_number() OVER (ORDER BY d) AS BIGINT) i,
+    sum(y) OVER (ORDER BY d) cs,
+    sum(y * y) OVER (ORDER BY d) css,
+    CAST(count(*) OVER () AS BIGINT) nn,
+    sum(y) OVER () ts, sum(y * y) OVER () tss
+  FROM daily),
+cand AS (
+  SELECT a.d d1, b.d d2, a.i i1, b.i i2, a.cs cs1, b.cs cs2,
+         a.nn nn, a.ts ts, a.tss tss,
+         round((a.css - a.cs * a.cs / a.i)
+               + ((b.css - a.css) - (b.cs - a.cs) * (b.cs - a.cs)
+                  / (b.i - a.i))
+               + ((a.tss - b.css) - (a.ts - b.cs) * (a.ts - b.cs)
+                  / (a.nn - b.i)), 6) sse3
+  FROM cum a JOIN cum b ON b.i > a.i AND b.i < a.nn)
+SELECT d1 cut1_day, d2 cut2_day, i1 n_seg1,
+       CAST(i2 - i1 AS BIGINT) n_seg2, CAST(nn - i2 AS BIGINT) n_seg3,
+       round(cs1 * 1.0 / i1, 6) mean1,
+       round((cs2 - cs1) * 1.0 / (i2 - i1), 6) mean2,
+       round((ts - cs2) * 1.0 / (nn - i2), 6) mean3,
+       sse3 sse_best,
+       round(1.0 - sse3 / (tss - ts * ts / nn), 6) reduction
+FROM cand ORDER BY sse3, d1, d2 LIMIT 1"""
+
+
+def q_aa_test_calibration(spark, sf_dir):
+    """A/A calibration of the two-proportion z-test harness: 16
+    independent null splits from the 16 low bits of the shared
+    orderkey hash (each bit a deterministic 50/50 'treatment'), the
+    urgent-rate z computed per split, and the empirical
+    false-positive count at |z| > 1.96 — the meta-test that a
+    testing pipeline isn't systematically miscalibrated before
+    anyone reads a real experiment. Bits extracted with div/mod by
+    literal powers (never <<, the checked-shift landmine); one
+    explode + one grouped aggregate."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    o = _t(spark, sf_dir, "orders").select(
+        stable_hash60_expr(
+            F.concat(F.col("o_orderkey").cast("string"), F.lit(":aa"))
+        ).alias("h"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("bigint").alias("y"),
+    )
+    bits = o.select(
+        "y",
+        F.explode(F.array(*[F.lit(b) for b in range(16)])).alias("b"),
+        "h",
+    ).select(
+        "y", "b",
+        F.expr("(h div cast(pow(2, b) as bigint)) % 2").alias("trt"),
+    )
+    g = bits.groupBy("b").agg(
+        F.sum(F.col("trt")).cast("bigint").alias("nt"),
+        F.sum(1 - F.col("trt")).cast("bigint").alias("nc"),
+        F.sum(F.col("y") * F.col("trt")).cast("bigint").alias("yt"),
+        F.sum(F.col("y") * (1 - F.col("trt"))).cast("bigint").alias("yc"),
+    )
+    pt = F.col("yt") * 1.0 / F.col("nt")
+    pc = F.col("yc") * 1.0 / F.col("nc")
+    pp = (F.col("yt") + F.col("yc")) * 1.0 / (F.col("nt") + F.col("nc"))
+    z = (pt - pc) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("nt") + 1.0 / F.col("nc"))
+    )
+    return g.select(
+        F.col("b").cast("bigint").alias("split_bit"),
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_control"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(F.round(z, 6)) > 1.96).alias("false_positive"),
+    )
+
+
+SQL_AA_TEST_CALIBRATION = """
+WITH o AS (SELECT {h} h,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END y
+           FROM orders),
+bits AS (SELECT y, b.range b,
+                (h // CAST(power(2, b.range) AS BIGINT)) % 2 trt
+         FROM o CROSS JOIN range(16) b),
+g AS (SELECT b, CAST(sum(trt) AS BIGINT) nt,
+             CAST(sum(1 - trt) AS BIGINT) nc,
+             CAST(sum(y * trt) AS BIGINT) yt,
+             CAST(sum(y * (1 - trt)) AS BIGINT) yc
+      FROM bits GROUP BY 1)
+SELECT CAST(b AS BIGINT) split_bit, nt n_treat, nc n_control,
+       round((yt * 1.0 / nt - yc * 1.0 / nc) /
+             sqrt(((yt + yc) * 1.0 / (nt + nc))
+                  * (1.0 - (yt + yc) * 1.0 / (nt + nc))
+                  * (1.0 / nt + 1.0 / nc)), 6) z_stat,
+       (abs(round((yt * 1.0 / nt - yc * 1.0 / nc) /
+             sqrt(((yt + yc) * 1.0 / (nt + nc))
+                  * (1.0 - (yt + yc) * 1.0 / (nt + nc))
+                  * (1.0 / nt + 1.0 / nc)), 6)) > 1.96) false_positive
+FROM g""".format(
+    h=_HASH60_SQL.format(v="CAST(o_orderkey AS VARCHAR) || ':aa'")
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -23293,6 +24041,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fellegi_sunter": q_fellegi_sunter,
     "pagerank_personalized": q_pagerank_personalized,
     "markov_absorption": q_markov_absorption,
+    "pca_power_iteration": q_pca_power_iteration,
+    "naive_bayes_langid": q_naive_bayes_langid,
+    "consistent_hash_ring": q_consistent_hash_ring,
+    "merkle_root": q_merkle_root,
+    "v_optimal_histogram": q_v_optimal_histogram,
+    "aa_test_calibration": q_aa_test_calibration,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -23670,6 +24424,12 @@ ORACLES: dict[str, str] = {
     "fellegi_sunter": SQL_FELLEGI_SUNTER,
     "pagerank_personalized": SQL_PAGERANK_PERSONALIZED,
     "markov_absorption": SQL_MARKOV_ABSORPTION,
+    "pca_power_iteration": SQL_PCA_POWER_ITERATION,
+    "naive_bayes_langid": SQL_NAIVE_BAYES_LANGID,
+    "consistent_hash_ring": SQL_CONSISTENT_HASH_RING,
+    "merkle_root": SQL_MERKLE_ROOT,
+    "v_optimal_histogram": SQL_V_OPTIMAL_HISTOGRAM,
+    "aa_test_calibration": SQL_AA_TEST_CALIBRATION,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
