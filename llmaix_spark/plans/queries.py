@@ -23759,6 +23759,613 @@ FROM g""".format(
 )
 
 
+def q_good_turing(spark, sf_dir):
+    """Good-Turing frequency smoothing over the corpus trigram
+    shingles: the frequency-of-frequencies table n_r, the adjusted
+    count r* = (r+1)·n_{r+1}/n_r for r ≤ 10, and the unseen-mass
+    estimate P₀ = n₁/N — the smoothing view behind every n-gram LM's
+    'how much probability belongs to what we never saw'. Two grouped
+    integer counts (shingle → r → n_r); the n_{r+1} lookup is a
+    1-offset self-join at the bounded counts-of-counts grain."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = (
+        dd.word_shingles(docs, 3, distinct=False)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    nr = occ.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    ).localCheckpoint(eager=True)
+    tot = occ.agg(F.sum("r").cast("bigint").alias("nn"))
+    nxt = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        nr.where(F.col("r") <= 10)
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            F.coalesce(F.col("n_r1"), F.lit(0)).cast("bigint").alias("n_r1"),
+            F.round(
+                (F.col("r") + 1)
+                * F.coalesce(F.col("n_r1"), F.lit(0))
+                * 1.0
+                / F.col("n_r"),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.when(F.col("r") == 1, F.col("n_r")).otherwise(None)
+                * 1.0
+                / F.col("nn"),
+                6,
+            ).alias("unseen_mass"),
+        )
+    )
+
+
+SQL_GOOD_TURING = """
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+tokp AS (SELECT doc_id, generate_subscripts(ws, 1) i, unnest(ws) t FROM d),
+tri AS (SELECT doc_id,
+               t || ' ' || lead(t, 1) OVER win || ' ' || lead(t, 2) OVER win
+                 AS s,
+               lead(t, 2) OVER win l2
+        FROM tokp WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+occ AS (SELECT s, CAST(count(*) AS BIGINT) r FROM tri
+        WHERE l2 IS NOT NULL GROUP BY 1),
+nr AS (SELECT r, CAST(count(*) AS BIGINT) n_r FROM occ GROUP BY 1),
+tot AS (SELECT CAST(sum(r) AS BIGINT) nn FROM occ)
+SELECT nr.r, nr.n_r,
+       CAST(coalesce(nx.n_r, 0) AS BIGINT) n_r1,
+       round((nr.r + 1) * coalesce(nx.n_r, 0) * 1.0 / nr.n_r, 6) r_star,
+       round(CASE WHEN nr.r = 1 THEN nr.n_r END * 1.0
+             / (SELECT nn FROM tot), 6) unseen_mass
+FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1
+WHERE nr.r <= 10"""
+
+
+def q_count_min_sketch(spark, sf_dir):
+    """Count-Min sketch accuracy audit: a depth-4 × width-1024 CMS
+    over the lineitem part keys (row hashes = the shared md5-60bit,
+    salted per row), point-queried for the 20 most frequent keys —
+    observed overestimate vs the ε·N = N/1024 expectation. The
+    sketch IS the distributed shape: 4096 bounded cells built by one
+    map-side-combinable aggregate, broadcast back for the probe.
+    Overestimate ≥ 0 is the CMS guarantee the test pins."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    rows_ = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+    cell = F.pmod(
+        stable_hash60_expr(
+            F.concat(
+                F.col("k").cast("string"), F.lit(":cms"),
+                F.col("j").cast("string"),
+            )
+        ),
+        F.lit(1024),
+    ).alias("cell")
+    sketch = (
+        li.select("k", rows_)
+        .select("j", cell)
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    true_top = (
+        li.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "k")
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    probes = true_top.select("k", "true_cnt", rows_).select(
+        "k", "true_cnt", "j", cell
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("k", "true_cnt")
+        .agg(F.min("c").cast("bigint").alias("est_cnt"))
+    )
+    n_total = li.count()
+    return est.select(
+        F.col("k").alias("part_id"),
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt"))
+        .cast("bigint")
+        .alias("overestimate"),
+        F.round(
+            (F.col("est_cnt") - F.col("true_cnt"))
+            / F.lit(n_total / 1024.0),
+            6,
+        ).alias("err_vs_epsilon_n"),
+    )
+
+
+_CMS_CELL_SQL = (
+    "("
+    + _HASH60_SQL.format(
+        v="CAST(k AS VARCHAR) || ':cms' || CAST(j AS VARCHAR)"
+    )
+    + " % 1024)"
+)
+
+SQL_COUNT_MIN_SKETCH = f"""
+WITH li AS (SELECT l_partkey k FROM lineitem),
+rows_ AS (SELECT k, j.range j FROM li CROSS JOIN range(4) j),
+sketch AS MATERIALIZED (
+  SELECT j, {_CMS_CELL_SQL} cell, CAST(count(*) AS BIGINT) c
+  FROM rows_ GROUP BY 1, 2),
+true_top AS (SELECT k, CAST(count(*) AS BIGINT) true_cnt FROM li
+             GROUP BY 1 ORDER BY true_cnt DESC, k LIMIT 20),
+probes AS (SELECT k, true_cnt, j.range j FROM true_top
+           CROSS JOIN range(4) j),
+est AS (SELECT k, true_cnt, CAST(min(c) AS BIGINT) est_cnt
+        FROM (SELECT k, true_cnt, j, {_CMS_CELL_SQL} cell FROM probes) p
+        JOIN sketch ON sketch.j = p.j AND sketch.cell = p.cell
+        GROUP BY 1, 2)
+SELECT k part_id, true_cnt, est_cnt,
+       CAST(est_cnt - true_cnt AS BIGINT) overestimate,
+       round((est_cnt - true_cnt)
+             / ((SELECT count(*) FROM li) / 1024.0), 6) err_vs_epsilon_n
+FROM est"""
+
+
+def q_matching_att(spark, sf_dir):
+    """Stratified-matching ATT: treated = odd-nation customers,
+    strata = 10 equal-width price buckets from the broadcast exact
+    max (deterministic integer bounds — never rank-based ntile), ATT
+    = Σ_s (n_{t,s}/N_t)·(ȳ_{t,s} − ȳ_{c,s}) over strata where both
+    arms exist — the covariate-adjusted effect next to the naive
+    difference did_estimator doesn't adjust for. Exact cents
+    everywhere; one grouped aggregate at the 2×10 cell grain."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            (F.col("c_nationkey") % 2 == 1).cast("int").alias("trt"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+        )
+    )
+    mx = o.agg(F.max("c").alias("mc")).localCheckpoint(eager=True)
+    cells = (
+        o.crossJoin(F.broadcast(mx))
+        .select(
+            "trt",
+            F.least(
+                F.lit(9), F.expr("(c * 10) div (mc + 1)")
+            ).alias("stratum"),
+            "c",
+        )
+        .groupBy("trt", "stratum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = cells.where(F.col("trt") == 1).select(
+        "stratum", F.col("n").alias("nt"), F.col("s").alias("st")
+    )
+    c_ = cells.where(F.col("trt") == 0).select(
+        "stratum", F.col("n").alias("nc"), F.col("s").alias("sc")
+    )
+    both = t.join(F.broadcast(c_), "stratum")
+    ntot = both.agg(F.sum("nt").alias("ntt")).localCheckpoint(eager=True)
+    terms = both.crossJoin(F.broadcast(ntot)).select(
+        "stratum", "nt", "ntt",
+        F.round(
+            F.col("nt")
+            * (
+                F.col("st") * 1.0 / F.col("nt")
+                - F.col("sc") * 1.0 / F.col("nc")
+            )
+            * 1e4
+            / F.col("ntt"),
+            0,
+        )
+        .cast("bigint")
+        .alias("term_cmicro"),
+    )
+    att = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.max("ntt").cast("bigint").alias("n_treated"),
+        F.sum("term_cmicro").alias("att_cm"),
+    )
+    naive = o.groupBy("trt").agg(
+        (F.sum("c") * 1.0 / F.count(F.lit(1))).alias("m")
+    )
+    nv = (
+        naive.groupBy()
+        .pivot("trt", [0, 1])
+        .agg(F.max("m"))
+        .select(((F.col("1") - F.col("0")) / 100.0).alias("naive_diff"))
+    )
+    return att.crossJoin(F.broadcast(nv)).select(
+        "n_treated",
+        "n_strata",
+        F.round(F.col("att_cm") / 1e6, 6).alias("att"),
+        F.round(F.col("naive_diff"), 6).alias("naive_diff"),
+    )
+
+
+SQL_MATCHING_ATT = """
+WITH o AS (SELECT CASE WHEN c_nationkey % 2 = 1 THEN 1 ELSE 0 END trt,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) c
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+mx AS (SELECT max(c) mc FROM o),
+cells AS (SELECT trt,
+            least(9, (c * 10) // ((SELECT mc FROM mx) + 1)) stratum,
+            CAST(count(*) AS BIGINT) n, CAST(sum(c) AS BIGINT) s
+          FROM o GROUP BY 1, 2),
+both_ AS (SELECT t.stratum, t.n nt, t.s st, c.n nc, c.s sc
+          FROM (SELECT * FROM cells WHERE trt = 1) t
+          JOIN (SELECT * FROM cells WHERE trt = 0) c USING (stratum)),
+ntot AS (SELECT sum(nt) ntt FROM both_),
+terms AS (SELECT stratum,
+            CAST(round(nt * (st * 1.0 / nt - sc * 1.0 / nc) * 1e4
+                       / (SELECT ntt FROM ntot), 0) AS BIGINT) term_cmicro
+          FROM both_),
+naive AS (SELECT
+    (SELECT sum(c) * 1.0 / count(*) FROM o WHERE trt = 1)
+    - (SELECT sum(c) * 1.0 / count(*) FROM o WHERE trt = 0) d)
+SELECT (SELECT CAST(ntt AS BIGINT) FROM ntot) n_treated,
+       CAST(count(*) AS BIGINT) n_strata,
+       round(sum(term_cmicro) / 1e6, 6) att,
+       round((SELECT d FROM naive) / 100.0, 6) naive_diff
+FROM terms"""
+
+
+def q_join_size_estimate(spark, sf_dir):
+    """Join-cardinality estimation audit for the skewed self-join
+    lineitem ⋈ lineitem ON partkey (true size = Σ c_k²): correlated
+    KEY sampling (keep every key with hash%16 = 0, scale ×16) vs
+    independent ROW sampling (Bernoulli 1/16 per side via two salts,
+    scale ×256) — the optimizer-statistics lesson that key-correlated
+    samples see the skew that row samples miss. Everything is exact
+    integer counting over hash predicates; one grouped aggregate."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k"),
+        F.col("l_orderkey").alias("ok"),
+    )
+    per_key = li.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(
+            (
+                F.pmod(
+                    stable_hash60_expr(
+                        F.concat(
+                            F.col("ok").cast("string"), F.lit(":"),
+                            F.col("k").cast("string"), F.lit(":ra"),
+                        )
+                    ),
+                    F.lit(16),
+                )
+                == 0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(
+            (
+                F.pmod(
+                    stable_hash60_expr(
+                        F.concat(
+                            F.col("ok").cast("string"), F.lit(":"),
+                            F.col("k").cast("string"), F.lit(":rb"),
+                        )
+                    ),
+                    F.lit(16),
+                )
+                == 0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cb"),
+        F.max(
+            (
+                F.pmod(
+                    stable_hash60_expr(
+                        F.concat(F.col("k").cast("string"), F.lit(":js"))
+                    ),
+                    F.lit(16),
+                )
+                == 0
+            ).cast("bigint")
+        ).alias("keysamp"),
+    )
+    agg = per_key.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("true_size"),
+        F.sum(
+            F.col("keysamp") * F.col("cnt") * F.col("cnt")
+        )
+        .cast("bigint")
+        .alias("key_sum"),
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("row_sum"),
+    )
+    return agg.select(
+        "true_size",
+        (F.col("key_sum") * 16).cast("bigint").alias("key_sample_est"),
+        F.round(
+            F.abs(F.col("key_sum") * 16.0 - F.col("true_size"))
+            / F.col("true_size"),
+            6,
+        ).alias("key_sample_err"),
+        (F.col("row_sum") * 256).cast("bigint").alias("row_sample_est"),
+        F.round(
+            F.abs(F.col("row_sum") * 256.0 - F.col("true_size"))
+            / F.col("true_size"),
+            6,
+        ).alias("row_sample_err"),
+    )
+
+
+def _js_hash(salt: str) -> str:
+    return _HASH60_SQL.format(
+        v=f"CAST(ok AS VARCHAR) || ':' || CAST(k AS VARCHAR) || ':{salt}'"
+    )
+
+
+SQL_JOIN_SIZE_ESTIMATE = f"""
+WITH li AS (SELECT l_partkey k, l_orderkey ok FROM lineitem),
+per_key AS (
+  SELECT k, CAST(count(*) AS BIGINT) cnt,
+    CAST(sum(CASE WHEN {_js_hash("ra")} % 16 = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) ca,
+    CAST(sum(CASE WHEN {_js_hash("rb")} % 16 = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) cb,
+    max(CASE WHEN {_HASH60_SQL.format(v="CAST(k AS VARCHAR) || ':js'")}
+             % 16 = 0 THEN 1 ELSE 0 END) keysamp
+  FROM li GROUP BY 1),
+agg AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) true_size,
+               CAST(sum(keysamp * cnt * cnt) AS BIGINT) key_sum,
+               CAST(sum(ca * cb) AS BIGINT) row_sum
+        FROM per_key)
+SELECT true_size,
+       CAST(key_sum * 16 AS BIGINT) key_sample_est,
+       round(abs(key_sum * 16.0 - true_size) / true_size, 6)
+         key_sample_err,
+       CAST(row_sum * 256 AS BIGINT) row_sample_est,
+       round(abs(row_sum * 256.0 - true_size) / true_size, 6)
+         row_sample_err
+FROM agg"""
+
+
+def q_median_ci_order_stats(spark, sf_dir):
+    """Distribution-free 95% CI for the median order price by exact
+    order statistics: ranks k_lo = floor((n − 1.96√n)/2) and
+    k_hi = ceil((n + 1.96√n)/2) + 1 pick the bounding values — no
+    bootstrap, no resampling, one global sort rank on exact cents
+    (the classic binomial-rank interval, normal-approximated). The
+    rank lookup is three filtered rows from one row_number pass."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c")
+    )
+    n = o.count()
+    k_med = (n + 1) // 2
+    k_med2 = n // 2 + 1
+    k_lo = int(math.floor((n - 1.96 * math.sqrt(n)) / 2))
+    k_hi = int(math.ceil((n + 1.96 * math.sqrt(n)) / 2)) + 1
+    w = Window.orderBy("c")
+    ranked = o.select(
+        "c", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk").isin([k_med, k_med2, k_lo, k_hi]))
+    agg = ranked.agg(
+        F.sum(
+            F.when(F.col("rk").isin([k_med, k_med2]), F.col("c"))
+        ).alias("med2"),
+        F.max(F.when(F.col("rk") == k_lo, F.col("c"))).alias("lo"),
+        F.max(F.when(F.col("rk") == k_hi, F.col("c"))).alias("hi"),
+    )
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n_orders"),
+        F.round(
+            F.col("med2")
+            / F.lit(float(100 * (2 if k_med != k_med2 else 1))),
+            6,
+        ).alias("median"),
+        F.round(F.col("lo") / 100.0, 6).alias("ci_lo"),
+        F.round(F.col("hi") / 100.0, 6).alias("ci_hi"),
+        F.lit(0.95).alias("nominal_coverage"),
+    )
+
+
+SQL_MEDIAN_CI_ORDER_STATS = """
+WITH o AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) c
+           FROM orders),
+nn AS (SELECT count(*) n FROM o),
+ks AS (SELECT n, (n + 1) // 2 k1, n // 2 + 1 k2,
+              CAST(floor((n - 1.96 * sqrt(n)) / 2) AS BIGINT) klo,
+              CAST(ceil((n + 1.96 * sqrt(n)) / 2) AS BIGINT) + 1 khi
+       FROM nn),
+ranked AS (SELECT c, row_number() OVER (ORDER BY c) rk FROM o)
+SELECT CAST((SELECT n FROM ks) AS BIGINT) n_orders,
+       round(sum(CASE WHEN rk IN ((SELECT k1 FROM ks), (SELECT k2 FROM ks))
+                      THEN c END)
+             / (100.0 * (CASE WHEN (SELECT k1 FROM ks) <> (SELECT k2 FROM ks)
+                              THEN 2 ELSE 1 END)), 6) median,
+       round(max(CASE WHEN rk = (SELECT klo FROM ks) THEN c END) / 100.0, 6)
+         ci_lo,
+       round(max(CASE WHEN rk = (SELECT khi FROM ks) THEN c END) / 100.0, 6)
+         ci_hi,
+       0.95::DOUBLE nominal_coverage
+FROM ranked
+WHERE rk IN ((SELECT k1 FROM ks), (SELECT k2 FROM ks),
+             (SELECT klo FROM ks), (SELECT khi FROM ks))"""
+
+
+_REMOVAL_CHANNELS = ["click", "error", "view"]
+
+
+def q_markov_removal_attribution(spark, sf_dir):
+    """Markov removal-effect attribution: P(reach 'purchase' within
+    4 steps from 'signup') under the full chain vs the chain with
+    one channel knocked out (its incoming transition mass lost, not
+    renormalized — the standard removal-effect convention), effect =
+    1 − f_removed/f_full — the data-driven attribution that
+    completes the family (last-touch, linear, Shapley). Same BIGINT
+    nano recursion as markov_absorption at the K-state grain; the
+    oracle unrolls all four chains."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("u").orderBy("us", "eid")
+    pairs = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("src"),
+        )
+        .select("u", "src", F.lead("src").over(w).alias("dst"))
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("t"))
+    tp = (
+        pairs.join(F.broadcast(tot), "src")
+        .select("src", "dst", (F.col("n") / F.col("t")).alias("p"))
+        .where(F.col("src") != "purchase")
+        .localCheckpoint(eager=True)
+    )
+    states = (
+        ev.select(F.col("event_type").alias("state"))
+        .distinct()
+        .where(F.col("state") != "purchase")
+        .localCheckpoint(eager=True)
+    )
+
+    def absorb(tp_f, iters=4):
+        direct = tp_f.where(F.col("dst") == "purchase").select(
+            F.col("src").alias("state"),
+            F.round(F.col("p") * 1e9, 0).cast("bigint").alias("d_nano"),
+        )
+        base = states.join(F.broadcast(direct), "state", "left").select(
+            "state", F.coalesce(F.col("d_nano"), F.lit(0)).alias("d_nano")
+        ).localCheckpoint(eager=True)
+        f = base.select("state", F.lit(0).cast("bigint").alias("f_nano"))
+        for _ in range(iters):
+            spread = (
+                tp_f.where(F.col("dst") != "purchase")
+                .join(f, tp_f["dst"] == f["state"])
+                .select(
+                    F.col("src"),
+                    F.round(F.col("p") * F.col("f_nano"), 0)
+                    .cast("bigint")
+                    .alias("t"),
+                )
+                .groupBy("src")
+                .agg(F.sum("t").alias("s"))
+            )
+            f = (
+                base.join(
+                    F.broadcast(spread), base["state"] == spread["src"], "left"
+                )
+                .select(
+                    "state",
+                    (F.col("d_nano") + F.coalesce(F.col("s"), F.lit(0)))
+                    .cast("bigint")
+                    .alias("f_nano"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return f
+
+    f_full = (
+        absorb(tp)
+        .where(F.col("state") == "signup")
+        .select(F.col("f_nano").alias("full_nano"))
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for ch in _REMOVAL_CHANNELS:
+        f_rem = (
+            absorb(tp.where(F.col("dst") != ch))
+            .where(F.col("state") == "signup")
+            .select(F.col("f_nano").alias("rem_nano"))
+        )
+        rows.append(
+            f_rem.crossJoin(F.broadcast(f_full)).select(
+                F.lit(ch).alias("channel"),
+                (F.expr("(full_nano + 500) div 1000") / 1e6).alias("f_full"),
+                (F.expr("(rem_nano + 500) div 1000") / 1e6).alias(
+                    "f_removed"
+                ),
+                F.round(
+                    1.0 - F.col("rem_nano") * 1.0 / F.col("full_nano"), 6
+                ).alias("removal_effect"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _removal_chain_sql(tag: str, filt: str) -> str:
+    body = f"""
+d{tag} AS (SELECT src state, CAST(round(p * 1e9, 0) AS BIGINT) d_nano
+           FROM tp WHERE dst = 'purchase'{filt}),
+b{tag} AS (SELECT states.state, coalesce(d_nano, 0) d_nano
+           FROM states LEFT JOIN d{tag} ON states.state = d{tag}.state),
+f{tag}0 AS (SELECT state, CAST(0 AS BIGINT) f_nano FROM b{tag})"""
+    for i in (1, 2, 3, 4):
+        body += f""",
+s{tag}{i} AS (SELECT src, CAST(sum(CAST(round(p * f_nano, 0) AS BIGINT))
+                        AS BIGINT) s
+              FROM tp JOIN f{tag}{i - 1} ON tp.dst = f{tag}{i - 1}.state
+              WHERE tp.dst <> 'purchase'{filt} GROUP BY src),
+f{tag}{i} AS (SELECT b{tag}.state,
+                CAST(d_nano + coalesce(s, 0) AS BIGINT) f_nano
+              FROM b{tag} LEFT JOIN s{tag}{i}
+                ON b{tag}.state = s{tag}{i}.src)"""
+    return body
+
+
+SQL_MARKOV_REMOVAL_ATTRIBUTION = (
+    """
+WITH e AS (SELECT user_id u, epoch_us(ts) us, event_id eid,
+                  event_type src FROM events),
+seq AS (SELECT u, src,
+               lead(src) OVER (PARTITION BY u ORDER BY us, eid) dst
+        FROM e),
+pairs AS (SELECT src, dst, CAST(count(*) AS BIGINT) n FROM seq
+          WHERE dst IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT src, sum(n) t FROM pairs GROUP BY 1),
+tp AS MATERIALIZED (SELECT pairs.src, dst, n * 1.0 / t AS p
+       FROM pairs JOIN tot USING (src) WHERE pairs.src <> 'purchase'),
+states AS (SELECT DISTINCT event_type state FROM events
+           WHERE event_type <> 'purchase'),"""
+    + _removal_chain_sql("f", "")[1:]
+    + ","
+    + ",".join(
+        _removal_chain_sql(f"r{i}", f" AND dst <> '{ch}'")[1:]
+        for i, ch in enumerate(_REMOVAL_CHANNELS)
+    )
+    + """,
+base_full AS (SELECT f_nano full_nano FROM ff4 WHERE state = 'signup')
+"""
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{ch}' channel,
+       ((SELECT full_nano FROM base_full) + 500) // 1000 / 1e6 f_full,
+       (f_nano + 500) // 1000 / 1e6 f_removed,
+       round(1.0 - f_nano * 1.0 / (SELECT full_nano FROM base_full), 6)
+         removal_effect
+FROM fr{i}4 WHERE state = 'signup'"""
+        for i, ch in enumerate(_REMOVAL_CHANNELS)
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -24047,6 +24654,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merkle_root": q_merkle_root,
     "v_optimal_histogram": q_v_optimal_histogram,
     "aa_test_calibration": q_aa_test_calibration,
+    "good_turing": q_good_turing,
+    "count_min_sketch": q_count_min_sketch,
+    "matching_att": q_matching_att,
+    "join_size_estimate": q_join_size_estimate,
+    "median_ci_order_stats": q_median_ci_order_stats,
+    "markov_removal_attribution": q_markov_removal_attribution,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -24430,6 +25043,12 @@ ORACLES: dict[str, str] = {
     "merkle_root": SQL_MERKLE_ROOT,
     "v_optimal_histogram": SQL_V_OPTIMAL_HISTOGRAM,
     "aa_test_calibration": SQL_AA_TEST_CALIBRATION,
+    "good_turing": SQL_GOOD_TURING,
+    "count_min_sketch": SQL_COUNT_MIN_SKETCH,
+    "matching_att": SQL_MATCHING_ATT,
+    "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
+    "median_ci_order_stats": SQL_MEDIAN_CI_ORDER_STATS,
+    "markov_removal_attribution": SQL_MARKOV_REMOVAL_ATTRIBUTION,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
