@@ -24366,6 +24366,595 @@ FROM fr{i}4 WHERE state = 'signup'"""
 )
 
 
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry strength ranking from pairwise daily-volume
+    comparisons between nations (i beats j in a month its order count
+    is strictly larger; ties drop out) — the
+    preference-model-from-comparisons primitive behind reward-model
+    training. 3 minorization-maximization iterations π'_i = W_i /
+    Σ_j n_ij/(π_i+π_j) in BIGINT nano-units: each denominator term
+    quantizes to an exact integer (·1e18 head-room), the update
+    re-normalizes to 1e9 — bit-identical at any partitioning and
+    unrolled term-for-term in the oracle. The comparison matrix is
+    dimension-bounded (25²); only the daily rollup touches data."""
+    dn = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("mo"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    b = dn.select(
+        F.col("mo").alias("db"), F.col("nation").alias("nb"),
+        F.col("cnt").alias("cb"),
+    )
+    wins = (
+        dn.join(b, (F.col("mo") == F.col("db")) & (F.col("nation") != F.col("nb")))
+        .where(F.col("cnt") > F.col("cb"))
+        .groupBy(F.col("nation").alias("i"), F.col("nb").alias("j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nij = (
+        wins.select("i", "j", "w")
+        .unionAll(
+            wins.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "w"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    wtot = wins.groupBy("i").agg(F.sum("w").cast("bigint").alias("wi"))
+    nations = nij.select(F.col("i").alias("nation")).distinct().localCheckpoint(
+        eager=True
+    )
+    k = nations.count()
+    pi = nations.select(
+        "nation", F.lit(10**9 // k).cast("bigint").alias("nano")
+    )
+    for _ in range(3):
+        pj = pi.select(F.col("nation").alias("j"), F.col("nano").alias("pj"))
+        den = (
+            nij.join(F.broadcast(pi), nij["i"] == pi["nation"])
+            .join(F.broadcast(pj), "j")
+            .select(
+                "i",
+                F.round(
+                    F.col("n") * 1e18 / (F.col("nano") + F.col("pj")), 0
+                )
+                .cast("bigint")
+                .alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("d"))
+        )
+        raw = (
+            den.join(F.broadcast(wtot), "i")
+            .select(
+                F.col("i").alias("nation"),
+                F.round(F.col("wi") * 1e18 / F.col("d"), 0)
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+        mass = raw.agg(F.sum("r").alias("m"))
+        pi = (
+            raw.crossJoin(F.broadcast(mass))
+            .select(
+                "nation",
+                F.round(F.col("r") * (1e9 / F.col("m")), 0)
+                .cast("bigint")
+                .alias("nano"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        pi.join(F.broadcast(wtot), pi["nation"] == wtot["i"])
+        .select(
+            "nation",
+            F.col("wi").alias("wins"),
+            (F.expr("(nano + 500) div 1000") / 1e6).alias("bt_strength"),
+        )
+    )
+
+
+def _bt_iter_sql(i: int) -> str:
+    return f""",
+den{i} AS (SELECT i, CAST(sum(CAST(round(n * 1e18 / (pa.nano + pb.nano), 0)
+                       AS BIGINT)) AS BIGINT) d
+           FROM nij JOIN pi{i - 1} pa ON nij.i = pa.nation
+                    JOIN pi{i - 1} pb ON nij.j = pb.nation
+           GROUP BY i),
+raw{i} AS (SELECT i nation,
+             CAST(round(wi * 1e18 / d, 0) AS BIGINT) r
+           FROM den{i} JOIN wtot USING (i)),
+m{i} AS (SELECT sum(r) m FROM raw{i}),
+pi{i} AS (SELECT nation,
+            CAST(round(r * (1e9 / (SELECT m FROM m{i})), 0) AS BIGINT) nano
+          FROM raw{i})"""
+
+
+SQL_BRADLEY_TERRY = (
+    """
+WITH dn AS (SELECT date_trunc('month', o_orderdate) mo, n_name nation,
+                   CAST(count(*) AS BIGINT) cnt
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2),
+wins AS MATERIALIZED (
+  SELECT a.nation i, b.nation j, CAST(count(*) AS BIGINT) w
+  FROM dn a JOIN dn b ON a.mo = b.mo AND a.nation <> b.nation
+  WHERE a.cnt > b.cnt GROUP BY 1, 2),
+nij AS MATERIALIZED (
+  SELECT i, j, CAST(sum(w) AS BIGINT) n FROM (
+    SELECT i, j, w FROM wins UNION ALL SELECT j, i, w FROM wins)
+  GROUP BY 1, 2),
+wtot AS (SELECT i, CAST(sum(w) AS BIGINT) wi FROM wins GROUP BY 1),
+nats AS (SELECT DISTINCT i nation FROM nij),
+nk AS (SELECT count(*) k FROM nats),
+pi0 AS (SELECT nation,
+          CAST(1000000000 // (SELECT k FROM nk) AS BIGINT) nano FROM nats)"""
+    + "".join(_bt_iter_sql(i) for i in (1, 2, 3))
+    + """
+SELECT nation, wi wins, ((nano + 500) // 1000) / 1e6 bt_strength
+FROM pi3 JOIN wtot ON pi3.nation = wtot.i"""
+)
+
+
+def q_logistic_newton(spark, sf_dir):
+    """Logistic regression 'purchase ~ normalized value' fit with 2
+    exact Newton-Raphson steps from β = 0 — the iterative GLM kernel
+    on Spark without MLlib. Step 1 is closed-form (at β=0, p=½ and
+    w=¼ are constants); step 2 evaluates the sigmoid per row at the
+    9dp-ROUNDED β₁ (the cross-engine state grid, same discipline as
+    pagerank's state_dp) and every gradient/Hessian term quantizes
+    to nano before the bigint sum. The 2×2 Newton solve is closed
+    form. Output: β, the final quantized log-likelihood, and the
+    mean fitted probability."""
+    e = _t(spark, sf_dir, "events").select(
+        (
+            F.least(
+                F.round(F.col("value") * 100, 0).cast("bigint"), F.lit(50000)
+            )
+            / 50000.0
+        ).alias("x"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("y"),
+    ).localCheckpoint(eager=True)
+
+    def step(b0, b1):
+        eta = F.lit(b0) + F.lit(b1) * F.col("x")
+        p = 1.0 / (1.0 + F.exp(-eta))
+        w = p * (1.0 - p)
+        agg = e.agg(
+            F.sum(F.round((F.col("y") - p) * 1e9, 0).cast("bigint")).alias("g0"),
+            F.sum(
+                F.round((F.col("y") - p) * F.col("x") * 1e9, 0).cast("bigint")
+            ).alias("g1"),
+            F.sum(F.round(w * 1e9, 0).cast("bigint")).alias("h00"),
+            F.sum(F.round(w * F.col("x") * 1e9, 0).cast("bigint")).alias("h01"),
+            F.sum(
+                F.round(w * F.col("x") * F.col("x") * 1e9, 0).cast("bigint")
+            ).alias("h11"),
+        ).collect()[0]
+        g0, g1 = agg["g0"] / 1e9, agg["g1"] / 1e9
+        h00, h01, h11 = agg["h00"] / 1e9, agg["h01"] / 1e9, agg["h11"] / 1e9
+        det = h00 * h11 - h01 * h01
+        nb0 = b0 + (h11 * g0 - h01 * g1) / det
+        nb1 = b1 + (h00 * g1 - h01 * g0) / det
+        return round(nb0, 9), round(nb1, 9)
+
+    b0, b1 = step(0.0, 0.0)
+    b0, b1 = step(b0, b1)
+    eta = F.lit(b0) + F.lit(b1) * F.col("x")
+    p = 1.0 / (1.0 + F.exp(-eta))
+    ll_t = F.round(
+        (F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(1.0 - p)) * 1e9, 0
+    ).cast("bigint")
+    out = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(ll_t).alias("ll_n"),
+        F.sum(F.round(p * 1e9, 0).cast("bigint")).alias("p_n"),
+    )
+    return out.select(
+        "n_events",
+        F.round(F.lit(b0), 6).alias("beta0"),
+        F.round(F.lit(b1), 6).alias("beta1"),
+        F.round(F.col("ll_n") / 1e9, 6).alias("log_lik"),
+        F.round(F.col("p_n") / (F.col("n_events") * 1e9), 6).alias("mean_p"),
+    )
+
+
+SQL_LOGISTIC_NEWTON = """
+WITH e AS MATERIALIZED (
+  SELECT least(CAST(round(value * 100, 0) AS BIGINT), 50000) / 50000.0 x,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END y
+  FROM events),
+s1 AS (SELECT sum(CAST(round((y - 0.5) * 1e9, 0) AS BIGINT)) / 1e9 g0,
+              sum(CAST(round((y - 0.5) * x * 1e9, 0) AS BIGINT)) / 1e9 g1,
+              sum(CAST(round(0.25 * 1e9, 0) AS BIGINT)) / 1e9 h00,
+              sum(CAST(round(0.25 * x * 1e9, 0) AS BIGINT)) / 1e9 h01,
+              sum(CAST(round(0.25 * x * x * 1e9, 0) AS BIGINT)) / 1e9 h11
+       FROM e),
+b1 AS (SELECT
+         round(0.0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01), 9) b0,
+         round(0.0 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01), 9) b1
+       FROM s1),
+s2 AS (SELECT
+         sum(CAST(round((y - 1.0/(1.0 + exp(-((SELECT b0 FROM b1)
+               + (SELECT b1 FROM b1) * x)))) * 1e9, 0) AS BIGINT)) / 1e9 g0,
+         sum(CAST(round((y - 1.0/(1.0 + exp(-((SELECT b0 FROM b1)
+               + (SELECT b1 FROM b1) * x)))) * x * 1e9, 0) AS BIGINT))
+           / 1e9 g1,
+         sum(CAST(round((1.0/(1.0 + exp(-((SELECT b0 FROM b1)
+               + (SELECT b1 FROM b1) * x))))
+             * (1.0 - 1.0/(1.0 + exp(-((SELECT b0 FROM b1)
+               + (SELECT b1 FROM b1) * x)))) * 1e9, 0) AS BIGINT)) / 1e9 h00,
+         sum(CAST(round((1.0/(1.0 + exp(-((SELECT b0 FROM b1)
+               + (SELECT b1 FROM b1) * x))))
+             * (1.0 - 1.0/(1.0 + exp(-((SELECT b0 FROM b1)
+               + (SELECT b1 FROM b1) * x)))) * x * 1e9, 0) AS BIGINT))
+           / 1e9 h01,
+         sum(CAST(round((1.0/(1.0 + exp(-((SELECT b0 FROM b1)
+               + (SELECT b1 FROM b1) * x))))
+             * (1.0 - 1.0/(1.0 + exp(-((SELECT b0 FROM b1)
+               + (SELECT b1 FROM b1) * x)))) * x * x * 1e9, 0) AS BIGINT))
+           / 1e9 h11
+       FROM e),
+b2 AS (SELECT
+         round((SELECT b0 FROM b1)
+               + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01), 9) b0,
+         round((SELECT b1 FROM b1)
+               + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01), 9) b1
+       FROM s2),
+fin AS (SELECT CAST(count(*) AS BIGINT) n_events,
+          sum(CAST(round((y * ln(1.0/(1.0 + exp(-((SELECT b0 FROM b2)
+                + (SELECT b1 FROM b2) * x))))
+              + (1 - y) * ln(1.0 - 1.0/(1.0 + exp(-((SELECT b0 FROM b2)
+                + (SELECT b1 FROM b2) * x))))) * 1e9, 0) AS BIGINT)) ll_n,
+          sum(CAST(round(1.0/(1.0 + exp(-((SELECT b0 FROM b2)
+                + (SELECT b1 FROM b2) * x))) * 1e9, 0) AS BIGINT)) p_n
+        FROM e)
+SELECT n_events, round((SELECT b0 FROM b2), 6) beta0,
+       round((SELECT b1 FROM b2), 6) beta1,
+       round(ll_n / 1e9, 6) log_lik,
+       round(p_n / (n_events * 1e9), 6) mean_p
+FROM fin"""
+
+
+def q_partition_modularity(spark, sf_dir):
+    """Newman modularity of the brand partition on the weighted part
+    co-purchase graph: Q_c = m_c/m − (d_c/2m)² per brand — does the
+    catalog taxonomy match the purchase graph's community structure.
+    All three quantities (within-brand weight, brand degree, total
+    weight) are exact integer sums; the brand map broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lb = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        li.join(
+            lb,
+            (F.col("l_orderkey") == F.col("ok"))
+            & (F.col("l_partkey") < F.col("pb")),
+        )
+        .groupBy(F.col("l_partkey").alias("s"), F.col("pb").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    brand = F.broadcast(
+        _t(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("pk"), F.col("p_brand").alias("b")
+        )
+    )
+    eb = (
+        edges.join(brand, edges["s"] == F.col("pk"))
+        .withColumnRenamed("b", "bs")
+        .drop("pk")
+        .join(brand, edges["d"] == F.col("pk"))
+        .withColumnRenamed("b", "bd")
+        .localCheckpoint(eager=True)
+    )
+    m = eb.agg(F.sum("w").cast("bigint").alias("m")).localCheckpoint(
+        eager=True
+    )
+    within = (
+        eb.where(F.col("bs") == F.col("bd"))
+        .groupBy(F.col("bs").alias("brand"))
+        .agg(F.sum("w").cast("bigint").alias("mc"))
+    )
+    deg = (
+        eb.select(F.col("bs").alias("brand"), "w")
+        .unionAll(eb.select(F.col("bd").alias("brand"), "w"))
+        .groupBy("brand")
+        .agg(F.sum("w").cast("bigint").alias("dc"))
+    )
+    return (
+        deg.join(F.broadcast(within), "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            F.coalesce(F.col("mc"), F.lit(0)).cast("bigint").alias("within_w"),
+            F.col("dc").alias("degree_w"),
+            F.round(
+                F.coalesce(F.col("mc"), F.lit(0)) * 1.0 / F.col("m")
+                - (F.col("dc") * 1.0 / (2 * F.col("m")))
+                * (F.col("dc") * 1.0 / (2 * F.col("m"))),
+                6,
+            ).alias("q_contribution"),
+        )
+    )
+
+
+SQL_PARTITION_MODULARITY = """
+WITH edges AS (SELECT a.l_partkey s, b.l_partkey d,
+                      CAST(count(*) AS BIGINT) w
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2),
+eb AS MATERIALIZED (
+  SELECT w, pa.p_brand bs, pb.p_brand bd
+  FROM edges JOIN part pa ON pa.p_partkey = s
+             JOIN part pb ON pb.p_partkey = d),
+m AS (SELECT sum(w) m FROM eb),
+within AS (SELECT bs brand, CAST(sum(w) AS BIGINT) mc FROM eb
+           WHERE bs = bd GROUP BY 1),
+deg AS (SELECT brand, CAST(sum(w) AS BIGINT) dc FROM (
+          SELECT bs brand, w FROM eb UNION ALL SELECT bd, w FROM eb)
+        GROUP BY 1)
+SELECT deg.brand, CAST(coalesce(mc, 0) AS BIGINT) within_w,
+       dc degree_w,
+       round(coalesce(mc, 0) * 1.0 / (SELECT m FROM m)
+             - (dc * 1.0 / (2 * (SELECT m FROM m)))
+             * (dc * 1.0 / (2 * (SELECT m FROM m))), 6) q_contribution
+FROM deg LEFT JOIN within ON deg.brand = within.brand"""
+
+
+def q_hill_numbers(spark, sf_dir):
+    """Hill diversity profile of each nation's purchased parts:
+    q=0 richness (distinct parts), q=1 exp(Shannon) with each
+    −p·ln p term quantized to nano before the exact sum, q=2
+    inverse Simpson computed EXACTLY as n²/Σc² in integers — the
+    'effective catalog size' triple, with the textbook ordering
+    q0 ≥ q1 ≥ q2 pinned by the wave test. One grouped count; the
+    25-nation rollup broadcasts nothing bigger than itself."""
+    cnt = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), "l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = cnt.groupBy("nation").agg(F.sum("c").alias("n"))
+    terms = cnt.join(F.broadcast(tot), "nation").select(
+        "nation", "c", "n",
+        F.round(
+            -(F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")) * 1e9,
+            0,
+        )
+        .cast("bigint")
+        .alias("sh"),
+    )
+    agg = terms.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("richness"),
+        F.max("n").alias("n"),
+        F.sum("sh").alias("sh_n"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("c2"),
+    )
+    return agg.select(
+        "nation",
+        "richness",
+        F.round(F.exp(F.col("sh_n") / 1e9), 6).alias("exp_shannon"),
+        F.round(F.col("n") * F.col("n") * 1.0 / F.col("c2"), 6).alias(
+            "inv_simpson"
+        ),
+    )
+
+
+SQL_HILL_NUMBERS = """
+WITH cnt AS (SELECT n_name nation, l_partkey,
+                    CAST(count(*) AS BIGINT) c
+             FROM orders JOIN customer ON o_custkey = c_custkey
+                         JOIN nation ON c_nationkey = n_nationkey
+                         JOIN lineitem ON o_orderkey = l_orderkey
+             GROUP BY 1, 2),
+tot AS (SELECT nation, sum(c) n FROM cnt GROUP BY 1),
+terms AS (SELECT cnt.nation, c, n,
+            CAST(round(-(c * 1.0 / n) * ln(c * 1.0 / n) * 1e9, 0)
+                 AS BIGINT) sh
+          FROM cnt JOIN tot USING (nation))
+SELECT nation, CAST(count(*) AS BIGINT) richness,
+       round(exp(sum(sh) / 1e9), 6) exp_shannon,
+       round(max(n) * max(n) * 1.0 / sum(c * c), 6) inv_simpson
+FROM terms GROUP BY nation"""
+
+
+def q_sax_motifs(spark, sf_dir):
+    """SAX motif mining on the daily order-count series: z-normalize
+    (population σ from exact integer Σy/Σy²), discretize to the
+    4-symbol alphabet at the standard gaussian breakpoints
+    (−0.6745, 0, 0.6745), slide a 3-symbol window (two lead()s over
+    the calendar-bounded grain), and count motifs — top 10 by
+    support. The time-series indexing primitive behind motif/anomaly
+    search at scale; symbols are decided on the 6dp-rounded z so
+    both engines cut identically."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss"),
+    ).localCheckpoint(eager=True)
+    z = F.round(
+        (F.col("y") - F.col("s") * 1.0 / F.col("n"))
+        / F.sqrt(
+            F.col("ss") * 1.0 / F.col("n")
+            - (F.col("s") * 1.0 / F.col("n")) * (F.col("s") * 1.0 / F.col("n"))
+        ),
+        6,
+    )
+    sym = (
+        F.when(z < -0.6745, "a")
+        .when(z < 0.0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+    )
+    w = Window.orderBy("d")
+    s = daily.crossJoin(F.broadcast(stats)).select("d", sym.alias("sym"))
+    motifs = s.select(
+        F.concat(
+            F.col("sym"),
+            F.lead("sym", 1).over(w),
+            F.lead("sym", 2).over(w),
+        ).alias("motif")
+    ).where(F.col("motif").isNotNull() & (F.length("motif") == 3))
+    return (
+        motifs.groupBy("motif")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+        .orderBy(F.col("n_days").desc(), "motif")
+        .limit(10)
+    )
+
+
+SQL_SAX_MOTIFS = """
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) d,
+                      CAST(count(*) AS BIGINT) y
+               FROM orders GROUP BY 1),
+st AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(y) AS BIGINT) s,
+              CAST(sum(y * y) AS BIGINT) ss FROM daily),
+sym AS (SELECT d,
+          CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+               WHEN z < 0.6745 THEN 'c' ELSE 'd' END sym
+        FROM (SELECT d,
+                round((y - s * 1.0 / n)
+                      / sqrt(ss * 1.0 / n
+                             - (s * 1.0 / n) * (s * 1.0 / n)), 6) z
+              FROM daily CROSS JOIN st)),
+motifs AS (SELECT sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w motif
+           FROM sym WINDOW w AS (ORDER BY d))
+SELECT motif, CAST(count(*) AS BIGINT) n_days
+FROM motifs WHERE motif IS NOT NULL AND length(motif) = 3
+GROUP BY motif ORDER BY n_days DESC, motif LIMIT 10"""
+
+
+def q_type_graph_reachability(spark, sf_dir):
+    """Reachability closure of the directed event-type transition
+    graph within 4 steps: min path length per ordered (src, dst)
+    pair and the mutual flag (both directions reachable = same
+    strongly connected component) — the bow-tie view of how user
+    behaviors can flow. The graph is dimension-bounded (K² ≤ 25
+    pairs); levels unroll as distinct-join rounds in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("u").orderBy("us", "eid")
+    e1 = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("src"),
+        )
+        .select("u", "src", F.lead("src").over(w).alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = e1.select("src", "dst", F.lit(1).cast("bigint").alias("steps"))
+    frontier = e1
+    for step_n in (2, 3, 4):
+        nxt = (
+            frontier.join(
+                e1.select(
+                    F.col("src").alias("mid"), F.col("dst").alias("nd")
+                ),
+                frontier["dst"] == F.col("mid"),
+            )
+            .select("src", F.col("nd").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .join(dist.select("src", "dst"), ["src", "dst"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionAll(
+            nxt.select("src", "dst", F.lit(step_n).cast("bigint").alias("steps"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    back = dist.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(1).alias("rev"),
+    ).distinct()
+    return (
+        dist.join(F.broadcast(back), ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            F.col("steps").alias("min_steps"),
+            F.coalesce(F.col("rev"), F.lit(0)).cast("boolean").alias("mutual"),
+        )
+    )
+
+
+SQL_TYPE_GRAPH_REACHABILITY = """
+WITH e AS (SELECT user_id u, epoch_us(ts) us, event_id eid,
+                  event_type src FROM events),
+seq AS (SELECT u, src,
+               lead(src) OVER (PARTITION BY u ORDER BY us, eid) dst
+        FROM e),
+e1 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM seq
+  WHERE dst IS NOT NULL AND src <> dst),
+d1 AS (SELECT src, dst, CAST(1 AS BIGINT) steps FROM e1),
+n2 AS (SELECT DISTINCT a.src, b.dst FROM d1 a JOIN e1 b ON a.dst = b.src
+       WHERE a.src <> b.dst),
+d2 AS (SELECT src, dst, CAST(2 AS BIGINT) steps FROM n2 n2
+       WHERE NOT EXISTS (SELECT 1 FROM d1 p
+                         WHERE p.src = n2.src AND p.dst = n2.dst)),
+r2 AS (SELECT src, dst, steps FROM d1 UNION ALL SELECT * FROM d2),
+n3 AS (SELECT DISTINCT a.src, b.dst FROM d2 a JOIN e1 b ON a.dst = b.src
+       WHERE a.src <> b.dst),
+d3 AS (SELECT src, dst, CAST(3 AS BIGINT) steps FROM n3 n3
+       WHERE NOT EXISTS (SELECT 1 FROM r2 p
+                         WHERE p.src = n3.src AND p.dst = n3.dst)),
+r3 AS (SELECT * FROM r2 UNION ALL SELECT * FROM d3),
+n4 AS (SELECT DISTINCT a.src, b.dst FROM d3 a JOIN e1 b ON a.dst = b.src
+       WHERE a.src <> b.dst),
+d4 AS (SELECT src, dst, CAST(4 AS BIGINT) steps FROM n4 n4
+       WHERE NOT EXISTS (SELECT 1 FROM r3 p
+                         WHERE p.src = n4.src AND p.dst = n4.dst)),
+r4 AS MATERIALIZED (SELECT * FROM r3 UNION ALL SELECT * FROM d4)
+SELECT a.src, a.dst, a.steps min_steps,
+       (EXISTS (SELECT 1 FROM r4 b
+                WHERE b.src = a.dst AND b.dst = a.src)) mutual
+FROM r4 a"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -24660,6 +25249,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_size_estimate": q_join_size_estimate,
     "median_ci_order_stats": q_median_ci_order_stats,
     "markov_removal_attribution": q_markov_removal_attribution,
+    "bradley_terry": q_bradley_terry,
+    "logistic_newton": q_logistic_newton,
+    "partition_modularity": q_partition_modularity,
+    "hill_numbers": q_hill_numbers,
+    "sax_motifs": q_sax_motifs,
+    "type_graph_reachability": q_type_graph_reachability,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -25049,6 +25644,12 @@ ORACLES: dict[str, str] = {
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "median_ci_order_stats": SQL_MEDIAN_CI_ORDER_STATS,
     "markov_removal_attribution": SQL_MARKOV_REMOVAL_ATTRIBUTION,
+    "bradley_terry": SQL_BRADLEY_TERRY,
+    "logistic_newton": SQL_LOGISTIC_NEWTON,
+    "partition_modularity": SQL_PARTITION_MODULARITY,
+    "hill_numbers": SQL_HILL_NUMBERS,
+    "sax_motifs": SQL_SAX_MOTIFS,
+    "type_graph_reachability": SQL_TYPE_GRAPH_REACHABILITY,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
