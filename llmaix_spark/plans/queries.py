@@ -24955,6 +24955,633 @@ SELECT a.src, a.dst, a.steps min_steps,
 FROM r4 a"""
 
 
+def q_simhash_angle_estimate(spark, sf_dir):
+    """Random-hyperplane (SimHash) angle estimation audit: 64
+    md5-derived ±1 hyperplanes (the 64×dim plane table is bounded and
+    broadcasts), signature bit = sign of an EXACT integer dot with
+    the micro-quantized embedding, estimated cosine = cos(π·hamming/64)
+    vs the exact integer-dot true cosine — per deterministic
+    rank-offset pair (vec r with r + n/2). The estimator audit behind
+    every bit-signature embedding dedup: how many planes buy how much
+    angular resolution."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    ).select(
+        "vec_id", "d",
+        F.round(F.col("v").cast("double") * 1_000_000, 0)
+        .cast("bigint")
+        .alias("q"),
+    ).localCheckpoint(eager=True)
+    dims = emb.select("d").distinct()
+    planes = (
+        spark.range(64)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "k", "d",
+            F.when(
+                F.pmod(
+                    stable_hash60_expr(
+                        F.concat(
+                            F.lit("sh"), F.col("k").cast("string"),
+                            F.lit(":d"), F.col("d").cast("string"),
+                        )
+                    ),
+                    F.lit(2),
+                )
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .cast("bigint")
+            .alias("sgn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bits = (
+        emb.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "k")
+        .agg(
+            (F.sum(F.col("sgn") * F.col("q")) >= 0)
+            .cast("int")
+            .alias("bit"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wrk = Window.orderBy("vec_id")
+    ranked = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .select("vec_id", (F.row_number().over(wrk) - 1).alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    n = ranked.count()
+    half = n // 2
+    pairs = (
+        ranked.alias("x")
+        .join(ranked.alias("y"), F.col("y.r") == F.col("x.r") + half)
+        .select(
+            F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb")
+        )
+    )
+    ham = (
+        pairs.join(
+            bits.select(F.col("vec_id").alias("va"), "k", F.col("bit").alias("ba")),
+            "va",
+        )
+        .join(
+            bits.select(
+                F.col("vec_id").alias("vb"), "k", F.col("bit").alias("bb")
+            ),
+            ["vb", "k"],
+        )
+        .groupBy("va", "vb")
+        .agg(
+            F.sum((F.col("ba") != F.col("bb")).cast("bigint"))
+            .cast("bigint")
+            .alias("hamming")
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = emb.select(F.col("vec_id").alias("va"), "d", F.col("q").alias("qa"))
+    b = emb.select(F.col("vec_id").alias("vb"), "d", F.col("q").alias("qb"))
+    true = (
+        pairs.join(a, "va")
+        .join(b, ["vb", "d"])
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(dec("qa") * dec("qb")).alias("_dot"),
+            F.sum(dec("qa") * dec("qa")).alias("_na"),
+            F.sum(dec("qb") * dec("qb")).alias("_nb"),
+        )
+        .select(
+            "va", "vb",
+            F.round(
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_na").cast("double"))
+                    * F.sqrt(F.col("_nb").cast("double"))
+                ),
+                6,
+            ).alias("true_cos"),
+        )
+    )
+    return (
+        ham.join(true, ["va", "vb"])
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            "hamming",
+            "true_cos",
+            F.round(
+                F.cos(math.pi * F.col("hamming") / 64.0), 6
+            ).alias("est_cos"),
+            F.round(
+                F.abs(
+                    F.round(F.cos(math.pi * F.col("hamming") / 64.0), 6)
+                    - F.col("true_cos")
+                ),
+                6,
+            ).alias("abs_err"),
+        )
+    )
+
+
+_SH_PLANE_SQL = _HASH60_SQL.format(
+    v="'sh' || CAST(k.range AS VARCHAR) || ':d' || CAST(d AS VARCHAR)"
+)
+
+SQL_SIMHASH_ANGLE_ESTIMATE = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 d,
+         CAST(round(unnest(embedding)::DOUBLE * 1000000, 0) AS BIGINT) q
+  FROM embeddings),
+dims AS (SELECT DISTINCT d FROM e),
+planes AS MATERIALIZED (
+  SELECT k.range k, d,
+         CASE WHEN {_SH_PLANE_SQL} % 2 = 0 THEN 1 ELSE -1 END sgn
+  FROM range(64) k CROSS JOIN dims),
+bits AS MATERIALIZED (
+  SELECT vec_id, k,
+         CASE WHEN sum(sgn * q) >= 0 THEN 1 ELSE 0 END bt
+  FROM e JOIN planes USING (d) GROUP BY 1, 2),
+ranked AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 r
+           FROM embeddings),
+nn AS (SELECT count(*) n FROM embeddings),
+pairs AS (SELECT x.vec_id va, y.vec_id vb
+          FROM ranked x JOIN ranked y
+            ON y.r = x.r + (SELECT n // 2 FROM nn)),
+ham AS (SELECT va, vb,
+          CAST(sum(CASE WHEN a.bt <> b.bt THEN 1 ELSE 0 END) AS BIGINT)
+            hamming
+        FROM pairs JOIN bits a ON a.vec_id = va
+                   JOIN bits b ON b.vec_id = vb AND b.k = a.k
+        GROUP BY 1, 2),
+tru AS (SELECT va, vb,
+          round(sum(a.q::HUGEINT * b.q::HUGEINT)::DOUBLE
+                / (sqrt(sum(a.q::HUGEINT * a.q::HUGEINT)::DOUBLE)
+                   * sqrt(sum(b.q::HUGEINT * b.q::HUGEINT)::DOUBLE)), 6)
+            true_cos
+        FROM pairs JOIN e a ON a.vec_id = va
+                   JOIN e b ON b.vec_id = vb AND b.d = a.d
+        GROUP BY 1, 2)
+SELECT va vec_a, vb vec_b, hamming, true_cos,
+       round(cos(pi() * hamming / 64.0), 6) est_cos,
+       round(abs(round(cos(pi() * hamming / 64.0), 6) - true_cos), 6)
+         abs_err
+FROM ham JOIN tru USING (va, vb)"""
+
+
+def q_haar_wavelet(spark, sf_dir):
+    """3-level unnormalized Haar decomposition of the daily
+    order-count series: per level, detail = pairwise difference,
+    approx = pairwise sum (exact integers — the 2^level scaling is
+    applied only in the final energy division), unpaired tail
+    elements pass through as approx and contribute no detail. Output
+    = detail energy per level (Σd²/2^level) and its share — the
+    multiresolution 'where does the variance live' synopsis a
+    time-series store keeps. Calendar-bounded grain; three grouped
+    integer aggregates."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    cur = daily.select(
+        (F.row_number().over(Window.orderBy("d")) - 1)
+        .cast("bigint")
+        .alias("r"),
+        "y",
+    ).localCheckpoint(eager=True)
+    energies = []
+    for lvl in (1, 2, 3):
+        grp = cur.groupBy(F.expr("r div 2").alias("g")).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").cast("bigint").alias("a"),
+            F.sum(
+                F.when(F.col("r") % 2 == 0, F.col("y")).otherwise(-F.col("y"))
+            )
+            .cast("bigint")
+            .alias("dd"),
+        ).localCheckpoint(eager=True)
+        energies.append(
+            grp.where(F.col("cnt") == 2).agg(
+                F.lit(lvl).cast("bigint").alias("level"),
+                F.count(F.lit(1)).cast("bigint").alias("n_detail"),
+                F.sum(F.col("dd") * F.col("dd")).cast("bigint").alias("e_raw"),
+            )
+        )
+        cur = grp.select(F.col("g").alias("r"), F.col("a").alias("y"))
+    out = energies[0]
+    for e_ in energies[1:]:
+        out = out.unionAll(e_)
+    out = out.select(
+        "level", "n_detail",
+        (F.col("e_raw") / F.pow(F.lit(2.0), F.col("level").cast("double"))).alias(
+            "energy"
+        ),
+    ).localCheckpoint(eager=True)
+    tot = out.agg(F.sum("energy").alias("te"))
+    return out.crossJoin(F.broadcast(tot)).select(
+        "level", "n_detail",
+        F.round(F.col("energy"), 6).alias("detail_energy"),
+        F.round(F.col("energy") / F.col("te"), 6).alias("energy_share"),
+    )
+
+
+SQL_HAAR_WAVELET = """
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) d,
+                      CAST(count(*) AS BIGINT) y
+               FROM orders GROUP BY 1),
+l0 AS (SELECT row_number() OVER (ORDER BY d) - 1 r, y FROM daily),
+g1 AS MATERIALIZED (
+  SELECT r // 2 g, count(*) cnt, CAST(sum(y) AS BIGINT) a,
+         CAST(sum(CASE WHEN r % 2 = 0 THEN y ELSE -y END) AS BIGINT) dd
+  FROM l0 GROUP BY 1),
+l1 AS (SELECT g r, a y FROM g1),
+g2 AS MATERIALIZED (
+  SELECT r // 2 g, count(*) cnt, CAST(sum(y) AS BIGINT) a,
+         CAST(sum(CASE WHEN r % 2 = 0 THEN y ELSE -y END) AS BIGINT) dd
+  FROM l1 GROUP BY 1),
+l2 AS (SELECT g r, a y FROM g2),
+g3 AS MATERIALIZED (
+  SELECT r // 2 g, count(*) cnt, CAST(sum(y) AS BIGINT) a,
+         CAST(sum(CASE WHEN r % 2 = 0 THEN y ELSE -y END) AS BIGINT) dd
+  FROM l2 GROUP BY 1),
+e AS (
+  SELECT CAST(1 AS BIGINT) lvl, CAST(count(*) AS BIGINT) n_detail,
+         sum(dd * dd) / power(2.0, 1) energy FROM g1 WHERE cnt = 2
+  UNION ALL
+  SELECT 2, count(*), sum(dd * dd) / power(2.0, 2) FROM g2 WHERE cnt = 2
+  UNION ALL
+  SELECT 3, count(*), sum(dd * dd) / power(2.0, 3) FROM g3 WHERE cnt = 2),
+tot AS (SELECT sum(energy) te FROM e)
+SELECT lvl AS level, n_detail, round(energy, 6) detail_energy,
+       round(energy / (SELECT te FROM tot), 6) energy_share
+FROM e"""
+
+
+def q_texttiling_segments(spark, sf_dir):
+    """TextTiling topical segmentation of the corpus's longest
+    document: 10-token blocks, adjacent-block cosine over exact
+    integer token-count vectors, boundary where the 6dp-rounded
+    similarity drops below mean − stddev (both computed with the
+    exact dev-sum scheme — stylometry_delta's integer variance in
+    DECIMAL/HUGEINT, so the threshold is bit-identical). Hearst 1997
+    semantics on the deterministic gap grain."""
+    docs = _t(spark, sf_dir, "documents")
+    target = (
+        docs.orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(1)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    tok = target.select(
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
+            "pos", "w"
+        )
+    ).where(F.col("w") != "")
+    blocks = tok.select(
+        F.expr("pos div 10").alias("blk"), "w"
+    ).groupBy("blk", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    nxt = blocks.select(
+        (F.col("blk") - 1).alias("blk"),
+        F.col("w"),
+        F.col("c").alias("cn"),
+    )
+    dots = (
+        blocks.join(nxt, ["blk", "w"])
+        .groupBy("blk")
+        .agg(F.sum(F.col("c") * F.col("cn")).cast("bigint").alias("dot"))
+    )
+    norms = blocks.groupBy("blk").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2")
+    )
+    nn = norms.select(
+        (F.col("blk") - 1).alias("blk"), F.col("n2").alias("n2n")
+    )
+    maxb = blocks.agg(F.max("blk").alias("mb"))
+    gaps = (
+        norms.join(nn, "blk")
+        .join(dots, "blk", "left")
+        .crossJoin(F.broadcast(maxb))
+        .where(F.col("blk") < F.col("mb"))
+        .select(
+            F.col("blk").alias("gap_id"),
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0))
+                / (
+                    F.sqrt(F.col("n2").cast("double"))
+                    * F.sqrt(F.col("n2n").cast("double"))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("sim_u"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ng = gaps.count()
+    musum = gaps.agg(F.sum("sim_u").alias("ms")).localCheckpoint(eager=True)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    devs = gaps.crossJoin(F.broadcast(musum)).select(
+        "gap_id", "sim_u",
+        (F.lit(ng) * F.col("sim_u") - F.col("ms")).alias("dev"),
+    )
+    var = devs.agg(F.sum(dec("dev") * dec("dev")).alias("vs"))
+    return (
+        devs.crossJoin(F.broadcast(var))
+        .crossJoin(F.broadcast(musum))
+        .select(
+            "gap_id",
+            F.round(F.col("sim_u") / 1e6, 6).alias("similarity"),
+            F.round(
+                (
+                    F.col("ms") / F.lit(float(ng))
+                    - F.sqrt(
+                        F.col("vs").cast("double")
+                        / (float(ng) * float(ng) * float(ng - 1))
+                    )
+                )
+                / 1e6,
+                6,
+            ).alias("threshold"),
+            (
+                F.col("sim_u") * F.lit(float(ng))
+                < F.col("ms")
+                - F.lit(float(ng))
+                * F.sqrt(
+                    F.col("vs").cast("double")
+                    / (float(ng) * float(ng) * float(ng - 1))
+                )
+            ).alias("is_boundary"),
+        )
+    )
+
+
+SQL_TEXTTILING_SEGMENTS = """
+WITH target AS (SELECT doc_id, text FROM documents
+                ORDER BY n_chars DESC, doc_id LIMIT 1),
+tok AS (SELECT i - 1 pos, t w
+        FROM (SELECT generate_subscripts(ws, 1) i, unnest(ws) t
+              FROM (SELECT string_split(lower(trim(text)), ' ') ws
+                    FROM target))
+        WHERE t <> ''),
+blocks AS MATERIALIZED (
+  SELECT pos // 10 blk, w, CAST(count(*) AS BIGINT) c
+  FROM tok GROUP BY 1, 2),
+dots AS (SELECT a.blk, CAST(sum(a.c * b.c) AS BIGINT) dot
+         FROM blocks a JOIN blocks b ON b.blk = a.blk + 1 AND b.w = a.w
+         GROUP BY 1),
+norms AS (SELECT blk, CAST(sum(c * c) AS BIGINT) n2 FROM blocks GROUP BY 1),
+mb AS (SELECT max(blk) m FROM blocks),
+gaps AS MATERIALIZED (
+  SELECT a.blk gap_id,
+    CAST(round(coalesce(dot, 0)
+               / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) * 1e6, 0)
+         AS BIGINT) sim_u
+  FROM norms a JOIN norms b ON b.blk = a.blk + 1
+  LEFT JOIN dots ON dots.blk = a.blk
+  WHERE a.blk < (SELECT m FROM mb)),
+ng AS (SELECT count(*) n, sum(sim_u) ms FROM gaps),
+var AS (SELECT sum(((SELECT n FROM ng) * sim_u
+                    - (SELECT ms FROM ng))::HUGEINT
+                   * ((SELECT n FROM ng) * sim_u
+                      - (SELECT ms FROM ng))::HUGEINT) vs
+        FROM gaps)
+SELECT gap_id, round(sim_u / 1e6, 6) similarity,
+       round(((SELECT ms FROM ng) * 1.0 / (SELECT n FROM ng)
+              - sqrt((SELECT vs FROM var)::DOUBLE
+                     / ((SELECT n FROM ng)::DOUBLE * (SELECT n FROM ng)
+                        * ((SELECT n FROM ng) - 1)))) / 1e6, 6) threshold,
+       (sim_u * (SELECT n FROM ng)::DOUBLE
+        < (SELECT ms FROM ng)
+          - (SELECT n FROM ng)::DOUBLE
+            * sqrt((SELECT vs FROM var)::DOUBLE
+                   / ((SELECT n FROM ng)::DOUBLE * (SELECT n FROM ng)
+                      * ((SELECT n FROM ng) - 1)))) is_boundary
+FROM gaps"""
+
+
+def q_selectivity_estimate(spark, sf_dir):
+    """Conjunctive-predicate selectivity audit: true row counts of
+    urgent ∧ high-price ∧ recent (all pairs + the triple) vs the
+    attribute-independence products every textbook optimizer assumes
+    — the correlation lift an optimizer mis-estimates by. One scan,
+    exact counts, four output rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("bigint").alias("p1"),
+        (
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            >= 15_000_000
+        )
+        .cast("bigint")
+        .alias("p2"),
+        (F.year("o_orderdate") >= 1998).cast("bigint").alias("p3"),
+    )
+    agg = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p1").cast("bigint").alias("s1"),
+        F.sum("p2").cast("bigint").alias("s2"),
+        F.sum("p3").cast("bigint").alias("s3"),
+        F.sum(F.col("p1") * F.col("p2")).cast("bigint").alias("s12"),
+        F.sum(F.col("p1") * F.col("p3")).cast("bigint").alias("s13"),
+        F.sum(F.col("p2") * F.col("p3")).cast("bigint").alias("s23"),
+        F.sum(F.col("p1") * F.col("p2") * F.col("p3"))
+        .cast("bigint")
+        .alias("s123"),
+    ).localCheckpoint(eager=True)
+    combos = [
+        ("urgent&highprice", "s12", ["s1", "s2"]),
+        ("urgent&recent", "s13", ["s1", "s3"]),
+        ("highprice&recent", "s23", ["s2", "s3"]),
+        ("urgent&highprice&recent", "s123", ["s1", "s2", "s3"]),
+    ]
+    rows = []
+    for name, true_c, margs in combos:
+        est = F.col(margs[0]) * 1.0 / F.col("n")
+        for m_ in margs[1:]:
+            est = est * (F.col(m_) / F.col("n"))
+        est_rows = est * F.col("n")
+        rows.append(
+            agg.select(
+                F.lit(name).alias("combo"),
+                F.col(true_c).alias("true_rows"),
+                F.round(est_rows, 6).alias("est_rows"),
+                F.round(F.col(true_c) / est_rows, 6).alias("lift"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+SQL_SELECTIVITY_ESTIMATE = """
+WITH o AS (SELECT
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END p1,
+             CASE WHEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                  >= 15000000 THEN 1 ELSE 0 END p2,
+             CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END p3
+           FROM orders),
+a AS (SELECT CAST(count(*) AS BIGINT) n,
+             CAST(sum(p1) AS BIGINT) s1, CAST(sum(p2) AS BIGINT) s2,
+             CAST(sum(p3) AS BIGINT) s3,
+             CAST(sum(p1 * p2) AS BIGINT) s12,
+             CAST(sum(p1 * p3) AS BIGINT) s13,
+             CAST(sum(p2 * p3) AS BIGINT) s23,
+             CAST(sum(p1 * p2 * p3) AS BIGINT) s123
+      FROM o)
+SELECT 'urgent&highprice' combo, s12 true_rows,
+       round(s1 * 1.0 / n * (s2 * 1.0 / n) * n, 6) est_rows,
+       round(s12 / (s1 * 1.0 / n * (s2 * 1.0 / n) * n), 6) lift FROM a
+UNION ALL
+SELECT 'urgent&recent', s13,
+       round(s1 * 1.0 / n * (s3 * 1.0 / n) * n, 6),
+       round(s13 / (s1 * 1.0 / n * (s3 * 1.0 / n) * n), 6) FROM a
+UNION ALL
+SELECT 'highprice&recent', s23,
+       round(s2 * 1.0 / n * (s3 * 1.0 / n) * n, 6),
+       round(s23 / (s2 * 1.0 / n * (s3 * 1.0 / n) * n), 6) FROM a
+UNION ALL
+SELECT 'urgent&highprice&recent', s123,
+       round(s1 * 1.0 / n * (s2 * 1.0 / n) * (s3 * 1.0 / n) * n, 6),
+       round(s123 / (s1 * 1.0 / n * (s2 * 1.0 / n) * (s3 * 1.0 / n) * n), 6)
+FROM a"""
+
+
+def q_chao1_richness(spark, sf_dir):
+    """Chao1 species-richness extrapolation per source: observed
+    distinct trigram shingles, singleton/doubleton counts, the
+    bias-corrected Chao1 estimate S + f₁(f₁−1)/(2(f₂+1)), and the
+    Good coverage 1 − f₁/N — 'how much vocabulary this source has
+    that we haven't seen yet', the corpus-growth planning companion
+    to good_turing. Two grouped integer counts per source."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = (
+        dd.word_shingles(docs, 3, distinct=False)
+        .join(
+            F.broadcast(docs.select("doc_id", "source")), "doc_id"
+        )
+        .groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    return (
+        occ.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+            F.sum((F.col("r") == 1).cast("bigint")).cast("bigint").alias("f1"),
+            F.sum((F.col("r") == 2).cast("bigint")).cast("bigint").alias("f2"),
+            F.sum("r").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "source", "s_obs", "f1", "f2",
+            F.round(
+                F.col("s_obs")
+                + F.col("f1") * (F.col("f1") - 1) * 1.0
+                / (2 * (F.col("f2") + 1)),
+                6,
+            ).alias("chao1"),
+            F.round(1.0 - F.col("f1") * 1.0 / F.col("n_tokens"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+SQL_CHAO1_RICHNESS = """
+WITH d AS (SELECT doc_id, source, string_split(trim(text), ' ') ws
+           FROM documents),
+tokp AS (SELECT doc_id, source, generate_subscripts(ws, 1) i, unnest(ws) t
+         FROM d),
+tri AS (SELECT source,
+               t || ' ' || lead(t, 1) OVER win || ' ' || lead(t, 2) OVER win
+                 AS s,
+               lead(t, 2) OVER win l2
+        FROM tokp WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+occ AS (SELECT source, s, CAST(count(*) AS BIGINT) r FROM tri
+        WHERE l2 IS NOT NULL GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) s_obs,
+       CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) f1,
+       CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) f2,
+       round(count(*)
+             + sum(CASE WHEN r = 1 THEN 1 ELSE 0 END)
+               * (sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) - 1) * 1.0
+               / (2 * (sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) + 1)), 6)
+         chao1,
+       round(1.0 - sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) * 1.0 / sum(r), 6)
+         coverage
+FROM occ GROUP BY source"""
+
+
+def q_salting_skew_audit(spark, sf_dir):
+    """Shuffle-salting audit: rows per 32-way hash bucket when events
+    shuffle on the raw 5-value event_type key (catastrophic skew) vs
+    the type⊕(user%8) salted composite vs a row-level hash (the
+    ideal) — the measured case for the salting strategy every skewed
+    groupBy here uses. One scan, three grouped counts on shared-hash
+    buckets; skew = max/mean over the 32 buckets."""
+    from llmaix_spark.operators.linking import stable_hash60_expr
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    ).localCheckpoint(eager=True)
+    strategies = {
+        "raw_key": stable_hash60_expr(F.col("event_type")),
+        "salted_key": stable_hash60_expr(
+            F.concat(
+                F.col("event_type"), F.lit(":"),
+                (F.col("user_id") % 8).cast("string"),
+            )
+        ),
+        "row_hash": stable_hash60_expr(F.col("event_id").cast("string")),
+    }
+    n_total = e.count()
+    rows = []
+    for name, h in strategies.items():
+        loads = e.select(F.pmod(h, F.lit(32)).alias("b")).groupBy("b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("ld")
+        )
+        rows.append(
+            loads.agg(
+                F.lit(name).alias("strategy"),
+                F.count(F.lit(1)).cast("bigint").alias("buckets_used"),
+                F.max("ld").cast("bigint").alias("max_rows"),
+                F.round(
+                    F.max("ld") * 32.0 / F.lit(float(n_total)), 6
+                ).alias("skew_ratio"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _salt_strategy_sql(name: str, key: str) -> str:
+    h = _HASH60_SQL.format(v=key)
+    return f"""
+SELECT '{name}' strategy,
+       CAST(count(*) AS BIGINT) buckets_used,
+       CAST(max(ld) AS BIGINT) max_rows,
+       round(max(ld) * 32.0 / (SELECT count(*) FROM events), 6) skew_ratio
+FROM (SELECT {h} % 32 b, count(*) ld FROM events GROUP BY 1)"""
+
+
+SQL_SALTING_SKEW_AUDIT = (
+    _salt_strategy_sql("raw_key", "event_type")
+    + "\nUNION ALL"
+    + _salt_strategy_sql(
+        "salted_key", "event_type || ':' || CAST(user_id % 8 AS VARCHAR)"
+    )
+    + "\nUNION ALL"
+    + _salt_strategy_sql("row_hash", "CAST(event_id AS VARCHAR)")
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -25255,6 +25882,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hill_numbers": q_hill_numbers,
     "sax_motifs": q_sax_motifs,
     "type_graph_reachability": q_type_graph_reachability,
+    "simhash_angle_estimate": q_simhash_angle_estimate,
+    "haar_wavelet": q_haar_wavelet,
+    "texttiling_segments": q_texttiling_segments,
+    "selectivity_estimate": q_selectivity_estimate,
+    "chao1_richness": q_chao1_richness,
+    "salting_skew_audit": q_salting_skew_audit,
     "integrity_orphans": q_integrity_orphans,
     "integrity_gaps": q_integrity_gaps,
     "events_range_join": q_events_range_join,
@@ -25650,6 +26283,12 @@ ORACLES: dict[str, str] = {
     "hill_numbers": SQL_HILL_NUMBERS,
     "sax_motifs": SQL_SAX_MOTIFS,
     "type_graph_reachability": SQL_TYPE_GRAPH_REACHABILITY,
+    "simhash_angle_estimate": SQL_SIMHASH_ANGLE_ESTIMATE,
+    "haar_wavelet": SQL_HAAR_WAVELET,
+    "texttiling_segments": SQL_TEXTTILING_SEGMENTS,
+    "selectivity_estimate": SQL_SELECTIVITY_ESTIMATE,
+    "chao1_richness": SQL_CHAO1_RICHNESS,
+    "salting_skew_audit": SQL_SALTING_SKEW_AUDIT,
     "integrity_orphans": SQL_INTEGRITY_ORPHANS,
     "integrity_gaps": SQL_INTEGRITY_GAPS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
