@@ -301,9 +301,9 @@ def test_vr_matches_python(spark):
     for x, y in zip(xs, ys):
         strata[min(9, x * 10 // (mx + 1))].append(y)
     ssw = sum(
-        sum(y * y for y in v) - sum(v) * (sum(v) / len(v))
+        _rnd((sum(y * y for y in v) - sum(v) * (sum(v) / len(v))) / 1e4)
         for v in strata.values()
-    )
+    ) * 1e4
     var_strat = ssw / n
     assert row["n_customers"] == n
     assert abs(row["var_raw"] - var_y / 1e4) < 1e-3
