@@ -333,23 +333,36 @@ def jaccard_prefix_pairs(
         )
         .distinct()
     )
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Verify on per-doc shingle SETS, not an exploded three-way join: the
+    # old shape (cand ⋈ shingles ⋈ shingles → groupBy) moves
+    # |cand|·|doc| rows (~21M at sf0.1) through a shuffle to count
+    # overlaps; collecting each doc's (distinct) shingles into one array
+    # moves each set once and computes |A∩B| per candidate row with the
+    # codegen'd array_intersect — guide §3.3 (join first, explode never).
+    # The array is bounded by document length (the same per-doc bound the
+    # ranking windows above already rely on).
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("_set")
     )
     j = (
-        common.join(
-            cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("_set").alias("_sa")
+            ),
             "doc_a",
         )
         .join(
-            cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("_set").alias("_sb")
+            ),
             "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sa", "_sb")).alias("n_common"),
+            F.size("_sa").alias("n_a"),
+            F.size("_sb").alias("n_b"),
         )
         .withColumn(
             "jaccard",
@@ -471,20 +484,33 @@ def minhash_dedup_pairs(
         )
         .distinct()
     )
-    # exact verify: jaccard of the candidate pairs only, joined on the
-    # 8-byte hash key
-    cnt = sh_cached.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh_cached.select(F.col("doc_id").alias("doc_a"), F.col("sh_h"))
-    sb = sh_cached.select(F.col("doc_id").alias("doc_b"), F.col("sh_h"))
-    common = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "sh_h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # exact verify on per-doc 8-byte-hash SETS: |A∩B| via array_intersect
+    # per candidate row instead of the exploded cand ⋈ sh ⋈ sh → groupBy
+    # (which shuffles |cand|·|doc| rows). Sets are per-doc bounded; the
+    # arrays move once to meet the candidate pairs — guide §3.3.
+    sets = sh_cached.groupBy("doc_id").agg(
+        F.collect_list("sh_h").alias("_set")
     )
     j = (
-        common.join(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("_set").alias("_sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("_set").alias("_sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sa", "_sb")).alias("n_common"),
+            F.size("_sa").alias("n_a"),
+            F.size("_sb").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
