@@ -333,36 +333,29 @@ def jaccard_prefix_pairs(
         )
         .distinct()
     )
-    # Verify on per-doc shingle SETS, not an exploded three-way join: the
-    # old shape (cand ⋈ shingles ⋈ shingles → groupBy) moves
-    # |cand|·|doc| rows (~21M at sf0.1) through a shuffle to count
-    # overlaps; collecting each doc's (distinct) shingles into one array
-    # moves each set once and computes |A∩B| per candidate row with the
-    # codegen'd array_intersect — guide §3.3 (join first, explode never).
-    # The array is bounded by document length (the same per-doc bound the
-    # ranking windows above already rely on).
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("_set")
+    # Verify shape note (r6): an array_intersect variant (collect each
+    # doc's shingle set, join onto cand) was measured 2× SLOWER here —
+    # ~409k candidate rows × two ~2 KB STRING arrays is a heavier
+    # payload than the exploded narrow join it replaced. It wins only
+    # for 8-byte hash sets (see minhash_dedup_pairs); the string-exact
+    # contract here keeps the exploded join.
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     j = (
-        cand.join(
-            sets.select(
-                F.col("doc_id").alias("doc_a"), F.col("_set").alias("_sa")
-            ),
+        common.join(
+            cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
             "doc_a",
         )
         .join(
-            sets.select(
-                F.col("doc_id").alias("doc_b"), F.col("_set").alias("_sb")
-            ),
+            cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
             "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("_sa", "_sb")).alias("n_common"),
-            F.size("_sa").alias("n_a"),
-            F.size("_sb").alias("n_b"),
         )
         .withColumn(
             "jaccard",
@@ -1016,10 +1009,12 @@ def dup_ngram_spans(
     """
     from llmaix_spark.operators.textstats import ngram_hash_array
 
+    # two consumers (df stats + the per-doc join) — materialize or the
+    # explode + per-token md5 hashing runs twice (landmine #1 lazy form)
     hs = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(ngram_hash_array(F.col(text_col), n)).alias("h"),
-    )
+    ).localCheckpoint(eager=False)
     stats = hs.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     per_doc = (
         hs.join(stats, "h")

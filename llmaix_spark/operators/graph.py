@@ -47,24 +47,53 @@ def pagerank(
     driver's order-insensitive hash compare needs no top-k threshold.
     """
     spark = edges.sparkSession
-    e = (
+    e0 = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .distinct()
-        .repartition("src")
         .persist()
     )
+    m = e0.count()  # one scalar action; also sizes the loop (below)
+    if m == 0:
+        e0.unpersist()
+        return spark.createDataFrame([], "entity_id string, pagerank double")
+    # Scale-adaptive loop parallelism (guide §2: derive partitioning from
+    # input size, not a constant): per-iteration state is O(nodes) and
+    # the edge list is measured — with the session default (one shuffle
+    # partition per core) a small graph pays hundreds of empty tasks
+    # across the iterations (measured ~0.8 s/iter for a 600-edge graph).
+    # The conf is restored in the finally below; every shuffle inside the
+    # loop plans under the derived width. Grows linearly with edge count
+    # up to the session default, so big graphs keep full parallelism.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(1, min(int(old_sp), m // 100_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        return _pagerank_loop(
+            spark, e0, parts, iterations, damping, state_dp, out_dp
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        e0.unpersist()
+
+
+def _pagerank_loop(
+    spark,
+    e0: DataFrame,
+    parts: int,
+    iterations: int,
+    damping: float,
+    state_dp: int,
+    out_dp: int,
+) -> DataFrame:
+    e = e0.repartition(parts, "src").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
-    n = nodes.count()  # one scalar action at setup; the loop stays lazy
-    if n == 0:
-        e.unpersist()
-        nodes.unpersist()
-        return spark.createDataFrame([], "entity_id string, pagerank double")
+    n = nodes.count()
 
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # co-partitioned with e on src; tiny relative to e — persist with it
@@ -459,46 +488,54 @@ def bfs_distances(
     (the oracle's recursive CTE enumerates (node, dist) pairs; the
     Spark side never materializes paths at all).
     """
+    spark = edges.sparkSession
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .where(F.col("a") != F.col("b"))
     )
-    sym = (
+    sym0 = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .repartition("a")
         .persist()
     )
+    m = sym0.count()  # sizes the loop below; also materializes the cache
+    if m == 0:
+        sym0.unpersist()
+        return spark.createDataFrame([], "node string, dist bigint")
     if source_node is None:
-        row = sym.agg(F.min("a").alias("m")).collect()[0]
-        source_node = row["m"]
-        if source_node is None:
-            sym.unpersist()
-            spark = edges.sparkSession
-            return spark.createDataFrame([], "node string, dist bigint")
-
-    spark = edges.sparkSession
-    visited = spark.createDataFrame(
-        [(source_node, 0)], "node string, dist bigint"
-    ).localCheckpoint(eager=True)
-    frontier = visited
-    for hop in range(1, max_hops + 1):
-        reached = (
-            frontier.join(sym, frontier["node"] == sym["a"])
-            .select(F.col("b").alias("node"))
-            .distinct()
-        )
-        frontier = (
-            reached.join(visited, "node", "left_anti")
-            .select("node", F.lit(hop).cast("bigint").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
-        if frontier.isEmpty():
-            break
-        visited = visited.union(frontier).localCheckpoint(eager=True)
-    sym.unpersist()
-    return visited
+        source_node = sym0.agg(F.min("a")).collect()[0][0]
+    # scale-adaptive loop parallelism (same rationale as pagerank): the
+    # per-hop frontier is O(nodes); plan the loop's shuffles at a width
+    # derived from the measured edge count, restore the conf after
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(1, min(int(old_sp), m // 100_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        sym = sym0.repartition(parts, "a").persist()
+        visited = spark.createDataFrame(
+            [(source_node, 0)], "node string, dist bigint"
+        ).localCheckpoint(eager=True)
+        frontier = visited
+        for hop in range(1, max_hops + 1):
+            reached = (
+                frontier.join(sym, frontier["node"] == sym["a"])
+                .select(F.col("b").alias("node"))
+                .distinct()
+            )
+            frontier = (
+                reached.join(visited, "node", "left_anti")
+                .select("node", F.lit(hop).cast("bigint").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            if frontier.isEmpty():
+                break
+            visited = visited.union(frontier).localCheckpoint(eager=True)
+        sym.unpersist()
+        return visited
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        sym0.unpersist()
 
 
 def hits(

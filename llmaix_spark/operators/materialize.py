@@ -55,7 +55,15 @@ def write_stage(
     if os.path.exists(d):
         shutil.rmtree(d)
     data_dir = os.path.join(d, "data")
-    w = df.write.mode("overwrite")
+    # REBALANCE before the write (guide §6 small-files): without it every
+    # upstream task emits one file per partition value (tasks × values
+    # fragments — ~190 tiny files for the sf0.1 edges stage, and the
+    # read-back + lineage + resume count paid ~3 s of listing/open cost
+    # per consumer). The AQE rebalance coalesces to advisory-size output
+    # partitions AND splits skewed partition values, so file count tracks
+    # data volume at any scale instead of task count.
+    w = df.hint("rebalance", *partition_by) if partition_by else df.hint("rebalance")
+    w = w.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(data_dir)

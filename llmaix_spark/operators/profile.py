@@ -522,32 +522,40 @@ def outliers_mad(
     median/MAD in dollars at ``out_dp``.
     """
     v = F.col(value_col)
-    # The three passes chain (median → MAD → count), and the stats
-    # tables are re-consumed by later passes AND the final join — Spark
-    # does not dedupe common subtrees, so without a materialization the
-    # full-corpus percentile aggregate re-executes ~6× (med 4×, mad 2×;
-    # 26-Exchange plan, measured 4.0 s at sf0.1). localCheckpoint each
-    # one-row-per-group stats table once (lazy — GC-released, landmine
-    # #1) so every pass over the corpus runs exactly once.
+    # r6 shape: ONE corpus scan builds a (group, value) → count rollup
+    # (map-side combinable); the three chained passes (median → MAD →
+    # outlier count) all aggregate the rollup via percentile's frequency
+    # argument — identical values (Percentile's buffer is a value→count
+    # map internally), but the corpus is never re-scanned and the stats
+    # tables are localCheckpointed so no subtree re-executes (the old
+    # plan ran the full-corpus percentile ~6×: 26 Exchanges, 4.0 s at
+    # sf0.1). Lazy checkpoints are GC-released (landmine #1).
+    cnts = (
+        df.groupBy(*group_cols, v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_ct"))
+        .localCheckpoint(eager=False)
+    )
     med = (
-        df.groupBy(*group_cols)
+        cnts.groupBy(*group_cols)
         .agg(
-            F.percentile(v, F.lit(0.5)).alias("_med"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.percentile(F.col("_v"), F.lit(0.5), F.col("_ct")).alias("_med"),
+            F.sum("_ct").cast("bigint").alias("n_rows"),
         )
         .localCheckpoint(eager=False)
     )
-    j = df.join(F.broadcast(med), group_cols)
-    dev = F.abs(v - F.col("_med"))
+    j = cnts.join(F.broadcast(med), group_cols)
+    dev = F.abs(F.col("_v") - F.col("_med"))
     mad_tbl = (
         j.groupBy(*group_cols)
-        .agg(F.percentile(dev, F.lit(0.5)).alias("_mad"))
+        .agg(F.percentile(dev, F.lit(0.5), F.col("_ct")).alias("_mad"))
         .localCheckpoint(eager=False)
     )
     j2 = j.join(F.broadcast(mad_tbl), group_cols)
     flagged = j2.groupBy(*group_cols).agg(
         F.sum(
-            F.when(dev > F.lit(k * 1.4826) * F.col("_mad"), 1).otherwise(0)
+            F.when(
+                dev > F.lit(k * 1.4826) * F.col("_mad"), F.col("_ct")
+            ).otherwise(F.lit(0))
         )
         .cast("bigint")
         .alias("n_outliers")

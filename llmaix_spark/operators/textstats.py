@@ -153,14 +153,21 @@ def doc_fingerprint(
     passage — the cheap first-pass dup blocker. Dedup is
     count(DISTINCT hash) inside the aggregation (8-byte shuffle, 2⁻⁶⁰
     collision odds, bit-identical in the SQL oracle)."""
+    # fully narrow (r6): the stats are per-doc over the doc's own gram
+    # array, so explode + shuffle + groupBy is pure overhead — array_min/
+    # array_max/size(array_distinct) compute them in place, zero
+    # exchanges. The size()>=1 filter reproduces explode's semantics
+    # (docs with no grams emit no row).
     grams = ngram_hash_array(F.col(text_col), n)
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("h")
-    )
-    return sh.groupBy("doc_id").agg(
-        F.min("h").alias("fp_min"),
-        F.max("h").alias("fp_max"),
-        F.countDistinct("h").alias("fp_n"),
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), grams.alias("_g"))
+        .where(F.size("_g") >= 1)
+        .select(
+            "doc_id",
+            F.array_min("_g").alias("fp_min"),
+            F.array_max("_g").alias("fp_max"),
+            F.size(F.array_distinct("_g")).cast("long").alias("fp_n"),
+        )
     )
 
 
