@@ -696,8 +696,15 @@ def domain_mixture(
     aggregates); the corpus itself sees one broadcast join + filter —
     no wide shuffle of the big table.
     """
-    counts = docs.groupBy(F.col(domain_col).alias("domain")).agg(
-        F.count(F.lit(1)).cast("double").alias("n_d")
+    # the chained scalar aggregates (tot → w → ws → r → m) each embed
+    # this corpus rollup as a subtree — without a materialization the
+    # plan scans the corpus ~9× (one per broadcast branch). Checkpoint
+    # the domain-cardinality table once; everything downstream is
+    # arithmetic over a handful of rows.
+    counts = (
+        docs.groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_d"))
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(F.sum("n_d").alias("n_tot"))
     w = counts.crossJoin(F.broadcast(tot)).withColumn(

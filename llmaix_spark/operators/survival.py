@@ -63,10 +63,13 @@ def kaplan_meier(
         F.round(F.col(value_col), 2).alias("v2"),
     )
     tmax = e.agg(F.max("us").alias("tmax"))
+    # 2 consumers (death's origin-gate join + the subjects left join) —
+    # checkpoint or the per-user min re-aggregates twice (landmine #1)
     origin = (
         e.where(F.col("ty") == origin_type)
         .groupBy("u")
         .agg(F.min("us").alias("t0"))
+        .localCheckpoint(eager=False)
     )
     death = (
         e.where(
@@ -89,7 +92,7 @@ def kaplan_meier(
             .alias("duration_h"),
             F.col("tp").isNotNull().cast("bigint").alias("obs"),
         )
-    )
+    ).localCheckpoint(eager=False)  # consumers: total + the curve base
     total = subjects.agg(F.count(F.lit(1)).alias("n_total"))
     base = subjects.groupBy("duration_h").agg(
         F.sum("obs").cast("bigint").alias("n_death"),

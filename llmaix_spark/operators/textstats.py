@@ -323,6 +323,9 @@ def tfidf_scores(
         )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        # 2 consumers (df rollup + the idf join) — checkpoint or the
+        # corpus explode + groupBy re-executes per branch
+        .localCheckpoint(eager=False)
     )
     df_tbl = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
