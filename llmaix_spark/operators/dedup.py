@@ -392,8 +392,12 @@ def doc_minhash_signatures(
         if "sh_h" in sh.columns
         else stable_hash60_expr(F.col("shingle"))
     )
-    h = base % F.lit(_P)
-    hashed = sh.select(
+    # reduce the (md5-derived) base hash ONCE per shingle in its own
+    # projection: embedding it in all 16 hash-fn columns leaves 16
+    # copies of the md5 chain in the plan
+    pre = sh.select("doc_id", (base % F.lit(_P)).alias("_hp"))
+    h = F.col("_hp")
+    hashed = pre.select(
         "doc_id",
         *[
             ((F.lit(a) * h + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
@@ -799,11 +803,17 @@ def simhash(
         .filter(F.length("tok") > 0)
         .distinct()
     )
-    h = stable_hash60_expr(F.col("tok"))
-    sums = toks.groupBy("doc_id").agg(
+    # hash ONCE per token in a projection: embedding the md5-derived
+    # expression in every per-bit aggregate leaves 32 copies in the plan
+    # (subexpression elimination does not reliably cover partial-agg
+    # inputs) — the projection guarantees one evaluation
+    hashed = toks.select(
+        "doc_id", stable_hash60_expr(F.col("tok")).alias("_h")
+    )
+    sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
-                (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+                (F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
             ).alias(f"s{b}")
             for b in range(SIMHASH_BITS)
         ]

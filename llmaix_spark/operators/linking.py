@@ -99,8 +99,14 @@ def minhash_signatures(norms: DataFrame, n: int = 3) -> DataFrame:
     """norm → sig array<bigint> of N_HASHES MinHash values (one shuffle:
     groupBy norm with per-column min — fully map-side combinable)."""
     sh = _shingles(norms, n)
-    h = stable_hash60_expr(F.col("shingle")) % F.lit(_P)
-    hashed = sh.select(
+    # hash ONCE per shingle in a projection (16 hash-fn columns each
+    # embedded the whole md5 chain otherwise)
+    pre = sh.select(
+        "norm",
+        (stable_hash60_expr(F.col("shingle")) % F.lit(_P)).alias("_hp"),
+    )
+    h = F.col("_hp")
+    hashed = pre.select(
         "norm",
         *[
             ((F.lit(a) * h + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
