@@ -263,7 +263,13 @@ def token_entropy(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(F.col(text_col))).alias("tok"),
     )
-    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # 2 consumers (n_words rollup + the entropy terms join) — checkpoint
+    # or the corpus explode + groupBy re-executes per branch
+    tc = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     # the single-pass identity H = log2(n) − (Σ c·log2(c))/n would save
     # the join, but loses the per-term rounding contract — keep the
     # explicit two-step form (tc is doc-distinct-token-sized, narrow)
